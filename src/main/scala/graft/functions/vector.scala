@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlInternal, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Column-level API over the Catalyst vector expressions.
+  *
+  * Mirrors the reference's oracle-visible record surface
+  * (node/wrapper/record.go): dot / dotRange / dotSub, magnitude,
+  * cosine / cosineSub / cosineRange, jaccard / jaccardRange, get, meta.
+  * Range variants compose `slice()` with the base expression, exactly as the
+  * reference loops over `[start, end)` of both vectors
+  * (record.go:79-127, 150-168).
+  *
+  * `start`/`end` are 0-based and half-open like the reference; `slice` is
+  * 1-based, hence the `+ 1`.
+  */
+object vector {
+
+  private def wrap2(f: (org.apache.spark.sql.catalyst.expressions.Expression,
+                        org.apache.spark.sql.catalyst.expressions.Expression) =>
+                       org.apache.spark.sql.catalyst.expressions.Expression)(
+      a: Column, b: Column): Column =
+    GraftSqlInternal.column(
+      f(GraftSqlInternal.expression(a), GraftSqlInternal.expression(b)))
+
+  /** `a . b` in float64. */
+  def dot(a: Column, b: Column): Column = wrap2(DotProduct.apply)(a, b)
+
+  /** Dot over elements `[start, end)` of both vectors (record.go:79-84). */
+  def dotRange(a: Column, b: Column, start: Int, end: Int): Column =
+    dot(slice(a, start + 1, end - start), slice(b, start + 1, end - start))
+
+  /** Dot over the first `elems` elements (record.go:87-89). */
+  def dotSub(a: Column, b: Column, elems: Int): Column = dotRange(a, b, 0, elems)
+
+  /** L2 norm (record.go:92-94). */
+  def magnitude(a: Column): Column =
+    GraftSqlInternal.column(VectorMagnitude(GraftSqlInternal.expression(a)))
+
+  /** Cosine similarity; 0.0 (not NaN) on zero magnitude (record.go:97-103). */
+  def cosine(a: Column, b: Column): Column = wrap2(CosineSimilarity.apply)(a, b)
+
+  def cosineRange(a: Column, b: Column, start: Int, end: Int): Column =
+    cosine(slice(a, start + 1, end - start), slice(b, start + 1, end - start))
+
+  def cosineSub(a: Column, b: Column, elems: Int): Column =
+    cosineRange(a, b, 0, elems)
+
+  /** Weighted Jaccard, reference semantics (record.go:130-147). */
+  def jaccard(a: Column, b: Column): Column = wrap2(WeightedJaccard.apply)(a, b)
+
+  def jaccardRange(a: Column, b: Column, start: Int, end: Int): Column =
+    jaccard(slice(a, start + 1, end - start), slice(b, start + 1, end - start))
+
+  /** i-th element, 0-based like the reference's Record.Get (record.go:58-60). */
+  def get(a: Column, i: Int): Column = element_at(a, i + 1)
+
+  /** Metadata value by key, "" when absent (record.go:64-66). */
+  def metaValue(meta: Column, key: String): Column =
+    coalesce(element_at(meta, lit(key)), lit(""))
+
+  /** Element-wise vector equality (record.go:69-71). */
+  def vecEqual(a: Column, b: Column): Column = a === b
+
+  /** Register SQL names (graft_dot, graft_cosine, ...) in this session so the
+    * expressions are also usable from `spark.sql` / `expr` strings.
+    */
+  def registerSql(spark: SparkSession): Unit = {
+    GraftSqlInternal.registerFunction(spark, "graft_dot",
+      es => DotProduct(es(0), es(1)))
+    GraftSqlInternal.registerFunction(spark, "graft_cosine",
+      es => CosineSimilarity(es(0), es(1)))
+    GraftSqlInternal.registerFunction(spark, "graft_jaccard",
+      es => WeightedJaccard(es(0), es(1)))
+    GraftSqlInternal.registerFunction(spark, "graft_magnitude",
+      es => VectorMagnitude(es.head))
+  }
+}

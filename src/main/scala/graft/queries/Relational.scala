@@ -1,0 +1,408 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage (aggregation, joins, windows, set ops,
+  * pagination, top-k, sessionization) over the driver's TPC-H-ish tables.
+  *
+  * Every query orders its output deterministically and rounds computed
+  * doubles (sums/avgs) coarsely enough that cross-engine float-accumulation
+  * drift cannot flip a rounded digit, so the DuckDB oracle hash-matches.
+  *
+  * Scale notes (the local data is small; the plans are written for 100 TB):
+  * dimension joins (`nation`, `part`, `region`) are explicitly broadcast;
+  * fact-fact work goes through shuffled hash/sort-merge joins keyed on the
+  * join column; aggregations are partial+final by construction (Catalyst);
+  * all filters/projections are plain Catalyst expressions so they push into
+  * the parquet scan.
+  */
+object Relational {
+
+  private val Sep = "1998-09-02 00:00:00"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q01_pricing_summary",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem
+          .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf(Sep)))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              .as("sum_disc_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+              (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+            round(avg(col("l_quantity")), 6).as("avg_qty"),
+            round(avg(col("l_extendedprice")), 6).as("avg_price"),
+            round(avg(col("l_discount")), 6).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some(s"""
+        |SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2)                                        AS sum_qty,
+        |       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+        |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+        |       round(avg(l_quantity), 6)                                        AS avg_qty,
+        |       round(avg(l_extendedprice), 6)                                   AS avg_price,
+        |       round(avg(l_discount), 6)                                        AS avg_disc,
+        |       count(*)                                                         AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '$Sep'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      "q02_filter_project",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem
+          .filter(col("l_quantity") < 5 && col("l_returnflag") === "R" &&
+            col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_extendedprice"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        |SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity < 5 AND l_returnflag = 'R'
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      "q03_revenue_by_nation",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .join(t.customer, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              .as("revenue"),
+            countDistinct(col("o_orderkey")).as("n_orders"))
+          .orderBy(col("n_name"))
+      },
+      Some("""
+        |SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(DISTINCT o_orderkey)                        AS n_orders
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      "q04_brand_stats",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem
+          .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(
+            count(lit(1)).as("n_items"),
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(avg(col("l_extendedprice")), 4).as("avg_price"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""
+        |SELECT p_brand,
+        |       count(*)                        AS n_items,
+        |       round(sum(l_quantity), 2)       AS sum_qty,
+        |       round(avg(l_extendedprice), 4)  AS avg_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      "q05_topk_orders",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.orders
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""
+        |SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // ListRecords parity: sort by id, page slice (reference
+      // node/service/records.go:66-114 clamps page/per_page and sorts by id).
+      "q06_pagination",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.orders
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+          .offset(100)
+          .limit(50)
+      },
+      Some("""
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |ORDER BY o_orderkey
+        |LIMIT 50 OFFSET 100
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      "q07_window_running",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t.orders
+          .withColumn("rn", row_number().over(w))
+          .withColumn("running_total",
+            round(sum(col("o_totalprice"))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+          .filter(col("o_custkey") < 100)
+          .select(col("o_custkey"), col("o_orderkey"), col("rn"),
+            col("running_total"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""
+        |SELECT o_custkey, o_orderkey,
+        |       row_number() OVER w AS rn,
+        |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders
+        |WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      "q08_distinct_agg",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_orderkey")).as("n_orders"),
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        |SELECT l_returnflag,
+        |       count(DISTINCT l_orderkey) AS n_orders,
+        |       count(DISTINCT l_partkey)  AS n_parts,
+        |       count(DISTINCT l_suppkey)  AS n_supps
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Set ops: customers that have both an open ('O') and a finished ('F')
+      // order (INTERSECT), minus those with any 'P' order (EXCEPT).
+      "q09_setops",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        def keys(status: String) =
+          t.orders.filter(col("o_orderstatus") === status)
+            .select(col("o_custkey"))
+        keys("O").intersect(keys("F")).except(keys("P"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""
+        |(SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        | INTERSECT
+        | SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY o_custkey
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      "q10_rollup",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+            count(lit(1)).as("n_rows"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+            col("sum_qty"), col("n_rows"))
+          .orderBy(col("returnflag"), col("linestatus"))
+      },
+      Some("""
+        |SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       round(sum(l_quantity), 2)     AS sum_qty,
+        |       count(*)                      AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      "q11_anti_join",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.customer
+          .join(t.orders.filter(col("o_totalprice") > 400000),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        |SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      "q12_semi_join",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.customer
+          .join(t.orders.filter(col("o_orderstatus") === "F" &&
+              col("o_totalprice") > 400000),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        |SELECT c_custkey, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_orderstatus = 'F' AND o_totalprice > 400000)
+        |ORDER BY c_custkey
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Tumbling 1-hour event-time window, batch form. Exact integer math on
+      // epoch nanos (ts is LongType nanos; see Tables.events).
+      "q13_events_hourly",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.events
+          .withColumn("hour_epoch_s", expr("ts div 3600000000000") * 3600)
+          .groupBy(col("hour_epoch_s"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .orderBy(col("hour_epoch_s"), col("event_type"))
+      },
+      Some("""
+        |SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) * 3600 AS hour_epoch_s,
+        |       event_type,
+        |       count(*)             AS n,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_epoch_s, event_type
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Sessionization: per-user sessions split on >30 min inactivity.
+      // lag + cumulative-sum-of-boundaries. Event time is exact integer
+      // MICROseconds (`ts div 1000`): DuckDB's parquet reader truncates
+      // nanos to micros, so the oracle can only see µs — both sides
+      // truncate identically and all gap math stays exact.
+      "q14_sessionize",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("tsu"), col("event_id"))
+        val gapUs = 30L * 60 * 1000000L
+        t.events
+          .withColumn("tsu", expr("ts div 1000"))
+          .withColumn("prev_ts", lag(col("tsu"), 1).over(byUser))
+          .withColumn("is_new",
+            when(col("prev_ts").isNull || col("tsu") - col("prev_ts") > gapUs, 1)
+              .otherwise(0))
+          .withColumn("session_idx",
+            sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("tsu")).as("session_start_us"),
+            round(sum(col("value")), 2).as("sum_value"))
+          .orderBy(col("user_id"), col("session_idx"))
+      },
+      Some("""
+        |WITH marked AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS tsu,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |),
+        |sess AS (
+        |  SELECT user_id, value, tsu, event_id,
+        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM marked
+        |)
+        |SELECT user_id, session_idx,
+        |       count(*)             AS n_events,
+        |       min(tsu)             AS session_start_us,
+        |       round(sum(value), 2) AS sum_value
+        |FROM sess
+        |GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // As-of join: each purchase matched to the user's most recent
+      // (ts <= purchase ts) signup. Spark side: union + last(ignoreNulls)
+      // window — one shuffle by user_id, no point lookups, scales linearly.
+      "q15_asof_join",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val ev = t.events.withColumn("tsu", expr("ts div 1000"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("tsu"), col("event_id"),
+            lit(null).cast("long").as("signup_ts"), lit(1).as("is_probe"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("tsu"), col("event_id"),
+            col("tsu").as("signup_ts"), lit(0).as("is_probe"))
+        // At equal ts the signup sorts first (is_probe 0 < 1), matching
+        // as-of `>=` semantics.
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tsu"), col("is_probe"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        purchases.unionByName(signups)
+          .withColumn("matched_signup_us", last(col("signup_ts"), ignoreNulls = true).over(w))
+          .filter(col("is_probe") === 1 && col("matched_signup_us").isNotNull)
+          .select(col("event_id"), col("user_id"), col("tsu").as("purchase_us"),
+            col("matched_signup_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        |SELECT p.event_id, p.user_id,
+        |       epoch_us(p.ts) AS purchase_us,
+        |       epoch_us(s.ts) AS matched_signup_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.event_id
+        |""".stripMargin.trim))
+  )
+}

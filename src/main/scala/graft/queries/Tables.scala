@@ -1,0 +1,42 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One named query: a Spark implementation plus (when SQL-expressible) the
+  * equivalent DuckDB SQL the driver uses as a correctness oracle. Column
+  * names and row ordering must match between the two.
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Lazy accessors for the driver-generated parquet tables of one scale
+  * factor. Plain `spark.read.parquet` — filters/projections in the queries
+  * reach the scan via Catalyst pushdown, so no caching is forced here.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame = t("region")
+  def nation: DataFrame = t("nation")
+  def customer: DataFrame = t("customer")
+  def supplier: DataFrame = t("supplier")
+  def part: DataFrame = t("part")
+  def orders: DataFrame = t("orders")
+  def lineitem: DataFrame = t("lineitem")
+  def documents: DataFrame = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+
+  /** The events table carries nanosecond timestamps, which Spark's parquet
+    * reader rejects by default; `nanosAsLong` reads `ts` as a LongType of
+    * epoch nanos. All event-time arithmetic downstream is exact integer math
+    * on nanos (matching DuckDB's `epoch_ns`).
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events")
+  }
+}

@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.vector._
+
+/** Vector/record operator coverage — the reference's oracle surface
+  * (node/wrapper/record.go) expressed as Spark plans over the `embeddings`
+  * table (64-dim float32, L2-normalized).
+  *
+  * The reference's flagship pattern — resolve one record by id, compare it
+  * against every other record (master/mux_runner.go's AST-patched
+  * `records.Find` + full scan) — becomes: take the single reference row,
+  * cross-join it as a broadcast (one row), and evaluate the codegen'd
+  * similarity expression in a scan-filter. No shuffle of the big side at
+  * all; at 100 TB this is a map-only job.
+  *
+  * Oracles use DuckDB list functions CAST to DOUBLE[] so both engines
+  * accumulate in float64 in index order; computed doubles are rounded to 6
+  * digits to absorb last-bit drift.
+  */
+object VectorQueries {
+
+  private val RefId = 0L
+
+  /** The one-row reference vector, aliased for a broadcast nested-loop join. */
+  private def refVec(t: Tables) =
+    broadcast(t.embeddings.filter(col("vec_id") === RefId)
+      .select(col("embedding").as("ref_embedding")))
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "v01_dot",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.embeddings.crossJoin(refVec(t))
+          .select(col("vec_id"),
+            round(dot(col("embedding"), col("ref_embedding")), 6).as("dot_ref"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""
+        |SELECT e.vec_id,
+        |       round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                              CAST(r.embedding AS DOUBLE[])), 6) AS dot_ref
+        |FROM embeddings e,
+        |     (SELECT embedding FROM embeddings WHERE vec_id = $RefId) r
+        |ORDER BY e.vec_id
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // The reference's flagship query: findSimilar(id, threshold) —
+      // cosine of every other record against the resolved reference record
+      // (README.md:139-166, master/service_bench_test.go:171-187).
+      "v02_find_similar",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.embeddings.crossJoin(refVec(t))
+          .filter(col("vec_id") =!= RefId)
+          .withColumn("sim",
+            round(cosine(col("embedding"), col("ref_embedding")), 6))
+          .filter(col("sim") >= 0.25)
+          .select(col("vec_id"), col("sim"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""
+        |SELECT e.vec_id,
+        |       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                    CAST(r.embedding AS DOUBLE[])), 6) AS sim
+        |FROM embeddings e,
+        |     (SELECT embedding FROM embeddings WHERE vec_id = $RefId) r
+        |WHERE e.vec_id <> $RefId
+        |  AND round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                   CAST(r.embedding AS DOUBLE[])), 6) >= 0.25
+        |ORDER BY e.vec_id
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Per-record scalar surface: Get / Size / Magnitude / DotSub /
+      // CosineRange (record.go:58-60, 87-89, 92-94, 118-127).
+      "v03_vector_stats",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.embeddings.crossJoin(refVec(t))
+          .select(
+            col("vec_id"),
+            round(graft.functions.vector.get(col("embedding"), 0).cast("double"), 6)
+              .as("elem0"),
+            size(col("embedding")).as("dims"),
+            round(magnitude(col("embedding")), 6).as("mag"),
+            round(dotSub(col("embedding"), col("ref_embedding"), 32), 6)
+              .as("dot_first32"),
+            round(cosineRange(col("embedding"), col("ref_embedding"), 16, 48), 6)
+              .as("cos_16_48"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""
+        |SELECT e.vec_id,
+        |       round(CAST(e.embedding[1] AS DOUBLE), 6)                       AS elem0,
+        |       len(e.embedding)                                               AS dims,
+        |       round(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                                   CAST(e.embedding AS DOUBLE[]))), 6) AS mag,
+        |       round(list_dot_product(CAST(e.embedding[1:32] AS DOUBLE[]),
+        |                              CAST(r.embedding[1:32] AS DOUBLE[])), 6) AS dot_first32,
+        |       round(list_cosine_similarity(CAST(e.embedding[17:48] AS DOUBLE[]),
+        |                                    CAST(r.embedding[17:48] AS DOUBLE[])), 6) AS cos_16_48
+        |FROM embeddings e,
+        |     (SELECT embedding FROM embeddings WHERE vec_id = $RefId) r
+        |ORDER BY e.vec_id
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Weighted Jaccard on binarized vectors (the reference intends binary
+      // inputs, record.go:130-147). With 0/1 vectors m10+m11 reduces to
+      // |A|+|B|-|A∩B| — classic set Jaccard — which the oracle computes in
+      // closed form from exact integer-valued sums.
+      "v04_jaccard_binary",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        def binarize(c: org.apache.spark.sql.Column) =
+          transform(c, x => when(x > 0f, 1.0d).otherwise(0.0d))
+        t.embeddings.crossJoin(refVec(t))
+          .filter(col("vec_id") =!= RefId)
+          .select(col("vec_id"),
+            round(jaccard(binarize(col("embedding")),
+              binarize(col("ref_embedding"))), 6).as("jac"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""
+        |WITH b AS (
+        |  SELECT vec_id,
+        |         list_transform(CAST(embedding AS DOUBLE[]),
+        |                        x -> CASE WHEN x > 0 THEN 1.0 ELSE 0.0 END) AS bv
+        |  FROM embeddings
+        |)
+        |SELECT e.vec_id,
+        |       round(CASE WHEN list_sum(e.bv) + list_sum(r.bv)
+        |                       - list_dot_product(e.bv, r.bv) = 0 THEN 0.0
+        |                  ELSE list_dot_product(e.bv, r.bv)
+        |                       / (list_sum(e.bv) + list_sum(r.bv)
+        |                          - list_dot_product(e.bv, r.bv)) END, 6) AS jac
+        |FROM b e, (SELECT bv FROM b WHERE vec_id = $RefId) r
+        |WHERE e.vec_id <> $RefId
+        |ORDER BY e.vec_id
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Brute-force cosine top-k neighbors for 10 probe vectors: the exact
+      // baseline for ANN. Probe side is tiny -> broadcast; rank per probe
+      // on (rounded sim desc, vec_id) so ordering is engine-independent.
+      "v05_knn_bruteforce",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val probes = broadcast(
+          t.embeddings.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"),
+              col("embedding").as("query_embedding")))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        t.embeddings.crossJoin(probes)
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("sim",
+            round(cosine(col("embedding"), col("query_embedding")), 6))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("query_id"), col("rnk"), col("vec_id"), col("sim"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some("""
+        |WITH sims AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                      CAST(q.embedding AS DOUBLE[])), 6) AS sim
+        |  FROM embeddings e, embeddings q
+        |  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
+        |),
+        |ranked AS (
+        |  SELECT query_id, vec_id, sim,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, vec_id) AS rnk
+        |  FROM sims
+        |)
+        |SELECT query_id, rnk, vec_id, sim
+        |FROM ranked WHERE rnk <= 5
+        |ORDER BY query_id, rnk
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // findDoubles parity: pairs of records with element-wise equal vectors
+      // (Record.Equal, record.go:69-71; findDoubles oracle,
+      // master/service_test.go:260-342). Array equality is exact on the
+      // raw float32s — no rounding involved.
+      "v06_find_doubles",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val a = t.embeddings.select(col("vec_id").as("id_a"),
+          col("embedding").as("emb_a"))
+        val b = t.embeddings.select(col("vec_id").as("id_b"),
+          col("embedding").as("emb_b"))
+        a.join(b, col("id_a") < col("id_b") && col("emb_a") === col("emb_b"))
+          .select(col("id_a"), col("id_b"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id AND a.embedding = b.embedding
+        |ORDER BY id_a, id_b
+        |""".stripMargin.trim))
+  )
+}

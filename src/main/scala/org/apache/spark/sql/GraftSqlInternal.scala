@@ -1,0 +1,28 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's `private[sql]` Column <-> Expression conversions.
+  *
+  * Spark 4 unified the public `Column` API around `ColumnNode`s (classic +
+  * connect); building a `Column` from a raw Catalyst `Expression` — which any
+  * library that ships custom expressions needs — moved behind
+  * `org.apache.spark.sql.classic.ExpressionUtils`. This tiny shim lives in the
+  * `org.apache.spark.sql` package purely to re-export those two conversions
+  * and the temp-function registry to graft code. No Spark behavior is changed.
+  */
+object GraftSqlInternal {
+  /** Wrap a Catalyst expression as a user-facing Column (classic sessions). */
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** Extract the Catalyst expression backing a Column (classic sessions). */
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register `name` as a SQL-callable function in this session. */
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
+}

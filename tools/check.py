@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Usage: python3 tools/check.py [sf_dir] [verify_out_dir]
+
+Reads each Spark result parquet written by graft.Verify and the oracle SQL
+from oracle_sql.json, runs the SQL in DuckDB against views over the same
+testdata parquet, and compares: column names (sorted), row counts, and
+values (rows sorted, compared cell-by-cell with exact equality; floats via
+repr equality after float64 normalization).
+"""
+import glob
+import json
+import math
+import os
+import sys
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    if isinstance(v, list):
+        return tuple(norm_cell(x) for x in v)
+    return v
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        spark_dir = f"{out_dir}/{name}"
+        if not glob.glob(f"{spark_dir}/*.parquet"):
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            duck = con.sql(sql)
+            dcols = sorted(duck.columns)
+            drows = duck.fetchall()
+            dcolidx = [duck.columns.index(c) for c in dcols]
+            drows = sorted(tuple(norm_cell(r[i]) for i in dcolidx) for r in drows)
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        sq = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'")
+        scols = sorted(sq.columns)
+        scolidx = [sq.columns.index(c) for c in scols]
+        srows = sorted(tuple(norm_cell(r[i]) for i in scolidx) for r in sq.fetchall())
+        if scols != dcols:
+            print(f"FAIL {name}: columns spark={scols} duck={dcols}")
+            n_fail += 1
+            continue
+        if len(srows) != len(drows):
+            print(f"FAIL {name}: rows spark={len(srows)} duck={len(drows)}")
+            n_fail += 1
+            continue
+        bad = [(a, b) for a, b in zip(srows, drows) if a != b]
+        if bad:
+            print(f"FAIL {name}: {len(bad)} mismatched rows; first: spark={bad[0][0]} duck={bad[0][1]}")
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(srows)} rows)")
+        n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
