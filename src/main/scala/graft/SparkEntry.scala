@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{QueryDef, Relational, VectorQueries}
+import graft.queries.{QueryDef, Relational, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,7 @@ object SparkEntry {
 
   /** All registered query definitions, grouped by module. */
   def allDefs: Seq[QueryDef] =
-    Relational.defs ++ VectorQueries.defs
+    Relational.defs ++ VectorQueries.defs ++ TextQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * findSimilar — the reference's canonical oracle (README.md:139-166).

@@ -1,0 +1,183 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale text pipelines.
+  *
+  * Three tiers, all shuffle-lean by construction:
+  *
+  *  - exact: hash-groupBy on a normalized fingerprint — one shuffle keyed by
+  *    a 128-bit hash, no pairwise work. At 100 TB this is the cheapest pass
+  *    and runs first to shrink the candidate set.
+  *  - MinHash + LSH banding: k deterministic hash functions over word
+  *    shingles -> signature; signatures cut into bands; only documents
+  *    sharing a (band index, band value) bucket are ever paired. Candidate
+  *    generation is a self-equi-join on the bucket key — a shuffled hash
+  *    join, never a cross join — and exact Jaccard verification runs only on
+  *    candidates. Cost scales with bucket occupancy, not n².
+  *  - SimHash: 32-bit locality-sensitive fingerprint; near-duplicates are
+  *    pairs within a small Hamming radius.
+  *
+  * All hashing is md5-derived (first 15 hex chars as a 60-bit integer) so
+  * results are engine-portable and seed-free deterministic: any system that
+  * can compute md5 reproduces identical signatures — which is also what the
+  * DuckDB correctness oracle does.
+  */
+object Dedup {
+
+  /** Lowercase, strip punctuation, collapse whitespace — the normalization
+    * under the exact-dup fingerprint.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[.,!?;:]", ""), "\\s+", " "))
+
+  /** 128-bit content fingerprint of normalized text. */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Whitespace tokens with empties dropped (split on single space —
+    * deterministic across engines, unlike locale-aware \s classes).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** Deterministic 60-bit hash family: member `j` hashes `s` to the first
+    * 15 hex chars of md5("j:" + s) read as an integer.
+    */
+  def hash60(j: Int, s: Column): Column =
+    conv(substring(md5(concat(lit(s"$j:"), s)), 1, 15), 16, 10).cast("long")
+
+  /** Distinct word n-gram shingles of a token array. */
+  def wordShingles(toks: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+    when(size(toks) >= n, array_distinct(grams))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash signature: for each of `k` hash members, the minimum hash over
+    * the shingle set. Returned as array<long> of length `k`.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map(j => array_min(transform(shingles, s => hash60(j, s)))): _*)
+
+  /** LSH band key: band `b` covers signature rows [b*r, (b+1)*r); the key is
+    * the decimal-joined row values (portable across engines — no second
+    * hash needed, the key is only a shuffle/join key).
+    */
+  def bandKey(sig: Column, b: Int, r: Int): Column =
+    concat_ws(",", transform(slice(sig, b * r + 1, r), x => x.cast("string")))
+
+  /** Exact-duplicate groups: every document whose normalized fingerprint
+    * collides with at least one other, with the group's keeper (min id).
+    * One wide shuffle on the fingerprint; no pairwise comparisons.
+    */
+  def exactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = docs.select(col(idCol).as("doc_id"),
+      fingerprint(col(textCol)).as("fingerprint"))
+    val groups = fp.groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("group_size"), min(col("doc_id")).as("keeper_id"))
+      .filter(col("group_size") > 1)
+    fp.join(groups, "fingerprint")
+      .select(col("doc_id"), col("fingerprint"), col("group_size"), col("keeper_id"))
+  }
+
+  /** Candidate near-duplicate pairs via MinHash LSH banding over word
+    * `shingleN`-grams, verified with exact Jaccard >= `threshold`.
+    *
+    * Plan shape: narrow per-row signature computation -> explode to
+    * (band, key) -> self hash-join on the bucket key -> distinct pairs ->
+    * join back the two shingle sets -> exact verify. The only shuffles are
+    * the bucket join and the distinct; both are keyed and partial-aggregated.
+    */
+  def nearDuplicatesMinhash(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleN: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands evenly")
+    val r = numHashes / bands
+
+    val sh = docs
+      .select(col(idCol).as("doc_id"),
+        wordShingles(tokens(col(textCol)), shingleN).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+    val sigs = sh.withColumn("sig", minhashSignature(col("shingles"), numHashes))
+
+    val buckets = sigs.select(col("doc_id"), posexplode(
+      array((0 until bands).map(b => bandKey(col("sig"), b, r)): _*))
+      .as(Seq("band", "key")))
+
+    val candidates = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    val withSets = candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+
+    withSets
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 32-bit SimHash over token frequencies: bit `b` of the result is set
+    * when the frequency-weighted sum of (+f if bit b of hash60(0, token) is
+    * set, else -f) is positive.
+    */
+  def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("f"))
+      .withColumn("h", hash60(0, col("tok")))
+    val bitSums = (0 until 32).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("f"))
+        .otherwise(-col("f"))).as(s"bit$b")
+    }
+    tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(b =>
+          when(col(s"bit$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Near-duplicate pairs by SimHash Hamming distance <= maxDistance.
+    *
+    * Pair generation uses the standard multi-probe trick: split the 32-bit
+    * fingerprint into (maxDistance+1) segments; by pigeonhole, any pair
+    * within the radius agrees exactly on at least one segment, so the join
+    * is a segment-equality hash join, never a cross join.
+    */
+  def simhashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxDistance: Int = 3): DataFrame = {
+    val segments = maxDistance + 1
+    val segBits = 32 / segments
+    val hs = simhash32(docs, idCol, textCol)
+    val probes = hs.select(col("doc_id"), col("simhash"), posexplode(
+      array((0 until segments).map(s =>
+        shiftright(col("simhash"), s * segBits)
+          .bitwiseAND((1L << segBits) - 1)): _*)).as(Seq("seg", "segval")))
+    probes.as("a")
+      .join(probes.as("b"),
+        col("a.seg") === col("b.seg") && col("a.segval") === col("b.segval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDistance)
+  }
+}

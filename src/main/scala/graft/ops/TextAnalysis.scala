@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-quality and language heuristics for training-data pipelines.
+  *
+  * Everything here is pure Catalyst column math (no UDFs): each metric is a
+  * per-row expression over the tokenized text, so the whole stage stays in
+  * whole-stage codegen and runs as a map-only pass over the corpus.
+  */
+object TextAnalysis {
+
+  import Dedup.tokens
+
+  /** Marker words per language for the n-gram/stopword language heuristic. */
+  val StopwordSets: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+    "es" -> Seq("el", "los", "de", "y", "es", "un", "una"),
+    "fr" -> Seq("le", "la", "et", "est", "les", "un", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Count of tokens belonging to `words`. */
+  def markerHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Predicted language: argmax of marker hits, ties broken by language
+    * code (deterministic). Emits one `hits_<lang>` column per language plus
+    * `pred_lang`.
+    */
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val withHits = docs.select(
+      Seq(col(idCol).as("doc_id")) ++
+        StopwordSets.map { case (lang, words) =>
+          markerHits(toks, words).as(s"hits_$lang")
+        }: _*)
+    // Deterministic argmax: fold langs in alphabetical order, keep strictly
+    // greater — first (alphabetically smallest) lang wins ties.
+    val pred = StopwordSets.map(_._1).foldLeft((lit(""), lit(-1))) {
+      case ((bestLang, bestHits), lang) =>
+        val hits = col(s"hits_$lang")
+        (when(hits > bestHits, lit(lang)).otherwise(bestLang),
+          when(hits > bestHits, hits).otherwise(bestHits))
+    }._1
+    withHits.withColumn("pred_lang", pred)
+  }
+
+  /** Per-document quality metrics: token count, average token length,
+    * punctuation ratio, stopword ratio, and a composite score in [0,1].
+    * All ratios are exact integer divisions widened to double.
+    */
+  def qualityMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val nTokens = size(toks)
+    val nChars = length(text)
+    val punct = nChars - length(regexp_replace(text, "[.,!?;:]", ""))
+    val enHits = markerHits(toks, StopwordSets.toMap.apply("en"))
+    docs.select(
+      col(idCol).as("doc_id"),
+      nTokens.as("n_tokens"),
+      nChars.as("n_chars"),
+      (length(concat_ws("", toks)).cast("double") / nTokens.cast("double"))
+        .as("avg_token_len"),
+      (punct.cast("double") / nChars.cast("double")).as("punct_ratio"),
+      (enHits.cast("double") / nTokens.cast("double")).as("stopword_ratio"))
+  }
+
+  /** Composite quality score: favors mid-length docs with low punctuation
+    * noise and a plausible stopword rate. Deterministic rational arithmetic.
+    */
+  def qualityScore(m: DataFrame): DataFrame =
+    m.withColumn("quality_score",
+      least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.4 +
+        (lit(1.0) - least(col("punct_ratio") * 10.0, lit(1.0))) * 0.3 +
+        least(col("stopword_ratio") * 5.0, lit(1.0)) * 0.3)
+
+  /** Approximate token count for budgeting: whitespace tokens plus an extra
+    * token per 4 characters of long words (a BPE-ish upper bound).
+    */
+  def tokenEstimate(text: Column): Column = {
+    val toks = tokens(text)
+    val extra = aggregate(
+      transform(toks, t => greatest(length(t) - 4, lit(0)) / 4),
+      lit(0L), (acc, x) => acc + x.cast("long"))
+    size(toks).cast("long") + extra
+  }
+}
