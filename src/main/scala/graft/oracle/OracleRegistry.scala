@@ -1,0 +1,125 @@
+package graft.oracle
+
+import scala.collection.mutable
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.store.{RecordStore, StoreErrors}
+
+/** Abort signal available to a running oracle — the reference's `ctx`
+  * global (node/wrapper/context.go:9-48): first error wins, the run fails
+  * with its message.
+  */
+final class OracleContext {
+  @volatile private var err: Option[String] = None
+  def error(msg: String): Unit = synchronized { if (err.isEmpty) err = Some(msg) }
+  def isError: Boolean = err.isDefined
+  def message: String = err.getOrElse("")
+  def reset(): Unit = synchronized { err = None }
+}
+
+/** A named, parameterized query — the Spark-native replacement for the
+  * reference's stored-JavaScript oracle (proto/sum.proto:95-99). The
+  * Turing-complete JS surface is deliberately replaced by registered Scala
+  * bodies over the store's Dataset (SURVEY.md §7.4): capability parity, not
+  * an interpreter.
+  *
+  * `body` receives JSON-decoded args positionally; missing args arrive as
+  * JNull (node/service/compiled.go:53-77). An optional `merger` mirrors the
+  * reference's `merge*` function convention for distributed partials.
+  */
+final case class Oracle(
+    id: Long,
+    name: String,
+    params: Seq[String],
+    body: (OracleContext, RecordStore, Seq[JValue]) => JValue,
+    merger: Option[Seq[JValue] => JValue] = None)
+
+final case class OracleRunError(msg: String) extends RuntimeException(msg)
+
+/** Oracle CRUD with the reference's registry semantics
+  * (node/service/oracles.go, master/mux_oracles.go): sequential ids,
+  * find-by-name is a linear scan where the last match wins, list paginates
+  * the unsorted registry, exact duplicates (same name + same body identity)
+  * are rejected.
+  */
+final class OracleRegistry {
+  private val oracles = mutable.LinkedHashMap.empty[Long, Oracle]
+  private var nextId = 1L
+
+  def create(o: Oracle): Either[String, Oracle] = synchronized {
+    val dup = oracles.values.exists(x => x.name == o.name && (x.body eq o.body))
+    if (dup) Left("oracle already created")
+    else {
+      val assigned = o.copy(id = nextId)
+      oracles(nextId) = assigned
+      nextId += 1
+      Right(assigned)
+    }
+  }
+
+  def read(id: Long): Either[String, Oracle] =
+    synchronized(oracles.get(id).toRight(StoreErrors.oracleNotFound(id)))
+
+  /** Linear scan by exact name; last match wins (oracles.go:56-70). */
+  def findByName(name: String): Either[String, Oracle] = synchronized {
+    oracles.values.filter(_.name == name).lastOption
+      .toRight(StoreErrors.oracleNotFoundByName(name))
+  }
+
+  def update(o: Oracle): Either[String, Oracle] = synchronized {
+    if (!oracles.contains(o.id)) Left(StoreErrors.oracleNotFound(o.id))
+    else { oracles(o.id) = o; Right(o) }
+  }
+
+  def delete(id: Long): Either[String, Oracle] = synchronized {
+    oracles.remove(id).toRight(StoreErrors.oracleNotFound(id))
+  }
+
+  /** Registry-order pagination (the reference lists oracles without
+    * sorting, oracles.go:73-111).
+    */
+  def list(pageReq: Long, perPageReq: Long): (Long, Long, Seq[Oracle]) = synchronized {
+    val page = math.max(pageReq, 1L)
+    val perPage = math.max(perPageReq, 1L)
+    val all = oracles.values.toSeq
+    val total = all.size.toLong
+    val pages = total / perPage + (if (total % perPage > 0) 1 else 0)
+    val start = (page - 1) * perPage
+    if (total <= start) (total, pages, Seq.empty)
+    else (total, pages, all.slice(start.toInt, (start + perPage).toInt))
+  }
+
+  def size: Int = synchronized(oracles.size)
+
+  /** Execute by id with JSON-encoded args, mirroring the node's Run path
+    * (node/service/compiled.go:44-99): decode each arg (missing -> null),
+    * run the body, fail on ctx.Error or thrown errors, return the result
+    * JSON text.
+    */
+  def run(id: Long, store: RecordStore, jsonArgs: Seq[String]): Either[String, String] = {
+    read(id).flatMap { oracle =>
+      val decoded = oracle.params.indices.map { i =>
+        jsonArgs.lift(i) match {
+          case None | Some(null) | Some("") => JNull
+          case Some(raw) =>
+            try JsonMethods.parse(raw)
+            catch {
+              case e: Exception =>
+                return Left(s"could not unmarshal value '$raw': ${e.getMessage}")
+            }
+        }
+      }
+      val ctx = new OracleContext
+      try {
+        val result = oracle.body(ctx, store, decoded)
+        if (ctx.isError) Left(ctx.message)
+        else Right(JsonMethods.compact(JsonMethods.render(result)))
+      } catch {
+        case OracleRunError(msg) => Left(msg)
+        case e: Exception        => Left(s"got panic of type ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** Pipeline ops sanity: dedup tiers, text metrics, and the LSH similarity
+  * path's recall against the exact baseline on real testdata.
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("exactDuplicates finds normalized duplicates") {
+    val docs = Seq(
+      (1L, "Hello, world!"),
+      (2L, "hello world"),
+      (3L, "something else")
+    ).toDF("doc_id", "text")
+    val dups = Dedup.exactDuplicates(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    assert(dups.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(dups.forall(_.getLong(3) == 1L)) // keeper is min id
+  }
+
+  test("minhash near-dup finds planted pairs and verifies jaccard") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pairs = Dedup.nearDuplicatesMinhash(docs, "doc_id", "text", 0.5)
+    val rows = pairs.collect()
+    assert(rows.nonEmpty, "expected planted near-duplicates in testdata")
+    assert(rows.forall(_.getDouble(2) >= 0.5))
+  }
+
+  test("simhash pigeonhole join equals brute-force within the radius") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
+    val viaSegments = Dedup.simhashPairs(docs, "doc_id", "text", maxDistance = 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hs = Dedup.simhash32(docs, "doc_id", "text")
+    val brute = hs.as("a").join(hs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSegments === brute)
+  }
+
+  test("languageId emits deterministic argmax with alphabetical ties") {
+    val docs = Seq((1L, "the of and le la"), (2L, "xyz")).toDF("doc_id", "text")
+    val out = TextAnalysis.languageId(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    assert(out(0).getAs[String]("pred_lang") === "en") // 3 en hits vs 2 fr
+    assert(out(1).getAs[String]("pred_lang") === "de") // all-zero tie -> first lang
+  }
+
+  test("sign-LSH bucket join recalls every exact pair at its threshold") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val exact = Similarity.bruteForcePairs(emb, "vec_id", "embedding", 0.45)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.signBucketJoin(emb, "vec_id", "embedding", 0.45,
+        planes = 32, bands = 16, dims = 64)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH is a recall-oriented candidate generator; with 16 bands of 2 bits
+    // recall should be total on this data.
+    assert(exact.subsetOf(lsh) || exact.isEmpty)
+    assert(lsh.subsetOf(exact)) // verification step keeps only true pairs
+  }
+
+  test("brute-force top-k is ranked and capped") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val probes = emb.filter($"vec_id" < 3)
+    val knn = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 4)
+    val byQuery = knn.collect().groupBy(_.getLong(0))
+    assert(byQuery.keySet === Set(0L, 1L, 2L))
+    byQuery.values.foreach { rows =>
+      assert(rows.length === 4)
+      val sims = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sims.sliding(2).forall { case Array(x, y) => x >= y; case _ => true })
+    }
+  }
+
+  test("tokenEstimate adds BPE-ish surcharge for long words") {
+    val df = Seq((1L, "a bb cccccccc")).toDF("id", "text")
+    // tokens=3, "cccccccc" has len 8 -> (8-4)/4 = 1 extra
+    val est = df.select(TextAnalysis.tokenEstimate($"text").as("e"))
+      .collect().head.getLong(0)
+    assert(est === 4L)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.vector._
+
+/** Vector-op correctness with the reference's hand-computed expectations
+  * (node/wrapper/record_test.go): dot of [3,6,9] with itself = 126, cosine
+  * of parallel vectors = 1, zero-magnitude cosine = 0 (not NaN), and the
+  * weighted-Jaccard m11/m10 semantics.
+  */
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(xs: Float*): Seq[Float] = xs
+
+  private def one(c: org.apache.spark.sql.Column): Double =
+    Seq(1).toDF("x").select(c.as("r")).collect().head.getDouble(0)
+
+  private val a = array(Seq(3f, 6f, 9f).map(lit): _*)
+
+  test("dot of [3,6,9] with itself is 126 (record_test.go)") {
+    assert(one(dot(a, a)) === 126.0)
+  }
+
+  test("magnitude is sqrt(dot(self,self))") {
+    assert(math.abs(one(magnitude(a)) - math.sqrt(126.0)) < 1e-12)
+  }
+
+  test("cosine of parallel vectors is 1") {
+    val b = array(Seq(6f, 12f, 18f).map(lit): _*)
+    assert(math.abs(one(cosine(a, b)) - 1.0) < 1e-12)
+  }
+
+  test("cosine with zero-magnitude vector is 0.0, not NaN (record.go:97-103)") {
+    val z = array(Seq(0f, 0f, 0f).map(lit): _*)
+    assert(one(cosine(a, z)) === 0.0)
+  }
+
+  test("jaccard binary: m11=2, m10=2 -> 0.5 (record.go:130-147)") {
+    val x = array(Seq(1f, 1f, 1f, 0f).map(lit): _*)
+    val y = array(Seq(1f, 1f, 0f, 1f).map(lit): _*)
+    // m11 = 1*1 + 1*1 = 2; positions 2,3 have x+y == 1 -> m10 = 2
+    assert(one(jaccard(x, y)) === 0.5)
+  }
+
+  test("jaccard zero denominator -> 0.0") {
+    val z = array(Seq(0f, 0f).map(lit): _*)
+    assert(one(jaccard(z, z)) === 0.0)
+  }
+
+  test("dotRange/dotSub match manual slices (record.go:79-89)") {
+    val x = array(Seq(1f, 2f, 3f, 4f).map(lit): _*)
+    val y = array(Seq(10f, 20f, 30f, 40f).map(lit): _*)
+    assert(one(dotRange(x, y, 1, 3)) === (2 * 20 + 3 * 30).toDouble)
+    assert(one(dotSub(x, y, 2)) === (1 * 10 + 2 * 20).toDouble)
+  }
+
+  test("expressions work over dataset columns and codegen") {
+    val df = Seq(
+      (1L, vec(1f, 0f, 0f), vec(1f, 0f, 0f)),
+      (2L, vec(1f, 0f, 0f), vec(0f, 1f, 0f)),
+      (3L, vec(0f, 0f, 0f), vec(1f, 1f, 1f))
+    ).toDF("id", "a", "b")
+    val rows = df.select($"id", cosine($"a", $"b").as("c")).orderBy($"id").collect()
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(1.0, 0.0, 0.0))
+  }
+
+  test("double arrays and mixed float/double inputs work") {
+    val df = Seq((Seq(1.0, 2.0), Seq(3.0f, 4.0f))).toDF("d", "f")
+    val r = df.select(dot($"d", $"f").as("r")).collect().head.getDouble(0)
+    assert(r === 11.0)
+  }
+
+  test("null input yields null") {
+    val df = Seq((Seq(1f), Option.empty[Seq[Float]])).toDF("a", "b")
+    assert(df.select(dot($"a", $"b")).collect().head.isNullAt(0))
+  }
+
+  test("SQL registration exposes graft_* functions") {
+    registerSql(spark)
+    val r = spark.sql("SELECT graft_dot(array(3.0F,6.0F,9.0F), array(3.0F,6.0F,9.0F)) r")
+      .collect().head.getDouble(0)
+    assert(r === 126.0)
+  }
+}
