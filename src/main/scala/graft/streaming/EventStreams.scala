@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Event-stream operators: the streaming counterparts of the batch event
+  * queries (q13/q14). The reference has no streaming surface — everything
+  * is request/response RPC (SURVEY.md §2.6) — so this module is pure
+  * Spark-native extension: Structured Streaming with event-time watermarks,
+  * tumbling-window aggregation, built-in session windows, and a custom
+  * stateful operator via flatMapGroupsWithState.
+  *
+  * All transforms take a DataFrame with a proper `ts: timestamp` column and
+  * work identically on `readStream` and batch `read` inputs — batch runs
+  * are the correctness oracle for the streaming plans.
+  */
+object EventStreams {
+
+  /** events.parquet schema with `ts` as epoch nanos (see Tables.events);
+    * use [[withEventTime]] to get a timestamp column.
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Nanos -> microsecond-precision event-time timestamp column. */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling 1-hour window counts/sums per event type, tolerating
+    * `lateness` of out-of-order data. Partial aggregation happens map-side;
+    * the shuffle is keyed on (window, event_type).
+    */
+  def hourlyStats(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("event_time", lateness)
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Session aggregation with the built-in session_window: sessions close
+    * after `gap` of inactivity per user. Watermark bounds state size — at
+    * 100 TB/day this is what keeps the state store finite.
+    */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("event_time", lateness)
+      .groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"), col("user_id"),
+        col("n_events"), col("sum_value"))
+
+  final case class UserEvent(user_id: Long, event_type: String, value: Double)
+  final case class UserTotals(user_id: Long, n_events: Long, total_value: Double,
+      n_purchases: Long)
+
+  /** Custom stateful operator: per-user running totals maintained in
+    * keyed state, emitting the updated totals every trigger — the
+    * mapGroupsWithState form of a continuously-updated aggregate.
+    */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(userId, 0L, 0.0, 0L))
+          val next = batch.foldLeft(prev) { (acc, e) =>
+            acc.copy(
+              n_events = acc.n_events + 1,
+              total_value = acc.total_value + e.value,
+              n_purchases = acc.n_purchases + (if (e.event_type == "purchase") 1 else 0))
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Read the events table as a file stream (one-file-per-trigger form used
+    * in local smoke runs).
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    withEventTime(
+      spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir))
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{UserEvent, UserTotals}
+
+/** Streaming operators driven through MemoryStream with the batch plans as
+  * oracle: the same transform over the same rows must agree.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("hourlyStats streaming output matches the batch plan") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (ts(5), "click", 1.0), (ts(15), "click", 2.0), (ts(25), "view", 3.0))
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    stream.addData(rows: _*)
+    val in = stream.toDF.toDF("event_time", "event_type", "value")
+    val q = EventStreams.hourlyStats(in).writeStream
+      .format("memory").queryName("hourly_out").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("hourly_out")
+      .select("event_type", "n", "sum_value").orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batch = EventStreams.hourlyStats(
+        rows.toDF("event_time", "event_type", "value"))
+      .select("event_type", "n", "sum_value").orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamed === batch)
+    assert(streamed === Seq(("click", 2L, 3.0), ("view", 1L, 3.0)))
+  }
+
+  test("sessionStats closes sessions on the inactivity gap") {
+    val rows = Seq(
+      (ts(0), 1L, 1.0), (ts(10), 1L, 1.0),   // session 1 (gap 10 < 30)
+      (ts(50), 1L, 1.0),                      // session 2 (gap 40 > 30)
+      (ts(0), 2L, 5.0))                       // other user
+    val out = EventStreams.sessionStats(
+        rows.toDF("event_time", "user_id", "value"))
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out === Seq((1L, 2L, 2.0), (1L, 1L, 1.0), (2L, 1L, 5.0)))
+  }
+
+  test("runningUserTotals accumulates keyed state across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[UserEvent]
+    val q = EventStreams.runningUserTotals(stream.toDS()).writeStream
+      .format("memory").queryName("totals_out").outputMode("update").start()
+
+    stream.addData(UserEvent(1, "click", 1.0), UserEvent(1, "purchase", 9.0))
+    q.processAllAvailable()
+    stream.addData(UserEvent(1, "purchase", 5.0), UserEvent(2, "view", 2.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val last = spark.table("totals_out").as[UserTotals].collect()
+      .groupBy(_.user_id).view.mapValues(_.maxBy(_.n_events)).toMap
+    assert(last(1L) === UserTotals(1L, 3L, 15.0, 2L))
+    assert(last(2L) === UserTotals(2L, 1L, 2.0, 0L))
+  }
+
+  test("file-stream form reads the events table incrementally") {
+    // Copy the parquet into a dir the stream can list (single file).
+    val src = "/root/testdata/sf0.001/events.parquet"
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+      dir.resolve("events.parquet"))
+    val in = EventStreams.readEventStream(spark, dir.toString)
+    val q = EventStreams.hourlyStats(in).writeStream
+      .format("memory").queryName("file_out").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val n = spark.table("file_out").agg(sum("n")).collect().head.getLong(0)
+    assert(n === 1000L) // all sf0.001 events flowed through the stream
+  }
+}
