@@ -47,6 +47,19 @@ object Dedup {
   def hash60(j: Int, s: Column): Column =
     conv(substring(md5(concat(lit(s"$j:"), s)), 1, 15), 16, 10).cast("long")
 
+  /** One md5 per value, two independent 48-bit halves (hex chars [1,12]
+    * and [13,24]). The MinHash family is the Carter-Wegman combination
+    * h_j = h1 + j*h2 — 32 hash members for the price of one md5. 48-bit
+    * halves keep h1 + 31*h2 < 2^54, exact in BIGINT/long (and even in a
+    * float64) on every engine.
+    */
+  def hashPair48(s: Column): Column = {
+    val m = md5(s)
+    struct(
+      conv(substring(m, 1, 12), 16, 10).cast("long").as("h1"),
+      conv(substring(m, 13, 12), 16, 10).cast("long").as("h2"))
+  }
+
   /** Distinct word n-gram shingles of a token array. */
   def wordShingles(toks: Column, n: Int): Column = {
     val grams = transform(
@@ -57,10 +70,16 @@ object Dedup {
   }
 
   /** MinHash signature: for each of `k` hash members, the minimum hash over
-    * the shingle set. Returned as array<long> of length `k`.
+    * the shingle set. Returned as array<long> of length `k`. Hashes the
+    * shingle set once ([[hashPair48]]) and derives the k members
+    * arithmetically — md5 cost is O(shingles), not O(k * shingles).
     */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    array((0 until k).map(j => array_min(transform(shingles, s => hash60(j, s)))): _*)
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    val pairs = transform(shingles, s => hashPair48(s))
+    array((0 until k).map(j =>
+      array_min(transform(pairs,
+        p => p.getField("h1") + lit(j.toLong) * p.getField("h2")))): _*)
+  }
 
   /** LSH band key: band `b` covers signature rows [b*r, (b+1)*r); the key is
     * the decimal-joined row values (portable across engines — no second
@@ -102,16 +121,39 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
     val r = numHashes / bands
 
+    // Tokenize into its own projection first: the shingling lambda
+    // references the token array three times per gram, and handing it the
+    // raw split() expression would re-split the text once per reference.
+    // Persisted because the shingle sets are consumed three times (bucket
+    // self-join sides + jaccard verification) and Spark does not
+    // common-subexpression-eliminate across self-join branches.
     val sh = docs
-      .select(col(idCol).as("doc_id"),
-        wordShingles(tokens(col(textCol)), shingleN).as("shingles"))
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), wordShingles(col("toks"), shingleN).as("shingles"))
       .filter(size(col("shingles")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val sigs = sh.withColumn("sig", minhashSignature(col("shingles"), numHashes))
+    // Signature via explode + partial aggregation: one md5 per shingle row,
+    // then numHashes cheap arithmetic mins that combine map-side. (The
+    // per-row HOF form, minhashSignature, re-evaluates the hash transform
+    // once per hash member — O(k * shingles) md5 calls; this shape is
+    // O(shingles).)
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), md5(col("s")).as("m"))
+      .select(col("doc_id"),
+        conv(substring(col("m"), 1, 12), 16, 10).cast("long").as("h1"),
+        conv(substring(col("m"), 13, 12), 16, 10).cast("long").as("h2"))
+    val minAggs = (0 until numHashes).map(j =>
+      min(col("h1") + lit(j.toLong) * col("h2")).as(s"sig$j"))
+    val sigs = ex.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(j => col(s"sig$j")): _*).as("sig"))
 
+    // Persisted: both sides of the bucket self-join read it.
     val buckets = sigs.select(col("doc_id"), posexplode(
       array((0 until bands).map(b => bandKey(col("sig"), b, r)): _*))
       .as(Seq("band", "key")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val candidates = buckets.as("a")
       .join(buckets.as("b"),

@@ -64,10 +64,14 @@ object TextQueries {
         |              ELSE [] END AS shingles
         |  FROM tok
         |),
-        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+        |ex AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT)  AS h1,
+        |         CAST(concat('0x', substr(md5(s), 13, 12)) AS BIGINT) AS h2
+        |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0)
+        |),
         |hashed AS (
-        |  SELECT doc_id, j,
-        |         min(CAST(concat('0x', substr(md5(j || ':' || s), 1, 15)) AS BIGINT)) AS sigv
+        |  SELECT doc_id, j, min(h1 + j * h2) AS sigv
         |  FROM ex, range(32) t(j)
         |  GROUP BY doc_id, j
         |),
