@@ -403,6 +403,33 @@ object Relational {
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Range (theta) join: events banded by value against an inline
+      // interval dimension. The band table is broadcast, so the inequality
+      // join is a map-side broadcast nested-loop over 3 rows — the correct
+      // shape for interval dimensions at any fact-table scale.
+      "q16_range_join",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val bands = broadcast(s.createDataFrame(Seq(
+          ("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1e18)))
+          .toDF("band", "lo", "hi"))
+        t.events
+          .join(bands, col("value") >= col("lo") && col("value") < col("hi"))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .orderBy(col("band"))
+      },
+      Some("""
+        |WITH bands(band, lo, hi) AS (
+        |  VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0), ('high', 150.0, 1e18)
+        |)
+        |SELECT band, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY band
+        |ORDER BY band
         |""".stripMargin.trim))
   )
 }

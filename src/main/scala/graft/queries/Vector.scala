@@ -205,6 +205,40 @@ object VectorQueries {
         |FROM embeddings a, embeddings b
         |WHERE a.vec_id < b.vec_id AND a.embedding = b.embedding
         |ORDER BY id_a, id_b
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // JaccardRange (record.go:150-168): the weighted Jaccard over vector
+      // elements [16, 48), on binarized inputs. Same closed-form oracle as
+      // v04 restricted to the slice — all integer-valued arithmetic.
+      "v07_jaccard_range",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        def binarize(c: org.apache.spark.sql.Column) =
+          transform(c, x => when(x > 0f, 1.0d).otherwise(0.0d))
+        t.embeddings.crossJoin(refVec(t))
+          .filter(col("vec_id") =!= RefId)
+          .select(col("vec_id"),
+            round(jaccardRange(binarize(col("embedding")),
+              binarize(col("ref_embedding")), 16, 48), 6).as("jac_16_48"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""
+        |WITH b AS (
+        |  SELECT vec_id,
+        |         list_transform(CAST(embedding[17:48] AS DOUBLE[]),
+        |                        x -> CASE WHEN x > 0 THEN 1.0 ELSE 0.0 END) AS bv
+        |  FROM embeddings
+        |)
+        |SELECT e.vec_id,
+        |       round(CASE WHEN list_sum(e.bv) + list_sum(r.bv)
+        |                       - list_dot_product(e.bv, r.bv) = 0 THEN 0.0
+        |                  ELSE list_dot_product(e.bv, r.bv)
+        |                       / (list_sum(e.bv) + list_sum(r.bv)
+        |                          - list_dot_product(e.bv, r.bv)) END, 6) AS jac_16_48
+        |FROM b e, (SELECT bv FROM b WHERE vec_id = $RefId) r
+        |WHERE e.vec_id <> $RefId
+        |ORDER BY e.vec_id
         |""".stripMargin.trim))
   )
 }

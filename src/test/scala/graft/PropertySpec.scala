@@ -1,0 +1,75 @@
+package graft
+
+import org.scalacheck.Gen
+import org.json4s._
+
+import graft.functions.vector
+import graft.oracle.Merge
+
+/** Property-style invariants (SURVEY.md §5): generated vector pairs are
+  * checked in one batched Spark job; merge laws are checked driver-side.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private val vecGen: Gen[Seq[Float]] =
+    Gen.chooseNum(1, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-100f, 100f)).map(_.toSeq))
+
+  private def samples(n: Int): Seq[(Seq[Float], Seq[Float])] = {
+    val g = for { a <- vecGen; b <- vecGen } yield (a, b)
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+  }
+
+  test("cosine(a,a) is 1 for non-zero a; |cosine| <= 1; dot is symmetric") {
+    val df = samples(300).toDF("a", "b")
+    val rows = df.select(
+      vector.cosine($"a", $"a").as("caa"),
+      vector.cosine($"a", $"b").as("cab"),
+      vector.magnitude($"a").as("ma"),
+      (vector.dot($"a", $"b") - vector.dot($"b", $"a")).as("dsym"),
+      (least(size($"a"), size($"b")) === size($"a")).as("aShorter")
+    ).collect()
+    rows.foreach { r =>
+      val (caa, cab, ma, dsym) =
+        (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      if (ma > 1e-3) assert(math.abs(caa - 1.0) < 1e-9, s"cosine(a,a)=$caa")
+      else assert(caa === 0.0 || math.abs(caa - 1.0) < 1e-9)
+      // equal-length prefix comparison keeps |cos| <= 1 up to rounding
+      assert(cab <= 1.0 + 1e-9 && cab >= -1.0 - 1e-9, s"cos out of range: $cab")
+      assert(math.abs(dsym) < 1e-9, s"dot not symmetric: $dsym")
+    }
+  }
+
+  test("jaccard on identical binary vectors is 1; disjoint is 0") {
+    val bin = Gen.chooseNum(2, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(0f, 1f)).map(_.toSeq))
+    val xs = Iterator.continually(bin.sample).flatten.take(200)
+      .filter(_.exists(_ > 0f)).toSeq
+    val df = xs.map(v => (v, v.map(x => 1f - x))).toDF("v", "inv")
+    val rows = df.select(
+      vector.jaccard($"v", $"v").as("self"),
+      vector.jaccard($"v", $"inv").as("disj")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) === 1.0)
+      assert(r.getDouble(1) === 0.0)
+    }
+  }
+
+  test("defaultMerger over disjoint maps is order-insensitive and total") {
+    val parts = (0 until 10).map(i => JObject(List(s"k$i" -> JInt(i))))
+    val a = Merge.defaultMerger(parts).toOption.get.asInstanceOf[JObject].obj.toMap
+    val b = Merge.defaultMerger(parts.reverse).toOption.get.asInstanceOf[JObject].obj.toMap
+    assert(a === b && a.size === 10)
+  }
+
+  test("defaultMerger array concat is associative in grouping") {
+    val parts = (1 to 9).map(i => JArray(List(JInt(i))))
+    val whole = Merge.defaultMerger(parts).toOption.get
+    val grouped = Merge.defaultMerger(Seq(
+      Merge.defaultMerger(parts.take(4)).toOption.get,
+      Merge.defaultMerger(parts.drop(4)).toOption.get)).toOption.get
+    assert(whole === grouped)
+  }
+}
