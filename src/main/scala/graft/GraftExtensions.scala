@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** SparkSessionExtensions entry point: registers the graft vector
+  * expressions as SQL functions for any session built with
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  *
+  * This is the public, config-only integration path; programmatic users can
+  * also call `graft.functions.vector.registerSql(spark)` on an existing
+  * session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - float64 dot product of two vectors"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "graft_cosine(a, b) - cosine similarity, 0.0 on zero magnitude"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("graft_jaccard"),
+      info("graft_jaccard", "graft_jaccard(a, b) - weighted Jaccard score"),
+      (es: Seq[Expression]) => WeightedJaccard(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("graft_magnitude"),
+      info("graft_magnitude", "graft_magnitude(a) - L2 norm"),
+      (es: Seq[Expression]) => VectorMagnitude(es.head)))
+  }
+}

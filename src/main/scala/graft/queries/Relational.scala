@@ -430,6 +430,78 @@ object Relational {
         |FROM events JOIN bands ON value >= lo AND value < hi
         |GROUP BY band
         |ORDER BY band
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      "q17_cube",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.orders
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("n"), col("sum_price"))
+          .orderBy(col("status"), col("priority"))
+      },
+      Some("""
+        |SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*)                         AS n,
+        |       round(sum(o_totalprice), 2)      AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // JSON scalar functions over the events props column (the reference's
+      // args/results are JSON, node/service/compiled.go:71-96; Spark's
+      // built-in JSON path functions subsume that surface).
+      "q18_json_extract",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.events
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        |SELECT event_type,
+        |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       count(*)                                               AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // String/date/math scalar coverage: extraction, substring/case
+      // functions, sqrt — all deterministic cross-engine.
+      "q19_scalar_funcs",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.orders
+          .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+            month(col("o_orderdate")).cast("long").as("m"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(sqrt(col("o_totalprice"))), 2).as("sum_sqrt_price"),
+            upper(substring(min(col("o_orderpriority")), 1, 3)).as("prio3"))
+          .orderBy(col("y"), col("m"))
+      },
+      Some("""
+        |SELECT CAST(year(o_orderdate) AS BIGINT)  AS y,
+        |       CAST(month(o_orderdate) AS BIGINT) AS m,
+        |       count(*)                           AS n,
+        |       round(sum(sqrt(o_totalprice)), 2)  AS sum_sqrt_price,
+        |       upper(substr(min(o_orderpriority), 1, 3)) AS prio3
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY y, m
         |""".stripMargin.trim))
   )
 }
