@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.vector
+
+/** IVF (inverted-file) approximate nearest neighbor: a coarse quantizer
+  * partitions the corpus into cells; queries search only the `nprobe`
+  * nearest cells.
+  *
+  * Index build = a few Lloyd iterations with broadcast centroids: the
+  * assignment pass is a map-only cross join against the (tiny) centroid
+  * set with the codegen'd cosine, and the update pass is one keyed
+  * aggregation (element-wise mean via posexplode + partial-aggregating
+  * avg). Search = probe-to-cell routing (broadcast centroids again) then a
+  * hash join on the cell id — the corpus is never cross-joined.
+  *
+  * With `nprobe == numCells` results are exactly brute force, which is the
+  * oracle the tests use; smaller nprobe trades recall for a `numCells /
+  * nprobe` scan reduction. Centroid init is deterministic (hash-ordered
+  * sample), so builds are reproducible.
+  */
+object Ivf {
+
+  final case class IvfIndex(cells: DataFrame, centroids: DataFrame) {
+    /** Cache both sides; the index is meant to be reused across queries. */
+    def persist(): IvfIndex = {
+      cells.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      centroids.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      IvfIndex(cells, centroids)
+    }
+  }
+
+  /** Assign every vector to its max-cosine centroid. */
+  private def assign(df: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cell"))
+    df.crossJoin(broadcast(centroids))
+      .withColumn("csim", vector.cosine(col(vecCol), col("centroid")))
+      .withColumn("crnk", row_number().over(w))
+      .filter(col("crnk") === 1)
+      .select(col(idCol), col(vecCol), col("cell"))
+  }
+
+  /** Element-wise mean of each cell's vectors -> new centroids. */
+  private def recompute(assigned: DataFrame, vecCol: String): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"),
+        transform(col("pm"), p => p.getField("m").cast("float")).as("centroid"))
+
+  /** Build an IVF index over `df(idCol, vecCol)`. */
+  def build(df: DataFrame, idCol: String, vecCol: String,
+      numCells: Int, iterations: Int = 2): IvfIndex = {
+    // Deterministic init: the numCells rows with smallest md5(id).
+    val init = df
+      .select(col(idCol), col(vecCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(numCells)
+      .collect()
+    val spark = df.sparkSession
+    var centroids = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        init.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(i, r.getSeq[Float](1))
+        }.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    var assigned = assign(df, centroids, idCol, vecCol)
+    (0 until iterations).foreach { _ =>
+      centroids = recompute(assigned, vecCol)
+      assigned = assign(df, centroids, idCol, vecCol)
+    }
+    IvfIndex(assigned, centroids).persist()
+  }
+
+  /** Top-k cosine neighbors for each probe row, scanning only the nprobe
+    * nearest cells. Output: query_id, rnk, vec_id, sim (rounded).
+    */
+  def search(index: IvfIndex, probes: DataFrame,
+      idCol: String, vecCol: String,
+      k: Int, nprobe: Int, roundTo: Int = 6): DataFrame = {
+    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    // Route each probe to its nprobe closest cells (tiny broadcast join).
+    val routeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    val routed = p.crossJoin(broadcast(index.centroids))
+      .withColumn("csim", vector.cosine(col("query_vec"), col("centroid")))
+      .withColumn("crnk", row_number().over(routeW))
+      .filter(col("crnk") <= nprobe)
+      .select(col("query_id"), col("query_vec"), col("cell"))
+    // Scan only the routed cells: hash join on the cell id.
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col(idCol))
+    routed.join(index.cells, "cell")
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("sim", round(vector.cosine(col(vecCol), col("query_vec")), roundTo))
+      .withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col(idCol).as("vec_id"), col("sim"))
+  }
+}
