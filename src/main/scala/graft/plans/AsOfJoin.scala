@@ -1,0 +1,175 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlInternal}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** As-of join as a first-class operator: logical node + planner strategy +
+  * physical merge-join, registered per-session via
+  * `experimental.extraStrategies`.
+  *
+  * Semantics: for every left ("probe") row, attach the right ("quote") row
+  * with the greatest `rightOn <= leftOn` within the same `by` group; left
+  * rows without a match get nulls (left-outer as-of, DuckDB
+  * `ASOF LEFT JOIN` semantics).
+  *
+  * Physical execution is a single forward merge pass: both sides are
+  * hash-clustered on the `by` keys and sorted by (by, on) — distributions
+  * and orderings Catalyst's EnsureRequirements inserts for us — then each
+  * co-partition pair is merged with one buffered pointer per side. Cost is
+  * O(left + right) per partition with zero additional memory beyond one
+  * buffered right row; this is the plan shape that survives 100 TB, unlike
+  * a windowed union (which shuffles both sides into one sort) or a range
+  * join.
+  *
+  * The window-based composition (`Relational.q15_asof_join`) and the
+  * DuckDB ASOF JOIN oracle both serve as correctness references in tests.
+  */
+final case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftBy: Seq[Expression],
+    rightBy: Seq[Expression],
+    leftOn: Expression,
+    rightOn: Expression) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lb, rb, lo, ro) =>
+      AsOfJoinExec(planLater(l), planLater(r), lb, rb, lo, ro) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftBy: Seq[Expression],
+    rightBy: Seq[Expression],
+    leftOn: Expression,
+    rightOn: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // Co-partition both sides on the by-keys with a fixed partition count so
+  // runtime coalescing cannot leave the two shuffles with different
+  // partitioning (zipPartitions requires exact alignment).
+  override def requiredChildDistribution: Seq[Distribution] = {
+    val n = Some(conf.numShufflePartitions)
+    Seq(ClusteredDistribution(leftBy, requiredNumPartitions = n),
+      ClusteredDistribution(rightBy, requiredNumPartitions = n))
+  }
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftBy :+ leftOn).map(SortOrder(_, Ascending)),
+    (rightBy :+ rightOn).map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    (leftBy :+ leftOn).map(SortOrder(_, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val byTypes = leftBy.map(_.dataType)
+    val onType = leftOn.dataType
+    val leftOutput = left.output
+    val rightOutput = right.output
+    val lB = leftBy
+    val rB = rightBy
+    val lO = leftOn
+    val rO = rightOn
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lByProj = UnsafeProjection.create(lB, leftOutput)
+      val rByProj = UnsafeProjection.create(rB, rightOutput)
+      val lOnProj = UnsafeProjection.create(Seq(lO), leftOutput)
+      val rOnProj = UnsafeProjection.create(Seq(rO), rightOutput)
+      val byOrd = RowOrdering.createNaturalAscendingOrdering(byTypes)
+      val onOrd = RowOrdering.createNaturalAscendingOrdering(Seq(onType))
+      val nullRight = new GenericInternalRow(rightOutput.size)
+      val joined = new JoinedRow
+      // Emit UnsafeRows: parent operators (and direct collect) require the
+      // binary format, and JoinedRow is only a view.
+      val resultProj = UnsafeProjection.create(leftOutput ++ rightOutput,
+        leftOutput ++ rightOutput)
+
+      val rBuf = rIter.buffered
+      new Iterator[InternalRow] {
+        // Copy of the most recent right row whose (by, on) <= current left.
+        private var matchRow: InternalRow = _
+        private var matchBy: UnsafeRow = _
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lByKey = lByProj(l)
+          val lOnKey = lOnProj(l)
+          var scanning = true
+          while (scanning && rBuf.hasNext) {
+            val r = rBuf.head
+            val cmpBy = byOrd.compare(rByProj(r), lByKey)
+            if (cmpBy < 0) {
+              // Right key sorts before every remaining left key: discard.
+              rBuf.next()
+            } else if (cmpBy == 0 && onOrd.compare(rOnProj(r), lOnKey) <= 0) {
+              matchRow = r.copy()
+              matchBy = rByProj(r).copy()
+              rBuf.next()
+            } else {
+              scanning = false
+            }
+          }
+          val m =
+            if (matchRow != null && byOrd.compare(matchBy, lByKey) == 0) matchRow
+            else nullRight
+          resultProj(joined(l, m))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Public API: `AsOf.join(trades, quotes, by = "user_id", on = "ts")`.
+  * Right-side columns should be pre-renamed to avoid duplicate names in
+  * the joined output.
+  */
+object AsOf {
+  def join(
+      left: DataFrame, right: DataFrame,
+      leftBy: String, rightBy: String,
+      leftOn: String, rightOn: String): DataFrame = {
+    val spark = left.sparkSession
+    GraftSqlInternal.addStrategy(spark, AsOfJoinStrategy)
+    val lPlan = GraftSqlInternal.analyzedPlan(left)
+    val rPlan = GraftSqlInternal.analyzedPlan(right)
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not found in ${p.output.map(_.name).mkString(", ")}"))
+    GraftSqlInternal.dataFrame(spark,
+      AsOfJoinPlan(lPlan, rPlan,
+        Seq(attr(lPlan, leftBy)), Seq(attr(rPlan, rightBy)),
+        attr(lPlan, leftOn), attr(rPlan, rightOn)))
+  }
+
+  def join(left: DataFrame, right: DataFrame, by: String, on: String): DataFrame =
+    join(left, right, by, by, on, on)
+}

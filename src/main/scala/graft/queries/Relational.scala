@@ -502,6 +502,35 @@ object Relational {
         |FROM orders
         |GROUP BY 1, 2
         |ORDER BY y, m
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Same as-of semantics as q15, but through the custom operator
+      // (graft.plans.AsOfJoinExec): co-partitioned merge pass instead of a
+      // windowed union — checked against DuckDB's native ASOF JOIN.
+      "q20_asof_custom",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val ev = t.events.withColumn("tsu", expr("ts div 1000"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("tsu"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id").as("s_user"), col("tsu").as("s_tsu"))
+        graft.plans.AsOf.join(purchases, signups,
+            "user_id", "s_user", "tsu", "s_tsu")
+          .filter(col("s_tsu").isNotNull)
+          .select(col("event_id"), col("user_id"),
+            col("tsu").as("purchase_us"), col("s_tsu").as("matched_signup_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        |SELECT p.event_id, p.user_id,
+        |       epoch_us(p.ts) AS purchase_us,
+        |       epoch_us(s.ts) AS matched_signup_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.event_id
         |""".stripMargin.trim))
   )
 }

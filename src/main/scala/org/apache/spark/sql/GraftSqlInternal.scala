@@ -25,4 +25,20 @@ object GraftSqlInternal {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** The analyzed logical plan behind a DataFrame. */
+  def analyzedPlan(df: DataFrame): catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** Wrap a logical plan as a DataFrame (classic sessions). */
+  def dataFrame(
+      spark: SparkSession,
+      plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Idempotently add a planner strategy to this session. */
+  def addStrategy(spark: SparkSession, s: execution.SparkStrategy): Unit = {
+    val e = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!e.extraStrategies.contains(s)) e.extraStrategies = e.extraStrategies :+ s
+  }
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.{AsOf, AsOfJoinExec}
+import graft.queries.Tables
+
+/** Custom as-of join operator: hand-built fixtures, equivalence with the
+  * window-based composition on real event data, and plan-shape assertions.
+  */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("matches the most recent right row per key, nulls when none") {
+    val probes = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
+      .toDF("uid", "t", "tag")
+    val quotes = Seq((1L, 8L, "q8"), (1L, 15L, "q15"), (1L, 20L, "q20"),
+      (3L, 1L, "qx"))
+      .toDF("uid2", "t2", "qtag")
+    val out = AsOf.join(probes, quotes, "uid", "uid2", "t", "t2")
+      .select($"tag", $"qtag").orderBy($"tag")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // p1@10 -> q8; p2@20 -> q20 (equality included); p3 (uid 2) -> null
+    assert(out === Seq(("p1", "q8"), ("p2", "q20"), ("p3", null)))
+  }
+
+  test("agrees with the window-based as-of on real events") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val ev = t.events.withColumn("tsu", expr("ts div 1000"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"tsu", $"event_id")
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"user_id".as("s_user"), $"tsu".as("s_tsu"),
+        $"event_id".as("s_event"))
+
+    val custom = AsOf.join(purchases, signups, "user_id", "s_user", "tsu", "s_tsu")
+      .filter($"s_tsu".isNotNull)
+      .select($"event_id", $"s_tsu")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // Window-based reference implementation (q15 shape).
+    val p2 = purchases.withColumn("src", lit(1))
+      .select($"user_id", $"tsu", $"event_id",
+        lit(null).cast("long").as("sig_tsu"), $"src")
+    val s2 = signups.select($"s_user".as("user_id"), $"s_tsu".as("tsu"),
+      $"s_event".as("event_id"), $"s_tsu".as("sig_tsu"), lit(0).as("src"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"tsu", $"src", $"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ref = p2.unionByName(s2)
+      .withColumn("m", last($"sig_tsu", ignoreNulls = true).over(w))
+      .filter($"src" === 1 && $"m".isNotNull)
+      .select($"event_id", $"m")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(custom === ref)
+    assert(custom.nonEmpty)
+  }
+
+  test("plans as AsOfJoinExec with sort-merge requirements satisfied") {
+    val probes = Seq((1L, 10L)).toDF("uid", "t")
+    val quotes = Seq((1L, 8L)).toDF("uid2", "t2")
+    val df = AsOf.join(probes, quotes, "uid", "uid2", "t", "t2")
+    df.collect() // force execution through EnsureRequirements
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"expected AsOfJoinExec in:\n$plan")
+  }
+}
