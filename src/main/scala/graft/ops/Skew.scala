@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot join keys.
+  *
+  * AQE's skew-join handling covers sort-merge joins at runtime; explicit
+  * salting is still the right tool when one side has pathological key
+  * concentration (a handful of keys holding most rows — common in web/event
+  * data) and the other side is small enough to replicate per salt but too
+  * big to broadcast whole.
+  *
+  * `saltedJoin(big, small, key, salts)`: the big side gets a random-but-
+  * deterministic salt in [0, salts) derived from a row hash; the small side
+  * is replicated `salts` times (explode over a literal range). The join key
+  * becomes (key, salt), splitting each hot key's rows across `salts`
+  * reducers. Result equality with the plain join is exact — every big row
+  * still meets every matching small row exactly once.
+  */
+object Skew {
+
+  /** Inner equi-join of `big` ⋈ `small` on `key`, with the big side's hot
+    * keys spread over `salts` partitions. Row-level salt is derived from
+    * xxhash64 of the whole big row (deterministic, no RNG state).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salts: Int = 8): DataFrame = {
+    require(salts > 0)
+    val saltedBig = big.withColumn("_salt",
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salts)).cast("int"))
+    val replicatedSmall = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig.join(replicatedSmall, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Top-N keys by frequency — the usual first diagnostic for skew. */
+  def keyHistogram(df: DataFrame, key: String, topN: Int = 20): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col(key))
+      .limit(topN)
+}
