@@ -41,4 +41,14 @@ object GraftSqlInternal {
     val e = spark.asInstanceOf[classic.SparkSession].experimental
     if (!e.extraStrategies.contains(s)) e.extraStrategies = e.extraStrategies :+ s
   }
+
+  /** Idempotently add an optimizer rule to this session. */
+  def addOptimization(
+      spark: SparkSession,
+      r: catalyst.rules.Rule[catalyst.plans.logical.LogicalPlan]): Unit = {
+    val e = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!e.extraOptimizations.contains(r)) {
+      e.extraOptimizations = e.extraOptimizations :+ r
+    }
+  }
 }
