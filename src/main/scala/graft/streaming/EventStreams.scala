@@ -84,6 +84,30 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: each purchase attributed to the same
+    * user's signup within the preceding `window`. Both sides carry
+    * watermarks, so the join state for expired intervals is dropped — the
+    * state store stays bounded on unbounded streams. Works identically on
+    * batch inputs (the test oracle).
+    */
+  def purchaseAttribution(events: DataFrame, window: String = "7 days",
+      lateness: String = "10 minutes"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withWatermark("event_time", lateness)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("event_time").as("purchase_time"), col("value"))
+    val signups = events.filter(col("event_type") === "signup")
+      .withWatermark("event_time", lateness)
+      .select(col("user_id").as("s_user_id"),
+        col("event_time").as("signup_time"))
+    purchases.join(signups,
+      col("user_id") === col("s_user_id") &&
+        col("signup_time") <= col("purchase_time") &&
+        col("signup_time") >= col("purchase_time") - expr(s"INTERVAL $window"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_time"),
+        col("signup_time"), col("value"))
+  }
+
   /** Read the events table as a file stream (one-file-per-trigger form used
     * in local smoke runs).
     */
