@@ -531,6 +531,40 @@ object Relational {
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Correlated scalar subquery + uncorrelated IN subquery, through
+      // spark.sql: Catalyst decorrelates the scalar subquery into a
+      // left-outer aggregate join.
+      "q21_subqueries",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.nation.createOrReplaceTempView("nation_v")
+        t.customer.createOrReplaceTempView("customer_v")
+        t.orders.createOrReplaceTempView("orders_v")
+        s.sql("""
+          SELECT n.n_name,
+                 (SELECT round(max(c.c_acctbal), 2) FROM customer_v c
+                  WHERE c.c_nationkey = n.n_nationkey) AS max_acctbal,
+                 (SELECT count(*) FROM customer_v c
+                  WHERE c.c_nationkey = n.n_nationkey
+                    AND c.c_custkey IN (SELECT o_custkey FROM orders_v
+                                        WHERE o_totalprice > 400000)) AS big_spenders
+          FROM nation_v n
+          ORDER BY n.n_name
+        """)
+      },
+      Some("""
+        |SELECT n.n_name,
+        |       (SELECT round(max(c.c_acctbal), 2) FROM customer c
+        |        WHERE c.c_nationkey = n.n_nationkey) AS max_acctbal,
+        |       (SELECT count(*) FROM customer c
+        |        WHERE c.c_nationkey = n.n_nationkey
+        |          AND c.c_custkey IN (SELECT o_custkey FROM orders
+        |                              WHERE o_totalprice > 400000)) AS big_spenders
+        |FROM nation n
+        |ORDER BY n.n_name
         |""".stripMargin.trim))
   )
 }

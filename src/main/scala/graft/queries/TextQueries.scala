@@ -246,6 +246,29 @@ object TextQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Generator/UDTF coverage: explode documents into token rows, top-20
+      // tokens by frequency. The explode is a Generate node feeding a
+      // partial+final count — the canonical flatten-then-aggregate shape.
+      "t04_top_tokens",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.documents
+          .select(explode(graft.ops.Dedup.tokens(col("text"))).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(20)
+      },
+      Some("""
+        |SELECT token, count(*) AS n
+        |FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |      FROM documents)
+        |GROUP BY token
+        |ORDER BY n DESC, token
+        |LIMIT 20
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Embedding-cosine near-dup pairs (exact baseline; the scale path is
       // Similarity.signBucketJoin, exercised in tests/bench).
       "e01_embed_neardup",
