@@ -565,6 +565,33 @@ object Relational {
         |                              WHERE o_totalprice > 400000)) AS big_spenders
         |FROM nation n
         |ORDER BY n.n_name
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Exact percentiles (linear interpolation in both engines) per
+      // status — the statistical-aggregate shape; exact `percentile`
+      // rather than the sketch-based approx (which is engine-specific).
+      "q22_percentiles",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.orders
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+            round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"),
+            round(stddev_pop(col("o_totalprice")), 4).as("sd"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""
+        |SELECT o_orderstatus,
+        |       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |       round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+        |       round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+        |       round(stddev_pop(o_totalprice), 4)          AS sd
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus
         |""".stripMargin.trim))
   )
 }
