@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Opinionated session factory: the confs every graft deployment wants,
+  * plus SQL registration of the vector functions and (optionally) the
+  * approximate-join rule and as-of strategy.
+  */
+object GraftSession {
+
+  def builder(master: String = "local[*]", shufflePartitions: Int = 0): SparkSession.Builder = {
+    val parts =
+      if (shufflePartitions > 0) shufflePartitions
+      else Runtime.getRuntime.availableProcessors()
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", parts.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+  }
+
+  /** Create (or reuse) a session with graft functions registered and the
+    * custom operators installed.
+    */
+  def create(master: String = "local[*]"): SparkSession = {
+    val spark = builder(master).getOrCreate()
+    graft.functions.vector.registerSql(spark)
+    org.apache.spark.sql.GraftSqlInternal.addStrategy(
+      spark, graft.plans.AsOfJoinStrategy)
+    graft.plans.ApproxCosineJoinRule.install(spark)
+    spark
+  }
+}

@@ -196,6 +196,47 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** Collapse near-duplicate PAIRS into clusters and pick one keeper per
+    * cluster: connected components by iterative min-label propagation over
+    * the pair graph (near-dup relations are not transitive, but dedup
+    * policy treats the transitive closure as one group). Each iteration is
+    * two keyed shuffles; label space halves fast — `maxIterations` of 10
+    * covers component diameters up to 2^10.
+    *
+    * Input: pairs (doc_a, doc_b); output: (doc_id, keeper_id) for every
+    * document appearing in a pair, keeper = min id of its component.
+    */
+  def canonicalize(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("label", col("doc_id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIterations && !converged) {
+      // Each node adopts the min label among itself and its neighbors.
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("doc_id", "dst")
+          .withColumnRenamed("label", "n_label"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("n_label")).as("n_label"))
+      val next = labels.join(neighborLabels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("n_label"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("label", "old_label"), "doc_id")
+        .filter(col("label") =!= col("old_label")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("label").as("keeper_id"))
+  }
+
   /** Near-duplicate pairs by SimHash Hamming distance <= maxDistance.
     *
     * Pair generation uses the standard multi-probe trick: split the 32-bit

@@ -45,6 +45,27 @@ class OpsSpec extends SparkSpec {
     assert(viaSegments === brute)
   }
 
+  test("canonicalize groups transitive near-dup chains under the min id") {
+    // chain 1-2-3 (transitively one group), pair 7-9, singleton-free input
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val got = Dedup.canonicalize(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("canonicalize on real minhash pairs yields per-cluster keepers") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pairs = Dedup.nearDuplicatesMinhash(docs, "doc_id", "text", 0.5)
+    val labels = Dedup.canonicalize(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.nonEmpty)
+    // every keeper is a member of its own cluster and is the minimum
+    labels.groupBy(_._2).foreach { case (keeper, members) =>
+      assert(members.keySet.min === keeper)
+      assert(labels(keeper) === keeper)
+    }
+  }
+
   test("languageId emits deterministic argmax with alphabetical ties") {
     val docs = Seq((1L, "the of and le la"), (2L, "xyz")).toDF("doc_id", "text")
     val out = TextAnalysis.languageId(docs, "doc_id", "text")
