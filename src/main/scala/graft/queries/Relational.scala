@@ -592,6 +592,69 @@ object Relational {
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // TPC-H Q3 shape: selective join across customer/orders/lineitem,
+      // revenue aggregation, top-10. The mktsegment filter prunes the
+      // customer build side before the shuffle.
+      "q23_shipping_priority",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.customer.filter(col("c_mktsegment") === "BUILDING")
+          .join(t.orders, col("c_custkey") === col("o_custkey"))
+          .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+          .groupBy(col("o_orderkey"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""
+        |SELECT o_orderkey,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // TPC-H Q16 shape: supplier counts per part attribute with a NOT IN
+      // subquery exclusion (null-aware anti join on the Spark side).
+      "q24_part_supplier_stats",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.part.createOrReplaceTempView("part_v")
+        t.lineitem.createOrReplaceTempView("lineitem_v")
+        t.supplier.createOrReplaceTempView("supplier_v")
+        s.sql("""
+          SELECT p.p_type,
+                 count(DISTINCT l.l_suppkey) AS supplier_cnt
+          FROM part_v p
+          JOIN lineitem_v l ON l.l_partkey = p.p_partkey
+          WHERE p.p_size >= 20
+            AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier_v
+                                    WHERE s_acctbal < 0)
+          GROUP BY p.p_type
+          ORDER BY supplier_cnt DESC, p.p_type
+        """)
+      },
+      Some("""
+        |SELECT p.p_type,
+        |       count(DISTINCT l.l_suppkey) AS supplier_cnt
+        |FROM part p
+        |JOIN lineitem l ON l.l_partkey = p.p_partkey
+        |WHERE p.p_size >= 20
+        |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                          WHERE s_acctbal < 0)
+        |GROUP BY p.p_type
+        |ORDER BY supplier_cnt DESC, p.p_type
         |""".stripMargin.trim))
   )
 }
