@@ -69,10 +69,12 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signature: for each of `k` hash members, the minimum hash over
-    * the shingle set. Returned as array<long> of length `k`. Hashes the
-    * shingle set once ([[hashPair48]]) and derives the k members
-    * arithmetically — md5 cost is O(shingles), not O(k * shingles).
+  /** MinHash signature as a single per-row column: for each of `k` hash
+    * members, the minimum of h1 + j*h2 over the shingle set. Convenient
+    * for one-off signatures; note Catalyst inlines the hash lambda into
+    * each of the k array_min branches, so this form pays O(k * shingles)
+    * md5 calls. [[nearDuplicatesMinhash]] uses the explode + partial-min
+    * aggregation shape instead, which hashes each shingle exactly once.
     */
   def minhashSignature(shingles: Column, k: Int): Column = {
     val pairs = transform(shingles, s => hashPair48(s))
@@ -200,20 +202,25 @@ object Dedup {
     * cluster: connected components by iterative min-label propagation over
     * the pair graph (near-dup relations are not transitive, but dedup
     * policy treats the transitive closure as one group). Each iteration is
-    * two keyed shuffles; label space halves fast — `maxIterations` of 10
-    * covers component diameters up to 2^10.
+    * two keyed shuffles and converges in O(component diameter) rounds with
+    * an early exit; near-dup clusters in practice have tiny diameters.
+    * Every iteration truncates lineage (`localCheckpoint`) — without that,
+    * the logical plan doubles per round and planning itself blows up. On a
+    * cluster, point `spark.sparkContext.setCheckpointDir` at durable
+    * storage and swap in `checkpoint` for executor-failure tolerance.
     *
     * Input: pairs (doc_a, doc_b); output: (doc_id, keeper_id) for every
     * document appearing in a pair, keeper = min id of its component.
     */
-  def canonicalize(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+  def canonicalize(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id"))
       .distinct()
       .withColumn("label", col("doc_id"))
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIterations && !converged) {
@@ -226,15 +233,29 @@ object Dedup {
       val next = labels.join(neighborLabels, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("n_label"), col("label"))).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "old_label"), "doc_id")
         .filter(col("label") =!= col("old_label")).limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
     labels.select(col("doc_id"), col("label").as("keeper_id"))
+  }
+
+  /** End-to-end corpus dedup: near-duplicate detection (MinHash+LSH) plus
+    * cluster canonicalization, returning the input with duplicates removed
+    * — every document either had no near-duplicate or is its cluster's
+    * keeper (min id). The pair set and keeper choice are deterministic.
+    */
+  def dedupCorpus(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = nearDuplicatesMinhash(docs, idCol, textCol, threshold)
+    val losers = canonicalize(pairs)
+      .filter(col("doc_id") =!= col("keeper_id"))
+      .select(col("doc_id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Near-duplicate pairs by SimHash Hamming distance <= maxDistance.

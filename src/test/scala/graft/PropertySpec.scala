@@ -57,6 +57,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("canonicalize matches driver-side union-find on random graphs") {
+    val rng = new scala.util.Random(7)
+    (0 until 3).foreach { _ =>
+      val n = 40
+      val edges = Seq.fill(30)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // driver-side union-find oracle
+      val parent = scala.collection.mutable.Map((0L until n.toLong).map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val members = (0L until n.toLong).groupBy(find)
+      val expected = members.values.filter(_.size > 1)
+        .flatMap(c => c.map(_ -> c.min)).toMap
+
+      val got = graft.ops.Dedup.canonicalize(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"edges=$edges")
+    }
+  }
+
+  test("dedupCorpus keeps exactly one doc per near-dup cluster") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val before = docs.count()
+    val pairs = graft.ops.Dedup.nearDuplicatesMinhash(docs, "doc_id", "text", 0.8)
+    val clusters = graft.ops.Dedup.canonicalize(pairs)
+      .select("keeper_id").distinct().count()
+    val dupDocs = graft.ops.Dedup.canonicalize(pairs).count()
+    val after = graft.ops.Dedup.dedupCorpus(docs, "doc_id", "text", 0.8).count()
+    assert(after === before - dupDocs + clusters)
+    assert(after < before) // planted dups exist
+  }
+
   test("defaultMerger over disjoint maps is order-insensitive and total") {
     val parts = (0 until 10).map(i => JObject(List(s"k$i" -> JInt(i))))
     val a = Merge.defaultMerger(parts).toOption.get.asInstanceOf[JObject].obj.toMap
