@@ -655,6 +655,54 @@ object Relational {
         |                          WHERE s_acctbal < 0)
         |GROUP BY p.p_type
         |ORDER BY supplier_cnt DESC, p.p_type
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Pivot/crosstab: order totals per priority pivoted by status.
+      // Oracle uses explicit conditional aggregation — identical output
+      // columns, engine-portable.
+      "q25_pivot",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.orders
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(round(sum(col("o_totalprice")), 2))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        |SELECT o_orderpriority,
+        |       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+        |       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+        |       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // RANGE window frame: per-user count/sum of events within the
+      // trailing 10 minutes (value-based frame over exact integer µs).
+      "q26_range_frame",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
+          .rangeBetween(-600000000L, 0L)
+        t.events
+          .withColumn("tsu", expr("ts div 1000"))
+          .withColumn("n_10m", count(lit(1)).over(w))
+          .withColumn("sum_10m", round(sum(col("value")).over(w), 2))
+          .select(col("event_id"), col("user_id"), col("n_10m"), col("sum_10m"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        |SELECT event_id, user_id,
+        |       count(*) OVER w        AS n_10m,
+        |       round(sum(value) OVER w, 2) AS sum_10m
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id
         |""".stripMargin.trim))
   )
 }
