@@ -17,6 +17,9 @@ object GraftSession {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // Runtime bloom-filter pushdown: selective join sides prune the
+      // probe-side scan at row-group granularity — free at 100 TB.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
   }
 
