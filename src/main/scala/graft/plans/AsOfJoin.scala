@@ -102,9 +102,13 @@ final case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(rightOutput.size)
       val joined = new JoinedRow
       // Emit UnsafeRows: parent operators (and direct collect) require the
-      // binary format, and JoinedRow is only a view.
-      val resultProj = UnsafeProjection.create(leftOutput ++ rightOutput,
-        leftOutput ++ rightOutput)
+      // binary format, and JoinedRow is only a view. The INPUT schema's
+      // right side must be nullability-widened: BindReferences takes
+      // nullability from the input attribute, and binding the original
+      // non-nullable right attributes would skip the null check and turn
+      // unmatched rows into zeros.
+      val resultProj = UnsafeProjection.create(output,
+        leftOutput ++ rightOutput.map(_.withNullability(true)))
 
       val rBuf = rIter.buffered
       new Iterator[InternalRow] {

@@ -57,6 +57,45 @@ class AsOfJoinSpec extends SparkSpec {
     assert(custom.nonEmpty)
   }
 
+  test("randomized stress: agrees with window reference across many keys") {
+    val rng = new scala.util.Random(11)
+    val probes = (0 until 500).map(i =>
+      (rng.nextInt(20).toLong, rng.nextInt(1000).toLong, i.toLong))
+      .toDF("uid", "t", "pid")
+    // unique t2 per quote: with (by, on) ties the matched row among equals
+    // is implementation-defined, which would make the oracle ambiguous
+    val quotes = (0 until 300).map(i =>
+      (rng.nextInt(25).toLong, i.toLong * 3 + 1, 10000L + i))
+      .toDF("uid2", "t2", "qid")
+
+    val custom = AsOf.join(probes, quotes, "uid", "uid2", "t", "t2")
+      .select($"pid", $"qid")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+
+    // reference: for each probe, the max-(t2, qid) quote with t2 <= t.
+    // Tie-break mirrors the exec's physical (by, on)-sorted scan, which
+    // keeps the LAST row among equal on-values — i.e. max qid.
+    val q = quotes.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = probes.collect().map { r =>
+      val (uid, t, pid) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val cands = q.filter(x => x._1 == uid && x._2 <= t)
+      val best = if (cands.isEmpty) -1L else cands.maxBy(x => (x._2, x._3))._3
+      (pid, best)
+    }.toSet
+    assert(custom === expected)
+  }
+
+  test("empty build side yields all-null matches; empty probe side is empty") {
+    val probes = Seq((1L, 10L)).toDF("uid", "t")
+    val empty = Seq.empty[(Long, Long)].toDF("uid2", "t2")
+    val out = AsOf.join(probes, empty, "uid", "uid2", "t", "t2").collect()
+    assert(out.length === 1 && out.head.isNullAt(2))
+    val none = AsOf.join(empty.toDF("uid", "t"), probes.toDF("uid2", "t2"),
+      "uid", "uid2", "t", "t2").collect()
+    assert(none.isEmpty)
+  }
+
   test("plans as AsOfJoinExec with sort-merge requirements satisfied") {
     val probes = Seq((1L, 10L)).toDF("uid", "t")
     val quotes = Seq((1L, 8L)).toDF("uid2", "t2")
