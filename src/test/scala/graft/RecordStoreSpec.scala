@@ -88,6 +88,22 @@ class RecordStoreSpec extends SparkSpec {
     assert(clamped.records.map(_.id) === Seq(1L) && clamped.pages === 7L)
   }
 
+  test("concurrent creates assign unique sequential ids (records_test.go concurrency)") {
+    val s = RecordStore.empty(spark)
+    val ids = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val threads = (0 until 8).map { t =>
+      new Thread(() => (0 until 4).foreach { i =>
+        s.create(rec(t * 10f + i)) match {
+          case Right(r) => ids.add(r.id)
+          case Left(e)  => fail(s"create failed: $e")
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(ids.size === 32) // all ids unique
+    assert(s.size === 32L && s.nextId === 33L)
+  }
+
   test("save/load round-trip restores records, nextId, and meta keys") {
     val dir = java.nio.file.Files.createTempDirectory("graft-store").toString + "/r"
     val s = RecordStore.empty(spark)
