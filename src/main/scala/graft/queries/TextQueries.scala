@@ -269,6 +269,27 @@ object TextQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Multimodal plumbing, oracle-checked: documents' text bytes stand in
+      // for opaque media payloads; the audit path (size + sha256, no
+      // decode) is exactly Multimodal.describe. Payload bytes never
+      // shuffle — map-only projection.
+      "m01_media_audit",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val media = t.documents.select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("payload"))
+        graft.ops.Multimodal.describe(media, "media_id", "payload")
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        |SELECT doc_id AS media_id,
+        |       octet_length(CAST(text AS BLOB)) AS payload_bytes,
+        |       sha256(text)                     AS payload_sha256
+        |FROM documents
+        |ORDER BY media_id
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Embedding-cosine near-dup pairs (exact baseline; the scale path is
       // Similarity.signBucketJoin, exercised in tests/bench).
       "e01_embed_neardup",

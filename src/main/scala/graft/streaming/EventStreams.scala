@@ -84,6 +84,62 @@ object EventStreams {
       }
   }
 
+  final case class SessionEvent(user_id: Long, event_time: java.sql.Timestamp,
+      value: Double)
+  final case class OpenSession(start_us: Long, last_us: Long, n: Long, sum: Double)
+  final case class ClosedSession(user_id: Long, session_start_us: Long,
+      n_events: Long, sum_value: Double)
+
+  /** Closed-session emitter via flatMapGroupsWithState with event-time
+    * timeout: per-user state holds the one open session; gaps inside a
+    * batch close sessions immediately, and the watermark passing
+    * (last event + gap) times out and closes idle sessions. Append-mode
+    * output contains exactly the CLOSED sessions — the custom-state
+    * complement of the built-in `session_window` aggregation
+    * ([[sessionStats]]), for when per-session logic outgrows an aggregate.
+    */
+  def closedSessions(events: Dataset[SessionEvent],
+      gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withWatermark("event_time", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[SessionEvent],
+         state: GroupState[OpenSession]) =>
+          def close(s: OpenSession): ClosedSession =
+            ClosedSession(userId, s.start_us, s.n, s.sum)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = batch.toSeq.sortBy(_.event_time.getTime)
+            val closed = Seq.newBuilder[ClosedSession]
+            var open = state.getOption
+            sorted.foreach { e =>
+              val ts = e.event_time.getTime * 1000L // ms -> us
+              open match {
+                case Some(s) if ts - s.last_us <= gapUs =>
+                  open = Some(s.copy(last_us = ts, n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  closed += close(s)
+                  open = Some(OpenSession(ts, ts, 1, e.value))
+                case None =>
+                  open = Some(OpenSession(ts, ts, 1, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last_us / 1000L + gapMinutes * 60L * 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Stream-stream interval join: each purchase attributed to the same
     * user's signup within the preceding `window`. Both sides carry
     * watermarks, so the join state for expired intervals is dropped — the

@@ -70,6 +70,34 @@ class StreamingSpec extends SparkSpec {
     assert(last(2L) === UserTotals(2L, 1L, 2.0, 0L))
   }
 
+  test("closedSessions emits in-batch gap closures and watermark timeouts") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.{ClosedSession, SessionEvent}
+    val stream = MemoryStream[SessionEvent]
+    val q = EventStreams.closedSessions(stream.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("closed_out")
+      .outputMode("append").start()
+
+    // Session A (10:00-10:10, 2 events) closes in-batch: the 12:00 event
+    // opens session B after a >30min gap.
+    stream.addData(
+      SessionEvent(1, ts(0), 1.0), SessionEvent(1, ts(10), 2.0),
+      SessionEvent(1, Timestamp.valueOf("2024-01-01 12:00:00"), 5.0))
+    q.processAllAvailable()
+    // Advance the watermark far past B's timeout via another user.
+    stream.addData(SessionEvent(2, Timestamp.valueOf("2024-01-01 15:00:00"), 9.0))
+    q.processAllAvailable()
+    stream.addData(SessionEvent(2, Timestamp.valueOf("2024-01-01 18:00:00"), 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("closed_out").as[ClosedSession].collect()
+      .filter(_.user_id == 1L).sortBy(_.session_start_us)
+    assert(out.length === 2)
+    assert(out(0).n_events === 2L && out(0).sum_value === 3.0) // session A
+    assert(out(1).n_events === 1L && out(1).sum_value === 5.0) // session B timed out
+  }
+
   test("file-stream form reads the events table incrementally") {
     // Copy the parquet into a dir the stream can list (single file).
     val src = "/root/testdata/sf0.001/events.parquet"
