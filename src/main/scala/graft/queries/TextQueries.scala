@@ -269,6 +269,39 @@ object TextQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Deterministic content-hash train/val/test split: per-doc
+      // assignment plus per-split stats. Pure function of doc_id — stable
+      // across engines, runs, and partitionings.
+      "s01_dataset_split",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.documents
+          .withColumn("split", graft.ops.Sampling.splitLabel(col("doc_id"), 90, 5))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            min(col("doc_id")).as("min_id"))
+          .orderBy(col("split"))
+      },
+      Some("""
+        |WITH assigned AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |           % 100 AS bucket
+        |  FROM documents
+        |)
+        |SELECT CASE WHEN bucket < 90 THEN 'train'
+        |            WHEN bucket < 95 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       count(*)      AS n_docs,
+        |       sum(n_chars)  AS total_chars,
+        |       min(doc_id)   AS min_id
+        |FROM assigned
+        |GROUP BY 1
+        |ORDER BY split
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Multimodal plumbing, oracle-checked: documents' text bytes stand in
       // for opaque media payloads; the audit path (size + sha256, no
       // decode) is exactly Multimodal.describe. Payload bytes never

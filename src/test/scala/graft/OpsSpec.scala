@@ -100,6 +100,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("deterministic sampling is partition-invariant and repeatable") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val a = graft.ops.Sampling.deterministicSample(docs, "doc_id", 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = graft.ops.Sampling.deterministicSample(docs.repartition(13), "doc_id", 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    assert(a.nonEmpty && a.size < docs.count())
+    // sample at larger fraction is a superset (bucket-threshold property)
+    val c = graft.ops.Sampling.deterministicSample(docs, "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(c))
+  }
+
+  test("stratified sample respects per-stratum fractions deterministically") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sampled = graft.ops.Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.0))
+    val langs = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!langs.contains("de"))          // zero fraction excluded
+    assert(langs.getOrElse("en", 0L) > 0L) // en sampled
+    assert(langs.keySet.subsetOf(Set("en"))) // unlisted strata default to 0
+  }
+
   test("tokenEstimate adds BPE-ish surcharge for long words") {
     val df = Seq((1L, "a bb cccccccc")).toDF("id", "text")
     // tokens=3, "cccccccc" has len 8 -> (8-4)/4 = 1 extra
