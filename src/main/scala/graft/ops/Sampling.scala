@@ -47,4 +47,21 @@ object Sampling {
     }
     df.filter(hashBucket(col(idCol), 10000) < (frac * 10000).cast("long"))
   }
+
+  /** Greedy sequence packing for training batches: documents are laid out
+    * in deterministic `idCol` order within each `partCol` group and
+    * assigned to the bin their running token offset falls into
+    * (`bin = prior_cumulative_tokens / binSize`). One window pass; bins
+    * are contiguous and reproducible. Documents longer than `binSize`
+    * occupy their own bin(s) starting at their offset.
+    */
+  def packIntoBins(df: DataFrame, idCol: String, tokenCol: String,
+      binSize: Long, partCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("prior_tokens",
+        coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("bin", expr(s"prior_tokens div $binSize"))
+  }
 }

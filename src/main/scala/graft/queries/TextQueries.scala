@@ -302,6 +302,40 @@ object TextQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Sequence packing: documents packed into 4096-token bins per
+      // source, deterministic id order. Output: per-bin document counts
+      // and token totals for the first bins of each source.
+      "p01_packing",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val withTokens = t.documents.select(col("doc_id"), col("source"),
+          size(graft.ops.Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
+        graft.ops.Sampling.packIntoBins(withTokens, "doc_id", "n_tokens",
+            4096L, "source")
+          .groupBy(col("source"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+          .orderBy(col("source"), col("bin"))
+      },
+      Some("""
+        |WITH toks AS (
+        |  SELECT doc_id, source,
+        |         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+        |  FROM documents
+        |),
+        |packed AS (
+        |  SELECT source, n_tokens,
+        |         coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           // 4096 AS bin
+        |  FROM toks
+        |)
+        |SELECT source, bin, count(*) AS n_docs, sum(n_tokens) AS bin_tokens
+        |FROM packed
+        |GROUP BY source, bin
+        |ORDER BY source, bin
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Multimodal plumbing, oracle-checked: documents' text bytes stand in
       // for opaque media payloads; the audit path (size + sha256, no
       // decode) is exactly Multimodal.describe. Payload bytes never
