@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+import graft.functions._
+
+/** The vector expressions have two execution paths: `doGenCode` (used in
+  * whole-stage codegen) and `nullSafeEval` (interpreted — codegen
+  * fallback, filter pushdown evaluation, constant folding). Both must
+  * agree, including on the edge semantics: mismatched lengths use the
+  * common prefix, null elements contribute zero, zero denominators yield
+  * 0.0. The codegen path is covered by every query test; this spec pins
+  * the interpreted path by calling eval() directly.
+  */
+class InterpretedParitySpec extends SparkSpec {
+
+  private def farr(xs: Float*) = ArrayData.toArrayData(xs.toArray)
+
+  private val a = BoundReference(0, ArrayType(FloatType), nullable = true)
+  private val b = BoundReference(1, ArrayType(FloatType), nullable = true)
+
+  private def row(x: Seq[Float], y: Seq[Float]): InternalRow =
+    InternalRow(farr(x: _*), farr(y: _*))
+
+  test("interpreted dot/cosine/jaccard/magnitude match hand computations") {
+    val r = row(Seq(3f, 6f, 9f), Seq(3f, 6f, 9f))
+    assert(DotProduct(a, b).eval(r) === 126.0)
+    assert(math.abs(CosineSimilarity(a, b).eval(r).asInstanceOf[Double] - 1.0) < 1e-12)
+    assert(VectorMagnitude(a).eval(r).asInstanceOf[Double] === math.sqrt(126.0))
+    val rj = row(Seq(1f, 1f, 1f, 0f), Seq(1f, 1f, 0f, 1f))
+    assert(WeightedJaccard(a, b).eval(rj) === 0.5)
+  }
+
+  test("interpreted zero-denominator guards return 0.0") {
+    val rz = row(Seq(0f, 0f), Seq(1f, 2f))
+    assert(CosineSimilarity(a, b).eval(rz) === 0.0)
+    assert(WeightedJaccard(a, b).eval(row(Seq(0f, 0f), Seq(0f, 0f))) === 0.0)
+  }
+
+  test("interpreted mismatched lengths use the common prefix") {
+    val r = row(Seq(1f, 2f, 3f, 4f), Seq(10f, 20f))
+    assert(DotProduct(a, b).eval(r) === 50.0)
+  }
+
+  test("interpreted null input yields null; null literal element-free") {
+    val r = InternalRow(farr(1f, 2f), null)
+    assert(DotProduct(a, b).eval(r) === null)
+    assert(CosineSimilarity(a, b).eval(r) === null)
+  }
+
+  test("interpreted equals codegen for random inputs") {
+    val rng = new scala.util.Random(3)
+    (0 until 50).foreach { _ =>
+      val n = 1 + rng.nextInt(8)
+      val x = Seq.fill(n)(rng.nextFloat() * 10 - 5)
+      val y = Seq.fill(n)(rng.nextFloat() * 10 - 5)
+      val r = row(x, y)
+      // codegen reference: run through a one-row dataframe projection
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val df = Seq((x, y)).toDF("a", "b")
+      val viaCodegen = df.select(
+        graft.functions.vector.dot($"a", $"b"),
+        graft.functions.vector.cosine($"a", $"b"),
+        graft.functions.vector.jaccard($"a", $"b")).collect().head
+      assert(math.abs(DotProduct(a, b).eval(r).asInstanceOf[Double]
+        - viaCodegen.getDouble(0)) < 1e-12)
+      assert(math.abs(CosineSimilarity(a, b).eval(r).asInstanceOf[Double]
+        - viaCodegen.getDouble(1)) < 1e-12)
+      assert(math.abs(WeightedJaccard(a, b).eval(r).asInstanceOf[Double]
+        - viaCodegen.getDouble(2)) < 1e-12)
+    }
+  }
+}
