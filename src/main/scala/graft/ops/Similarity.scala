@@ -69,7 +69,7 @@ object Similarity {
   def signSignature(vecCol: Column, planes: Int, dims: Int, seed: Long = 42L): Column = {
     val hp = hyperplanes(planes, dims, seed)
     val bits = hp.zipWithIndex.map { case (plane, b) =>
-      val planeCol = array(plane.map(lit): _*)
+      val planeCol = array(plane.toIndexedSeq.map(lit): _*)
       when(vector.dot(vecCol, planeCol) > 0, lit(1L << b)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
