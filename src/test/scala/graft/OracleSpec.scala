@@ -47,6 +47,12 @@ class OracleSpec extends SparkSpec {
     assert(out === "[2.0,1.0,0.0]")
   }
 
+  test("sumAllVectors on an empty store returns an empty array") {
+    val reg = new OracleRegistry
+    val o = reg.create(CanonicalOracles.sumAllVectors).toOption.get
+    assert(reg.run(o.id, RecordStore.empty(spark), Seq.empty) === Right("[]"))
+  }
+
   test("sumAllVectors merger folds partials element-wise") {
     val parts = Seq(
       JArray(List(JDouble(1.0), JDouble(2.0))),
