@@ -243,6 +243,18 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("keeper_id"))
   }
 
+  /** Drop exact duplicates, keeping the min-id document per normalized
+    * fingerprint — the first dedup tier, applied before any near-dup
+    * machinery. One window pass keyed by the fingerprint.
+    */
+  def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(fingerprint(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("_fp_rn", row_number().over(w))
+      .filter(col("_fp_rn") === 1)
+      .drop("_fp_rn")
+  }
+
   /** End-to-end corpus dedup: near-duplicate detection (MinHash+LSH) plus
     * cluster canonicalization, returning the input with duplicates removed
     * — every document either had no near-duplicate or is its cluster's

@@ -24,6 +24,17 @@ class OpsSpec extends SparkSpec {
     assert(dups.forall(_.getLong(3) == 1L)) // keeper is min id
   }
 
+  test("dropExactDuplicates keeps the min-id doc per fingerprint") {
+    val docs = Seq(
+      (5L, "Hello, world!"),
+      (2L, "hello world"),   // same normalized fingerprint, smaller id
+      (3L, "something else")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L))
+  }
+
   test("minhash near-dup finds planted pairs and verifies jaccard") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val pairs = Dedup.nearDuplicatesMinhash(docs, "doc_id", "text", 0.5)
