@@ -17,11 +17,27 @@ class QueriesSpec extends SparkSpec {
       s"queries without DuckDB oracle: ${noOracle.mkString(", ")}")
   }
 
+  // Pinned result counts on the deterministic sf0.001 data: regressions in
+  // operator semantics show up here even without the DuckDB oracle.
+  private val pinnedCounts = Map(
+    "v02_find_similar" -> 12L,
+    "d02_minhash_pairs" -> 28L,
+    "d03_simhash_pairs" -> 4926L,
+    "e01_embed_neardup" -> 7L,
+    "q09_setops" -> 7L,
+    "q14_sessionize" -> 946L,
+    "q15_asof_join" -> 192L,
+    "q20_asof_custom" -> 192L, // must equal q15: same semantics, custom exec
+    "t01_langid" -> 500L,
+    "s01_dataset_split" -> 3L)
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
       val df = fn(spark, sf)
       assert(df.columns.nonEmpty)
-      df.count() // executes the plan
+      val n = df.count()
+      pinnedCounts.get(name).foreach(expected =>
+        assert(n === expected, s"$name row count drifted"))
     }
   }
 }
