@@ -77,6 +77,35 @@ object TextAnalysis {
         (lit(1.0) - least(col("punct_ratio") * 10.0, lit(1.0))) * 0.3 +
         least(col("stopword_ratio") * 5.0, lit(1.0)) * 0.3)
 
+  /** PII scrubbing for training corpora: replace emails, URLs, and long
+    * digit runs (phone/account numbers) with typed placeholder tokens.
+    * Patterns are RE2-safe (no lookaround) so the same regexes run on any
+    * engine; map-only pass, composes before dedup/packing.
+    */
+  def redactPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^\\s]+"
+    val longDigits = "[0-9][0-9 ()+.-]{7,}[0-9]"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, email, "<EMAIL>"),
+        url, "<URL>"),
+      longDigits, "<NUMBER>")
+  }
+
+  /** Per-document PII hit counts (emails, URLs, digit runs) for corpus
+    * auditing before scrubbing.
+    */
+  def piiCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def hits(pattern: String) =
+      size(filter(split(col(textCol), " "),
+        t => t.rlike(pattern)))
+    docs.select(col(idCol).as("doc_id"),
+      hits("@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}").as("n_emails"),
+      hits("^https?://").as("n_urls"),
+      hits("^[0-9]{8,}$").as("n_long_numbers"))
+  }
+
   /** Approximate token count for budgeting: whitespace tokens plus an extra
     * token per 4 characters of long words (a BPE-ish upper bound).
     */

@@ -24,6 +24,22 @@ class ApproxCosineRuleSpec extends SparkSpec {
       .select($"id_a", $"id_b")
   }
 
+  test("rule fires with swapped operand sides too") {
+    ApproxCosineJoinRule.install(spark)
+    spark.conf.set(ApproxCosineJoinRule.EnabledKey, "true")
+    try {
+      val a = emb.select($"vec_id".as("id_a"), $"embedding".as("vec_a"))
+      val b = emb.select($"vec_id".as("id_b"), $"embedding".as("vec_b"))
+      // cosine(right_col, left_col): the conjunct's first arg comes from
+      // the JOIN'S RIGHT side — exercises the side-swap path.
+      val q = a.crossJoin(b)
+        .filter($"id_a" < $"id_b" && vector.cosine($"vec_b", $"vec_a") >= 0.45)
+        .select($"id_a", $"id_b")
+      assert(q.queryExecution.optimizedPlan.toString.contains("__graft_"))
+      assert(q.count() > 0)
+    } finally spark.conf.set(ApproxCosineJoinRule.EnabledKey, "false")
+  }
+
   test("disabled: plan keeps the cartesian/broadcast-nested-loop join") {
     spark.conf.set(ApproxCosineJoinRule.EnabledKey, "false")
     ApproxCosineJoinRule.install(spark)

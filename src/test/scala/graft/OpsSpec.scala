@@ -136,6 +136,28 @@ class OpsSpec extends SparkSpec {
     assert(langs.keySet.subsetOf(Set("en"))) // unlisted strata default to 0
   }
 
+  test("redactPii replaces emails, urls, and digit runs with placeholders") {
+    val df = Seq(
+      "contact me at jane.doe@example.com or call 555 123 4567 today",
+      "see https://example.com/page?q=1 for details",
+      "plain text with no pii at all").toDF("text")
+    val out = df.select(TextAnalysis.redactPii($"text").as("r"))
+      .collect().map(_.getString(0))
+    assert(out(0).contains("<EMAIL>") && out(0).contains("<NUMBER>"))
+    assert(!out(0).contains("example.com") && !out(0).contains("4567"))
+    assert(out(1) === "see <URL> for details")
+    assert(out(2) === "plain text with no pii at all")
+  }
+
+  test("piiCounts audits documents without mutating them") {
+    val df = Seq((1L, "mail a@b.co and https://x.y plus 123456789"),
+      (2L, "clean")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiCounts(df, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    assert(out(0).getInt(1) === 1 && out(0).getInt(2) === 1 && out(0).getInt(3) === 1)
+    assert(out(1).getInt(1) === 0 && out(1).getInt(2) === 0 && out(1).getInt(3) === 0)
+  }
+
   test("tokenEstimate adds BPE-ish surcharge for long words") {
     val df = Seq((1L, "a bb cccccccc")).toDF("id", "text")
     // tokens=3, "cccccccc" has len 8 -> (8-4)/4 = 1 extra
