@@ -164,6 +164,23 @@ object EventStreams {
         col("signup_time"), col("value"))
   }
 
+  /** Continuous parquet sink via foreachBatch: each micro-batch of an
+    * aggregation stream is appended as parquet (partitioned by any given
+    * columns), giving exactly the lake layout batch jobs read back. The
+    * checkpoint dir carries offsets + state across restarts.
+    */
+  def sinkToParquet(df: DataFrame, outDir: String, checkpointDir: String,
+      partitionCols: Seq[String] = Seq.empty): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val writer = batch.write.mode("append")
+        (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+         else writer).parquet(outDir)
+      }
+      .start()
+
   /** Read the events table as a file stream (one-file-per-trigger form used
     * in local smoke runs).
     */

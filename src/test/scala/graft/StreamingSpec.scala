@@ -98,6 +98,28 @@ class StreamingSpec extends SparkSpec {
     assert(out(1).n_events === 1L && out(1).sum_value === 5.0) // session B timed out
   }
 
+  test("foreachBatch parquet sink lands append-mode results in the lake layout") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink")
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val agg = EventStreams.hourlyStats(
+      stream.toDF.toDF("event_time", "event_type", "value"),
+      lateness = "0 seconds")
+    val q = EventStreams.sinkToParquet(agg, s"$dir/out", s"$dir/ckpt",
+      partitionCols = Seq("event_type"))
+    stream.addData((ts(5), "click", 1.0), (ts(15), "click", 2.0))
+    q.processAllAvailable()
+    // advance the watermark past the 10:00 window so it closes and emits
+    stream.addData((Timestamp.valueOf("2024-01-01 12:30:00"), "view", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.filter($"event_type" === "click")
+      .agg(sum($"n")).collect().head.getLong(0) === 2L)
+    // lake layout: partitioned directories by event_type
+    assert(new java.io.File(s"$dir/out/event_type=click").exists())
+  }
+
   test("file-stream form reads the events table incrementally") {
     // Copy the parquet into a dir the stream can list (single file).
     val src = "/root/testdata/sf0.001/events.parquet"
