@@ -360,7 +360,8 @@ object Relational {
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
         |  FROM marked
         |)
-        |SELECT user_id, session_idx,
+        |SELECT user_id,
+        |       CAST(session_idx AS BIGINT) AS session_idx,
         |       count(*)             AS n_events,
         |       min(tsu)             AS session_start_us,
         |       round(sum(value), 2) AS sum_value
@@ -472,7 +473,7 @@ object Relational {
       },
       Some("""
         |SELECT event_type,
-        |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       count(*)                                               AS n
         |FROM events
         |GROUP BY event_type

@@ -239,8 +239,8 @@ object TextQueries {
         |  FROM documents
         |)
         |SELECT source, count(*) AS n_docs,
-        |       sum(n_tokens)          AS total_tokens,
-        |       sum(est_tokens)        AS total_est_tokens,
+        |       CAST(sum(n_tokens) AS BIGINT)   AS total_tokens,
+        |       CAST(sum(est_tokens) AS BIGINT) AS total_est_tokens,
         |       round(avg(n_chars), 6) AS avg_chars
         |FROM base GROUP BY source ORDER BY source
         |""".stripMargin.trim)),
@@ -294,7 +294,7 @@ object TextQueries {
         |            WHEN bucket < 95 THEN 'val'
         |            ELSE 'test' END AS split,
         |       count(*)      AS n_docs,
-        |       sum(n_chars)  AS total_chars,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |       min(doc_id)   AS min_id
         |FROM assigned
         |GROUP BY 1
@@ -329,7 +329,8 @@ object TextQueries {
         |           // 4096 AS bin
         |  FROM toks
         |)
-        |SELECT source, bin, count(*) AS n_docs, sum(n_tokens) AS bin_tokens
+        |SELECT source, CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
         |FROM packed
         |GROUP BY source, bin
         |ORDER BY source, bin

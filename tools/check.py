@@ -24,10 +24,19 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        # Exact compare — the driver hashes values verbatim, so any
+        # last-bit drift between engines must surface here, not be hidden.
+        return repr(v)
     if isinstance(v, list):
         return tuple(norm_cell(x) for x in v)
     return v
+
+
+# DuckDB types that coerce lossily (hugeint -> float64 etc.) when results
+# are fetched as a dataframe, which is how the driver hashes them. An
+# oracle whose OUTPUT column has one of these will hash-mismatch even when
+# values are equal — round-1 failure mode (sum(BIGINT) -> HUGEINT).
+BAD_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL", "UINTEGER", "UBIGINT")
 
 
 def main():
@@ -48,6 +57,13 @@ def main():
             continue
         try:
             duck = con.sql(sql)
+            bad = [(c, str(t)) for c, t in zip(duck.columns, duck.types)
+                   if any(b in str(t).upper() for b in BAD_ORACLE_TYPES)]
+            if bad:
+                print(f"FAIL {name}: lossy oracle output type(s): {bad} "
+                      f"(cast to BIGINT/DOUBLE in the SQL)")
+                n_fail += 1
+                continue
             dcols = sorted(duck.columns)
             drows = duck.fetchall()
             dcolidx = [duck.columns.index(c) for c in dcols]
