@@ -23,17 +23,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm-up: run every query once at the smallest scale factor. The
-    // generated-code cache keys on the (data-independent) plan source, so
-    // the timed sf run below measures steady-state execution, not
-    // first-touch codegen compilation and JIT.
+    // Warm-up is interleaved per query: run it at the smallest scale factor
+    // immediately before timing it at the target one. The generated-code
+    // cache keys on (data-independent) plan source but holds only ~100
+    // classes — a single warm-up pass over all 40+ queries evicts the early
+    // queries' classes before their timed runs, so a prefix warm-up phase
+    // re-measures codegen compilation, not execution.
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try fn(spark, warmDir).count()
       catch { case _: Throwable => }
-    }
-
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -126,37 +126,43 @@ object Dedup {
     // Tokenize into its own projection first: the shingling lambda
     // references the token array three times per gram, and handing it the
     // raw split() expression would re-split the text once per reference.
+    // The emptiness filter runs on the TOKEN count, not on the shingle
+    // array: a predicate over the shingles would be pushed below the
+    // Spread repartition into the (serial) scan stage with the whole
+    // shingle chain substituted in — re-serializing exactly the compute
+    // the repartition exists to spread. `size(toks) >= n` is equivalent
+    // (n tokens yield >= 1 distinct n-gram) and costs one split.
     // Persisted because the shingle sets are consumed three times (bucket
     // self-join sides + jaccard verification) and Spark does not
     // common-subexpression-eliminate across self-join branches.
-    val sh = docs
+    val sh = Spread.ensure(docs)
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= shingleN)
       .select(col("doc_id"), wordShingles(col("toks"), shingleN).as("shingles"))
-      .filter(size(col("shingles")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Signature via explode + partial aggregation: one md5 per shingle row,
-    // then numHashes cheap arithmetic mins that combine map-side. (The
-    // per-row HOF form, minhashSignature, re-evaluates the hash transform
-    // once per hash member — O(k * shingles) md5 calls; this shape is
-    // O(shingles).)
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-      .select(col("doc_id"), md5(col("s")).as("m"))
-      .select(col("doc_id"),
-        conv(substring(col("m"), 1, 12), 16, 10).cast("long").as("h1"),
-        conv(substring(col("m"), 13, 12), 16, 10).cast("long").as("h2"))
-    val minAggs = (0 until numHashes).map(j =>
-      min(col("h1") + lit(j.toLong) * col("h2")).as(s"sig$j"))
-    val sigs = ex.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(j => col(s"sig$j")): _*).as("sig"))
+    // Signature fully map-side: hash each shingle once into (h1, h2), then
+    // each of the numHashes members is an arithmetic array_min over the
+    // hashed pairs. No shingle row is ever exploded or shuffled — at corpus
+    // scale the only data crossing the wire is (doc_id, band, key). The
+    // hashed pairs live in their own projection so the member lambdas see
+    // an attribute (handing them the md5 chain would re-hash per member).
+    val hp = sh.select(col("doc_id"),
+      transform(col("shingles"), s => hashPair48(s)).as("pairs"))
+    val sigs = hp.select(col("doc_id"),
+      array((0 until numHashes).map(j =>
+        array_min(transform(col("pairs"),
+          p => p.getField("h1") + lit(j.toLong) * p.getField("h2")))): _*).as("sig"))
 
-    // Persisted: both sides of the bucket self-join read it.
+    // Cheap projection of the cached shingles — recomputing it per join
+    // side costs less than a persist barrier.
     val buckets = sigs.select(col("doc_id"), posexplode(
       array((0 until bands).map(b => bandKey(col("sig"), b, r)): _*))
       .as(Seq("band", "key")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // Deliberately unhinted: AQE turns this into a broadcast join when the
+    // bucket side measures small at runtime, and keeps a shuffled hash join
+    // at corpus scale where buckets are as big as the corpus.
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -179,23 +185,28 @@ object Dedup {
   /** 32-bit SimHash over token frequencies: bit `b` of the result is set
     * when the frequency-weighted sum of (+f if bit b of hash60(0, token) is
     * set, else -f) is positive.
+    *
+    * Computed fully map-side: summing ±1 per token OCCURRENCE equals
+    * summing ±f per distinct token, so no frequency grouping — and no
+    * shuffle — is needed. Each row hashes its tokens once into an array
+    * (own projection, so the per-bit lambdas see an attribute), then the
+    * 32 bit-sums are arithmetic folds over that array.
     */
   def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs
-      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("f"))
-      .withColumn("h", hash60(0, col("tok")))
-    val bitSums = (0 until 32).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("f"))
-        .otherwise(-col("f"))).as(s"bit$b")
-    }
-    tok.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
+    // Zero-token documents are excluded (the exploded form had no rows for
+    // them; emitting simhash=0 would pair all empty docs with each other).
+    val hashed = Spread.ensure(docs)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
       .select(col("doc_id"),
-        (0 until 32).map(b =>
-          when(col(s"bit$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+        transform(col("toks"), t => hash60(0, t)).as("hs"))
+    hashed.select(col("doc_id"),
+      (0 until 32).map { b =>
+        val bitSum = aggregate(col("hs"), lit(0L),
+          (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L)
+            .otherwise(-1L))
+        when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _).as("simhash"))
   }
 
   /** Collapse near-duplicate PAIRS into clusters and pick one keeper per

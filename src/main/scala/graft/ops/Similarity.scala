@@ -38,7 +38,7 @@ object Similarity {
       col(vecCol).as("query_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col(idCol))
-    corpus.crossJoin(p)
+    Spread.ensure(corpus).crossJoin(p)
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("sim", round(vector.cosine(col(vecCol), col("query_vec")), roundTo))
       .withColumn("rnk", row_number().over(w))
@@ -85,7 +85,7 @@ object Similarity {
       threshold: Double, planes: Int = 32, bands: Int = 8,
       dims: Int = 64, seed: Long = 42L): DataFrame = {
     val segBits = planes / bands
-    val sigs = df.select(col(idCol).as("vid"), col(vecCol).as("vec"),
+    val sigs = Spread.ensure(df).select(col(idCol).as("vid"), col(vecCol).as("vec"),
       signSignature(col(vecCol), planes, dims, seed).as("sig"))
     val probes = sigs.select(col("vid"), col("vec"), posexplode(
       array((0 until bands).map(s =>
@@ -109,8 +109,9 @@ object Similarity {
   def bruteForcePairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, roundTo: Int = 6): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    val spread = Spread.ensure(df)
+    val a = spread.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = spread.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("sim", round(vector.cosine(col("vec_a"), col("vec_b")), roundTo))
       .filter(col("sim") >= threshold)
