@@ -49,9 +49,12 @@ object Dedup {
 
   /** One md5 per value, two independent 48-bit halves (hex chars [1,12]
     * and [13,24]). The MinHash family is the Carter-Wegman combination
-    * h_j = h1 + j*h2 — 32 hash members for the price of one md5. 48-bit
-    * halves keep h1 + 31*h2 < 2^54, exact in BIGINT/long (and even in a
-    * float64) on every engine.
+    * h_j = (h1 + j*h2) mod (2^31 - 1) — many hash members for the price of
+    * one md5. 48-bit halves keep h1 + 63*h2 < 2^54, exact in BIGINT/long
+    * on every engine, and the Mersenne-prime reduction is what makes the
+    * members independent: without it argmin(h1 + j*h2) degenerates to
+    * argmin(h2) as j grows (the members become copies, LSH bands collapse,
+    * and candidate generation admits a fifth of all pairs — measured).
     */
   def hashPair48(s: Column): Column = {
     val m = md5(s)
@@ -69,6 +72,18 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Distinct character n-gram shingles of a text column. Finer-grained
+    * than word shingles: robust to tokenization differences and
+    * non-whitespace scripts, at ~len(text) set elements per doc.
+    */
+  def charShingles(text: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(0), length(text) - n),
+      i => text.substr(i + lit(1), lit(n)))
+    when(length(text) >= n, array_distinct(grams))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** MinHash signature as a single per-row column: for each of `k` hash
     * members, the minimum of h1 + j*h2 over the shingle set. Convenient
     * for one-off signatures; note Catalyst inlines the hash lambda into
@@ -76,11 +91,15 @@ object Dedup {
     * md5 calls. [[nearDuplicatesMinhash]] uses the explode + partial-min
     * aggregation shape instead, which hashes each shingle exactly once.
     */
+  /** Member j's hash of a pre-hashed (h1, h2) pair. */
+  private val MinhashPrime = 2147483647L // 2^31 - 1 (Mersenne)
+  private def member(p: Column, j: Int): Column =
+    (p.getField("h1") + lit(j.toLong) * p.getField("h2")) % MinhashPrime
+
   def minhashSignature(shingles: Column, k: Int): Column = {
     val pairs = transform(shingles, s => hashPair48(s))
     array((0 until k).map(j =>
-      array_min(transform(pairs,
-        p => p.getField("h1") + lit(j.toLong) * p.getField("h2")))): _*)
+      array_min(transform(pairs, p => member(p, j)))): _*)
   }
 
   /** LSH band key: band `b` covers signature rows [b*r, (b+1)*r); the key is
@@ -120,9 +139,6 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       shingleN: Int = 3): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide into bands evenly")
-    val r = numHashes / bands
-
     // Tokenize into its own projection first: the shingling lambda
     // references the token array three times per gram, and handing it the
     // raw split() expression would re-split the text once per reference.
@@ -132,29 +148,67 @@ object Dedup {
     // shingle chain substituted in — re-serializing exactly the compute
     // the repartition exists to spread. `size(toks) >= n` is equivalent
     // (n tokens yield >= 1 distinct n-gram) and costs one split.
-    // Persisted because the shingle sets are consumed three times (bucket
-    // self-join sides + jaccard verification) and Spark does not
-    // common-subexpression-eliminate across self-join branches.
     val sh = Spread.ensure(docs)
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= shingleN)
       .select(col("doc_id"), wordShingles(col("toks"), shingleN).as("shingles"))
+    minhashBandPairs(sh, threshold, numHashes, bands)
+  }
+
+  /** Near-duplicate pairs by CHARACTER n-gram Jaccard, same MinHash+LSH
+    * machinery as [[nearDuplicatesMinhash]] over [[charShingles]]. The
+    * finer shingles catch near-dups that word shingling misses (small
+    * edits inside words, scripts without whitespace tokenization).
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      ngram: Int = 5,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val sh = Spread.ensure(docs)
+      .select(col(idCol).as("doc_id"), col(textCol).as("txt"))
+      .filter(length(col("txt")) >= ngram)
+      .select(col("doc_id"), charShingles(col("txt"), ngram).as("shingles"))
+    minhashBandPairs(sh, threshold, numHashes, bands)
+  }
+
+  /** MinHash + LSH banding over a prepared (doc_id, shingles) relation:
+    * signatures, band buckets, candidate self-join, exact Jaccard verify.
+    *
+    * Persists the HASHED shingle sets (48-bit h1/h2 pairs, one md5 per
+    * shingle) rather than the strings: signatures and verification both
+    * read them, and Jaccard over the hashed sets equals Jaccard over the
+    * shingle sets up to 48-bit collisions — the standard trade at corpus
+    * scale, where raw shingle strings are ~6x the bytes of their hashes.
+    * Persisted because the sets are consumed three times (bucket self-join
+    * sides + verification) and Spark does not common-subexpression-
+    * eliminate across self-join branches.
+    */
+  private def minhashBandPairs(
+      shingled: DataFrame,
+      threshold: Double,
+      numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands evenly")
+    val r = numHashes / bands
+    val hp = shingled
+      .select(col("doc_id"), transform(col("shingles"), s => hashPair48(s)).as("pairs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Signature fully map-side: hash each shingle once into (h1, h2), then
-    // each of the numHashes members is an arithmetic array_min over the
-    // hashed pairs. No shingle row is ever exploded or shuffled — at corpus
-    // scale the only data crossing the wire is (doc_id, band, key). The
-    // hashed pairs live in their own projection so the member lambdas see
-    // an attribute (handing them the md5 chain would re-hash per member).
-    val hp = sh.select(col("doc_id"),
-      transform(col("shingles"), s => hashPair48(s)).as("pairs"))
+    // Signature fully map-side: each of the numHashes members is an
+    // arithmetic array_min over the hashed pairs. No shingle row is ever
+    // exploded or shuffled — at corpus scale the only data crossing the
+    // wire is (doc_id, band, key). The hashed pairs live in their own
+    // projection so the member lambdas see an attribute (handing them the
+    // md5 chain would re-hash per member).
     val sigs = hp.select(col("doc_id"),
       array((0 until numHashes).map(j =>
-        array_min(transform(col("pairs"),
-          p => p.getField("h1") + lit(j.toLong) * p.getField("h2")))): _*).as("sig"))
+        array_min(transform(col("pairs"), p => member(p, j)))): _*).as("sig"))
 
-    // Cheap projection of the cached shingles — recomputing it per join
+    // Cheap projection of the cached pairs — recomputing it per join
     // side costs less than a persist barrier.
     val buckets = sigs.select(col("doc_id"), posexplode(
       array((0 until bands).map(b => bandKey(col("sig"), b, r)): _*))
@@ -170,14 +224,16 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
+    val hsets = hp.select(col("doc_id"),
+      transform(col("pairs"), p => p.getField("h1")).as("hs"))
     val withSets = candidates
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .join(hsets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(hsets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
 
     withSets
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_union(col("hs_a"), col("hs_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }

@@ -704,6 +704,131 @@ object Relational {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Explicit GROUPING SETS (beyond rollup/cube): two independent
+      // one-dimension groupings plus the grand total in one pass. The
+      // DataFrame API has rollup/cube only, so this goes through spark.sql
+      // — same Catalyst Expand operator underneath.
+      "q27_grouping_sets",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.orders.createOrReplaceTempView("orders_q27")
+        s.sql("""
+          SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+                 coalesce(o_orderpriority, 'ALL') AS priority,
+                 count(*)                         AS n,
+                 round(sum(o_totalprice), 2)      AS sum_price
+          FROM orders_q27
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          ORDER BY status, priority""")
+      },
+      Some("""
+        |SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*)                         AS n,
+        |       round(sum(o_totalprice), 2)      AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Full outer join of two asymmetric per-nation aggregates (rich
+      // customers vs rich suppliers) — nations present on one side only
+      // surface the outer-null path, coalesced to 0.
+      "q28_outer_join",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val cust = t.customer.filter(col("c_acctbal") > 9000)
+          .groupBy(col("c_nationkey").as("nk_c"))
+          .agg(count(lit(1)).as("n_cust"))
+        val supp = t.supplier.filter(col("s_acctbal") > 9000)
+          .groupBy(col("s_nationkey").as("nk_s"))
+          .agg(count(lit(1)).as("n_supp"))
+        cust.join(supp, col("nk_c") === col("nk_s"), "full_outer")
+          .select(
+            coalesce(col("nk_c"), col("nk_s")).cast("long").as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy(col("nationkey"))
+      },
+      Some("""
+        |SELECT CAST(coalesce(c.nk, s.nk) AS BIGINT) AS nationkey,
+        |       coalesce(c.n_cust, 0) AS n_cust,
+        |       coalesce(s.n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS nk, count(*) AS n_cust
+        |      FROM customer WHERE c_acctbal > 9000 GROUP BY 1) c
+        |FULL OUTER JOIN
+        |     (SELECT s_nationkey AS nk, count(*) AS n_supp
+        |      FROM supplier WHERE s_acctbal > 9000 GROUP BY 1) s
+        |  ON c.nk = s.nk
+        |ORDER BY nationkey
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Ranking-function family over a keyed window: dense_rank,
+      // percent_rank, cume_dist, ntile, lead/lag. percent_rank/cume_dist
+      // are exact rationals so they hash identically cross-engine; the
+      // (price, orderkey) ordering is total, making ntile deterministic.
+      "q29_window_ranks",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t.orders.filter(col("o_custkey") < 200)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            dense_rank().over(w).cast("long").as("drnk"),
+            percent_rank().over(w).as("prnk"),
+            cume_dist().over(w).as("cdist"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            lead(col("o_totalprice"), 1).over(w).as("next_price"),
+            lag(col("o_totalprice"), 1).over(w).as("prev_price"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""
+        |SELECT o_custkey, o_orderkey, o_totalprice,
+        |       dense_rank()   OVER w AS drnk,
+        |       percent_rank() OVER w AS prnk,
+        |       cume_dist()    OVER w AS cdist,
+        |       ntile(4)       OVER w AS quartile,
+        |       lead(o_totalprice, 1) OVER w AS next_price,
+        |       lag(o_totalprice, 1)  OVER w AS prev_price
+        |FROM orders
+        |WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Date/interval scalar coverage: month truncation, day arithmetic,
+      // month-end, day spans — all exact calendar math, no timezones
+      // (o_orderdate is a DATE).
+      "q30_dates",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.orders
+          .groupBy(trunc(col("o_orderdate"), "mm").as("month_start"))
+          .agg(count(lit(1)).as("n"),
+            min(col("o_orderdate")).as("first_d"),
+            max(col("o_orderdate")).as("last_d"))
+          .select(col("month_start"), col("n"),
+            datediff(col("last_d"), col("first_d")).cast("long").as("span_days"),
+            last_day(col("month_start")).as("month_end"),
+            date_add(col("first_d"), 7).as("first_plus_week"))
+          .orderBy(col("month_start"))
+      },
+      Some("""
+        |SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |       count(*) AS n,
+        |       date_diff('day', min(o_orderdate), max(o_orderdate)) AS span_days,
+        |       last_day(CAST(date_trunc('month', o_orderdate) AS DATE)) AS month_end,
+        |       CAST(min(o_orderdate) + INTERVAL 7 DAY AS DATE) AS first_plus_week
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY month_start
         |""".stripMargin.trim))
   )
 }

@@ -71,7 +71,7 @@ object TextQueries {
         |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0)
         |),
         |hashed AS (
-        |  SELECT doc_id, j, min(h1 + j * h2) AS sigv
+        |  SELECT doc_id, j, min((h1 + j * h2) % 2147483647) AS sigv
         |  FROM ex, range(32) t(j)
         |  GROUP BY doc_id, j
         |),
@@ -85,13 +85,14 @@ object TextQueries {
         |  FROM bands a JOIN bands b
         |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
         |),
+        |hsets AS (SELECT doc_id, list(h1) AS hs FROM ex GROUP BY doc_id),
         |verified AS (
         |  SELECT c.doc_a, c.doc_b,
-        |         round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
-        |               / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
+        |         round(len(list_intersect(sa.hs, sb.hs)) * 1.0
+        |               / len(list_distinct(sa.hs || sb.hs)), 6) AS jaccard
         |  FROM cand c
-        |  JOIN sh sa ON sa.doc_id = c.doc_a
-        |  JOIN sh sb ON sb.doc_id = c.doc_b
+        |  JOIN hsets sa ON sa.doc_id = c.doc_a
+        |  JOIN hsets sb ON sb.doc_id = c.doc_b
         |)
         |SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5
         |ORDER BY doc_a, doc_b
@@ -376,6 +377,139 @@ object TextQueries {
         |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
         |ORDER BY id_a, id_b
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Character 5-gram Jaccard near-dup pairs — same machinery as d02
+      // over char shingles, but MinHash(64) in 8 bands of EIGHT: char-gram
+      // similarity concentrates much higher than word-gram similarity on
+      // template-generated corpora, and r=4 banding admitted ~22% of ALL
+      // pairs as candidates (2.7M at sf0.1). r=8 keeps the mid-similarity
+      // cloud out; the oracle replays the identical pipeline, so results
+      // match by construction.
+      "d04_ngram_jaccard",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Dedup.ngramJaccardPairs(t.documents, "doc_id", "text",
+            threshold = 0.6, ngram = 5, numHashes = 64, bands = 8)
+          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""
+        |WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(length(text) - 4),
+        |                       i -> substr(text, CAST(i + 1 AS INTEGER), 5))) AS shingles
+        |  FROM documents WHERE length(text) >= 5
+        |),
+        |ex AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT)  AS h1,
+        |         CAST(concat('0x', substr(md5(s), 13, 12)) AS BIGINT) AS h2
+        |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+        |),
+        |hashed AS (
+        |  SELECT doc_id, j, min((h1 + j * h2) % 2147483647) AS sigv
+        |  FROM ex, range(64) t(j)
+        |  GROUP BY doc_id, j
+        |),
+        |sigs AS (SELECT doc_id, list(sigv ORDER BY j) AS sig FROM hashed GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b, array_to_string(sig[b*8+1 : b*8+8], ',') AS key
+        |  FROM sigs, range(8) t(b)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+        |),
+        |hsets AS (SELECT doc_id, list(h1) AS hs FROM ex GROUP BY doc_id),
+        |verified AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |         round(len(list_intersect(sa.hs, sb.hs)) * 1.0
+        |               / len(list_distinct(sa.hs || sb.hs)), 6) AS jaccard
+        |  FROM cand c
+        |  JOIN hsets sa ON sa.doc_id = c.doc_a
+        |  JOIN hsets sb ON sb.doc_id = c.doc_b
+        |)
+        |SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.6
+        |ORDER BY doc_a, doc_b
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Deterministic stratified sampling: per-source keep fractions via
+      // the same md5 bucket as s01 — membership is a pure function of
+      // doc_id, stable across engines/runs/partitionings.
+      "s02_stratified",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        graft.ops.Sampling.stratifiedSample(t.documents, "doc_id", "source",
+            Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("min_id"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        |WITH bucketed AS (
+        |  SELECT source, doc_id,
+        |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |           % 10000 AS bucket,
+        |         CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+        |                     WHEN 'src2' THEN 2500  WHEN 'src3' THEN 1000
+        |                     ELSE 0 END AS keep_below
+        |  FROM documents
+        |)
+        |SELECT source, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM bucketed WHERE bucket < keep_below
+        |GROUP BY source
+        |ORDER BY source
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // PII redaction/audit: the synthetic corpus carries no PII, so the
+      // query plants a deterministic email/URL/number per document (pure
+      // function of doc_id, reproduced verbatim by the oracle), then
+      // counts hits and fingerprints the redacted text. Exercises the
+      // exact RE2-safe patterns of TextAnalysis.redactPii.
+      "t05_pii_redact",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val planted = t.documents.select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@mail.example.com or"),
+            lit(" https://ex.example/d/"), col("doc_id"),
+            lit(" ref 55501000"), col("doc_id")).as("txt"))
+        val counted = graft.ops.TextAnalysis.piiCounts(planted, "doc_id", "txt")
+        planted
+          .join(counted, "doc_id")
+          .select(col("doc_id"), col("n_emails"), col("n_urls"),
+            col("n_long_numbers"),
+            md5(graft.ops.TextAnalysis.redactPii(col("txt"))).as("redacted_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        |WITH planted AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || doc_id || '@mail.example.com or' ||
+        |         ' https://ex.example/d/' || doc_id ||
+        |         ' ref 55501000' || doc_id AS txt
+        |  FROM documents
+        |),
+        |toks AS (SELECT doc_id, txt, string_split(txt, ' ') AS ts FROM planted)
+        |SELECT doc_id,
+        |       len(list_filter(ts, t -> regexp_matches(t, '@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')))
+        |         AS n_emails,
+        |       len(list_filter(ts, t -> regexp_matches(t, '^https?://'))) AS n_urls,
+        |       len(list_filter(ts, t -> regexp_matches(t, '^[0-9]{8,}$')))
+        |         AS n_long_numbers,
+        |       md5(regexp_replace(regexp_replace(regexp_replace(txt,
+        |             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |             'https?://[^\s]+', '<URL>', 'g'),
+        |             '[0-9][0-9 ()+.-]{7,}[0-9]', '<NUMBER>', 'g')) AS redacted_md5
+        |FROM toks
+        |ORDER BY doc_id
         |""".stripMargin.trim))
   )
 }

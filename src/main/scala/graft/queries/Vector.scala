@@ -239,6 +239,31 @@ object VectorQueries {
         |FROM b e, (SELECT bv FROM b WHERE vec_id = $RefId) r
         |WHERE e.vec_id <> $RefId
         |ORDER BY e.vec_id
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Per-label embedding centroids (class prototypes): element-wise
+      // mean over the vector column. posexplode → (label, dim) aggregate —
+      // partial map-side combine, one keyed shuffle of scalar sums; never
+      // materializes a per-group vector list. Output as (label, dim, avg)
+      // rows so the oracle compares scalars.
+      "v08_centroids",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.embeddings
+          .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .groupBy(col("label"), col("dim").cast("long").as("dim"))
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("x").cast("double")), 6).as("avg_val"))
+          .orderBy(col("label"), col("dim"))
+      },
+      Some("""
+        |SELECT label, d.d AS dim, count(*) AS n,
+        |       round(avg(CAST(embedding[CAST(d.d AS INTEGER) + 1] AS DOUBLE)), 6)
+        |         AS avg_val
+        |FROM embeddings, range(64) d(d)
+        |GROUP BY label, d.d
+        |ORDER BY label, dim
         |""".stripMargin.trim))
   )
 }

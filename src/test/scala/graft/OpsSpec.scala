@@ -43,6 +43,32 @@ class OpsSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(2) >= 0.5))
   }
 
+  test("charShingles emits distinct n-grams; short text yields empty") {
+    val df = Seq((1L, "abcab"), (2L, "ab")).toDF("doc_id", "txt")
+    val got = df.select($"doc_id", Dedup.charShingles($"txt", 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(got(1L) === Set("abc", "bca", "cab"))
+    assert(got(2L) === Set.empty[String])
+  }
+
+  test("ngramJaccardPairs finds planted char-level near-dups with exact jaccard") {
+    // One-character edit: char 4-gram sets overlap heavily; unrelated doc
+    // shares nothing. Verify the pair surfaces AND its jaccard equals the
+    // exact distinct-set ratio computed independently.
+    val a = "the quick brown fox jumps over the lazy dog"
+    val b = "the quick brown fox jumps over the lazy cog"
+    val docs = Seq((1L, a), (2L, b), (3L, "completely different text entirely"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        threshold = 0.5, ngram = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(t => (t._1, t._2)).toSet === Set((1L, 2L)))
+    def grams(s: String) = s.sliding(4).toSet
+    val expected = grams(a).intersect(grams(b)).size.toDouble /
+      grams(a).union(grams(b)).size
+    assert(math.abs(rows.head._3 - expected) < 1e-12)
+  }
+
   test("simhash pigeonhole join equals brute-force within the radius") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
     val viaSegments = Dedup.simhashPairs(docs, "doc_id", "text", maxDistance = 3)
