@@ -510,6 +510,34 @@ object TextQueries {
         |             '[0-9][0-9 ()+.-]{7,}[0-9]', '<NUMBER>', 'g')) AS redacted_md5
         |FROM toks
         |ORDER BY doc_id
-        |""".stripMargin.trim))
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Full multimodal decode path at the query surface: wrap documents
+      // as opaque media payloads, run the pluggable decoder partition-
+      // parallel (mapPartitions — payload bytes never shuffle), emit typed
+      // metadata + a feature component. The decoder is the deterministic
+      // stub (no codecs in this container); its JVM hash math is not
+      // SQL-expressible, so the driver records the rows-only check, and
+      // MultimodalSpec pins exact decoded values.
+      "m02_media_decode",
+      (s, dir) => {
+        import s.implicits._
+        val t = Tables(s, dir)
+        val media = t.documents.select(
+          col("doc_id").as("media_id"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+          col("text").cast("binary").as("payload"),
+          col("source"))
+          .as[graft.ops.Multimodal.MediaItem]
+        graft.ops.Multimodal.decodeAll(media, new graft.ops.Multimodal.FakeDecoder(16))
+          .toDF()
+          .select(col("media_id"), col("kind"), col("width"), col("height"),
+            col("duration_ms"), col("channels"),
+            round(element_at(col("feature"), 1).cast("double"), 3).as("f0"))
+          .orderBy(col("media_id"))
+      },
+      None)
   )
 }

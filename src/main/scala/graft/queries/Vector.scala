@@ -264,6 +264,69 @@ object VectorQueries {
         |FROM embeddings, range(64) d(d)
         |GROUP BY label, d.d
         |ORDER BY label, dim
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // IVF ANN at the query surface: build the seeded index, search
+      // top-5 for the 20 smallest vec_ids scanning nprobe=4 of 16 cells.
+      // Deterministic (md5-seeded init, fixed iteration count) but the
+      // k-means math is not SQL-expressible, so the driver records the
+      // weaker rows-only check; IvfSpec asserts recall==brute-force at
+      // full nprobe.
+      "v09_ivf_topk",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val emb = t.embeddings
+        val probes = emb.orderBy(col("vec_id")).limit(20)
+        val idx = graft.ops.Ivf.build(emb, "vec_id", "embedding", numCells = 16)
+        graft.ops.Ivf.search(idx, probes, "vec_id", "embedding", k = 5, nprobe = 4)
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      None),
+
+    QueryDef(
+      // Symmetric max-abs int8 quantization — the embedding-compression
+      // pass a serving pipeline runs before shipping vectors. Exact
+      // cross-engine: per-row scalar IEEE chains (cast, *, /, floor) are
+      // bit-deterministic; only reduction ORDER varies between engines,
+      // and max() is order-insensitive.
+      "v10_quantize",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val withScale = t.embeddings.select(col("vec_id"), col("embedding"),
+          aggregate(col("embedding"), lit(0.0d),
+            (acc, x) => greatest(acc, abs(x.cast("double")))).as("maxabs"))
+          .filter(col("maxabs") > 0)
+        withScale
+          .select(col("vec_id"),
+            transform(col("embedding"),
+              x => floor(x.cast("double") * lit(127.0d) / col("maxabs"))).as("qv"))
+          .select(col("vec_id"),
+            element_at(col("qv"), 1).as("q0"),
+            element_at(col("qv"), 32).as("q31"),
+            element_at(col("qv"), 64).as("q63"),
+            aggregate(col("qv"), lit(0L), (acc, x) => acc + x).as("sum_q"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""
+        |WITH m AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |         list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |                                 x -> abs(x))) AS maxabs
+        |  FROM embeddings
+        |),
+        |q AS (
+        |  SELECT vec_id,
+        |         list_transform(e, x -> floor(x * 127.0 / maxabs)) AS qv
+        |  FROM m WHERE maxabs > 0
+        |)
+        |SELECT vec_id,
+        |       CAST(qv[1] AS BIGINT)  AS q0,
+        |       CAST(qv[32] AS BIGINT) AS q31,
+        |       CAST(qv[64] AS BIGINT) AS q63,
+        |       CAST(list_sum(qv) AS BIGINT) AS sum_q
+        |FROM q
+        |ORDER BY vec_id
         |""".stripMargin.trim))
   )
 }

@@ -11,8 +11,16 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  /** Queries whose math is deliberately not SQL-expressible — the driver
+    * records its weaker rows-only check for these; their exact semantics
+    * are pinned by dedicated specs instead (IvfSpec recall==brute-force,
+    * MultimodalSpec decoded values).
+    */
+  private val rowsOnlyExempt = Set("v09_ivf_topk", "m02_media_decode")
+
   test("every query has matching oracle coverage or is explicitly exempt") {
-    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --
+      rowsOnlyExempt
     assert(noOracle.isEmpty,
       s"queries without DuckDB oracle: ${noOracle.mkString(", ")}")
   }

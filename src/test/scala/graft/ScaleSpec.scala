@@ -33,6 +33,65 @@ class ScaleSpec extends SparkSpec {
     assert(h.sliding(2).forall { case Array(a, b) => a.getLong(1) >= b.getLong(1) })
   }
 
+  test("filters and projections reach the parquet scan") {
+    // The load-bearing 100 TB property: a selective query reads the
+    // pushed-predicate row groups of 2 columns, not the whole table.
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val plan = li.filter($"l_quantity" > 45)
+      .select($"l_orderkey", $"l_quantity")
+      .queryExecution.executedPlan
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    assert(scan.metadata("PushedFilters").contains("GreaterThan(l_quantity"),
+      s"predicate not pushed: ${scan.metadata("PushedFilters")}")
+    assert(scan.schema.fieldNames.toSet === Set("l_orderkey", "l_quantity"),
+      s"columns not pruned: ${scan.schema.fieldNames.mkString(",")}")
+  }
+
+  test("dimension joins plan as broadcast, fact-fact joins as shuffle") {
+    val t = graft.queries.Tables(spark, "/root/testdata/sf0.001")
+    // AQE wraps the executed plan in AdaptiveSparkPlanExec, which hides
+    // join nodes until runtime; disable it so the static plan is visible.
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      // q03-shaped join: nation is an explicitly broadcast dimension.
+      val customer = t.customer
+      val nation = t.nation
+      val dimJoin = customer.join(broadcast(nation),
+        customer("c_nationkey") === nation("n_nationkey"))
+      val dimPlan = dimJoin.queryExecution.executedPlan
+      assert(dimPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }.nonEmpty, "dimension join did not plan as broadcast hash join")
+
+      // Fact-fact equi-join with auto-broadcast disabled must be a
+      // shuffle-keyed join (sort-merge or shuffled-hash), never nested-loop.
+      withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        val lineitem = t.lineitem
+        val orders = t.orders
+        val ff = lineitem.join(orders,
+          lineitem("l_orderkey") === orders("o_orderkey"))
+        val plan = ff.queryExecution.executedPlan
+        val keyed = plan.collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+          case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+        }
+        assert(keyed.nonEmpty, s"fact-fact join not shuffle-keyed:\n$plan")
+      }
+    }
+  }
+
+  private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join with zero exchanges") {
     // Uses the session's default warehouse dir (static conf); tables are
     // dropped at the end.
