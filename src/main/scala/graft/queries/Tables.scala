@@ -17,8 +17,14 @@ final case class QueryDef(
   * reach the scan via Catalyst pushdown, so no caching is forced here.
   */
 final case class Tables(spark: SparkSession, dir: String) {
+  // One analyzed DataFrame per (session, path): `spark.read.parquet`
+  // re-lists the directory and re-reads footers for schema on every
+  // call, which across a 50+-query suite adds up to seconds. The logical
+  // plan is immutable, so reusing it across queries is free; keying by
+  // session prevents leaking plans across restarted sessions.
   private def t(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    Tables.plans.computeIfAbsent(s"${System.identityHashCode(spark)}#$dir/$name",
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   def region: DataFrame = t("region")
   def nation: DataFrame = t("nation")
@@ -39,4 +45,9 @@ final case class Tables(spark: SparkSession, dir: String) {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t("events")
   }
+}
+
+object Tables {
+  private val plans =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 }
