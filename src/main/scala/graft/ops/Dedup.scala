@@ -198,15 +198,13 @@ object Dedup {
       .select(col("doc_id"), transform(col("shingles"), s => hashPair48(s)).as("pairs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Signature fully map-side: each of the numHashes members is an
-    // arithmetic array_min over the hashed pairs. No shingle row is ever
-    // exploded or shuffled — at corpus scale the only data crossing the
-    // wire is (doc_id, band, key). The hashed pairs live in their own
-    // projection so the member lambdas see an attribute (handing them the
-    // md5 chain would re-hash per member).
+    // Signature fully map-side via the codegen'd one-pass expression (all
+    // members accumulate in registers; the k x array_min(transform(...))
+    // HOF form is interpreted and was the dominant cost of char-gram
+    // dedup). No shingle row is ever exploded or shuffled — at corpus
+    // scale the only data crossing the wire is (doc_id, band, key).
     val sigs = hp.select(col("doc_id"),
-      array((0 until numHashes).map(j =>
-        array_min(transform(col("pairs"), p => member(p, j)))): _*).as("sig"))
+      graft.functions.MinhashSignature(col("pairs"), numHashes).as("sig"))
 
     // Cheap projection of the cached pairs — recomputing it per join
     // side costs less than a persist barrier.

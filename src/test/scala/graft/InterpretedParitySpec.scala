@@ -34,6 +34,22 @@ class InterpretedParitySpec extends SparkSpec {
     assert(WeightedJaccard(a, b).eval(rj) === 0.5)
   }
 
+  test("interpreted MinhashSignature matches hand computation and nulls on empty") {
+    val pairsType = ArrayType(new StructType()
+      .add("h1", LongType).add("h2", LongType))
+    val pref = BoundReference(0, pairsType, nullable = true)
+    def prow(ps: (Long, Long)*): InternalRow =
+      InternalRow(ArrayData.toArrayData(
+        ps.map { case (x, y) => InternalRow(x, y) }.toArray))
+    val prime = 2147483647L
+    val ps = Seq((5L, 11L), (100L, 3L), (7L, 90001L))
+    val got = MinhashSignature(pref, 4).eval(prow(ps: _*))
+      .asInstanceOf[ArrayData].toLongArray.toSeq
+    val want = (0 until 4).map(j => ps.map { case (h1, h2) => (h1 + j * h2) % prime }.min)
+    assert(got === want)
+    assert(MinhashSignature(pref, 4).eval(prow()) === null)
+  }
+
   test("interpreted zero-denominator guards return 0.0") {
     val rz = row(Seq(0f, 0f), Seq(1f, 2f))
     assert(CosineSimilarity(a, b).eval(rz) === 0.0)

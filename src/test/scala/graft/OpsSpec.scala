@@ -43,6 +43,29 @@ class OpsSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(2) >= 0.5))
   }
 
+  test("MinhashSignature expression equals the HOF signature form") {
+    // Same family, two execution paths: the codegen'd one-pass expression
+    // (used in the dedup pipeline) and the composable HOF helper.
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+    val sh = docs
+      .select($"doc_id", Dedup.tokens($"text").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", Dedup.wordShingles($"toks", 3).as("shingles"))
+    val viaExpr = sh
+      .select($"doc_id", transform($"shingles", s => Dedup.hashPair48(s)).as("pairs"))
+      .select($"doc_id", graft.functions.MinhashSignature($"pairs", 32).as("sig"))
+    val viaHof = sh.select($"doc_id", Dedup.minhashSignature($"shingles", 32).as("sig"))
+    val exprRows = viaExpr.orderBy($"doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+    val hofRows = viaHof.orderBy($"doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+    assert(exprRows.length === hofRows.length)
+    exprRows.zip(hofRows).foreach { case ((ide, se), (idh, sh2)) =>
+      assert(ide === idh)
+      assert(se === sh2, s"signature mismatch for doc $ide")
+    }
+  }
+
   test("charShingles emits distinct n-grams; short text yields empty") {
     val df = Seq((1L, "abcab"), (2L, "ab")).toDF("doc_id", "txt")
     val got = df.select($"doc_id", Dedup.charShingles($"txt", 3).as("sh"))
