@@ -181,6 +181,20 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming exact dedup: keep the first occurrence of each `idCols`
+    * combination, with state bounded by the event-time watermark —
+    * duplicates arriving within the lateness window are dropped, state
+    * for expired windows is evicted. This is the ingestion-side tier of
+    * the corpus dedup stack ([[graft.ops.Dedup]]): applied at intake it
+    * keeps exact re-sends (retries, replayed partitions) out of the lake
+    * before any batch near-dup pass runs.
+    */
+  def dedupStream(events: DataFrame, lateness: String,
+      idCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("event_time", lateness)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   /** Read the events table as a file stream (one-file-per-trigger form used
     * in local smoke runs).
     */

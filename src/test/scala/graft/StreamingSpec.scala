@@ -98,6 +98,23 @@ class StreamingSpec extends SparkSpec {
     assert(out(1).n_events === 1L && out(1).sum_value === 5.0) // session B timed out
   }
 
+  test("dedupStream drops in-watermark duplicates, keeps distinct events") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, String, Double)]
+    val in = stream.toDF.toDF("event_time", "event_id", "event_type", "value")
+    val q = EventStreams.dedupStream(in, "10 minutes", Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    // event 1 re-sent twice within the lateness window, event 2 once.
+    stream.addData((ts(0), 1L, "click", 1.0), (ts(1), 1L, "click", 1.0),
+      (ts(2), 2L, "view", 2.0), (ts(3), 1L, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === Seq(1L, 2L))
+  }
+
   test("foreachBatch parquet sink lands append-mode results in the lake layout") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-sink")
