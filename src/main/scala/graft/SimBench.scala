@@ -101,7 +101,23 @@ object SimBench {
     val bigHits = findSimilar(big, 2, 0.9)
     val bigSec = (System.nanoTime() - t1) / 1e9
 
-    println(s"""{"metric":"findsim_1024x475_qps","value":$qps,"unit":"qps","extra":{"findsim_1m_x64_sec":$bigSec,"hits_small":$hits,"hits_1m":$bigHits}}""")
+    // ANN at 1M: IVF top-k (amortized index build; per-query scan limited
+    // to nprobe of numCells cells via the clustered-cache batch pruning)
+    // against the exact brute top-k over the same probes.
+    val probes = big.filter(col("id") < 5)
+    val idx = graft.ops.Ivf.build(big, "id", "vec", numCells = 64, iterations = 1)
+    val tb0 = System.nanoTime()
+    graft.ops.Ivf.search(idx, probes, "id", "vec", 10, 4).count() // materialize + warm
+    val buildSec = (System.nanoTime() - tb0) / 1e9
+    val t2 = System.nanoTime()
+    val ivfRows = graft.ops.Ivf.search(idx, probes, "id", "vec", 10, 4).count()
+    val ivfSec = (System.nanoTime() - t2) / 1e9
+    graft.ops.Similarity.bruteForceTopK(big, probes, "id", "vec", 10).count() // warm
+    val t3 = System.nanoTime()
+    val bruteRows = graft.ops.Similarity.bruteForceTopK(big, probes, "id", "vec", 10).count()
+    val bruteSec = (System.nanoTime() - t3) / 1e9
+
+    println(s"""{"metric":"findsim_1024x475_qps","value":$qps,"unit":"qps","extra":{"findsim_1m_x64_sec":$bigSec,"hits_small":$hits,"hits_1m":$bigHits,"ivf_1m_build_sec":$buildSec,"ivf_1m_topk_sec":$ivfSec,"brute_1m_topk_sec":$bruteSec,"ivf_rows":$ivfRows,"brute_rows":$bruteRows}}""")
     spark.stop()
   }
 }

@@ -25,11 +25,19 @@ import graft.functions.vector
 object Ivf {
 
   final case class IvfIndex(cells: DataFrame, centroids: DataFrame) {
-    /** Cache both sides; the index is meant to be reused across queries. */
+    /** Cache both sides, with `cells` CLUSTERED by cell id (repartition +
+      * sort-within-partitions): cached batches then hold single-cell runs
+      * whose min/max stats let `search`'s cell predicate skip every
+      * non-routed batch. On a real lake the equivalent is writing cells
+      * parquet `partitionBy("cell")` — the same predicate prunes at file
+      * level; the declarative filter is what makes both work.
+      */
     def persist(): IvfIndex = {
-      cells.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val clustered = cells.repartition(col("cell"))
+        .sortWithinPartitions(col("cell"))
+      clustered.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       centroids.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      IvfIndex(cells, centroids)
+      IvfIndex(clustered, centroids)
     }
   }
 
@@ -99,10 +107,21 @@ object Ivf {
       .withColumn("crnk", row_number().over(routeW))
       .filter(col("crnk") <= nprobe)
       .select(col("query_id"), col("query_vec"), col("cell"))
-    // Scan only the routed cells: hash join on the cell id.
+    // Scan only the routed cells. The join alone would still scan the
+    // whole corpus (a hash join does not prune the probe side), so the
+    // routed cell ids are collected (tiny: probes x nprobe ints) into an
+    // explicit IN predicate — against the clustered cache that prunes
+    // non-matching batches by min/max stats; against cell-partitioned
+    // parquet it prunes files. Trade-off: the literal list changes per
+    // probe set, costing a codegen recompile per distinct query — the
+    // right trade for an index scan that skips (numCells - nprobe)/
+    // numCells of the corpus.
+    val routedCellIds = routed.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val prunedCells = index.cells.filter(col("cell").isin(routedCellIds: _*))
     val rankW = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col(idCol))
-    routed.join(index.cells, "cell")
+    routed.join(prunedCells, "cell")
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("sim", round(vector.cosine(col(vecCol), col("query_vec")), roundTo))
       .withColumn("rnk", row_number().over(rankW))
