@@ -33,5 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_magnitude"),
       info("graft_magnitude", "graft_magnitude(a) - L2 norm"),
       (es: Seq[Expression]) => VectorMagnitude(es.head)))
+    e.injectFunction((FunctionIdentifier("graft_minhash_signature"),
+      info("graft_minhash_signature",
+        "graft_minhash_signature(pairs, k) - k-member MinHash signature " +
+          "over array<struct<h1:long,h2:long>> hashed shingles"),
+      (es: Seq[Expression]) => MinhashSignature(es(0),
+        es(1).eval().asInstanceOf[Number].intValue())))
   }
 }

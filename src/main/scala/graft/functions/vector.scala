@@ -75,5 +75,8 @@ object vector {
       es => WeightedJaccard(es(0), es(1)))
     GraftSqlInternal.registerFunction(spark, "graft_magnitude",
       es => VectorMagnitude(es.head))
+    GraftSqlInternal.registerFunction(spark, "graft_minhash_signature",
+      es => MinhashSignature(es(0),
+        es(1).eval().asInstanceOf[Number].intValue()))
   }
 }

@@ -82,5 +82,10 @@ class VectorExpressionsSpec extends SparkSpec {
     val r = spark.sql("SELECT graft_dot(array(3.0F,6.0F,9.0F), array(3.0F,6.0F,9.0F)) r")
       .collect().head.getDouble(0)
     assert(r === 126.0)
+    // Signature from SQL: min over one pair is the pair's member values.
+    val sig = spark.sql(
+      "SELECT graft_minhash_signature(array(named_struct('h1', 5L, 'h2', 11L)), 3) s")
+      .collect().head.getSeq[Long](0)
+    assert(sig === Seq(5L, 16L, 27L))
   }
 }
