@@ -277,11 +277,47 @@ object Dedup {
     * Input: pairs (doc_a, doc_b); output: (doc_id, keeper_id) for every
     * document appearing in a pair, keeper = min id of its component.
     */
-  def canonicalize(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
+  def canonicalize(
+      pairs: DataFrame,
+      maxIterations: Int = 50,
+      localThreshold: Long = 1L << 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
+
+    // Hybrid: near-dup pair graphs are usually orders of magnitude smaller
+    // than the corpus (the checkpoint above already materialized them), so
+    // when the edge list fits comfortably on the driver a local union-find
+    // resolves components exactly in one pass — no iteration rounds. The
+    // distributed min-label loop below remains the path for graphs that
+    // don't fit (billions of pairs).
+    if (edges.count() <= localThreshold) {
+      val spark = pairs.sparkSession
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val next = parent(c); parent(c) = r; c = next }
+        r
+      }
+      edges.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          // union by min id: the smaller root wins, matching the
+          // distributed path's min-label convergence exactly.
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val labeled = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      import spark.implicits._
+      return labeled.toDF("doc_id", "keeper_id")
+    }
+
     var labels = edges.select(col("src").as("doc_id"))
       .distinct()
       .withColumn("label", col("doc_id"))

@@ -829,6 +829,34 @@ object Relational {
         |FROM orders
         |GROUP BY 1
         |ORDER BY month_start
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Salted skew join at the query surface: the lineitem side is salted
+      // by row hash, orders replicated per salt, so one hot orderkey
+      // spreads over 8 reducers. Result equality with the plain join is
+      // exact — which is why a plain SQL join is a valid oracle.
+      "q31_salted_join",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        graft.ops.Skew.saltedJoin(
+            t.lineitem.select(col("l_orderkey"), col("l_quantity"),
+              col("l_extendedprice")),
+            t.orders.select(col("o_orderkey").as("l_orderkey"),
+              col("o_orderpriority")),
+            "l_orderkey", salts = 8)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_quantity") * col("l_extendedprice")), 2).as("volume"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        |SELECT o_orderpriority,
+        |       count(*) AS n,
+        |       round(sum(l_quantity * l_extendedprice), 2) AS volume
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority
         |""".stripMargin.trim))
   )
 }

@@ -538,6 +538,23 @@ object TextQueries {
             round(element_at(col("feature"), 1).cast("double"), 3).as("f0"))
           .orderBy(col("media_id"))
       },
+      None),
+
+    QueryDef(
+      // End-to-end corpus dedup: MinHash near-dup pairs -> connected-
+      // component canonicalization (iterative min-label propagation) ->
+      // keep each cluster's min-id doc. The loop is driver-coordinated
+      // Spark jobs, not SQL, so the driver records the rows-only check;
+      // OpsSpec pins the canonicalize semantics exactly.
+      "d05_dedup_corpus",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        graft.ops.Dedup.dedupCorpus(t.documents, "doc_id", "text",
+            threshold = 0.5)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"))
+          .orderBy(col("source"))
+      },
       None)
   )
 }

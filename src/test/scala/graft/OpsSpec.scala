@@ -113,6 +113,19 @@ class OpsSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("distributed canonicalize path matches the local union-find path") {
+    // localThreshold = 0 forces the iterative min-label loop; both paths
+    // must produce identical components and keepers.
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (9L, 11L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val local = Dedup.canonicalize(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.canonicalize(pairs, localThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === local)
+    assert(local(11L) === 7L && local(21L) === 20L)
+  }
+
   test("canonicalize on real minhash pairs yields per-cluster keepers") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val pairs = Dedup.nearDuplicatesMinhash(docs, "doc_id", "text", 0.5)

@@ -16,7 +16,8 @@ class QueriesSpec extends SparkSpec {
     * are pinned by dedicated specs instead (IvfSpec recall==brute-force,
     * MultimodalSpec decoded values).
     */
-  private val rowsOnlyExempt = Set("v09_ivf_topk", "m02_media_decode")
+  private val rowsOnlyExempt =
+    Set("v09_ivf_topk", "m02_media_decode", "d05_dedup_corpus")
 
   test("every query has matching oracle coverage or is explicitly exempt") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --
