@@ -7,15 +7,21 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types._
 
 /** As-of join as a first-class operator: logical node + planner strategy +
   * physical merge-join, registered per-session via
   * `experimental.extraStrategies`.
   *
-  * Semantics: for every left ("probe") row, attach the right ("quote") row
-  * with the greatest `rightOn <= leftOn` within the same `by` group; left
-  * rows without a match get nulls (left-outer as-of, DuckDB
-  * `ASOF LEFT JOIN` semantics).
+  * Semantics: for every left ("probe") row, attach within the same `by`
+  * group
+  *  - `Backward` (default): the right row with the greatest
+  *    `rightOn <= leftOn` (DuckDB `ASOF LEFT JOIN` semantics);
+  *  - `Forward`: the right row with the smallest `rightOn >= leftOn`.
+  * An optional `tolerance` (in the on-column's own integral units) bounds
+  * the match distance: backward requires `leftOn - rightOn <= tolerance`,
+  * forward `rightOn - leftOn <= tolerance`. Left rows without a match get
+  * nulls (left-outer as-of).
   *
   * Physical execution is a single forward merge pass: both sides are
   * hash-clustered on the `by` keys and sorted by (by, on) — distributions
@@ -29,13 +35,21 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * The window-based composition (`Relational.q15_asof_join`) and the
   * DuckDB ASOF JOIN oracle both serve as correctness references in tests.
   */
+sealed trait AsOfDirection
+object AsOfDirection {
+  case object Backward extends AsOfDirection
+  case object Forward extends AsOfDirection
+}
+
 final case class AsOfJoinPlan(
     left: LogicalPlan,
     right: LogicalPlan,
     leftBy: Seq[Expression],
     rightBy: Seq[Expression],
     leftOn: Expression,
-    rightOn: Expression) extends BinaryNode {
+    rightOn: Expression,
+    direction: AsOfDirection = AsOfDirection.Backward,
+    tolerance: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -47,8 +61,8 @@ final case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lb, rb, lo, ro) =>
-      AsOfJoinExec(planLater(l), planLater(r), lb, rb, lo, ro) :: Nil
+    case AsOfJoinPlan(l, r, lb, rb, lo, ro, dir, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lb, rb, lo, ro, dir, tol) :: Nil
     case _ => Nil
   }
 }
@@ -59,7 +73,9 @@ final case class AsOfJoinExec(
     leftBy: Seq[Expression],
     rightBy: Seq[Expression],
     leftOn: Expression,
-    rightOn: Expression) extends BinaryExecNode {
+    rightOn: Expression,
+    direction: AsOfDirection,
+    tolerance: Option[Long]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -82,6 +98,18 @@ final case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] =
     (leftBy :+ leftOn).map(SortOrder(_, Ascending))
 
+  /** Integral reader of the on-value for tolerance arithmetic. Tolerance
+    * is only supported for types whose distance is well-defined in the
+    * type's own units (the planner rejects others up front).
+    */
+  private def onAsLong(dt: DataType): InternalRow => Long = dt match {
+    case LongType | TimestampType | TimestampNTZType => _.getLong(0)
+    case IntegerType | DateType => r => r.getInt(0).toLong
+    case other =>
+      throw new IllegalArgumentException(
+        s"as-of tolerance unsupported for on-column type ${other.catalogString}")
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val byTypes = leftBy.map(_.dataType)
     val onType = leftOn.dataType
@@ -91,6 +119,10 @@ final case class AsOfJoinExec(
     val rB = rightBy
     val lO = leftOn
     val rO = rightOn
+    val dir = direction
+    val tol = tolerance
+    if (tol.isDefined) onAsLong(onType) // fail fast on unsupported types
+    val readOn = if (tol.isDefined) onAsLong(onType) else null
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lByProj = UnsafeProjection.create(lB, leftOutput)
@@ -110,38 +142,89 @@ final case class AsOfJoinExec(
       val resultProj = UnsafeProjection.create(output,
         leftOutput ++ rightOutput.map(_.withNullability(true)))
 
+      def withinTol(lOnKey: InternalRow, rOnKey: InternalRow): Boolean =
+        tol.isEmpty || {
+          val l = readOn(lOnKey)
+          val r = readOn(rOnKey)
+          dir match {
+            case AsOfDirection.Backward => l - r <= tol.get
+            case AsOfDirection.Forward  => r - l <= tol.get
+          }
+        }
+
       val rBuf = rIter.buffered
-      new Iterator[InternalRow] {
-        // Copy of the most recent right row whose (by, on) <= current left.
-        private var matchRow: InternalRow = _
-        private var matchBy: UnsafeRow = _
+      dir match {
+        case AsOfDirection.Backward =>
+          new Iterator[InternalRow] {
+            // Copy of the most recent right row with (by, on) <= current left.
+            private var matchRow: InternalRow = _
+            private var matchBy: UnsafeRow = _
+            private var matchOn: UnsafeRow = _
 
-        override def hasNext: Boolean = lIter.hasNext
+            override def hasNext: Boolean = lIter.hasNext
 
-        override def next(): InternalRow = {
-          val l = lIter.next()
-          val lByKey = lByProj(l)
-          val lOnKey = lOnProj(l)
-          var scanning = true
-          while (scanning && rBuf.hasNext) {
-            val r = rBuf.head
-            val cmpBy = byOrd.compare(rByProj(r), lByKey)
-            if (cmpBy < 0) {
-              // Right key sorts before every remaining left key: discard.
-              rBuf.next()
-            } else if (cmpBy == 0 && onOrd.compare(rOnProj(r), lOnKey) <= 0) {
-              matchRow = r.copy()
-              matchBy = rByProj(r).copy()
-              rBuf.next()
-            } else {
-              scanning = false
+            override def next(): InternalRow = {
+              val l = lIter.next()
+              val lByKey = lByProj(l)
+              val lOnKey = lOnProj(l)
+              var scanning = true
+              while (scanning && rBuf.hasNext) {
+                val r = rBuf.head
+                val cmpBy = byOrd.compare(rByProj(r), lByKey)
+                if (cmpBy < 0) {
+                  // Right key sorts before every remaining left key: discard.
+                  rBuf.next()
+                } else if (cmpBy == 0 && onOrd.compare(rOnProj(r), lOnKey) <= 0) {
+                  matchRow = r.copy()
+                  matchBy = rByProj(r).copy()
+                  matchOn = rOnProj(r).copy()
+                  rBuf.next()
+                } else {
+                  scanning = false
+                }
+              }
+              val m =
+                if (matchRow != null && byOrd.compare(matchBy, lByKey) == 0 &&
+                    withinTol(lOnKey, matchOn)) matchRow
+                else nullRight
+              resultProj(joined(l, m))
             }
           }
-          val m =
-            if (matchRow != null && byOrd.compare(matchBy, lByKey) == 0) matchRow
-            else nullRight
-          resultProj(joined(l, m))
-        }
+
+        case AsOfDirection.Forward =>
+          new Iterator[InternalRow] {
+            override def hasNext: Boolean = lIter.hasNext
+
+            override def next(): InternalRow = {
+              val l = lIter.next()
+              val lByKey = lByProj(l)
+              val lOnKey = lOnProj(l)
+              // Discard rights that sort strictly before (by, on): they can
+              // never match this left row nor any later one (left is sorted
+              // ascending too). The head is then the candidate match and is
+              // deliberately NOT consumed — it may also be the first
+              // at-or-after row for subsequent left rows.
+              var scanning = true
+              while (scanning && rBuf.hasNext) {
+                val r = rBuf.head
+                val cmpBy = byOrd.compare(rByProj(r), lByKey)
+                if (cmpBy < 0 ||
+                    (cmpBy == 0 && onOrd.compare(rOnProj(r), lOnKey) < 0)) {
+                  rBuf.next()
+                } else {
+                  scanning = false
+                }
+              }
+              val m =
+                if (rBuf.hasNext && {
+                    val r = rBuf.head
+                    byOrd.compare(rByProj(r), lByKey) == 0 &&
+                      withinTol(lOnKey, rOnProj(r))
+                  }) rBuf.head
+                else nullRight
+              resultProj(joined(l, m))
+            }
+          }
       }
     }
   }
@@ -159,7 +242,9 @@ object AsOf {
   def join(
       left: DataFrame, right: DataFrame,
       leftBy: String, rightBy: String,
-      leftOn: String, rightOn: String): DataFrame = {
+      leftOn: String, rightOn: String,
+      direction: AsOfDirection = AsOfDirection.Backward,
+      tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     GraftSqlInternal.addStrategy(spark, AsOfJoinStrategy)
     val lPlan = GraftSqlInternal.analyzedPlan(left)
@@ -171,7 +256,7 @@ object AsOf {
     GraftSqlInternal.dataFrame(spark,
       AsOfJoinPlan(lPlan, rPlan,
         Seq(attr(lPlan, leftBy)), Seq(attr(rPlan, rightBy)),
-        attr(lPlan, leftOn), attr(rPlan, rightOn)))
+        attr(lPlan, leftOn), attr(rPlan, rightOn), direction, tolerance))
   }
 
   def join(left: DataFrame, right: DataFrame, by: String, on: String): DataFrame =

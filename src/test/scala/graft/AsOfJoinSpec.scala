@@ -86,6 +86,75 @@ class AsOfJoinSpec extends SparkSpec {
     assert(custom === expected)
   }
 
+  test("forward direction matches the next at-or-after right row") {
+    val probes = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (1L, 30L, "p3"))
+      .toDF("uid", "t", "tag")
+    val quotes = Seq((1L, 8L, "q8"), (1L, 15L, "q15"), (1L, 20L, "q20"))
+      .toDF("uid2", "t2", "qtag")
+    val out = AsOf.join(probes, quotes, "uid", "uid2", "t", "t2",
+        direction = graft.plans.AsOfDirection.Forward)
+      .select($"tag", $"qtag").orderBy($"tag")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // p1@10 -> q15 (next at-or-after); p2@20 -> q20 (equality); p3@30 -> none
+    assert(out === Seq(("p1", "q15"), ("p2", "q20"), ("p3", null)))
+  }
+
+  test("forward shares candidates across probes (head not consumed)") {
+    val probes = Seq((1L, 10L, "p1"), (1L, 11L, "p2"), (1L, 12L, "p3"))
+      .toDF("uid", "t", "tag")
+    val quotes = Seq((1L, 15L, "q15")).toDF("uid2", "t2", "qtag")
+    val out = AsOf.join(probes, quotes, "uid", "uid2", "t", "t2",
+        direction = graft.plans.AsOfDirection.Forward)
+      .select($"tag", $"qtag").orderBy($"tag")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // all three probes match the same single future quote
+    assert(out === Seq(("p1", "q15"), ("p2", "q15"), ("p3", "q15")))
+  }
+
+  test("tolerance bounds the match distance in both directions") {
+    val probes = Seq((1L, 100L, "p1"), (1L, 200L, "p2")).toDF("uid", "t", "tag")
+    val quotes = Seq((1L, 90L, "q90"), (1L, 199L, "q199"))
+      .toDF("uid2", "t2", "qtag")
+    val back = AsOf.join(probes, quotes, "uid", "uid2", "t", "t2",
+        tolerance = Some(5L))
+      .select($"tag", $"qtag").orderBy($"tag")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // backward: p1's nearest (q90, distance 10) exceeds tol 5 -> null;
+    // p2's nearest (q199, distance 1) matches
+    assert(back === Seq(("p1", null), ("p2", "q199")))
+    val fwd = AsOf.join(probes, quotes, "uid", "uid2", "t", "t2",
+        direction = graft.plans.AsOfDirection.Forward, tolerance = Some(5L))
+      .select($"tag", $"qtag").orderBy($"tag")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // forward: p1's next (q199, distance 99) exceeds tol -> null;
+    // p2 has no at-or-after quote
+    assert(fwd === Seq(("p1", null), ("p2", null)))
+  }
+
+  test("randomized forward direction agrees with a window reference") {
+    val rnd = new scala.util.Random(7)
+    val probes = (1 to 400).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong))
+      .zipWithIndex.map { case ((u, t), i) => (u, t, i.toLong) }
+      .toDF("uid", "t", "pid")
+    val quotes = (1 to 300).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong))
+      .zipWithIndex.map { case ((u, t), i) => (u, t, i.toLong + 10000) }
+      .toDF("uid2", "t2", "qid")
+    val custom = AsOf.join(probes, quotes, "uid", "uid2", "t", "t2",
+        direction = graft.plans.AsOfDirection.Forward)
+      .select($"pid", $"t2").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // reference: min t2 >= t per (uid); ties on t2 arbitrary but t2 value unique enough
+    val q = quotes.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val ref = probes.collect().map { r =>
+      val (u, t, pid) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val cands = q.filter(x => x._1 == u && x._2 >= t).map(_._2)
+      pid -> (if (cands.isEmpty) -1L else cands.min)
+    }.toMap
+    assert(custom === ref)
+  }
+
   test("empty build side yields all-null matches; empty probe side is empty") {
     val probes = Seq((1L, 10L)).toDF("uid", "t")
     val empty = Seq.empty[(Long, Long)].toDF("uid2", "t2")
