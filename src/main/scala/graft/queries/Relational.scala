@@ -857,6 +857,36 @@ object Relational {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // FORWARD as-of through the custom operator: each signup matched to
+      // the user's next (ts >= signup ts) purchase. Exercises the
+      // peek-don't-consume forward merge path of AsOfJoinExec against
+      // DuckDB's ASOF with a <= condition.
+      "q32_asof_forward",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val ev = t.events.withColumn("tsu", expr("ts div 1000"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("tsu"), col("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("tsu").as("p_tsu"))
+        graft.plans.AsOf.join(signups, purchases, "user_id", "p_user",
+            "tsu", "p_tsu", direction = graft.plans.AsOfDirection.Forward)
+          .filter(col("p_tsu").isNotNull)
+          .select(col("event_id"), col("user_id"),
+            col("tsu").as("signup_us"), col("p_tsu").as("next_purchase_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        |SELECT s.event_id, s.user_id,
+        |       epoch_us(s.ts) AS signup_us,
+        |       epoch_us(p.ts) AS next_purchase_us
+        |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON s.user_id = p.user_id AND s.ts <= p.ts
+        |ORDER BY s.event_id
         |""".stripMargin.trim))
   )
 }
