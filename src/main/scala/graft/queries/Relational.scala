@@ -887,6 +887,24 @@ object Relational {
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON s.user_id = p.user_id AND s.ts <= p.ts
         |ORDER BY s.event_id
-        |""".stripMargin.trim))
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Sketch-based aggregates — the cardinality/quantile forms that
+      // replace exact DISTINCT/percentile at extreme scale (HLL++ register
+      // merge is commutative, so results are partition-order independent).
+      // Sketch internals differ per engine, so the driver records the
+      // rows-only check; q08/q22 pin the exact counterparts.
+      "a01_approx_stats",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.orders.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            approx_count_distinct(col("o_custkey")).as("approx_customers"),
+            percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
+              .as("approx_median_price"))
+          .orderBy(col("o_orderpriority"))
+      },
+      None)
   )
 }
