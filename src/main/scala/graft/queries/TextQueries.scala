@@ -555,6 +555,75 @@ object TextQueries {
           .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"))
           .orderBy(col("source"))
       },
-      None)
+      None),
+
+    QueryDef(
+      // Edit-distance verification tier: exact Levenshtein over the
+      // MinHash candidate pairs (never all pairs — the LSH stage bounds
+      // the O(len^2)-per-pair cost to actual near-duplicates). The oracle
+      // replays the identical candidate pipeline and DuckDB's levenshtein.
+      "d06_edit_distance",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val docs = t.documents
+        val pairs = Dedup.nearDuplicatesMinhash(docs, "doc_id", "text",
+          threshold = 0.5, numHashes = 32, bands = 8, shingleN = 3)
+        pairs
+          .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+          .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""
+        |WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) >= 3
+        |              THEN list_distinct(list_transform(range(len(toks) - 2),
+        |                     i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+        |              ELSE [] END AS shingles
+        |  FROM tok
+        |),
+        |ex AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT)  AS h1,
+        |         CAST(concat('0x', substr(md5(s), 13, 12)) AS BIGINT) AS h2
+        |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0)
+        |),
+        |hashed AS (
+        |  SELECT doc_id, j, min((h1 + j * h2) % 2147483647) AS sigv
+        |  FROM ex, range(32) t(j)
+        |  GROUP BY doc_id, j
+        |),
+        |sigs AS (SELECT doc_id, list(sigv ORDER BY j) AS sig FROM hashed GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS key
+        |  FROM sigs, range(8) t(b)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+        |),
+        |hsets AS (SELECT doc_id, list(h1) AS hs FROM ex GROUP BY doc_id),
+        |verified AS (
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM cand c
+        |  JOIN hsets sa ON sa.doc_id = c.doc_a
+        |  JOIN hsets sb ON sb.doc_id = c.doc_b
+        |  WHERE len(list_intersect(sa.hs, sb.hs)) * 1.0
+        |        / len(list_distinct(sa.hs || sb.hs)) >= 0.5
+        |)
+        |SELECT v.doc_a, v.doc_b,
+        |       levenshtein(da.text, db.text) AS edit_dist
+        |FROM verified v
+        |JOIN documents da ON da.doc_id = v.doc_a
+        |JOIN documents db ON db.doc_id = v.doc_b
+        |ORDER BY v.doc_a, v.doc_b
+        |""".stripMargin.trim))
   )
 }
