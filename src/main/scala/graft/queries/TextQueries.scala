@@ -558,6 +558,27 @@ object TextQueries {
       None),
 
     QueryDef(
+      "m03_frame_sample",
+      (s, dir) => {
+        import s.implicits._
+        val t = Tables(s, dir)
+        // Sample 4 "frames" (payload slices) per video-kind document —
+        // the explode-to-(media_id, frame_idx, payload) plumbing a real
+        // frame decoder would feed. Output metadata only; frame bytes
+        // never aggregate.
+        val media = t.documents
+          .filter(col("doc_id") % 3 === 2) // the "video" kind of m02
+          .select(col("doc_id").as("media_id"), lit("video").as("kind"),
+            col("text").cast("binary").as("payload"), col("source"))
+          .as[graft.ops.Multimodal.MediaItem]
+        graft.ops.Multimodal.sampleFrames(media, n = 4)
+          .select(col("media_id"), col("frame_idx"),
+            length(col("frame_payload")).as("frame_bytes"))
+          .orderBy(col("media_id"), col("frame_idx"))
+      },
+      None),
+
+    QueryDef(
       // Edit-distance verification tier: exact Levenshtein over the
       // MinHash candidate pairs (never all pairs — the LSH stage bounds
       // the O(len^2)-per-pair cost to actual near-duplicates). The oracle

@@ -17,8 +17,8 @@ class QueriesSpec extends SparkSpec {
     * MultimodalSpec decoded values).
     */
   private val rowsOnlyExempt =
-    Set("v09_ivf_topk", "m02_media_decode", "d05_dedup_corpus",
-      "a01_approx_stats")
+    Set("v09_ivf_topk", "m02_media_decode", "m03_frame_sample",
+      "d05_dedup_corpus", "a01_approx_stats")
 
   test("every query has matching oracle coverage or is explicitly exempt") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --
