@@ -25,6 +25,23 @@ class ScaleSpec extends SparkSpec {
     assert(salted.getDouble(1) === plain.getDouble(1))
   }
 
+  test("adaptiveSaltedJoin equals the plain join with mixed hot/cold keys") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select($"l_orderkey", $"l_quantity")
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select($"o_orderkey".as("l_orderkey"), $"o_totalprice")
+    val plain = li.join(o, "l_orderkey")
+      .agg(count(lit(1)), round(sum($"l_quantity" * $"o_totalprice"), 2))
+      .collect().head
+    // threshold 4: multi-line orders salt, small orders join plain
+    val adaptive = Skew.adaptiveSaltedJoin(li, o, "l_orderkey",
+        salts = 4, hotThreshold = 4L)
+      .agg(count(lit(1)), round(sum($"l_quantity" * $"o_totalprice"), 2))
+      .collect().head
+    assert(adaptive.getLong(0) === plain.getLong(0))
+    assert(adaptive.getDouble(1) === plain.getDouble(1))
+  }
+
   test("keyHistogram surfaces the heaviest keys first") {
     val h = Skew.keyHistogram(
       spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"),
