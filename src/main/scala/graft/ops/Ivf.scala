@@ -52,12 +52,17 @@ object Ivf {
       .select(col(idCol), col(vecCol), col("cell"))
   }
 
-  /** Element-wise mean of each cell's vectors -> new centroids. */
+  /** Element-wise mean of each cell's vectors -> new centroids. The mean
+    * is rounded to 6 decimals: double summation order varies with shuffle
+    * fetch order, and the ~1-ulp noise can flip borderline cell
+    * assignments between runs — rounding makes centroids (and therefore
+    * the whole index) run-deterministic.
+    */
   private def recompute(assigned: DataFrame, vecCol: String): DataFrame =
     assigned
       .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy(col("cell"), col("pos"))
-      .agg(avg(col("x")).as("m"))
+      .agg(round(avg(col("x").cast("double")), 6).as("m"))
       .groupBy(col("cell"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cell"),
