@@ -98,6 +98,14 @@ final class OracleRegistry {
     * run the body, fail on ctx.Error or thrown errors, return the result
     * JSON text.
     */
+  /** First non-finite double anywhere in the result tree, if any. */
+  private def firstNonFinite(v: JValue): Option[Double] = v match {
+    case JDouble(d) if d.isNaN || d.isInfinite => Some(d)
+    case JArray(xs) => xs.iterator.flatMap(firstNonFinite).nextOption()
+    case JObject(fs) => fs.iterator.map(_._2).flatMap(firstNonFinite).nextOption()
+    case _ => None
+  }
+
   def run(id: Long, store: RecordStore, jsonArgs: Seq[String]): Either[String, String] = {
     read(id).flatMap { oracle =>
       val decoded = oracle.params.indices.map { i =>
@@ -115,7 +123,14 @@ final class OracleRegistry {
       try {
         val result = oracle.body(ctx, store, decoded)
         if (ctx.isError) Left(ctx.message)
-        else Right(JsonMethods.compact(JsonMethods.render(result)))
+        else firstNonFinite(result) match {
+          // JSON cannot carry NaN/Inf; the reference surfaces Go's
+          // encoding/json error verbatim (service_test.go:677-684).
+          case Some(d) =>
+            val repr = if (d.isNaN) "NaN" else if (d > 0) "+Inf" else "-Inf"
+            Left(s"json: unsupported value: $repr")
+          case None => Right(JsonMethods.compact(JsonMethods.render(result)))
+        }
       } catch {
         case OracleRunError(msg) => Left(msg)
         case e: Exception        => Left(s"got panic of type ${e.getClass.getSimpleName}: ${e.getMessage}")

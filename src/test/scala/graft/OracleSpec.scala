@@ -122,6 +122,23 @@ class OracleSpec extends SparkSpec {
     assert(reg.run(o.id, RecordStore.empty(spark), Seq.empty) === Left("error!"))
   }
 
+  test("NaN/Inf results fail marshaling with the reference's message") {
+    val reg = new OracleRegistry
+    val store = RecordStore.empty(spark)
+    val nan = reg.create(Oracle(0, "nan", Seq.empty,
+      (_, _, _) => JDouble(Double.NaN))).toOption.get
+    assert(reg.run(nan.id, store, Seq.empty) ===
+      Left("json: unsupported value: NaN"))
+    val inf = reg.create(Oracle(0, "inf", Seq.empty,
+      (_, _, _) => JObject(List("x" -> JDouble(Double.PositiveInfinity))))).toOption.get
+    assert(reg.run(inf.id, store, Seq.empty) ===
+      Left("json: unsupported value: +Inf"))
+    val ninf = reg.create(Oracle(0, "ninf", Seq.empty,
+      (_, _, _) => JArray(List(JDouble(Double.NegativeInfinity))))).toOption.get
+    assert(reg.run(ninf.id, store, Seq.empty) ===
+      Left("json: unsupported value: -Inf"))
+  }
+
   test("registry: find-by-name last match wins; pagination; delete") {
     val reg = new OracleRegistry
     val a1 = reg.create(Oracle(0, "x", Seq.empty, (_, _, _) => JInt(1))).toOption.get
