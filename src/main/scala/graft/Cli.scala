@@ -80,6 +80,15 @@ object Cli {
   def dispatch(svc: SumService, line: String): Option[String] = {
     val parts = line.trim.split("\\s+").toSeq
     if (parts.isEmpty || parts.head.isEmpty) return Some("")
+    try dispatchParsed(svc, parts)
+    catch {
+      case e: Exception =>
+        Some(s"""{"success":false,"msg":"bad arguments for ${parts.head}: ${
+          String.valueOf(e.getMessage).replace("\"", "'")} (try help)"}""")
+    }
+  }
+
+  private def dispatchParsed(svc: SumService, parts: Seq[String]): Option[String] = {
     parts.head match {
       case "quit" | "exit" => None
       case "help" => Some(Help)

@@ -23,6 +23,9 @@ class CliSpec extends SparkSpec {
     assert(run("delete-record 3").contains("\"success\":true"))
     assert(run("info").contains("\"records\":2"))
     assert(run("bogus").contains("unknown command"))
+    // malformed arguments surface as an error response, never a crash
+    assert(run("create-record").contains("bad arguments"))
+    assert(run("read-record notanumber").contains("bad arguments"))
     assert(Cli.dispatch(svc, "quit").isEmpty)
   }
 }
