@@ -895,6 +895,27 @@ object Relational {
       // merge is commutative, so results are partition-order independent).
       // Sketch internals differ per engine, so the driver records the
       // rows-only check; q08/q22 pin the exact counterparts.
+      "q33_corr_covar",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.lineitem
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+            round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_qty_disc"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        |SELECT l_returnflag,
+        |       count(*) AS n,
+        |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |       round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag
+        |""".stripMargin.trim)),
+
+    QueryDef(
       "a01_approx_stats",
       (s, dir) => {
         val t = Tables(s, dir)

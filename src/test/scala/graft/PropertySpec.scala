@@ -22,6 +22,34 @@ class PropertySpec extends SparkSpec {
     Iterator.continually(g.sample).flatten.take(n).toSeq
   }
 
+  test("minhash signature of a union is the element-wise min of signatures") {
+    // The defining MinHash property — it is what makes the per-band
+    // collision probability track Jaccard similarity. Checked at the
+    // expression level (interpreted eval) over generated shingle sets.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    val pairsType = ArrayType(new StructType()
+      .add("h1", LongType).add("h2", LongType))
+    val ref = BoundReference(0, pairsType, nullable = true)
+    val expr = graft.functions.MinhashSignature(ref, 16)
+    def sig(ps: Seq[(Long, Long)]): Seq[Long] =
+      expr.eval(InternalRow(ArrayData.toArrayData(
+        ps.map { case (a, b) => InternalRow(a, b) }.toArray)))
+        .asInstanceOf[ArrayData].toLongArray.toSeq
+    val pairGen = Gen.listOfN(2, Gen.chooseNum(0L, (1L << 48) - 1))
+      .map(l => (l.head, l(1)))
+    val setGen = Gen.chooseNum(1, 30).flatMap(n => Gen.listOfN(n, pairGen))
+    val cases = Iterator.continually(
+      (for { a <- setGen; b <- setGen } yield (a, b)).sample)
+      .flatten.take(100).toSeq
+    cases.foreach { case (a, b) =>
+      val expected = sig(a).zip(sig(b)).map { case (x, y) => math.min(x, y) }
+      assert(sig(a ++ b) === expected)
+    }
+  }
+
   test("cosine(a,a) is 1 for non-zero a; |cosine| <= 1; dot is symmetric") {
     val df = samples(300).toDF("a", "b")
     val rows = df.select(
