@@ -49,31 +49,42 @@ object Cli {
     SumRecord(id, data, Array(data.length.toLong), meta)
   }
 
+  /** JSON string-literal escape for interpolated service text. */
+  private def esc(s: String): String = String.valueOf(s).flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   private def json(r: Any): String = r match {
     case rr: graft.service.RecordResponse =>
       val rec = rr.record.map(x =>
         s""","record":{"id":${x.id},"size":${x.size}}""").getOrElse("")
-      s"""{"success":${rr.success},"msg":"${rr.msg}"$rec}"""
+      s"""{"success":${rr.success},"msg":"${esc(rr.msg)}"$rec}"""
     case lr: graft.service.RecordListResponse =>
       s"""{"total":${lr.total},"pages":${lr.pages},"records":[${
         lr.records.map(_.id).mkString(",")}]}"""
     case fr: graft.service.FindResponse =>
-      s"""{"success":${fr.success},"msg":"${fr.msg}","ids":[${
+      s"""{"success":${fr.success},"msg":"${esc(fr.msg)}","ids":[${
         fr.records.map(_.id).mkString(",")}]}"""
     case or: graft.service.OracleResponse =>
       val o = or.oracle.map(x =>
-        s""","oracle":{"id":${x.id},"name":"${x.name}"}""").getOrElse("")
-      s"""{"success":${or.success},"msg":"${or.msg}"$o}"""
+        s""","oracle":{"id":${x.id},"name":"${esc(x.name)}"}""").getOrElse("")
+      s"""{"success":${or.success},"msg":"${esc(or.msg)}"$o}"""
     case ol: graft.service.OracleListResponse =>
       s"""{"total":${ol.total},"pages":${ol.pages},"oracles":[${
-        ol.oracles.map(o => s""""${o.name}"""").mkString(",")}]}"""
+        ol.oracles.map(o => s""""${esc(o.name)}"""").mkString(",")}]}"""
     case cr: graft.service.CallResponse =>
       val body = cr.data.map { env =>
         val s = new String(graft.oracle.Payload.open(env),
           java.nio.charset.StandardCharsets.UTF_8)
         s  // oracle results are already JSON
       }.getOrElse("null")
-      s"""{"success":${cr.success},"msg":"${cr.msg}","data":$body}"""
+      s"""{"success":${cr.success},"msg":"${esc(cr.msg)}","data":$body}"""
     case other => other.toString
   }
 
@@ -84,7 +95,7 @@ object Cli {
     catch {
       case e: Exception =>
         Some(s"""{"success":false,"msg":"bad arguments for ${parts.head}: ${
-          String.valueOf(e.getMessage).replace("\"", "'")} (try help)"}""")
+          esc(String.valueOf(e.getMessage))} (try help)"}""")
     }
   }
 

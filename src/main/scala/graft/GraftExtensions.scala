@@ -37,7 +37,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_minhash_signature",
         "graft_minhash_signature(pairs, k) - k-member MinHash signature " +
           "over array<struct<h1:long,h2:long>> hashed shingles"),
-      (es: Seq[Expression]) => MinhashSignature(es(0),
-        es(1).eval().asInstanceOf[Number].intValue())))
+      (es: Seq[Expression]) => MinhashSignature(es(0), vector.minhashK(es))))
   }
 }

@@ -63,6 +63,19 @@ object vector {
   /** Element-wise vector equality (record.go:69-71). */
   def vecEqual(a: Column, b: Column): Column = a === b
 
+  /** Validated k argument for the SQL form of graft_minhash_signature:
+    * must be present and a foldable integer literal (evaluating a
+    * non-foldable expression here would read an unbound attribute).
+    */
+  private[graft] def minhashK(
+      es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Int = {
+    require(es.length == 2,
+      s"graft_minhash_signature(pairs, k) takes 2 arguments, got ${es.length}")
+    require(es(1).foldable,
+      "graft_minhash_signature's k must be a literal integer")
+    es(1).eval().asInstanceOf[Number].intValue()
+  }
+
   /** Register SQL names (graft_dot, graft_cosine, ...) in this session so the
     * expressions are also usable from `spark.sql` / `expr` strings.
     */
@@ -76,7 +89,6 @@ object vector {
     GraftSqlInternal.registerFunction(spark, "graft_magnitude",
       es => VectorMagnitude(es.head))
     GraftSqlInternal.registerFunction(spark, "graft_minhash_signature",
-      es => MinhashSignature(es(0),
-        es(1).eval().asInstanceOf[Number].intValue()))
+      es => MinhashSignature(es(0), minhashK(es)))
   }
 }

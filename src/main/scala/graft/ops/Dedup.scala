@@ -291,8 +291,11 @@ object Dedup {
     // when the edge list fits comfortably on the driver a local union-find
     // resolves components exactly in one pass — no iteration rounds. The
     // distributed min-label loop below remains the path for graphs that
-    // don't fit (billions of pairs).
-    if (edges.count() <= localThreshold) {
+    // don't fit (billions of pairs) — and for non-long id types, which the
+    // loop handles generically but the getLong-based local path cannot.
+    val longIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && edges.count() <= localThreshold) {
       val spark = pairs.sparkSession
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {

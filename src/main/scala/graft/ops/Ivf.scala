@@ -107,11 +107,16 @@ object Ivf {
     // Route each probe to its nprobe closest cells (tiny broadcast join).
     val routeW = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("cell"))
+    // Persisted: the routing subplan is consumed twice — once collected
+    // for the pruning predicate below, once as the probe side of the cell
+    // join — and without the persist the crossJoin + cosine + window work
+    // would execute twice per search.
     val routed = p.crossJoin(broadcast(index.centroids))
       .withColumn("csim", vector.cosine(col("query_vec"), col("centroid")))
       .withColumn("crnk", row_number().over(routeW))
       .filter(col("crnk") <= nprobe)
       .select(col("query_id"), col("query_vec"), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Scan only the routed cells. The join alone would still scan the
     // whole corpus (a hash join does not prune the probe side), so the
     // routed cell ids are collected (tiny: probes x nprobe ints) into an

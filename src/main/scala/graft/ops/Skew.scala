@@ -43,26 +43,23 @@ object Skew {
   /** Salt only the HOT keys: rows whose key frequency on the big side
     * exceeds `hotThreshold` join salted (small side replicated per salt),
     * everything else joins plain — so the replication tax is paid only for
-    * the keys that actually overwhelm a reducer. One extra aggregation
-    * over the big side's key column computes the hot set; it is broadcast
-    * (hot sets are small by definition — a hot set that isn't small means
-    * the threshold is wrong, not the plan). Result equality with the
-    * plain join is exact: each big row takes exactly one branch.
+    * the keys that actually overwhelm a reducer. The hot-key set is
+    * computed by one aggregation and COLLECTED (hot sets are small by
+    * definition — a hot set that isn't small means the threshold is wrong,
+    * not the plan), so the hot/cold split is a literal IN predicate, not a
+    * join. Cost: one aggregation pass plus the two filtered branch scans
+    * per side. Result equality with the plain join is exact: each row
+    * takes exactly one branch.
     */
   def adaptiveSaltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int = 8, hotThreshold: Long = 100000L): DataFrame = {
     require(salts > 0)
-    val hotKeys = broadcast(
-      big.groupBy(col(key)).agg(count(lit(1)).as("_freq"))
-        .filter(col("_freq") > hotThreshold)
-        .select(col(key), lit(true).as("_hot")))
-    val marked = big.join(hotKeys, Seq(key), "left")
-    val bigHot = marked.filter(col("_hot").isNotNull).drop("_hot", "_freq")
-    val bigCold = marked.filter(col("_hot").isNull).drop("_hot", "_freq")
-    val smallMarked = small.join(hotKeys, Seq(key), "left")
-    val smallHot = smallMarked.filter(col("_hot").isNotNull).drop("_hot", "_freq")
-    val smallCold = smallMarked.filter(col("_hot").isNull).drop("_hot", "_freq")
-    saltedJoin(bigHot, smallHot, key, salts)
-      .unionByName(bigCold.join(smallCold, Seq(key)))
+    val hotKeys = big.groupBy(col(key)).agg(count(lit(1)).as("_freq"))
+      .filter(col("_freq") > hotThreshold)
+      .select(col(key)).collect().map(_.get(0)).toSeq
+    if (hotKeys.isEmpty) return big.join(small, Seq(key))
+    val isHot = col(key).isin(hotKeys: _*)
+    saltedJoin(big.filter(isHot), small.filter(isHot), key, salts)
+      .unionByName(big.filter(!isHot).join(small.filter(!isHot), Seq(key)))
   }
 }

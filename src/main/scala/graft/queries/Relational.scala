@@ -890,11 +890,9 @@ object Relational {
         |""".stripMargin.trim)),
 
     QueryDef(
-      // Sketch-based aggregates — the cardinality/quantile forms that
-      // replace exact DISTINCT/percentile at extreme scale (HLL++ register
-      // merge is commutative, so results are partition-order independent).
-      // Sketch internals differ per engine, so the driver records the
-      // rows-only check; q08/q22 pin the exact counterparts.
+      // Correlation/covariance aggregates: exact moment math, rounded at
+      // the output boundary so partial-merge summation order cannot drift
+      // the hash. Oracle-checked against DuckDB's corr/covar_samp.
       "q33_corr_covar",
       (s, dir) => {
         val t = Tables(s, dir)
@@ -916,6 +914,11 @@ object Relational {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Sketch-based aggregates — the cardinality/quantile forms that
+      // replace exact DISTINCT/percentile at extreme scale (HLL++ register
+      // merge is commutative, so results are partition-order independent).
+      // Sketch internals differ per engine, so the driver records the
+      // rows-only check; q08/q22/q33 pin the exact counterparts.
       "a01_approx_stats",
       (s, dir) => {
         val t = Tables(s, dir)

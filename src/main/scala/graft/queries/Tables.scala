@@ -20,11 +20,18 @@ final case class Tables(spark: SparkSession, dir: String) {
   // One analyzed DataFrame per (session, path): `spark.read.parquet`
   // re-lists the directory and re-reads footers for schema on every
   // call, which across a 50+-query suite adds up to seconds. The logical
-  // plan is immutable, so reusing it across queries is free; keying by
-  // session prevents leaking plans across restarted sessions.
-  private def t(name: String): DataFrame =
-    Tables.plans.computeIfAbsent(s"${System.identityHashCode(spark)}#$dir/$name",
+  // plan is immutable, so reusing it across queries is free. The outer
+  // map is weak-keyed on the session itself: stopped sessions (and the
+  // DataFrames pinning them) become collectable instead of accumulating,
+  // and identity keying cannot collide the way a hash-derived string
+  // key could.
+  private def t(name: String): DataFrame = {
+    // synchronizedMap guards computeIfAbsent under its own mutex.
+    val perSession = Tables.plans.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    perSession.computeIfAbsent(s"$dir/$name",
       _ => spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   def region: DataFrame = t("region")
   def nation: DataFrame = t("nation")
@@ -48,6 +55,7 @@ final case class Tables(spark: SparkSession, dir: String) {
 }
 
 object Tables {
-  private val plans =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val plans = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
 }

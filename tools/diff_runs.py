@@ -19,9 +19,18 @@ def main():
     a_dir, b_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     diff = 0
-    names = [n for n in sorted(os.listdir(a_dir))
-             if os.path.isdir(os.path.join(a_dir, n))]
+
+    def dirs(d):
+        return {n for n in os.listdir(d) if os.path.isdir(os.path.join(d, n))}
+
+    # Union, not intersection: a query present in only one run (e.g. a
+    # partial/crashed run) must count as a difference, not be skipped.
+    names = sorted(dirs(a_dir) | dirs(b_dir))
     for n in names:
+        if not (os.path.isdir(f"{a_dir}/{n}") and os.path.isdir(f"{b_dir}/{n}")):
+            print(f"DIFFERS: {n} (present in only one run)")
+            diff += 1
+            continue
         a = con.sql(f"SELECT * FROM '{a_dir}/{n}/*.parquet'").fetchall()
         b = con.sql(f"SELECT * FROM '{b_dir}/{n}/*.parquet'").fetchall()
         if sorted(map(repr, a)) != sorted(map(repr, b)):
