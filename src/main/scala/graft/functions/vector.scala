@@ -60,6 +60,33 @@ object vector {
   def metaValue(meta: Column, key: String): Column =
     coalesce(element_at(meta, lit(key)), lit(""))
 
+  /** Row-major flat offset of an n-d index against a static shape — the
+    * reference's `Record.shape` semantics (proto/sum.proto:51-56; shape
+    * defaults to 1-D [len] when absent, node/storage/records.go:126-129).
+    */
+  def ndOffset(shape: Seq[Int], idx: Seq[Int]): Int = {
+    require(shape.length == idx.length && shape.nonEmpty,
+      s"shape/index rank mismatch: $shape vs $idx")
+    idx.zip(shape).foreach { case (i, s) =>
+      require(i >= 0 && i < s, s"index $idx out of shape $shape") }
+    idx.indices.tail.foldLeft(idx.head)((acc, d) => acc * shape(d) + idx(d))
+  }
+
+  /** 0-based n-d element access over the flat data vector. */
+  def ndGet(data: Column, shape: Seq[Int], idx: Seq[Int]): Column =
+    get(data, ndOffset(shape, idx))
+
+  /** Row `r` of a row-major (rows x cols) record: elements
+    * [r*cols, (r+1)*cols) of the flat vector.
+    */
+  def matrixRow(data: Column, cols: Int, r: Int): Column =
+    slice(data, r * cols + 1, cols)
+
+  /** Reshape a flat vector into `rows` nested row-arrays (row-major). */
+  def reshapeRows(data: Column, rows: Int, cols: Int): Column =
+    transform(sequence(lit(0), lit(rows - 1)),
+      r => slice(data, r * lit(cols) + lit(1), lit(cols)))
+
   /** Element-wise vector equality (record.go:69-71). */
   def vecEqual(a: Column, b: Column): Column = a === b
 

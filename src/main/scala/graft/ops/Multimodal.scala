@@ -47,29 +47,33 @@ object Multimodal {
   }
 
   /** Deterministic stand-in for a real codec: dimensions and features are
-    * derived from a rolling hash of the payload, so tests get stable,
-    * content-dependent values with zero native dependencies.
+    * derived from non-overlapping windows of the payload's sha256 hex
+    * digest, so tests get stable, content-dependent values with zero
+    * native dependencies — and any engine that can compute sha256
+    * reproduces them exactly (which is how the DuckDB oracle checks the
+    * decode query end-to-end).
+    *
+    * Digest layout (hex offsets, 6 chars = 24 bits each, always >= 0):
+    * [0,6) width, [6,12) height, [12,18) duration, [18,24) channels,
+    * [24 + 2i, 30 + 2i) feature i — so featureDim <= 17 fits in 64 chars.
     */
   final class FakeDecoder(val featureDim: Int = 16) extends MediaDecoder {
+    require(featureDim <= 17, "sha256 digest supports at most 17 feature windows")
     override def decode(item: MediaItem): Option[DecodedMedia] = {
       if (item.payload == null || item.payload.isEmpty) return None
-      var h = 1125899906842597L
-      item.payload.foreach { b => h = 31 * h + (b & 0xff) }
-      def mix(k: Int): Long = {
-        var z = h + k * 0x9E3779B97F4A7C15L
-        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-        z ^ (z >>> 31)
-      }
+      val hex = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(item.payload).map(b => f"${b & 0xff}%02x").mkString
+      def h(off: Int): Long = java.lang.Long.parseLong(hex.substring(off, off + 6), 16)
       val feature = Array.tabulate(featureDim) { i =>
-        (mix(i) % 1000).toFloat / 1000.0f
+        (h(24 + 2 * i) % 1000).toInt / 1000.0f
       }
       Some(DecodedMedia(
         media_id = item.media_id,
         kind = item.kind,
-        width = if (item.kind == "audio") 0 else 64 + (mix(100) % 512).toInt.abs,
-        height = if (item.kind == "audio") 0 else 64 + (mix(101) % 512).toInt.abs,
-        duration_ms = if (item.kind == "image") 0L else 1000L + (mix(102) % 60000L).abs,
-        channels = 1 + (mix(103) % 4).toInt.abs,
+        width = if (item.kind == "audio") 0 else (64 + h(0) % 512).toInt,
+        height = if (item.kind == "audio") 0 else (64 + h(6) % 512).toInt,
+        duration_ms = if (item.kind == "image") 0L else 1000L + h(12) % 60000L,
+        channels = (1 + h(18) % 4).toInt,
         feature = feature))
     }
   }

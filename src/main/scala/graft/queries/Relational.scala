@@ -914,6 +914,143 @@ object Relational {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Correlated EXISTS + NOT EXISTS in one predicate, through spark.sql:
+      // Catalyst decorrelates them into a left-semi and a left-anti join on
+      // the same fact table — the quantified-subquery counterpart to the
+      // explicit joins of q11/q12.
+      "q34_exists",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.orders.createOrReplaceTempView("orders_q34")
+        t.lineitem.createOrReplaceTempView("lineitem_q34")
+        s.sql("""
+          SELECT o_orderpriority, count(*) AS n_orders,
+                 round(sum(o_totalprice), 2) AS sum_price
+          FROM orders_q34
+          WHERE EXISTS (SELECT 1 FROM lineitem_q34
+                        WHERE l_orderkey = o_orderkey
+                          AND l_returnflag = 'R' AND l_extendedprice > 40000)
+            AND NOT EXISTS (SELECT 1 FROM lineitem_q34
+                            WHERE l_orderkey = o_orderkey AND l_quantity < 3)
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority""")
+      },
+      Some("""
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_returnflag = 'R' AND l_extendedprice > 40000)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_orderkey = o_orderkey AND l_quantity < 3)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Correlated LATERAL subquery with ORDER BY + LIMIT: top-2 orders
+      // per customer. Catalyst decorrelates the lateral into a ranked
+      // window join — the per-key top-k shape without a self-join.
+      "q35_lateral",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.customer.createOrReplaceTempView("customer_q35")
+        t.orders.createOrReplaceTempView("orders_q35")
+        s.sql("""
+          SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          FROM customer_q35 c
+          JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders_q35 o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+          ) t
+          WHERE c.c_custkey <= 80
+          ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""")
+      },
+      Some("""
+        |SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 2
+        |) t
+        |WHERE c.c_custkey <= 80
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Unpivot/melt: wide per-status aggregates to long (status, metric,
+      // value) rows via Dataset.unpivot — the Expand-based inverse of
+      // q25's pivot. All metrics cast to double so the value column is
+      // one type; the oracle writes the melt as UNION ALL.
+      "q36_unpivot",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val wide = t.orders
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(round(sum(col("o_totalprice")), 2).as("total_price"),
+            round(avg(col("o_totalprice")), 4).as("avg_price"),
+            count(lit(1)).cast("double").as("n_orders"))
+        wide.unpivot(
+            Array(col("status")),
+            Array(col("total_price"), col("avg_price"), col("n_orders")),
+            "metric", "value")
+          .orderBy(col("status"), col("metric"))
+      },
+      Some("""
+        |WITH wide AS (
+        |  SELECT o_orderstatus AS status,
+        |         round(sum(o_totalprice), 2)      AS total_price,
+        |         round(avg(o_totalprice), 4)      AS avg_price,
+        |         CAST(count(*) AS DOUBLE)         AS n_orders
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT status, metric, value FROM (
+        |  SELECT status, 'total_price' AS metric, total_price AS value FROM wide
+        |  UNION ALL
+        |  SELECT status, 'avg_price', avg_price FROM wide
+        |  UNION ALL
+        |  SELECT status, 'n_orders', n_orders FROM wide
+        |)
+        |ORDER BY status, metric
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Bloom-filter runtime join pruning: lineitem rows are pre-filtered
+      // by a broadcast Bloom sketch of the selective order keys before the
+      // exact semi join (graft.ops.RuntimeFilter) — the manual form of
+      // Spark's runtime bloom filter / DPP. Exactness is restored by the
+      // semi join, so the plain-join SQL is a valid oracle.
+      "q37_bloom_join",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val hot = t.orders.filter(col("o_totalprice") > 450000)
+          .select(col("o_orderkey"))
+        graft.ops.RuntimeFilter.bloomSemiJoin(
+            t.lineitem, hot, "l_orderkey", "o_orderkey",
+            expectedItems = 100000L, fpp = 0.01)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice")), 2).as("sum_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        |SELECT l_returnflag, count(*) AS n,
+        |       round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l_orderkey AND o_totalprice > 450000)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Sketch-based aggregates — the cardinality/quantile forms that
       // replace exact DISTINCT/percentile at extreme scale (HLL++ register
       // merge is commutative, so results are partition-order independent).

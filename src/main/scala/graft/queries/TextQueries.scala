@@ -517,9 +517,9 @@ object TextQueries {
       // as opaque media payloads, run the pluggable decoder partition-
       // parallel (mapPartitions — payload bytes never shuffle), emit typed
       // metadata + a feature component. The decoder is the deterministic
-      // stub (no codecs in this container); its JVM hash math is not
-      // SQL-expressible, so the driver records the rows-only check, and
-      // MultimodalSpec pins exact decoded values.
+      // sha256-window stub (no codecs in this container), so the oracle
+      // replays the identical digest arithmetic in SQL and checks the
+      // whole mapPartitions path end-to-end.
       "m02_media_decode",
       (s, dir) => {
         import s.implicits._
@@ -535,17 +535,46 @@ object TextQueries {
           .toDF()
           .select(col("media_id"), col("kind"), col("width"), col("height"),
             col("duration_ms"), col("channels"),
-            round(element_at(col("feature"), 1).cast("double"), 3).as("f0"))
+            round(element_at(col("feature"), 1).cast("double"), 6).as("f0"),
+            round(element_at(col("feature"), 16).cast("double"), 6).as("f15"))
           .orderBy(col("media_id"))
       },
-      None),
+      Some("""
+        |WITH med AS (
+        |  SELECT doc_id AS media_id,
+        |         CASE CAST(doc_id % 3 AS INTEGER)
+        |              WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |              ELSE 'video' END AS kind,
+        |         sha256(text) AS hx
+        |  FROM documents
+        |  WHERE octet_length(CAST(text AS BLOB)) > 0
+        |)
+        |SELECT media_id, kind,
+        |       CASE WHEN kind = 'audio' THEN 0
+        |            ELSE 64 + CAST(concat('0x', substr(hx, 1, 6)) AS BIGINT) % 512
+        |            END AS width,
+        |       CASE WHEN kind = 'audio' THEN 0
+        |            ELSE 64 + CAST(concat('0x', substr(hx, 7, 6)) AS BIGINT) % 512
+        |            END AS height,
+        |       CASE WHEN kind = 'image' THEN 0
+        |            ELSE 1000 + CAST(concat('0x', substr(hx, 13, 6)) AS BIGINT) % 60000
+        |            END AS duration_ms,
+        |       1 + CAST(concat('0x', substr(hx, 19, 6)) AS BIGINT) % 4 AS channels,
+        |       round(CAST(CAST(concat('0x', substr(hx, 25, 6)) AS BIGINT) % 1000
+        |             AS DOUBLE) / 1000.0, 6) AS f0,
+        |       round(CAST(CAST(concat('0x', substr(hx, 55, 6)) AS BIGINT) % 1000
+        |             AS DOUBLE) / 1000.0, 6) AS f15
+        |FROM med
+        |ORDER BY media_id
+        |""".stripMargin.trim)),
 
     QueryDef(
       // End-to-end corpus dedup: MinHash near-dup pairs -> connected-
-      // component canonicalization (iterative min-label propagation) ->
-      // keep each cluster's min-id doc. The loop is driver-coordinated
-      // Spark jobs, not SQL, so the driver records the rows-only check;
-      // OpsSpec pins the canonicalize semantics exactly.
+      // component canonicalization (union-find / iterative min-label
+      // propagation) -> keep each cluster's min-id doc. The oracle replays
+      // the d02 pair pipeline, then resolves components with a recursive
+      // transitive-closure CTE (fine at oracle scale; the Spark side is
+      // what scales) and anti-joins the losers.
       "d05_dedup_corpus",
       (s, dir) => {
         val t = Tables(s, dir)
@@ -555,7 +584,71 @@ object TextQueries {
           .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"))
           .orderBy(col("source"))
       },
-      None),
+      Some("""
+        |WITH RECURSIVE
+        |tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) >= 3
+        |              THEN list_distinct(list_transform(range(len(toks) - 2),
+        |                     i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+        |              ELSE [] END AS shingles
+        |  FROM tok
+        |),
+        |ex AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT)  AS h1,
+        |         CAST(concat('0x', substr(md5(s), 13, 12)) AS BIGINT) AS h2
+        |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0)
+        |),
+        |hashed AS (
+        |  SELECT doc_id, j, min((h1 + j * h2) % 2147483647) AS sigv
+        |  FROM ex, range(32) t(j)
+        |  GROUP BY doc_id, j
+        |),
+        |sigs AS (SELECT doc_id, list(sigv ORDER BY j) AS sig FROM hashed GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS key
+        |  FROM sigs, range(8) t(b)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+        |),
+        |hsets AS (SELECT doc_id, list(h1) AS hs FROM ex GROUP BY doc_id),
+        |verified AS (
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM cand c
+        |  JOIN hsets sa ON sa.doc_id = c.doc_a
+        |  JOIN hsets sb ON sb.doc_id = c.doc_b
+        |  WHERE len(list_intersect(sa.hs, sb.hs)) * 1.0
+        |        / len(list_distinct(sa.hs || sb.hs)) >= 0.5
+        |),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM verified
+        |  UNION
+        |  SELECT doc_b AS src, doc_a AS dst FROM verified
+        |),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |),
+        |labels AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS keeper_id
+        |  FROM reach GROUP BY src
+        |),
+        |losers AS (SELECT doc_id FROM labels WHERE keeper_id < doc_id)
+        |SELECT source, count(*) AS n_kept, min(doc_id) AS min_id
+        |FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        |GROUP BY source
+        |ORDER BY source
+        |""".stripMargin.trim)),
 
     QueryDef(
       "m03_frame_sample",
@@ -565,7 +658,8 @@ object TextQueries {
         // Sample 4 "frames" (payload slices) per video-kind document —
         // the explode-to-(media_id, frame_idx, payload) plumbing a real
         // frame decoder would feed. Output metadata only; frame bytes
-        // never aggregate.
+        // never aggregate. The slice offsets are pure integer arithmetic
+        // on the payload byte length, so the oracle reproduces them.
         val media = t.documents
           .filter(col("doc_id") % 3 === 2) // the "video" kind of m02
           .select(col("doc_id").as("media_id"), lit("video").as("kind"),
@@ -576,7 +670,18 @@ object TextQueries {
             length(col("frame_payload")).as("frame_bytes"))
           .orderBy(col("media_id"), col("frame_idx"))
       },
-      None),
+      Some("""
+        |WITH vids AS (
+        |  SELECT doc_id AS media_id, octet_length(CAST(text AS BLOB)) AS len
+        |  FROM documents WHERE doc_id % 3 = 2
+        |)
+        |SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+        |       least((len * i) // 4 + greatest(len // 4, 1), len)
+        |         - (len * i) // 4 AS frame_bytes
+        |FROM vids, range(4) t(i)
+        |WHERE len > 0
+        |ORDER BY media_id, frame_idx
+        |""".stripMargin.trim)),
 
     QueryDef(
       // Edit-distance verification tier: exact Levenshtein over the

@@ -328,6 +328,95 @@ object VectorQueries {
         |       CAST(list_sum(qv) AS BIGINT) AS sum_q
         |FROM q
         |ORDER BY vec_id
-        |""".stripMargin.trim))
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // The IVF machinery end-to-end against an exact oracle: with
+      // nprobe == numCells every cell is scanned, so the routed search
+      // must equal brute force bit-for-bit (same rounding, same
+      // (sim desc, vec_id) tie-break). v09 keeps the nprobe<cells scale
+      // path; this pins the index's correctness through the driver gate.
+      "v11_ivf_exact",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val emb = t.embeddings
+        val probes = emb.orderBy(col("vec_id")).limit(20)
+        val idx = graft.ops.Ivf.build(emb, "vec_id", "embedding",
+          numCells = 16, iterations = 1)
+        graft.ops.Ivf.search(idx, probes, "vec_id", "embedding", k = 5, nprobe = 16)
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some("""
+        |WITH probes AS (
+        |  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 20
+        |),
+        |sims AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                      CAST(q.embedding AS DOUBLE[])), 6) AS sim
+        |  FROM embeddings e, probes q
+        |  WHERE e.vec_id <> q.vec_id
+        |),
+        |ranked AS (
+        |  SELECT query_id, vec_id, sim,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, vec_id) AS rnk
+        |  FROM sims
+        |)
+        |SELECT query_id, rnk, vec_id, sim
+        |FROM ranked WHERE rnk <= 5
+        |ORDER BY query_id, rnk
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // n-d shape parity (Record.shape, proto/sum.proto:51-56): the 64-dim
+      // embedding viewed as a row-major 8x8 matrix. Scalar chains are
+      // explicit left-associative float64 adds in index order on BOTH
+      // engines, so every value is bit-identical before the rounding.
+      "v12_ndshape",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val shape = Seq(8, 8)
+        def d(c: org.apache.spark.sql.Column) = c.cast("double")
+        val data = col("embedding")
+        val trace = (0 until 8)
+          .map(i => d(graft.functions.vector.ndGet(data, shape, Seq(i, i))))
+          .reduce(_ + _)
+        val row3 = (0 until 8)
+          .map(j => d(graft.functions.vector.ndGet(data, shape, Seq(3, j))))
+          .reduce(_ + _)
+        val col5 = (0 until 8)
+          .map(i => d(graft.functions.vector.ndGet(data, shape, Seq(i, 5))))
+          .reduce(_ + _)
+        t.embeddings.select(col("vec_id"),
+          round(trace, 6).as("trace"),
+          round(row3, 6).as("row3_sum"),
+          round(col5, 6).as("col5_sum"),
+          round(d(graft.functions.vector.ndGet(data, shape, Seq(2, 3))), 6)
+            .as("elem_2_3"),
+          round(graft.functions.vector.magnitude(
+            graft.functions.vector.matrixRow(data, 8, 0)), 6).as("row0_mag"),
+          size(graft.functions.vector.reshapeRows(data, 8, 8)).as("n_rows"))
+          .orderBy(col("vec_id"))
+      },
+      Some({
+        def e(pos: Int) = s"CAST(embedding[$pos] AS DOUBLE)"
+        val trace = (0 until 8).map(i => e(i * 8 + i + 1)).mkString(" + ")
+        val row3 = (0 until 8).map(j => e(3 * 8 + j + 1)).mkString(" + ")
+        val col5 = (0 until 8).map(i => e(i * 8 + 5 + 1)).mkString(" + ")
+        s"""
+        |SELECT vec_id,
+        |       round($trace, 6) AS trace,
+        |       round($row3, 6) AS row3_sum,
+        |       round($col5, 6) AS col5_sum,
+        |       round(${e(2 * 8 + 3 + 1)}, 6) AS elem_2_3,
+        |       round(sqrt(list_dot_product(CAST(embedding[1:8] AS DOUBLE[]),
+        |                                   CAST(embedding[1:8] AS DOUBLE[]))), 6)
+        |         AS row0_mag,
+        |       8 AS n_rows
+        |FROM embeddings
+        |ORDER BY vec_id
+        |""".stripMargin.trim
+      }))
   )
 }

@@ -13,12 +13,12 @@ class QueriesSpec extends SparkSpec {
 
   /** Queries whose math is deliberately not SQL-expressible — the driver
     * records its weaker rows-only check for these; their exact semantics
-    * are pinned by dedicated specs instead (IvfSpec recall==brute-force,
-    * MultimodalSpec decoded values).
+    * are pinned by dedicated specs instead (IvfSpec recall==brute-force
+    * for v09's nprobe<cells path — v11 pins the full-probe path through
+    * the oracle; q08/q22 pin a01's exact counterparts).
     */
   private val rowsOnlyExempt =
-    Set("v09_ivf_topk", "m02_media_decode", "m03_frame_sample",
-      "d05_dedup_corpus", "a01_approx_stats")
+    Set("v09_ivf_topk", "a01_approx_stats")
 
   test("every query has matching oracle coverage or is explicitly exempt") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --
