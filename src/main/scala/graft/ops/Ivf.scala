@@ -68,6 +68,26 @@ object Ivf {
       .select(col("cell"),
         transform(col("pm"), p => p.getField("m").cast("float")).as("centroid"))
 
+  /** Memoized [[build]]: one persisted index per (session, corpus plan,
+    * parameters) — an ANN index is built once and serves many queries, so
+    * every search surface (v09's pruned probe, v11's full probe, the
+    * serving bench) shares the same clustered cache instead of
+    * re-clustering per query. Weak-keyed on the session (like
+    * [[graft.queries.Tables]]) so stopped sessions free their indexes.
+    */
+  def buildCached(df: DataFrame, idCol: String, vecCol: String,
+      numCells: Int, iterations: Int = 2): IvfIndex = {
+    val perSession = cache.computeIfAbsent(df.sparkSession,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]())
+    val key = s"${df.queryExecution.logical.semanticHash()}/$idCol/$vecCol/" +
+      s"$numCells/$iterations"
+    perSession.computeIfAbsent(key, _ => build(df, idCol, vecCol, numCells, iterations))
+  }
+
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, IvfIndex]]())
+
   /** Build an IVF index over `df(idCol, vecCol)`. */
   def build(df: DataFrame, idCol: String, vecCol: String,
       numCells: Int, iterations: Int = 2): IvfIndex = {

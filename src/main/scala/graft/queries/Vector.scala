@@ -278,7 +278,7 @@ object VectorQueries {
         val t = Tables(s, dir)
         val emb = t.embeddings
         val probes = emb.orderBy(col("vec_id")).limit(20)
-        val idx = graft.ops.Ivf.build(emb, "vec_id", "embedding",
+        val idx = graft.ops.Ivf.buildCached(emb, "vec_id", "embedding",
           numCells = 16, iterations = 1)
         graft.ops.Ivf.search(idx, probes, "vec_id", "embedding", k = 5, nprobe = 4)
           .orderBy(col("query_id"), col("rnk"))
@@ -341,7 +341,7 @@ object VectorQueries {
         val t = Tables(s, dir)
         val emb = t.embeddings
         val probes = emb.orderBy(col("vec_id")).limit(20)
-        val idx = graft.ops.Ivf.build(emb, "vec_id", "embedding",
+        val idx = graft.ops.Ivf.buildCached(emb, "vec_id", "embedding",
           numCells = 16, iterations = 1)
         graft.ops.Ivf.search(idx, probes, "vec_id", "embedding", k = 5, nprobe = 16)
           .orderBy(col("query_id"), col("rnk"))

@@ -140,6 +140,31 @@ object EventStreams {
       }
   }
 
+  /** Sliding-window rates: overlapping `width` windows advancing every
+    * `slide`, per event type. Each event lands in width/slide windows (the
+    * Expand that Spark plans for sliding windows), then partial+final
+    * aggregation as usual; the watermark closes windows whose end has
+    * passed. The smoothed-rate counterpart of [[hourlyStats]].
+    */
+  def slidingStats(events: DataFrame, width: String = "1 hour",
+      slide: String = "15 minutes", lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("event_time", lateness)
+      .groupBy(window(col("event_time"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension DataFrame (re-read per micro-batch, broadcast when small).
+    * No watermark is needed on the static side and no join state
+    * accumulates — this is the bread-and-butter enrich shape for
+    * dimension data at any stream volume.
+    */
+  def enrichWithDimension(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+
   /** Stream-stream interval join: each purchase attributed to the same
     * user's signup within the preceding `window`. Both sides carry
     * watermarks, so the join state for expired intervals is dropped — the

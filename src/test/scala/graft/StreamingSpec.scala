@@ -115,6 +115,47 @@ class StreamingSpec extends SparkSpec {
     assert(got === Seq(1L, 2L))
   }
 
+  test("slidingStats overlapping windows count each event width/slide times") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq((ts(5), "click", 1.0), (ts(35), "click", 2.0))
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    stream.addData(rows: _*)
+    val in = stream.toDF.toDF("event_time", "event_type", "value")
+    val q = EventStreams.slidingStats(in, width = "30 minutes", slide = "15 minutes")
+      .writeStream.format("memory").queryName("sliding_out")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("sliding_out")
+      .orderBy("window_start").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(2), r.getDouble(3))).toSeq
+    val batch = EventStreams.slidingStats(
+        rows.toDF("event_time", "event_type", "value"),
+        width = "30 minutes", slide = "15 minutes")
+      .orderBy("window_start").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(2), r.getDouble(3))).toSeq
+    assert(streamed === batch)
+    // 30m/15m windows: each event appears in exactly 2 windows.
+    assert(streamed.map(_._2).sum === rows.length * 2L)
+  }
+
+  test("enrichWithDimension joins the stream to a static broadcast dim") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("click", "interaction"), ("view", "impression"))
+      .toDF("dim_type", "category")
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val in = stream.toDF.toDF("event_time", "event_type", "value")
+    val q = EventStreams.enrichWithDimension(in, dim, "event_type", "dim_type")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    stream.addData((ts(0), "click", 1.0), (ts(1), "scroll", 2.0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("enrich_out")
+      .select("event_type", "category").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toMap
+    assert(out === Map("click" -> Some("interaction"), "scroll" -> None))
+  }
+
   test("foreachBatch parquet sink lands append-mode results in the lake layout") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-sink")
