@@ -155,6 +155,34 @@ object Dedup {
     minhashBandPairs(sh, threshold, numHashes, bands)
   }
 
+  /** Memoized [[nearDuplicatesMinhash]]: the LSH candidate pipeline is the
+    * shared front of every verification tier — pair listing, corpus
+    * canonicalization ([[dedupCorpus]]), edit-distance verify — so the
+    * verified pair relation is computed and PERSISTED once per (session,
+    * corpus plan, parameters) and every tier reads the same materialized
+    * set. Weak-keyed on the session like [[graft.queries.Tables]].
+    */
+  def nearDuplicatesMinhashCached(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleN: Int = 3): DataFrame = {
+    val perSession = pairCache.computeIfAbsent(docs.sparkSession,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    val key = s"${docs.queryExecution.logical.semanticHash()}/$idCol/$textCol/" +
+      s"$threshold/$numHashes/$bands/$shingleN"
+    perSession.computeIfAbsent(key, _ =>
+      nearDuplicatesMinhash(docs, idCol, textCol, threshold, numHashes, bands,
+        shingleN).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  private val pairCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+
   /** Near-duplicate pairs by CHARACTER n-gram Jaccard, same MinHash+LSH
     * machinery as [[nearDuplicatesMinhash]] over [[charShingles]]. The
     * finer shingles catch near-dups that word shingling misses (small
@@ -367,7 +395,7 @@ object Dedup {
   def dedupCorpus(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8): DataFrame = {
-    val pairs = nearDuplicatesMinhash(docs, idCol, textCol, threshold)
+    val pairs = nearDuplicatesMinhashCached(docs, idCol, textCol, threshold)
     val losers = canonicalize(pairs)
       .filter(col("doc_id") =!= col("keeper_id"))
       .select(col("doc_id").as(idCol))

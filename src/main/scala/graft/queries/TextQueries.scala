@@ -46,7 +46,7 @@ object TextQueries {
       "d02_minhash_pairs",
       (s, dir) => {
         val t = Tables(s, dir)
-        Dedup.nearDuplicatesMinhash(t.documents, "doc_id", "text",
+        Dedup.nearDuplicatesMinhashCached(t.documents, "doc_id", "text",
             threshold = 0.5, numHashes = 32, bands = 8, shingleN = 3)
           .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy(col("doc_a"), col("doc_b"))
@@ -692,7 +692,7 @@ object TextQueries {
       (s, dir) => {
         val t = Tables(s, dir)
         val docs = t.documents
-        val pairs = Dedup.nearDuplicatesMinhash(docs, "doc_id", "text",
+        val pairs = Dedup.nearDuplicatesMinhashCached(docs, "doc_id", "text",
           threshold = 0.5, numHashes = 32, bands = 8, shingleN = 3)
         pairs
           .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
