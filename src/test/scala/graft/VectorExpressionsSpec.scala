@@ -88,4 +88,23 @@ class VectorExpressionsSpec extends SparkSpec {
       .collect().head.getSeq[Long](0)
     assert(sig === Seq(5L, 16L, 27L))
   }
+
+  test("nd-shape access: ndGet/matrixRow/reshapeRows over a row-major 2x3") {
+    // data = [[10, 11, 12], [20, 21, 22]] flattened row-major
+    val df = Seq((1L, Seq(10f, 11f, 12f, 20f, 21f, 22f))).toDF("id", "data")
+    assert(ndOffset(Seq(2, 3), Seq(1, 2)) === 5)
+    val row = df.select(
+      ndGet($"data", Seq(2, 3), Seq(0, 1)).as("e01"),
+      ndGet($"data", Seq(2, 3), Seq(1, 2)).as("e12"),
+      matrixRow($"data", 3, 1).as("r1"),
+      org.apache.spark.sql.functions.size(reshapeRows($"data", 2, 3)).as("nr"),
+      org.apache.spark.sql.functions.element_at(
+        reshapeRows($"data", 2, 3), 2).as("row2")).collect().head
+    assert(row.getFloat(0) === 11f && row.getFloat(1) === 22f)
+    assert(row.getSeq[Float](2) === Seq(20f, 21f, 22f))
+    assert(row.getInt(3) === 2)
+    assert(row.getSeq[Float](4) === Seq(20f, 21f, 22f))
+    intercept[IllegalArgumentException] { ndOffset(Seq(2, 3), Seq(2, 0)) }
+    intercept[IllegalArgumentException] { ndOffset(Seq(2, 3), Seq(0)) }
+  }
 }
