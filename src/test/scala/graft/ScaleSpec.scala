@@ -100,6 +100,28 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("bloomSemiJoin prunes probe rows before the join and stays exact") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select($"l_orderkey", $"l_quantity")
+    val hot = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .filter($"o_totalprice" > 400000).select($"o_orderkey")
+    val exact = li.join(hot, $"l_orderkey" === $"o_orderkey", "left_semi")
+      .agg(count(lit(1)), sum($"l_quantity")).collect().head
+    val bloomed = graft.ops.RuntimeFilter.bloomSemiJoin(
+      li, hot, "l_orderkey", "o_orderkey", expectedItems = 1000L, fpp = 0.01)
+    val got = bloomed.agg(count(lit(1)), sum($"l_quantity")).collect().head
+    assert(got === exact)
+    // The Bloom UDF filter sits on the probe side BELOW the semi join —
+    // pushed all the way into the scan's DataFilters (string-matched: AQE
+    // wraps the tree, hiding join nodes from collect()).
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"no semi join in plan:\n$plan")
+    val probeScan = plan.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("lineitem.parquet"))
+    assert(probeScan.exists(_.contains("UDF")),
+      s"Bloom filter not pushed into the probe-side scan:\n$plan")
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
