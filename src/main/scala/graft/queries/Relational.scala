@@ -1051,6 +1051,39 @@ object Relational {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Adaptive (hot-key-only) salting at the query surface. The uniform
+      // testdata has no hot keys, so the query plants one pathological key
+      // deterministically (50 user ids collapse onto key 0 — a ~50x-average
+      // key, the web/event-data shape): the frequency pass finds exactly
+      // that key, only its rows join salted, and the 1400+ cold keys join
+      // plain — no replication tax on them. Result-equal to the plain
+      // join, so the same SQL (with the same CASE) is the oracle.
+      "q38_adaptive_salt",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val ev = t.events.select(
+          when(col("user_id") < 50, 0L).otherwise(col("user_id")).as("uid"),
+          col("value"))
+        val dim = t.customer.select(col("c_custkey").as("uid"),
+          col("c_mktsegment"))
+        graft.ops.Skew.adaptiveSaltedJoin(ev, dim, "uid",
+            salts = 8, hotThreshold = 1000L)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""
+        |WITH ev AS (
+        |  SELECT CASE WHEN user_id < 50 THEN 0 ELSE user_id END AS uid, value
+        |  FROM events
+        |)
+        |SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM ev JOIN customer ON uid = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Sketch-based aggregates — the cardinality/quantile forms that
       // replace exact DISTINCT/percentile at extreme scale (HLL++ register
       // merge is commutative, so results are partition-order independent).
