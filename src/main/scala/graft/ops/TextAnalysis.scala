@@ -116,4 +116,34 @@ object TextAnalysis {
       lit(0L), (acc, x) => acc + x.cast("long"))
     size(toks).cast("long") + extra
   }
+
+  /** Positional k-gram hashes of a text column — the rolling-hash pass
+    * under winnowing fingerprints. One 60-bit md5-derived hash per
+    * character position (NOT distinct: winnowing needs positions).
+    * Project the result to an attribute before handing it to [[winnow]]:
+    * Catalyst substitutes non-attribute arguments into HOF lambdas, which
+    * would re-hash the whole text once per window element.
+    */
+  def kgramHashes(text: Column, k: Int): Column =
+    // Guarded like charShingles: sequence(0, negative) DESCENDS rather
+    // than being empty, so short texts must short-circuit explicitly.
+    when(length(text) >= k,
+      transform(sequence(lit(0), length(text) - k),
+        i => Dedup.hash60(0, text.substr(i + lit(1), lit(k)))))
+      .otherwise(array().cast("array<long>"))
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03): over the positional k-gram hashes, keep the minimum of
+    * each `w`-length sliding window, deduplicated. Any substring of
+    * length >= k + w - 1 shared by two documents is GUARANTEED to
+    * contribute a shared fingerprint — the local, position-robust
+    * document fingerprint that whole-doc hashing (d01) cannot give.
+    * Map-only per row; the fingerprint set (not the text) is what joins
+    * downstream.
+    */
+  def winnow(hs: Column, w: Int): Column =
+    when(size(hs) >= w,
+      array_distinct(transform(sequence(lit(0), size(hs) - w),
+        j => array_min(slice(hs, j + lit(1), lit(w))))))
+      .otherwise(array().cast("array<long>"))
 }

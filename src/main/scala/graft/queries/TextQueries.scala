@@ -684,6 +684,48 @@ object TextQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Winnowing document fingerprints (k=8 char grams, window w=4):
+      // rolling positional hashes -> window-min selection -> distinct
+      // fingerprint set per doc. Two-projection shape so the hash array
+      // is an attribute when the window lambdas slice it (HOF re-eval
+      // gotcha). The oracle replays the identical arithmetic with DuckDB
+      // list functions.
+      "t06_winnow_fingerprint",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val k = 8; val w = 4
+        graft.ops.Spread.ensure(t.documents)
+          .filter(length(col("text")) >= k + w - 1)
+          .select(col("doc_id"),
+            graft.ops.TextAnalysis.kgramHashes(col("text"), k).as("hs"))
+          .select(col("doc_id"),
+            graft.ops.TextAnalysis.winnow(col("hs"), w).as("fps"))
+          .select(col("doc_id"), size(col("fps")).as("n_fp"),
+            array_min(col("fps")).as("fp_min"), array_max(col("fps")).as("fp_max"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        |WITH hs AS (
+        |  SELECT doc_id,
+        |         list_transform(range(length(text) - 7),
+        |           i -> CAST(concat('0x', substr(md5('0:' ||
+        |                  substr(text, CAST(i + 1 AS INTEGER), 8)), 1, 15))
+        |                AS BIGINT)) AS hs
+        |  FROM documents WHERE length(text) >= 11
+        |),
+        |fp AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(len(hs) - 3),
+        |           j -> list_min(hs[j+1 : j+4]))) AS fps
+        |  FROM hs
+        |)
+        |SELECT doc_id, len(fps) AS n_fp,
+        |       list_min(fps) AS fp_min, list_max(fps) AS fp_max
+        |FROM fp
+        |ORDER BY doc_id
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Edit-distance verification tier: exact Levenshtein over the
       // MinHash candidate pairs (never all pairs — the LSH stage bounds
       // the O(len^2)-per-pair cost to actual near-duplicates). The oracle

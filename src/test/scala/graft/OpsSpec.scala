@@ -220,6 +220,34 @@ class OpsSpec extends SparkSpec {
     assert(out(1).getInt(1) === 0 && out(1).getInt(2) === 0 && out(1).getInt(3) === 0)
   }
 
+  test("winnowing: shared substring >= k+w-1 chars guarantees a shared fingerprint") {
+    val k = 8; val w = 4
+    val shared = "zebra quantum fingerprint"  // 25 chars >= k+w-1
+    val df = Seq(
+      (1L, s"alpha prefix text $shared"),
+      (2L, s"$shared completely different suffix here"),
+      (3L, "no overlap with the others at all in this document"))
+      .toDF("doc_id", "text")
+    val fps = df
+      .select($"doc_id", TextAnalysis.kgramHashes($"text", k).as("hs"))
+      .select($"doc_id", TextAnalysis.winnow($"hs", w).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared substring produced no shared fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty, "unrelated docs should not collide")
+    // selection shrinks the hash set but never invents values
+    val all1 = df.filter($"doc_id" === 1L)
+      .select(TextAnalysis.kgramHashes($"text", k).as("hs"))
+      .collect().head.getSeq[Long](0).toSet
+    assert(fps(1L).subsetOf(all1) && fps(1L).size < all1.size)
+  }
+
+  test("winnow of short texts is empty, not an error") {
+    val df = Seq((1L, "tiny")).toDF("doc_id", "text")
+    val out = df.select(TextAnalysis.winnow(
+      TextAnalysis.kgramHashes($"text", 8), 4).as("fps")).collect().head
+    assert(out.getSeq[Long](0).isEmpty)
+  }
+
   test("tokenEstimate adds BPE-ish surcharge for long words") {
     val df = Seq((1L, "a bb cccccccc")).toDF("id", "text")
     // tokens=3, "cccccccc" has len 8 -> (8-4)/4 = 1 extra
