@@ -48,6 +48,64 @@ object Sampling {
     df.filter(hashBucket(col(idCol), 10000) < (frac * 10000).cast("long"))
   }
 
+  /** Domain mixing with fractional epochs: each row is replicated
+    * `weights(stratum)` times in expectation — `floor(w)` guaranteed copies
+    * plus one more for the deterministic `frac(w)` fraction of rows (same
+    * md5 bucket as the samplers, so membership in the extra epoch is a pure
+    * function of the id). Rows explode into `(row, epoch)` pairs; a weight
+    * below 1 downsamples (some rows get zero copies and drop out). This is
+    * the upsample/downsample mix step of a training-data pipeline
+    * (e.g. "3 epochs of wiki, 0.25 of crawl") — map-side explode, no
+    * shuffle, output size = sum(w_s * |s|) by construction.
+    */
+  def epochMix(df: DataFrame, idCol: String, strataCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0): DataFrame = {
+    def perStratum(f: Double => Column): Column =
+      weights.foldLeft(f(defaultWeight)) { case (acc, (k, w)) =>
+        when(col(strataCol) === k, f(w)).otherwise(acc)
+      }
+    val base = perStratum(w => lit(math.floor(w).toLong))
+    val frac10k = perStratum(w => lit(math.round((w - math.floor(w)) * 10000)))
+    val reps = base +
+      when(hashBucket(col(idCol), 10000) < frac10k, 1L).otherwise(0L)
+    // sequence(1, 0) DESCENDS instead of being empty — zero-rep rows must
+    // be filtered out before the sequence is built.
+    df.withColumn("reps", reps)
+      .filter(col("reps") >= 1L)
+      .withColumn("epoch", explode(sequence(lit(1L), col("reps"))))
+      .drop("reps")
+  }
+
+  /** Deterministic global shuffle for training order: every row gets a
+    * dense position in [1, n] ordered by `md5(seed + id)` — reproducible on
+    * any engine, any partitioning. Computed scalably: rows are grouped into
+    * 4096 hash-prefix buckets whose counts (a tiny aggregate) turn into
+    * broadcast cumulative offsets, so the rank window only ever sorts
+    * WITHIN a bucket — no single-partition global window, which is what
+    * makes this survive a 10^9-row corpus. `shards` additionally deals the
+    * shuffled order round-robin into training shards.
+    */
+  def globalShuffle(df: DataFrame, idCol: String, seed: String,
+      shards: Int = 8): DataFrame = {
+    val keyed = df
+      .withColumn("skey", md5(concat(lit(seed + ":"), col(idCol).cast("string"))))
+      .withColumn("sbucket", substring(col("skey"), 1, 3))
+    // 4096 bucket counts: small enough that the offset window is driver-trivial.
+    val offsets = keyed.groupBy(col("sbucket")).count()
+      .withColumn("offset", coalesce(
+        sum(col("count")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("sbucket"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("sbucket"), col("offset"))
+    val inBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sbucket")).orderBy(col("skey"), col(idCol))
+    keyed.join(broadcast(offsets), "sbucket")
+      .withColumn("position", col("offset") + row_number().over(inBucket))
+      .withColumn("shard", pmod(col("position") - 1L, lit(shards.toLong)))
+      .drop("skey", "sbucket", "offset")
+  }
+
   /** Greedy sequence packing for training batches: documents are laid out
     * in deterministic `idCol` order within each `partCol` group and
     * assigned to the bin their running token offset falls into

@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Sampling, Spread, TextAnalysis}
+
+/** Training-data pipeline surfaces added in round 4: domain mixing with
+  * fractional epochs, deterministic global shuffle into training shards,
+  * C4-style heuristic quality filtering, and shared-substring dedup over
+  * winnowed fingerprints. All results are pure functions of document ids
+  * and text, so the DuckDB oracle reproduces them bit-for-bit.
+  */
+object MixQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      // Domain mixing: per-source epoch weights (floor(w) guaranteed copies
+      // + a deterministic hash fraction for the remainder). Map-side
+      // explode — output volume is sum(w_s * |s|) with no shuffle until
+      // the audit aggregation.
+      "s03_domain_mix",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Sampling.epochMix(t.documents, "doc_id", "source",
+            Map("src0" -> 0.25, "src1" -> 2.0, "src2" -> 1.5, "src3" -> 3.0))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            max(col("epoch")).as("max_epoch"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        |WITH wt AS (
+        |  SELECT doc_id, source,
+        |         CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 2
+        |                     WHEN 'src2' THEN 1 WHEN 'src3' THEN 3
+        |                     ELSE 1 END AS base,
+        |         CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 0
+        |                     WHEN 'src2' THEN 5000 WHEN 'src3' THEN 0
+        |                     ELSE 0 END AS frac10k,
+        |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |           % 10000 AS bucket
+        |  FROM documents
+        |),
+        |reps AS (
+        |  SELECT doc_id, source,
+        |         base + CASE WHEN bucket < frac10k THEN 1 ELSE 0 END AS reps
+        |  FROM wt
+        |),
+        |exploded AS (
+        |  SELECT doc_id, source, unnest(range(1, reps + 1)) AS epoch
+        |  FROM reps WHERE reps >= 1
+        |)
+        |SELECT source, count(*) AS n_rows,
+        |       count(DISTINCT doc_id)    AS n_docs,
+        |       CAST(max(epoch) AS BIGINT) AS max_epoch
+        |FROM exploded
+        |GROUP BY source
+        |ORDER BY source
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Deterministic global training-order shuffle: dense positions by
+      // md5(seed+id), computed via hash-prefix buckets + broadcast offsets
+      // so no window ever sees more than one bucket (survives 10^9 rows).
+      // The oracle states the same order as one naive ROW_NUMBER.
+      "s04_global_shuffle",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Sampling.globalShuffle(t.documents, "doc_id", "shuf42", shards = 8)
+          .select(col("position"), col("doc_id"), col("shard"))
+          .orderBy(col("position"))
+      },
+      Some("""
+        |SELECT row_number() OVER (ORDER BY md5('shuf42:' || doc_id), doc_id)
+        |         AS position,
+        |       doc_id,
+        |       (row_number() OVER (ORDER BY md5('shuf42:' || doc_id), doc_id) - 1)
+        |         % 8 AS shard
+        |FROM documents
+        |ORDER BY position
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // C4-style heuristic quality filter: word count, mean word length
+      // band, terminal punctuation, no code-ish braces. Map-only flags per
+      // document; the keep decision composes with dedup/sampling upstream
+      // of tokenization in a real pipeline.
+      "t07_c4_filter",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val text = col("text")
+        val toks = Dedup.tokens(text)
+        val nWords = size(toks)
+        val meanLen = length(concat_ws("", toks)).cast("double") /
+          nWords.cast("double")
+        val endsPunct = expr("right(rtrim(text), 1)").isin(".", "!", "?")
+        val hasBrace = text.contains("{") || text.contains("}")
+        val keep = (nWords >= 5) && (meanLen >= 3.0) && (meanLen <= 10.0) &&
+          endsPunct && !hasBrace
+        t.documents.select(col("doc_id"),
+            nWords.as("n_words"),
+            round(meanLen, 6).as("mean_word_len"),
+            endsPunct.cast("int").as("ends_punct"),
+            hasBrace.cast("int").as("has_brace"),
+            keep.cast("int").as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        |WITH base AS (
+        |  SELECT doc_id,
+        |         len(list_filter(string_split(text, ' '), x -> x <> ''))  AS n_words,
+        |         length(array_to_string(list_filter(string_split(text, ' '),
+        |            x -> x <> ''), ''))                                   AS tok_chars,
+        |         CASE WHEN right(rtrim(text), 1) IN ('.', '!', '?')
+        |              THEN 1 ELSE 0 END                                   AS ends_punct,
+        |         CASE WHEN contains(text, '{') OR contains(text, '}')
+        |              THEN 1 ELSE 0 END                                   AS has_brace
+        |  FROM documents
+        |),
+        |m AS (
+        |  SELECT doc_id, n_words,
+        |         CAST(tok_chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+        |         ends_punct, has_brace
+        |  FROM base
+        |)
+        |SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
+        |       ends_punct, has_brace,
+        |       CASE WHEN n_words >= 5 AND mean_word_len >= 3.0
+        |                 AND mean_word_len <= 10.0
+        |                 AND ends_punct = 1 AND has_brace = 0
+        |            THEN 1 ELSE 0 END AS keep
+        |FROM m
+        |ORDER BY doc_id
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Shared-substring near-dup pairs (MOSS-style): two docs pair when
+      // they share >= 5 winnowed fingerprints (k=8, w=4 — any shared
+      // substring of length >= 11 contributes one). Fingerprints seen in
+      // more than 20 docs are dropped first, exactly the common-boilerplate
+      // guard that bounds per-fingerprint join fan-out at corpus scale.
+      "d07_shared_fingerprints",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val k = 8; val w = 4; val maxDf = 20; val minShared = 5
+        val fps = Spread.ensure(t.documents)
+          .filter(length(col("text")) >= k + w - 1)
+          .select(col("doc_id"),
+            TextAnalysis.kgramHashes(col("text"), k).as("hs"))
+          .select(col("doc_id"),
+            explode(TextAnalysis.winnow(col("hs"), w)).as("fp"))
+        val rare = fps.groupBy(col("fp"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf)
+          .select(col("fp"))
+        val filtered = fps.join(rare, "fp")
+        filtered.select(col("fp"), col("doc_id").as("doc_a"))
+          .join(filtered.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= minShared)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""
+        |WITH hs AS (
+        |  SELECT doc_id,
+        |         list_transform(range(length(text) - 7),
+        |           i -> CAST(concat('0x', substr(md5('0:' ||
+        |                  substr(text, CAST(i + 1 AS INTEGER), 8)), 1, 15))
+        |                AS BIGINT)) AS hs
+        |  FROM documents WHERE length(text) >= 11
+        |),
+        |fp AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(len(hs) - 3),
+        |           j -> list_min(hs[j+1 : j+4]))) AS fps
+        |  FROM hs
+        |),
+        |ex AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+        |rare AS (SELECT fp FROM ex GROUP BY fp HAVING count(*) <= 20),
+        |fe AS (SELECT e.doc_id, e.fp FROM ex e JOIN rare r USING (fp)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |  FROM fe a JOIN fe b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, n_shared
+        |FROM pairs WHERE n_shared >= 5
+        |ORDER BY doc_a, doc_b
+        |""".stripMargin.trim))
+  )
+}

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series and distribution surfaces added in round 4: dense-grid
+  * gap-filling with forward fill (generator + IGNORE NULLS window) and a
+  * fixed-width histogram with cumulative distribution (bucketed aggregate +
+  * window-over-aggregate). Integer event-time math (nanos) keeps both
+  * engines exact.
+  */
+object SeriesQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      // Gap-fill/resample: hourly event counts per type over the FULL dense
+      // hour grid (missing hours materialized at 0), plus a forward-filled
+      // "last observed count". The grid is a generator over the min..max
+      // hour bound — one tiny aggregate row exploded, never a driver loop —
+      // and the fill is last(ignoreNulls) over an hour-ordered window
+      // partitioned by type, so state per partition is one value.
+      "q39_gapfill",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val ev = t.events.withColumn("hour", expr("ts div 3600000000000"))
+        val perHour = ev.groupBy(col("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_raw"))
+        val grid = ev.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"))).as("hour"))
+          .crossJoin(ev.select(col("event_type")).distinct())
+        val byType = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+        grid.join(perHour, Seq("hour", "event_type"), "left")
+          .withColumn("n", coalesce(col("n_raw"), lit(0L)))
+          .withColumn("n_filled",
+            coalesce(last(col("n_raw"), ignoreNulls = true).over(byType), lit(0L)))
+          .select((col("hour") * 3600).as("hour_epoch_s"), col("event_type"),
+            col("n"), col("n_filled"))
+          .orderBy(col("hour_epoch_s"), col("event_type"))
+      },
+      Some("""
+        |WITH ev AS (
+        |  SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour, event_type
+        |  FROM events
+        |),
+        |per AS (SELECT hour, event_type, count(*) AS n_raw FROM ev GROUP BY 1, 2),
+        |bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM ev),
+        |grid AS (
+        |  SELECT g.hour, ty.event_type
+        |  FROM (SELECT unnest(range(lo, hi + 1)) AS hour FROM bounds) g
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM ev) ty
+        |),
+        |j AS (
+        |  SELECT g.hour, g.event_type, p.n_raw
+        |  FROM grid g LEFT JOIN per p USING (hour, event_type)
+        |)
+        |SELECT hour * 3600 AS hour_epoch_s, event_type,
+        |       coalesce(n_raw, 0) AS n,
+        |       coalesce(last_value(n_raw IGNORE NULLS) OVER (
+        |         PARTITION BY event_type ORDER BY hour
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS n_filled
+        |FROM j
+        |ORDER BY hour_epoch_s, event_type
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Fixed-width histogram of order prices with cumulative counts: the
+      // bucketed aggregate plus a window over the (tiny) aggregate output.
+      // floor((x)/width) is the same IEEE arithmetic on both engines.
+      "q40_histogram",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val binW = 20000.0
+        val hist = t.orders
+          .withColumn("bin", floor(col("o_totalprice") / binW).cast("long"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"),
+            round(min(col("o_totalprice")), 2).as("min_price"),
+            round(max(col("o_totalprice")), 2).as("max_price"))
+        hist
+          .withColumn("cum_n",
+            sum(col("n")).over(Window.orderBy(col("bin"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("bin"), (col("bin") * binW).as("bin_lo"), col("n"),
+            col("cum_n"), col("min_price"), col("max_price"))
+          .orderBy(col("bin"))
+      },
+      Some("""
+        |WITH hist AS (
+        |  SELECT CAST(floor(o_totalprice / 20000.0) AS BIGINT) AS bin,
+        |         count(*) AS n,
+        |         round(min(o_totalprice), 2) AS min_price,
+        |         round(max(o_totalprice), 2) AS max_price
+        |  FROM orders
+        |  GROUP BY 1
+        |)
+        |SELECT bin, CAST(bin * 20000.0 AS DOUBLE) AS bin_lo, n,
+        |       CAST(sum(n) OVER (ORDER BY bin
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+        |       min_price, max_price
+        |FROM hist
+        |ORDER BY bin
+        |""".stripMargin.trim))
+  )
+}

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Source/sink breadth: CSV and JSON-lines round-trips and a
+  * date-partitioned parquet sink read back with a partition-pruned scan.
+  * Each query writes under `target/graft-io/<name>_<dirhash>` (inside the
+  * repo; overwritten per run), reads the files back with an explicit
+  * schema — never inference, which would cost an extra full pass at scale —
+  * and aggregates; the oracle aggregates the original parquet directly, so
+  * a hash match proves the round-trip was lossless.
+  */
+object SourceQueries {
+
+  private def ioDir(name: String, dir: String): String =
+    s"/root/repo/target/graft-io/${name}_${math.abs(dir.hashCode)}"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      // CSV sink + source: orders projected to csv-safe types (dates as
+      // ISO strings), written with header, read back with an explicit
+      // schema, aggregated.
+      "io01_csv_roundtrip",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val out = ioDir("io01", dir)
+        t.orders.select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"),
+            col("o_orderdate").cast("date").cast("string").as("o_orderdate"))
+          .write.mode("overwrite").option("header", "true").csv(out)
+        s.read.option("header", "true")
+          .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_orderdate STRING")
+          .csv(out)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_custkey")).as("sum_cust"),
+            min(col("o_orderdate")).as("min_date"),
+            max(col("o_orderdate")).as("max_date"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""
+        |SELECT o_orderstatus, count(*) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       min(strftime(o_orderdate, '%Y-%m-%d')) AS min_date,
+        |       max(strftime(o_orderdate, '%Y-%m-%d')) AS max_date
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // JSON-lines sink + source: customer written as JSONL, read back with
+      // an explicit schema (doubles round-trip exactly through Spark's JSON
+      // writer), aggregated per segment.
+      "io02_json_roundtrip",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val out = ioDir("io02", dir)
+        t.customer.select(col("c_custkey"), col("c_nationkey"),
+            col("c_acctbal"), col("c_mktsegment"))
+          .write.mode("overwrite").json(out)
+        s.read
+          .schema("c_custkey BIGINT, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING")
+          .json(out)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("c_acctbal")), 2).as("sum_bal"),
+            min(col("c_custkey")).as("min_cust"),
+            max(col("c_nationkey")).cast("int").as("max_nation"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""
+        |SELECT c_mktsegment, count(*) AS n,
+        |       round(sum(c_acctbal), 2) AS sum_bal,
+        |       min(c_custkey) AS min_cust,
+        |       CAST(max(c_nationkey) AS INTEGER) AS max_nation
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Partitioned lake sink: events written partitionBy(day), read back
+      // with a day predicate that prunes partition DIRECTORIES at listing
+      // time — the layout that turns a 100 TB scan into a per-day one.
+      // IoSpec asserts the pruned read touches only matching partitions.
+      "io03_partitioned_sink",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val out = ioDir("io03", dir)
+        t.events
+          .select(expr("ts div 86400000000000").as("day"),
+            col("event_type"), col("value"))
+          .write.mode("overwrite").partitionBy("day").parquet(out)
+        s.read.parquet(out)
+          .filter(pmod(col("day"), lit(7)) < 3)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        |SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |WHERE (CAST(epoch_ns(ts) // 86400000000000 AS BIGINT)) % 7 < 3
+        |GROUP BY event_type
+        |ORDER BY event_type
+        |""".stripMargin.trim))
+  )
+}

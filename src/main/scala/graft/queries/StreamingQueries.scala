@@ -1,0 +1,96 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.EventStreams
+
+/** Structured Streaming at the correctness gate: each query runs a REAL
+  * streaming job (file source -> watermarked stateful transform -> memory
+  * sink) to completion with Trigger.AvailableNow, then returns the sink
+  * table — so the driver's DuckDB oracle checks the streaming engine's
+  * output, not a batch stand-in. StreamingSpec covers the incremental
+  * (multi-batch) behavior of the same transforms; these pin end-state
+  * equivalence with batch SQL.
+  */
+object StreamingQueries {
+
+  private val sinkId = new AtomicInteger(0)
+
+  /** Run a streaming DataFrame to completion into a uniquely-named memory
+    * sink and return the sink table.
+    */
+  private def runToTable(s: SparkSession, df: DataFrame,
+      mode: String): DataFrame = {
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // A GLOB path, not the bare file: for non-glob paths the file-stream
+    // source force-injects basePath = the path itself, which then fails
+    // the "basePath must be a directory" check on a single-file source.
+    EventStreams.withEventTime(
+      s.readStream.schema(EventStreams.rawSchema)
+        .option("basePath", dir).parquet(s"$dir/events*.parquet"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      // Streaming tumbling-window aggregation (q13's streaming twin): the
+      // watermarked 1-hour window counts/sums from EventStreams.hourlyStats
+      // run as a streaming job; complete-mode sink holds every window.
+      "st01_stream_hourly",
+      (s, dir) => {
+        val agg = EventStreams.hourlyStats(eventStream(s, dir))
+        runToTable(s, agg, "complete")
+          .select(unix_timestamp(col("hour_start")).as("hour_epoch_s"),
+            col("event_type"), col("n"),
+            round(col("sum_value"), 2).as("sum_value"))
+          .orderBy(col("hour_epoch_s"), col("event_type"))
+      },
+      Some("""
+        |SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) * 3600 AS hour_epoch_s,
+        |       event_type,
+        |       count(*)             AS n,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_epoch_s, event_type
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Streaming ingestion dedup: the SAME source read twice and unioned
+      // (every event arrives exactly twice, the retry/replay shape), then
+      // dropDuplicatesWithinWatermark on event_id. The append-mode sink
+      // holds each event once; aggregating it must equal plain batch
+      // aggregation of the un-duplicated table.
+      "st02_stream_dedup",
+      (s, dir) => {
+        val doubled = eventStream(s, dir).unionByName(eventStream(s, dir))
+        val deduped = EventStreams.dedupStream(doubled, "1 hour", Seq("event_id"))
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        runToTable(s, deduped, "append")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            round(sum(col("value")), 2).as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        |SELECT event_type, count(*) AS n,
+        |       count(DISTINCT user_id) AS n_users,
+        |       round(sum(value), 2)    AS sum_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type
+        |""".stripMargin.trim))
+  )
+}
