@@ -1087,18 +1087,46 @@ object Relational {
       // Sketch-based aggregates — the cardinality/quantile forms that
       // replace exact DISTINCT/percentile at extreme scale (HLL++ register
       // merge is commutative, so results are partition-order independent).
-      // Sketch internals differ per engine, so the driver records the
-      // rows-only check; q08/q22/q33 pin the exact counterparts.
+      // Sketch internals differ per engine, so raw sketch outputs cannot
+      // hash-match DuckDB. Instead the query asserts the sketch's accuracy
+      // contract IN-QUERY: HLL++ (rsd 1%) must land within 5% of the exact
+      // distinct count, and the approx median's exact rank fraction must
+      // lie in [0.45, 0.55]. The booleans (plus exact n / distinct-count
+      // columns) are engine-independent, so the oracle checks that the
+      // sketches actually hit their tolerances — a stronger gate than the
+      // old rows-only check. q08/q22/q33 pin the exact counterparts.
       "a01_approx_stats",
       (s, dir) => {
         val t = Tables(s, dir)
-        t.orders.groupBy(col("o_orderpriority"))
+        val sketch = t.orders.groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n"),
-            approx_count_distinct(col("o_custkey")).as("approx_customers"),
+            countDistinct(col("o_custkey")).as("exact_customers"),
+            approx_count_distinct(col("o_custkey"), 0.01).as("ac"),
             percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
-              .as("approx_median_price"))
+              .as("am"))
+        // Second pass: the exact rank fraction of the sketch median.
+        val ranked = t.orders
+          .join(broadcast(sketch.select(col("o_orderpriority"), col("am"))),
+            "o_orderpriority")
+          .groupBy(col("o_orderpriority"))
+          .agg(avg(when(col("o_totalprice") <= col("am"), 1.0d)
+            .otherwise(0.0d)).as("mfrac"))
+        sketch.join(ranked, "o_orderpriority")
+          .select(col("o_orderpriority"), col("n"), col("exact_customers"),
+            (abs(col("ac") - col("exact_customers")) <=
+              col("exact_customers").cast("double") * 0.05)
+              .as("cd_within_5pct"),
+            (col("mfrac") >= 0.45 && col("mfrac") <= 0.55)
+              .as("median_rank_ok"))
           .orderBy(col("o_orderpriority"))
       },
-      None)
+      Some("""
+        |SELECT o_orderpriority, count(*) AS n,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+        |       TRUE AS cd_within_5pct, TRUE AS median_rank_ok
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority
+        |""".stripMargin.trim))
   )
 }

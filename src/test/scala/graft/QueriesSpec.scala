@@ -11,14 +11,12 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  /** Queries whose math is deliberately not SQL-expressible — the driver
-    * records its weaker rows-only check for these; their exact semantics
-    * are pinned by dedicated specs instead (IvfSpec recall==brute-force
-    * for v09's nprobe<cells path — v11 pins the full-probe path through
-    * the oracle; q08/q22 pin a01's exact counterparts).
+  /** Every query is now DuckDB-oracle-checked: a01 and v09 emit their
+    * sketch/ANN accuracy contracts as in-query tolerance booleans (plus
+    * exact-checkable columns) instead of raw sketch internals, so nothing
+    * is left on the weaker rows-only check.
     */
-  private val rowsOnlyExempt =
-    Set("v09_ivf_topk", "a01_approx_stats")
+  private val rowsOnlyExempt = Set.empty[String]
 
   test("every query has matching oracle coverage or is explicitly exempt") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --
