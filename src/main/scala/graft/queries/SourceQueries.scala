@@ -91,6 +91,13 @@ object SourceQueries {
         t.events
           .select(expr("ts div 86400000000000").as("day"),
             col("event_type"), col("value"))
+          // Cluster by the partition key before a partitionBy write:
+          // without it every task writes a sliver into every day dir
+          // (tasks x days tiny files — the small-files failure mode that
+          // kills lake scans); with it each day lands as one
+          // right-sized file. At real scale add maxRecordsPerFile to
+          // re-split hot days.
+          .repartition(col("day"))
           .write.mode("overwrite").partitionBy("day").parquet(out)
         s.read.parquet(out)
           .filter(pmod(col("day"), lit(7)) < 3)

@@ -20,15 +20,29 @@ object StreamingQueries {
 
   private val sinkId = new AtomicInteger(0)
 
+  /** State partition count for these single-batch gate runs. Streaming
+    * state partitioning is a per-checkpoint provisioning choice (fixed at
+    * first run, sized to expected key volume — thousands on a real
+    * cluster); locally the HDFS-backed state store pays a fixed
+    * delta+snapshot+maintenance cost PER PARTITION PER BATCH that dwarfs
+    * the data at gate scale (32 partitions: 5.9 s, 8: 2.2 s for st02), so
+    * the gate provisions small.
+    */
+  private val statePartitions = 8
+
   /** Run a streaming DataFrame to completion into a uniquely-named memory
     * sink and return the sink table.
     */
   private def runToTable(s: SparkSession, df: DataFrame,
       mode: String): DataFrame = {
     val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    val before = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", before)
     s.table(name)
   }
 
