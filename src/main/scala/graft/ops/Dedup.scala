@@ -139,21 +139,28 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       shingleN: Int = 3): DataFrame = {
-    // Tokenize into its own projection first: the shingling lambda
-    // references the token array three times per gram, and handing it the
-    // raw split() expression would re-split the text once per reference.
-    // The emptiness filter runs on the TOKEN count, not on the shingle
-    // array: a predicate over the shingles would be pushed below the
-    // Spread repartition into the (serial) scan stage with the whole
-    // shingle chain substituted in — re-serializing exactly the compute
-    // the repartition exists to spread. `size(toks) >= n` is equivalent
-    // (n tokens yield >= 1 distinct n-gram) and costs one split.
-    val sh = Spread.ensure(docs)
+    minhashBandPairs(wordShingled(docs, idCol, textCol, shingleN),
+      threshold, numHashes, bands)
+  }
+
+  /** (doc_id, shingles) relation over word `shingleN`-grams.
+    *
+    * Tokenize into its own projection first: the shingling lambda
+    * references the token array three times per gram, and handing it the
+    * raw split() expression would re-split the text once per reference.
+    * The emptiness filter runs on the TOKEN count, not on the shingle
+    * array: a predicate over the shingles would be pushed below the
+    * Spread repartition into the (serial) scan stage with the whole
+    * shingle chain substituted in — re-serializing exactly the compute
+    * the repartition exists to spread. `size(toks) >= n` is equivalent
+    * (n tokens yield >= 1 distinct n-gram) and costs one split.
+    */
+  private def wordShingled(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int): DataFrame =
+    Spread.ensure(docs)
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= shingleN)
       .select(col("doc_id"), wordShingles(col("toks"), shingleN).as("shingles"))
-    minhashBandPairs(sh, threshold, numHashes, bands)
-  }
 
   /** Memoized [[nearDuplicatesMinhash]]: the LSH candidate pipeline is the
     * shared front of every verification tier — pair listing, corpus
@@ -221,24 +228,8 @@ object Dedup {
       numHashes: Int,
       bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
-    val r = numHashes / bands
-    val hp = shingled
-      .select(col("doc_id"), transform(col("shingles"), s => hashPair48(s)).as("pairs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // Signature fully map-side via the codegen'd one-pass expression (all
-    // members accumulate in registers; the k x array_min(transform(...))
-    // HOF form is interpreted and was the dominant cost of char-gram
-    // dedup). No shingle row is ever exploded or shuffled — at corpus
-    // scale the only data crossing the wire is (doc_id, band, key).
-    val sigs = hp.select(col("doc_id"),
-      graft.functions.MinhashSignature(col("pairs"), numHashes).as("sig"))
-
-    // Cheap projection of the cached pairs — recomputing it per join
-    // side costs less than a persist barrier.
-    val buckets = sigs.select(col("doc_id"), posexplode(
-      array((0 until bands).map(b => bandKey(col("sig"), b, r)): _*))
-      .as(Seq("band", "key")))
+    val hp = hashedShingles(shingled)
+    val buckets = bandBuckets(hp, numHashes, bands)
 
     // Deliberately unhinted: AQE turns this into a broadcast join when the
     // bucket side measures small at runtime, and keeps a shuffled hash join
@@ -250,18 +241,93 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    val hsets = hp.select(col("doc_id"),
-      transform(col("pairs"), p => p.getField("h1")).as("hs"))
-    val withSets = candidates
-      .join(hsets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
-      .join(hsets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+    verifyJaccard(candidates, hashSets(hp), hashSets(hp), "doc_a", "doc_b",
+      threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
 
-    withSets
+  /** One md5 per shingle, persisted: the (h1, h2) pair relation is consumed
+    * by both the signature projection and the verification joins, and Spark
+    * does not common-subexpression-eliminate across join branches.
+    */
+  private def hashedShingles(shingled: DataFrame): DataFrame =
+    shingled
+      .select(col("doc_id"), transform(col("shingles"), s => hashPair48(s)).as("pairs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** (doc_id, band, key) LSH bucket relation. Signature fully map-side via
+    * the codegen'd one-pass expression (all members accumulate in
+    * registers; the k x array_min(transform(...)) HOF form is interpreted
+    * and was the dominant cost of char-gram dedup). No shingle row is ever
+    * exploded or shuffled — at corpus scale the only data crossing the wire
+    * is (doc_id, band, key). Cheap projection of the cached pairs —
+    * recomputing it per join side costs less than a persist barrier.
+    */
+  private def bandBuckets(hp: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    val sigs = hp.select(col("doc_id"),
+      graft.functions.MinhashSignature(col("pairs"), numHashes).as("sig"))
+    sigs.select(col("doc_id"), posexplode(
+      array((0 until bands).map(b => bandKey(col("sig"), b, r)): _*))
+      .as(Seq("band", "key")))
+  }
+
+  /** 48-bit hashed shingle sets (h1 only) for exact Jaccard verification. */
+  private def hashSets(hp: DataFrame): DataFrame =
+    hp.select(col("doc_id"),
+      transform(col("pairs"), p => p.getField("h1")).as("hs"))
+
+  /** Join the two hashed-shingle sets onto candidate pairs and keep pairs
+    * with exact hashed-set Jaccard >= threshold.
+    */
+  private def verifyJaccard(candidates: DataFrame, setsA: DataFrame,
+      setsB: DataFrame, colA: String, colB: String,
+      threshold: Double): DataFrame =
+    candidates
+      .join(setsA.select(col("doc_id").as(colA), col("hs").as("hs_a")), colA)
+      .join(setsB.select(col("doc_id").as(colB), col("hs").as("hs_b")), colB)
       .withColumn("jaccard",
         size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
           size(array_union(col("hs_a"), col("hs_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  /** Incremental dedup: near-duplicate pairs BETWEEN a new batch and an
+    * existing corpus — the daily-ingest shape, where the corpus's own
+    * internal pairs are already resolved and must not be recomputed.
+    *
+    * Same MinHash(numHashes)+LSH(bands) machinery as
+    * [[nearDuplicatesMinhash]], but candidate generation joins the batch's
+    * band buckets against the corpus's instead of self-joining: the work is
+    * O(batch buckets x occupancy), independent of corpus-internal
+    * duplication. At production scale the corpus side's signatures/buckets
+    * are computed once at ingest and stored; only the (small) batch side is
+    * hashed per run, and AQE broadcasts it, so no corpus-sized shuffle
+    * happens at any scale. A pair is reported iff the same pair would
+    * survive the full-corpus run (identical bucket condition + identical
+    * exact-Jaccard verify — asserted in OpsSpec).
+    *
+    * Output: (doc_new, doc_corpus, jaccard).
+    */
+  def crossCorpusMinhashPairs(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleN: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands evenly")
+    val hpNew = hashedShingles(wordShingled(newDocs, idCol, textCol, shingleN))
+    val hpOld = hashedShingles(wordShingled(corpus, idCol, textCol, shingleN))
+    val candidates = bandBuckets(hpNew, numHashes, bands).as("a")
+      .join(bandBuckets(hpOld, numHashes, bands).as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_corpus"))
+      .distinct()
+    verifyJaccard(candidates, hashSets(hpNew), hashSets(hpOld),
+      "doc_new", "doc_corpus", threshold)
+      .select(col("doc_new"), col("doc_corpus"), col("jaccard"))
   }
 
   /** 32-bit SimHash over token frequencies: bit `b` of the result is set

@@ -103,6 +103,49 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** Exact maximum-inner-product top-k of `corpus` for each probe row —
+    * the retrieval scoring used when embeddings are NOT length-normalized
+    * (recommendation scores, learned rerankers). Same shape as
+    * [[bruteForceTopK]]: broadcast probes, map-side codegen'd dot, bounded
+    * per-probe window; ranking uses the rounded score with id tiebreak.
+    */
+  def mipsTopK(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String,
+      k: Int, roundTo: Int = 6): DataFrame = {
+    val p = broadcast(probes.select(col(idCol).as("query_id"),
+      col(vecCol).as("query_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip").desc, col(idCol))
+    Spread.ensure(corpus).crossJoin(p)
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("ip", round(vector.dot(col(vecCol), col("query_vec")), roundTo))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col(idCol).as("vec_id"), col("ip"))
+  }
+
+  /** The MIPS -> cosine reduction (Bachrach et al., RecSys'14): append
+    * `sqrt(M^2 - |x|^2)` to every corpus vector (M = max corpus norm, passed
+    * in so the caller controls when the one aggregate runs) and `0` to
+    * every probe. All augmented corpus vectors then share norm M, so
+    * cosine ORDER against an augmented probe equals inner-product order —
+    * which plugs un-normalized retrieval into any cosine ANN index (IVF,
+    * sign-LSH) unchanged. Rank equivalence with [[mipsTopK]] is asserted
+    * in OpsSpec.
+    */
+  def augmentCorpusForMips(vecCol: Column, maxNorm: Column): Column =
+    concat(vecCol, array(sqrt(
+      greatest(maxNorm * maxNorm - vector.dot(vecCol, vecCol), lit(0.0)))
+      .cast("float")))
+
+  /** Probe-side augmentation for the MIPS reduction: a zero tail
+    * dimension, so the probe's dot with the augmented corpus vector equals
+    * the original inner product.
+    */
+  def augmentProbeForMips(vecCol: Column): Column =
+    concat(vecCol, array(lit(0.0f)))
+
   /** Exact all-pairs cosine join above a threshold — the small-data /
     * oracle-checkable baseline for [[signBucketJoin]].
     */

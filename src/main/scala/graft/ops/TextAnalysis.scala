@@ -117,6 +117,61 @@ object TextAnalysis {
     size(toks).cast("long") + extra
   }
 
+  /** Per-document repetition metrics (the Gopher-style "repetitious text"
+    * signals, adapted to single-line documents): the distinct-token ratio
+    * and the share of word bigrams taken by the single most frequent
+    * bigram. Both expose boilerplate/template spam that survives exact and
+    * near dedup because the repetition is internal to the document.
+    *
+    * Map-only by construction: the top-bigram count is a single
+    * `aggregate` fold over the SORTED bigram array (longest run of equal
+    * adjacent elements), so no token row is ever exploded or shuffled —
+    * per-row cost is O(tokens log tokens), independent of corpus size.
+    * `keep` applies the standard cutoffs (low distinctness or a dominant
+    * bigram -> drop).
+    */
+  def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String,
+      minDistinctRatio: Double = 0.4, maxTopBigramFrac: Double = 0.18): DataFrame = {
+    val toks = tokens(col(textCol))
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        when(size(col("toks")) >= 2,
+          array_sort(transform(sequence(lit(0), size(col("toks")) - 2),
+            i => concat_ws(" ", element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2)))))
+          .otherwise(array().cast("array<string>")).as("bgs"))
+    // Longest equal-adjacent run of the sorted bigrams = max frequency.
+    // State is (prev, run, best); HOF aggregate keeps it in one struct.
+    val top = aggregate(col("bgs"),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val n = size(col("toks"))
+    val nDistinct = size(array_distinct(col("toks")))
+    val distinctRatio = nDistinct.cast("double") / n.cast("double")
+    val topFrac = when(size(col("bgs")) > 0,
+      col("top_bigram_n").cast("double") / size(col("bgs")).cast("double"))
+      .otherwise(lit(0.0))
+    base.withColumn("top_bigram_n", top)
+      .select(col("doc_id"),
+        n.as("n_tokens"),
+        nDistinct.as("n_distinct"),
+        distinctRatio.as("distinct_ratio"),
+        col("top_bigram_n"),
+        topFrac.as("top_bigram_frac"))
+      .withColumn("keep",
+        col("distinct_ratio") >= minDistinctRatio &&
+          // A bigram seen once is not repetition — short distinct docs
+          // would otherwise fail on 1/(n-1) alone.
+          (col("top_bigram_n") <= 1 ||
+            col("top_bigram_frac") <= maxTopBigramFrac))
+  }
+
   /** Positional k-gram hashes of a text column — the rolling-hash pass
     * under winnowing fingerprints. One 60-bit md5-derived hash per
     * character position (NOT distinct: winnowing needs positions).

@@ -221,6 +221,62 @@ object MixQueries {
         |SELECT doc_a, doc_b, n_shared
         |FROM pairs WHERE n_shared >= 5
         |ORDER BY doc_a, doc_b
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Benchmark decontamination: flag training docs sharing winnowed
+      // k-gram fingerprints with a held-out eval split (10% hash split
+      // plays the benchmark). The winnowing guarantee makes this exact
+      // for shared substrings >= k+w-1 chars. Ubiquitous fingerprints
+      // (df > 20) are dropped first — same rarity guard as d07 — so hits
+      // mean copied passages, not shared vocabulary. Shape: the corpus
+      // fingerprint relation semi-joins a SMALL benchmark fingerprint
+      // set (broadcast at scale); shuffle volume follows matches.
+      "t09_decontaminate",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val k = 8; val w = 4; val maxDf = 20
+        val fps = fingerprintsCached(s, t.documents, k, w)
+        val rare = fps.groupBy(col("fp"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf)
+          .select(col("fp"))
+        val fe = fps.join(rare, "fp")
+        val bucket = Sampling.hashBucket(col("doc_id"), 100)
+        val benchFps = fe.filter(bucket < 10).select(col("fp")).distinct()
+        fe.filter(bucket >= 10)
+          .join(benchFps, "fp")
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("fp")).as("n_hits"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        |WITH hs AS (
+        |  SELECT doc_id,
+        |         list_transform(range(length(text) - 7),
+        |           i -> CAST(concat('0x', substr(md5('0:' ||
+        |                  substr(text, CAST(i + 1 AS INTEGER), 8)), 1, 15))
+        |                AS BIGINT)) AS hs
+        |  FROM documents WHERE length(text) >= 11
+        |),
+        |fp AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(len(hs) - 3),
+        |           j -> list_min(hs[j+1 : j+4]))) AS fps
+        |  FROM hs
+        |),
+        |ex AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+        |rare AS (SELECT fp FROM ex GROUP BY fp HAVING count(*) <= 20),
+        |fe AS (SELECT e.doc_id, e.fp,
+        |         CAST(concat('0x', substr(md5(CAST(e.doc_id AS VARCHAR)), 1, 8))
+        |              AS BIGINT) % 100 AS bucket
+        |       FROM ex e JOIN rare r USING (fp)),
+        |bench AS (SELECT DISTINCT fp FROM fe WHERE bucket < 10)
+        |SELECT e.doc_id, count(DISTINCT e.fp) AS n_hits
+        |FROM fe e JOIN bench b USING (fp)
+        |WHERE e.bucket >= 10
+        |GROUP BY e.doc_id
+        |ORDER BY e.doc_id
         |""".stripMargin.trim))
   )
 }

@@ -1127,6 +1127,58 @@ object Relational {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // MERGE-style upsert (graft.ops.Lake.mergeUpsert): a change batch
+      // (10% acctbal restatements with NULL fields keeping base values —
+      // the reference's partial-Copy semantics — plus 5% remapped-key
+      // inserts) full-outer-joins the dim table on the key; each side
+      // shuffles once on the merge key, the Delta/Iceberg MERGE shape.
+      "q41_merge_upsert",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val bucket = graft.ops.Sampling.hashBucket(col("c_custkey"), 100)
+        val updates = t.customer.filter(bucket < 10)
+          .select(col("c_custkey"),
+            lit(null).cast("string").as("c_name"),
+            lit(null).cast("int").as("c_nationkey"),
+            (col("c_acctbal") + 100.0).as("c_acctbal"),
+            lit("RESEGMENTED").as("c_mktsegment"))
+        val inserts = t.customer.filter(bucket >= 95)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            concat(lit("NEW-"), col("c_name")).as("c_name"),
+            col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+        graft.ops.Lake.mergeUpsert(t.customer,
+            updates.unionByName(inserts), "c_custkey")
+          .orderBy(col("action"), col("c_custkey"))
+      },
+      Some("""
+        |WITH bucketed AS (
+        |  SELECT *, CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)),
+        |              1, 8)) AS BIGINT) % 100 AS b
+        |  FROM customer
+        |),
+        |changes AS (
+        |  SELECT c_custkey, NULL AS c_name, NULL AS c_nationkey,
+        |         c_acctbal + 100.0 AS c_acctbal,
+        |         'RESEGMENTED' AS c_mktsegment
+        |  FROM bucketed WHERE b < 10
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'NEW-' || c_name, c_nationkey,
+        |         c_acctbal, c_mktsegment
+        |  FROM bucketed WHERE b >= 95
+        |)
+        |SELECT coalesce(c.c_custkey, b.c_custkey)       AS c_custkey,
+        |       coalesce(c.c_name, b.c_name)             AS c_name,
+        |       coalesce(c.c_nationkey, b.c_nationkey)   AS c_nationkey,
+        |       coalesce(c.c_acctbal, b.c_acctbal)       AS c_acctbal,
+        |       coalesce(c.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+        |       CASE WHEN b.c_custkey IS NULL THEN 'insert'
+        |            WHEN c.c_custkey IS NULL THEN 'keep'
+        |            ELSE 'update' END                   AS action
+        |FROM customer b FULL OUTER JOIN changes c ON b.c_custkey = c.c_custkey
+        |ORDER BY action, c_custkey
         |""".stripMargin.trim))
   )
 }

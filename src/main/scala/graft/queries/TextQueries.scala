@@ -792,6 +792,135 @@ object TextQueries {
         |JOIN documents da ON da.doc_id = v.doc_a
         |JOIN documents db ON db.doc_id = v.doc_b
         |ORDER BY v.doc_a, v.doc_b
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Incremental (batch-vs-corpus) MinHash dedup: the daily-ingest
+      // shape. A 20% hash split plays the "new batch"; candidates come
+      // from joining the batch's LSH buckets against the corpus's — never
+      // corpus x corpus — so the per-run cost follows the batch size.
+      "d08_incremental_dedup",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val bucket = graft.ops.Sampling.hashBucket(col("doc_id"), 100)
+        Dedup.crossCorpusMinhashPairs(
+            t.documents.filter(bucket < 20),
+            t.documents.filter(bucket >= 20),
+            "doc_id", "text",
+            threshold = 0.5, numHashes = 32, bands = 8, shingleN = 3)
+          .select(col("doc_new"), col("doc_corpus"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy(col("doc_new"), col("doc_corpus"))
+      },
+      Some("""
+        |WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) >= 3
+        |              THEN list_distinct(list_transform(range(len(toks) - 2),
+        |                     i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+        |              ELSE [] END AS shingles
+        |  FROM tok
+        |),
+        |ex AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT)  AS h1,
+        |         CAST(concat('0x', substr(md5(s), 13, 12)) AS BIGINT) AS h2
+        |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0)
+        |),
+        |hashed AS (
+        |  SELECT doc_id, j, min((h1 + j * h2) % 2147483647) AS sigv
+        |  FROM ex, range(32) t(j)
+        |  GROUP BY doc_id, j
+        |),
+        |sigs AS (SELECT doc_id, list(sigv ORDER BY j) AS sig FROM hashed GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS key
+        |  FROM sigs, range(8) t(b)
+        |),
+        |split AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |              AS BIGINT) % 100 AS bucket
+        |  FROM documents
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_corpus
+        |  FROM bands a
+        |  JOIN split sa ON sa.doc_id = a.doc_id AND sa.bucket < 20
+        |  JOIN bands b ON a.b = b.b AND a.key = b.key
+        |  JOIN split sb ON sb.doc_id = b.doc_id AND sb.bucket >= 20
+        |),
+        |hsets AS (SELECT doc_id, list(h1) AS hs FROM ex GROUP BY doc_id),
+        |verified AS (
+        |  SELECT c.doc_new, c.doc_corpus,
+        |         len(list_intersect(sa.hs, sb.hs)) * 1.0
+        |           / len(list_distinct(sa.hs || sb.hs)) AS j
+        |  FROM cand c
+        |  JOIN hsets sa ON sa.doc_id = c.doc_new
+        |  JOIN hsets sb ON sb.doc_id = c.doc_corpus
+        |)
+        |SELECT doc_new, doc_corpus, round(j, 6) AS jaccard
+        |FROM verified WHERE j >= 0.5
+        |ORDER BY doc_new, doc_corpus
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Gopher-style repetition signals: distinct-token ratio and the
+      // share of word bigrams taken by the most frequent bigram. Map-only
+      // (the top-bigram count is a fold over the sorted bigram array) —
+      // no token is ever exploded or shuffled.
+      "t08_repetition",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        graft.ops.TextAnalysis.repetitionMetrics(t.documents, "doc_id", "text")
+          .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+            round(col("distinct_ratio"), 6).as("distinct_ratio"),
+            col("top_bigram_n"),
+            round(col("top_bigram_frac"), 6).as("top_bigram_frac"),
+            col("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        |WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |base AS (
+        |  SELECT doc_id, len(toks) AS n_tokens,
+        |         len(list_distinct(toks)) AS n_distinct,
+        |         CASE WHEN len(toks) >= 2
+        |              THEN list_transform(range(len(toks) - 1),
+        |                     i -> toks[i+1] || ' ' || toks[i+2])
+        |              ELSE [] END AS bgs
+        |  FROM tok
+        |),
+        |cnt AS (
+        |  SELECT doc_id, max(c) AS top_bigram_n
+        |  FROM (SELECT doc_id, bg, count(*) AS c
+        |        FROM (SELECT doc_id, unnest(bgs) AS bg FROM base)
+        |        GROUP BY doc_id, bg)
+        |  GROUP BY doc_id
+        |),
+        |m AS (
+        |  SELECT b.doc_id, b.n_tokens, b.n_distinct,
+        |         b.n_distinct * 1.0 / b.n_tokens AS distinct_ratio,
+        |         coalesce(c.top_bigram_n, 0) AS top_bigram_n,
+        |         CASE WHEN len(b.bgs) > 0
+        |              THEN coalesce(c.top_bigram_n, 0) * 1.0 / len(b.bgs)
+        |              ELSE 0.0 END AS top_bigram_frac
+        |  FROM base b LEFT JOIN cnt c ON c.doc_id = b.doc_id
+        |)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |       round(distinct_ratio, 6) AS distinct_ratio,
+        |       top_bigram_n,
+        |       round(top_bigram_frac, 6) AS top_bigram_frac,
+        |       (distinct_ratio >= 0.4 AND
+        |        (top_bigram_n <= 1 OR top_bigram_frac <= 0.18)) AS keep
+        |FROM m ORDER BY doc_id
         |""".stripMargin.trim))
   )
 }

@@ -438,6 +438,40 @@ object VectorQueries {
         |FROM embeddings
         |ORDER BY vec_id
         |""".stripMargin.trim
-      }))
+      })),
+
+    QueryDef(
+      // Maximum-inner-product top-k (un-normalized retrieval scoring):
+      // broadcast probes, map-side codegen'd dot, bounded per-probe
+      // window — same zero-shuffle scan shape as v05. The MIPS->cosine
+      // norm-augmentation reduction (Similarity.augmentCorpusForMips)
+      // plugs this workload into the IVF/sign-LSH indexes at scale;
+      // rank equivalence is asserted in OpsSpec.
+      "v13_mips",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        graft.ops.Similarity.mipsTopK(t.embeddings,
+            t.embeddings.filter(col("vec_id") % 40 === 0),
+            "vec_id", "embedding", k = 5)
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some("""
+        |WITH ips AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id,
+        |         round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                                CAST(q.embedding AS DOUBLE[])), 6) AS ip
+        |  FROM embeddings e, embeddings q
+        |  WHERE q.vec_id % 40 = 0 AND e.vec_id <> q.vec_id
+        |),
+        |ranked AS (
+        |  SELECT query_id, vec_id, ip,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY ip DESC, vec_id) AS rnk
+        |  FROM ips
+        |)
+        |SELECT query_id, rnk, vec_id, ip
+        |FROM ranked WHERE rnk <= 5
+        |ORDER BY query_id, rnk
+        |""".stripMargin.trim))
   )
 }

@@ -255,4 +255,91 @@ class OpsSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(est === 4L)
   }
+
+  test("crossCorpusMinhashPairs equals the full run restricted to the split") {
+    // A pair (new, old) is a candidate iff the two docs share a band
+    // bucket — the same condition the full self-join run uses — so the
+    // incremental result must equal the full pair set filtered to
+    // cross-split pairs, with no batch-internal pairs reported.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bucket = graft.ops.Sampling.hashBucket($"doc_id", 100)
+    val batch = docs.filter(bucket < 20)
+    val corpus = docs.filter(bucket >= 20)
+    val batchIds = batch.select($"doc_id").collect().map(_.getLong(0)).toSet
+    val inc = Dedup.crossCorpusMinhashPairs(batch, corpus, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.nearDuplicatesMinhash(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => batchIds.contains(a) ^ batchIds.contains(b) }
+      .map { case (a, b) => if (batchIds.contains(a)) (a, b) else (b, a) }
+      .toSet
+    assert(inc === full)
+    assert(inc.forall { case (n, c) =>
+      batchIds.contains(n) && !batchIds.contains(c) })
+  }
+
+  test("repetitionMetrics counts the dominant bigram via the sorted fold") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now"), // "buy now" x4 of 7 bigrams
+      (2L, "one two three four five six"),     // all distinct
+      (3L, "solo")                             // no bigrams
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    val r1 = m(0)
+    assert(r1.getAs[Int]("n_tokens") === 8)
+    assert(r1.getAs[Int]("n_distinct") === 2)
+    assert(r1.getAs[Int]("top_bigram_n") === 4) // "buy now" appears 4 times
+    assert(math.abs(r1.getAs[Double]("top_bigram_frac") - 4.0 / 7.0) < 1e-12)
+    assert(!r1.getAs[Boolean]("keep")) // distinct_ratio 0.25 < 0.4
+    val r2 = m(1)
+    assert(r2.getAs[Double]("distinct_ratio") === 1.0)
+    assert(r2.getAs[Int]("top_bigram_n") === 1)
+    assert(r2.getAs[Boolean]("keep"))
+    val r3 = m(2)
+    assert(r3.getAs[Int]("top_bigram_n") === 0)
+    assert(r3.getAs[Double]("top_bigram_frac") === 0.0)
+  }
+
+  test("mergeUpsert applies insert/update/keep with partial-field updates") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val changes = Seq(
+      (2L, null.asInstanceOf[String], 99.0), // update: name stays "b"
+      (4L, "d", 40.0)                        // insert
+    ).toDF("k", "name", "bal")
+    val out = graft.ops.Lake.mergeUpsert(base, changes, "k")
+      .orderBy($"k").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+      r.getString(3))).toSeq === Seq(
+      (1L, "a", 10.0, "keep"),
+      (2L, "b", 99.0, "update"), // null name in change keeps base name
+      (3L, "c", 30.0, "keep"),
+      (4L, "d", 40.0, "insert")))
+  }
+
+  test("MIPS norm-augmentation preserves inner-product order under cosine") {
+    // Un-normalized vectors whose cosine and inner-product orders differ:
+    // the long vector wins on ip, the aligned unit vector wins on cosine.
+    val rows = Seq(
+      (1L, Array(10.0f, 0.0f)),
+      (2L, Array(0.6f, 0.8f)),
+      (3L, Array(2.0f, 2.0f)),
+      (4L, Array(0.0f, 3.0f))
+    ).toDF("vec_id", "embedding")
+    val probes = Seq((100L, Array(1.0f, 0.5f))).toDF("vec_id", "embedding")
+    val exact = Similarity.mipsTopK(rows, probes, "vec_id", "embedding", k = 4)
+      .orderBy($"rnk").collect().map(_.getLong(2)).toSeq
+    val m = rows.agg(max(graft.functions.vector.magnitude($"embedding")))
+      .collect().head.getDouble(0)
+    val aug = rows.select($"vec_id",
+      Similarity.augmentCorpusForMips($"embedding", lit(m)).as("embedding"))
+    val augProbes = probes.select($"vec_id",
+      Similarity.augmentProbeForMips($"embedding").as("embedding"))
+    val viaCosine = Similarity.bruteForceTopK(aug, augProbes,
+        "vec_id", "embedding", k = 4, roundTo = 9)
+      .orderBy($"rnk").collect().map(_.getLong(2)).toSeq
+    assert(exact === viaCosine,
+      "cosine order over augmented vectors must equal inner-product order")
+  }
 }
