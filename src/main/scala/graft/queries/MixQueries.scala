@@ -44,6 +44,33 @@ object MixQueries {
       java.util.concurrent.ConcurrentHashMap[String,
         org.apache.spark.sql.DataFrame]]())
 
+  /** Memoized inverted-index postings over the winnowed fingerprints:
+    * (fp, sorted doc list) for fingerprints seen in 2..maxDf documents.
+    * The grouping shuffle over the full fingerprint relation is the
+    * expensive half of both d07 (pair generation) and t09
+    * (decontamination), so the grouped form is materialized once per
+    * (session, corpus, params) and both read it. df=1 rows are dropped —
+    * a fingerprint in one document can neither pair nor contaminate —
+    * and df>maxDf rows are the shared-vocabulary noise both consumers
+    * already exclude.
+    */
+  private def postingsCached(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame, k: Int, w: Int, maxDf: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val perSession = fpCache.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String,
+        org.apache.spark.sql.DataFrame]())
+    val key = s"postings/${docs.queryExecution.logical.semanticHash()}/$k/$w/$maxDf"
+    perSession.computeIfAbsent(key, _ => {
+      val posts = fingerprintsCached(s, docs, k, w)
+        .groupBy(col("fp"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+        .filter(size(col("docs")).between(2, maxDf))
+      posts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      posts
+    })
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       // Domain mixing: per-source epoch weights (floor(w) guaranteed copies
@@ -176,15 +203,13 @@ object MixQueries {
       (s, dir) => {
         val t = Tables(s, dir)
         val k = 8; val w = 4; val maxDf = 20; val minShared = 5
-        val fps = fingerprintsCached(s, t.documents, k, w)
         // Inverted-index pair generation: ONE shuffle groups postings per
         // fingerprint, the df<=maxDf guard bounds each posting list, and
         // pairs explode map-side from the sorted list — no df-count join
         // and no 540k-row self-join (4 shuffles -> 2), the shape whose
         // shuffle volume stays proportional to the PAIRS at corpus scale.
-        val postings = fps.groupBy(col("fp"))
-          .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
-          .filter(size(col("docs")).between(2, maxDf))
+        // The grouped relation is shared with t09 via postingsCached.
+        val postings = postingsCached(s, t.documents, k, w, maxDf)
         postings
           .select(explode(flatten(transform(col("docs"), (a, i) =>
             transform(slice(col("docs"), i + lit(2), size(col("docs"))),
@@ -236,18 +261,19 @@ object MixQueries {
       (s, dir) => {
         val t = Tables(s, dir)
         val k = 8; val w = 4; val maxDf = 20
-        val fps = fingerprintsCached(s, t.documents, k, w)
-        val rare = fps.groupBy(col("fp"))
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDf)
-          .select(col("fp"))
-        val fe = fps.join(rare, "fp")
-        val bucket = Sampling.hashBucket(col("doc_id"), 100)
-        val benchFps = fe.filter(bucket < 10).select(col("fp")).distinct()
-        fe.filter(bucket >= 10)
-          .join(benchFps, "fp")
+        // Bounded posting lists make the whole check map-side from the
+        // shared grouped relation: a fingerprint contaminates iff its
+        // list holds a benchmark doc, and then each of its corpus docs
+        // scores one hit — explode only those, one counting shuffle.
+        // (df=1 fingerprints cannot contaminate, so sharing d07's
+        // 2..maxDf postings loses nothing.)
+        val isBench = (d: org.apache.spark.sql.Column) =>
+          Sampling.hashBucket(d, 100) < 10
+        postingsCached(s, t.documents, k, w, maxDf)
+          .filter(exists(col("docs"), d => isBench(d)))
+          .select(explode(filter(col("docs"), d => !isBench(d))).as("doc_id"))
           .groupBy(col("doc_id"))
-          .agg(countDistinct(col("fp")).as("n_hits"))
+          .agg(count(lit(1)).as("n_hits"))
           .orderBy(col("doc_id"))
       },
       Some("""
