@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Lake-maintenance operators: the MERGE/upsert shape that keeps slowly
@@ -31,5 +32,31 @@ object Lake {
         when(col(s"b.$keyCol").isNull, lit("insert"))
           .when(col(s"c.$keyCol").isNull, lit("keep"))
           .otherwise(lit("update")).as("action"): _*)
+  }
+
+  /** SCD type-2 compaction: turn a change-event log into validity
+    * intervals. Per `keyCol` entity, consecutive events with the same
+    * `valueCol` collapse into one interval; each retained change is valid
+    * from its own timestamp until the NEXT change's timestamp (`valid_to`
+    * null = current). Ordering is made total by `tieCol` (a unique event
+    * id), so interval boundaries are a pure function of the data.
+    *
+    * Two window passes over the same (key, ts, tie) ordering — change
+    * detection via lag on the raw log, then lead over the surviving
+    * change rows — both keyed shuffles on `keyCol`, which Spark plans as
+    * ONE exchange reused across the two sorts. This is the dimension-
+    * table history builder that runs after a MERGE ([[mergeUpsert]]) at
+    * lake scale.
+    */
+  def scd2Intervals(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("_prev", lag(col(valueCol), 1).over(w))
+      .filter(col("_prev").isNull || col("_prev") =!= col(valueCol))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col(valueCol), col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
   }
 }

@@ -106,6 +106,43 @@ object Sampling {
       .drop("skey", "sbucket", "offset")
   }
 
+  /** Token-budget data selection: keep the priority-order prefix of each
+    * `partCol` group whose inclusive running token total fits `budget` —
+    * the "take the best documents until the budget is spent" step of
+    * curriculum/data-selection pipelines. Priority is (`tokenCol` desc,
+    * `idCol` asc): longest-first with a deterministic tiebreak, so the
+    * selected set is a pure function of the data. One window pass per
+    * group; the output carries `cum_tokens`, the running total that
+    * justified each row's selection.
+    */
+  def selectUnderTokenBudget(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Long, partCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partCol))
+      .orderBy(col(tokenCol).desc, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  /** Percentile-band filter: keep rows whose percent_rank of `valueCol`
+    * within their `partCol` group falls in [lo, hi] — the quantile-trim
+    * step quality pipelines use to drop outlier-length/score documents
+    * without hand-picked absolute thresholds. Ranks are made total by the
+    * `idCol` tiebreak, so rows with equal values at a band edge are kept
+    * or dropped deterministically (by id), never by partitioning.
+    * percent_rank = (rank-1)/(n-1) is the same exact integer-ratio double
+    * on every engine.
+    */
+  def percentBandFilter(df: DataFrame, valueCol: String, idCol: String,
+      partCol: String, lo: Double, hi: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partCol)).orderBy(col(valueCol), col(idCol))
+    df.withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") >= lo && col("pr") <= hi)
+  }
+
   /** Greedy sequence packing for training batches: documents are laid out
     * in deterministic `idCol` order within each `partCol` group and
     * assigned to the bin their running token offset falls into

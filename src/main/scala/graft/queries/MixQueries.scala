@@ -303,6 +303,90 @@ object MixQueries {
         |WHERE e.bucket >= 10
         |GROUP BY e.doc_id
         |ORDER BY e.doc_id
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Quantile-band length trim: drop each source's shortest and longest
+      // 5% of documents by token count — the relative-threshold outlier
+      // filter that replaces hand-picked absolute length cutoffs. The
+      // percent_rank tiebreak on doc_id makes the band edge deterministic;
+      // one window pass per source, then the audit aggregate.
+      "t10_length_band",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val withTok = t.documents.select(col("doc_id"), col("source"),
+          size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
+        Sampling.percentBandFilter(withTok, "n_tokens", "doc_id", "source",
+            0.05, 0.95)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"),
+            min(col("n_tokens")).as("min_tokens"),
+            max(col("n_tokens")).as("max_tokens"),
+            sum(col("n_tokens")).as("sum_tokens"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        |WITH toks AS (
+        |  SELECT doc_id, source,
+        |         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+        |  FROM documents
+        |),
+        |pr AS (
+        |  SELECT source, n_tokens,
+        |         percent_rank() OVER (PARTITION BY source
+        |           ORDER BY n_tokens, doc_id) AS pr
+        |  FROM toks
+        |)
+        |SELECT source, count(*) AS n_kept,
+        |       CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+        |       CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+        |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM pr
+        |WHERE pr >= 0.05 AND pr <= 0.95
+        |GROUP BY source
+        |ORDER BY source
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Token-budget selection: per source, take documents longest-first
+      // until a 5000-token budget is spent (inclusive running total — a
+      // deterministic prefix of the priority order). The data-selection
+      // step that caps each domain's contribution to a training mix.
+      "s05_token_budget",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val withTok = t.documents.select(col("doc_id"), col("source"),
+          size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
+        Sampling.selectUnderTokenBudget(withTok, "doc_id", "n_tokens",
+            5000L, "source")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_selected"),
+            sum(col("n_tokens")).as("sel_tokens"),
+            min(col("n_tokens")).as("min_tokens"),
+            max(col("cum_tokens")).as("used_budget"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        |WITH toks AS (
+        |  SELECT doc_id, source,
+        |         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+        |  FROM documents
+        |),
+        |sel AS (
+        |  SELECT source, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY source
+        |           ORDER BY n_tokens DESC, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM toks
+        |)
+        |SELECT source, count(*) AS n_selected,
+        |       CAST(sum(n_tokens) AS BIGINT) AS sel_tokens,
+        |       CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+        |       CAST(max(cum) AS BIGINT)      AS used_budget
+        |FROM sel
+        |WHERE cum <= 5000
+        |GROUP BY source
+        |ORDER BY source
         |""".stripMargin.trim))
   )
 }

@@ -1179,6 +1179,44 @@ object Relational {
         |            ELSE 'update' END                   AS action
         |FROM customer b FULL OUTER JOIN changes c ON b.c_custkey = c.c_custkey
         |ORDER BY action, c_custkey
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Sample-based estimation: a deterministic 1% hash sample of
+      // lineitem (md5 bucket of the composite row key — stable across
+      // engines, runs, and partitionings, unlike df.sample) scaled up to
+      // estimate full-table counts and sums. At 100 TB this is the
+      // pre-flight pass that sizes a pipeline before the full run; here
+      // the sample itself is a pure function of the data, so the oracle
+      // reproduces it bit-for-bit rather than trusting a tolerance.
+      "a02_sampled_stats",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val rowKey = concat(col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string"))
+        t.lineitem
+          .filter(graft.ops.Sampling.hashBucket(rowKey, 100) < 1)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_sampled"),
+            (count(lit(1)) * 100).as("est_rows"),
+            round(avg(col("l_quantity")), 6).as("avg_qty"),
+            round(sum(col("l_extendedprice")) * 100.0, 2).as("est_revenue"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        |WITH sampled AS (
+        |  SELECT * FROM lineitem
+        |  WHERE CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+        |          CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 1
+        |)
+        |SELECT l_returnflag,
+        |       count(*)                                   AS n_sampled,
+        |       count(*) * 100                             AS est_rows,
+        |       round(avg(l_quantity), 6)                  AS avg_qty,
+        |       round(sum(l_extendedprice) * 100.0, 2)     AS est_revenue
+        |FROM sampled
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag
         |""".stripMargin.trim))
   )
 }

@@ -99,6 +99,56 @@ object SeriesQueries {
         |       min_price, max_price
         |FROM hist
         |ORDER BY bin
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // SCD type-2 history build: the event log compacted into per-user
+      // validity intervals of the observed event_type (consecutive repeats
+      // collapse; each change is valid until the next). Microsecond event
+      // time — the common precision of the two engines (DuckDB truncates
+      // ns on read) — keeps the integer arithmetic exact; the audit
+      // aggregates interval counts and closed-interval durations per type.
+      // Lake.scd2Intervals is the operator; OpsSpec pins its boundary
+      // semantics.
+      "q42_scd2",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        graft.ops.Lake.scd2Intervals(
+            t.events.select(col("user_id"), expr("ts div 1000").as("tsu"),
+              col("event_type"), col("event_id")),
+            "user_id", "tsu", "event_type", "event_id")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_intervals"),
+            count(when(col("is_current"), 1)).as("n_current"),
+            sum(col("valid_to") - col("valid_from")).as("closed_dur_us"),
+            max(col("valid_to") - col("valid_from")).as("max_dur_us"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        |WITH ordered AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tsn, event_id,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events
+        |),
+        |changes AS (
+        |  SELECT user_id, event_type, tsn, event_id FROM ordered
+        |  WHERE prev_type IS NULL OR prev_type <> event_type
+        |),
+        |iv AS (
+        |  SELECT user_id, event_type, tsn AS valid_from,
+        |         lead(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id)
+        |           AS valid_to
+        |  FROM changes
+        |)
+        |SELECT event_type,
+        |       count(*)                                     AS n_intervals,
+        |       count(*) FILTER (WHERE valid_to IS NULL)     AS n_current,
+        |       CAST(sum(valid_to - valid_from) AS BIGINT)   AS closed_dur_us,
+        |       CAST(max(valid_to - valid_from) AS BIGINT)   AS max_dur_us
+        |FROM iv
+        |GROUP BY event_type
+        |ORDER BY event_type
         |""".stripMargin.trim))
   )
 }

@@ -111,6 +111,41 @@ object SourceQueries {
         |WHERE (CAST(epoch_ns(ts) // 86400000000000 AS BIGINT)) % 7 < 3
         |GROUP BY event_type
         |ORDER BY event_type
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // ORC sink + source: the third columnar lake format (after parquet
+      // everywhere and the CSV/JSONL round-trips), written from the widest
+      // table and read back with an explicit schema. ORC carries the same
+      // predicate-pushdown/column-pruning contract as parquet in Spark's
+      // DSv2 reader, so the scan properties SURVEY §4 relies on hold
+      // unchanged.
+      "io04_orc_roundtrip",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val out = ioDir("io04", dir)
+        t.lineitem.select(col("l_orderkey"), col("l_returnflag"),
+            col("l_linestatus"), col("l_quantity"), col("l_extendedprice"))
+          .write.mode("overwrite").orc(out)
+        s.read
+          .schema("l_orderkey BIGINT, l_returnflag STRING, l_linestatus STRING, " +
+            "l_quantity DOUBLE, l_extendedprice DOUBLE")
+          .orc(out)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_price"),
+            min(col("l_orderkey")).as("min_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""
+        |SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       round(sum(l_quantity), 2)      AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_price,
+        |       min(l_orderkey)                AS min_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus
         |""".stripMargin.trim))
   )
 }

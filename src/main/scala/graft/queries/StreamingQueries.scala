@@ -46,6 +46,33 @@ object StreamingQueries {
     s.table(name)
   }
 
+  /** Events-plus-sentinel fixture for st03, written once per (session, sf
+    * dir): the real events table with one extra row planted gap + lateness
+    * + 1 min past the true max event time, under an impossible user id.
+    * The sentinel's only job is to advance the final watermark beyond
+    * every real session's end so append-mode emission is total; it is
+    * fixture preparation, not the measured operator, hence the memo.
+    */
+  private def sentinelEventsDir(s: SparkSession, dir: String): String =
+    sentinelDirs.computeIfAbsent((s, dir), _ => {
+      val t = Tables(s, dir)
+      val scratch = s"/root/repo/target/graft-io/st03_${math.abs(dir.hashCode)}"
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value",
+        "props").map(col)
+      val maxTs = t.events.agg(max(col("ts"))).head.getLong(0)
+      val sentinelTs = maxTs + 41L * 60 * 1000000000L // gap+lateness+1min
+      val sentinel = s.range(1).select(
+        lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
+        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"), lit("").as("props"))
+      t.events.select(cols: _*).unionByName(sentinel)
+        .write.mode("overwrite").parquet(scratch)
+      scratch
+    })
+
+  private val sentinelDirs = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // A GLOB path, not the bare file: for non-glob paths the file-stream
@@ -105,6 +132,55 @@ object StreamingQueries {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Streaming sessionization (q14's streaming twin): session_window
+      // with a 30-minute gap over the watermarked event stream, run in
+      // APPEND mode — the sink receives exactly the CLOSED sessions. A
+      // sentinel event planted gap+lateness+1min past the real maximum
+      // advances the final watermark beyond every real session's end, so
+      // append emission is total and the batch oracle must match exactly.
+      // (session_window merges windows that OVERLAP, so an event exactly
+      // gap after its predecessor starts a NEW session: the batch
+      // convention is diff >= gap. The testdata has no exact-gap ties, so
+      // this matches q14's strict-> convention too.)
+      "st03_stream_sessions",
+      (s, dir) => {
+        val scratch = sentinelEventsDir(s, dir)
+        val stream = EventStreams.withEventTime(
+          s.readStream.schema(EventStreams.rawSchema).parquet(scratch))
+        val sessions = runToTable(s,
+          EventStreams.sessionStats(stream, "30 minutes", "10 minutes"),
+          "append")
+        sessions.filter(col("user_id") >= 0)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("n_events")).as("total_events"))
+          .groupBy(col("n_sessions"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("total_events")).as("total_events"))
+          .orderBy(col("n_sessions"))
+      },
+      Some("""
+        |WITH marked AS (
+        |  SELECT user_id,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |),
+        |per_user AS (
+        |  SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
+        |         count(*) AS total_events
+        |  FROM marked GROUP BY user_id
+        |)
+        |SELECT n_sessions, count(*) AS n_users,
+        |       CAST(sum(total_events) AS BIGINT) AS total_events
+        |FROM per_user
+        |GROUP BY n_sessions
+        |ORDER BY n_sessions
         |""".stripMargin.trim))
   )
 }

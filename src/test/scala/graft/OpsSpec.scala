@@ -342,4 +342,56 @@ class OpsSpec extends SparkSpec {
     assert(exact === viaCosine,
       "cosine order over augmented vectors must equal inner-product order")
   }
+
+  test("scd2Intervals collapses repeats and chains validity boundaries") {
+    // user 1: a a b a -> intervals a[10,30) b[30,40) a[40,null)
+    // user 2: single event -> one open interval
+    val log = Seq(
+      (1L, 10L, "a", 101L), (1L, 20L, "a", 102L),
+      (1L, 30L, "b", 103L), (1L, 40L, "a", 104L),
+      (2L, 15L, "x", 201L)
+    ).toDF("user_id", "ts", "v", "event_id")
+    val iv = graft.ops.Lake.scd2Intervals(log, "user_id", "ts", "v", "event_id")
+      .orderBy($"user_id", $"valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4))).toSeq
+    assert(iv === Seq(
+      (1L, "a", 10L, Some(30L), false),
+      (1L, "b", 30L, Some(40L), false),
+      (1L, "a", 40L, None, true),
+      (2L, "x", 15L, None, true)))
+  }
+
+  test("scd2Intervals breaks timestamp ties by the tie column") {
+    val log = Seq((1L, 10L, "b", 2L), (1L, 10L, "a", 1L))
+      .toDF("user_id", "ts", "v", "event_id")
+    val iv = graft.ops.Lake.scd2Intervals(log, "user_id", "ts", "v", "event_id")
+      .orderBy($"valid_from", $"v").collect()
+      .map(r => (r.getString(1), r.getBoolean(4))).toSeq
+    // order is (ts, event_id): a first (closed), then b (current)
+    assert(iv === Seq(("a", false), ("b", true)))
+  }
+
+  test("selectUnderTokenBudget keeps the longest-first prefix that fits") {
+    val docs = Seq(
+      (1L, "s", 40L), (2L, "s", 30L), (3L, "s", 30L), (4L, "s", 10L),
+      (5L, "t", 100L)
+    ).toDF("doc_id", "source", "n_tokens")
+    val sel = graft.ops.Sampling
+      .selectUnderTokenBudget(docs, "doc_id", "n_tokens", 100L, "source")
+      .orderBy($"source", $"cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    // s: 40 (cum 40), 30 (cum 70, id 2 before 3), 30 (cum 100); 10 overflows.
+    assert(sel === Seq((1L, 40L), (2L, 70L), (3L, 100L), (5L, 100L)))
+  }
+
+  test("percentBandFilter trims both tails deterministically") {
+    // 11 rows, ranks 0..10 -> percent_rank k/10; band [0.1, 0.9] keeps 1..9.
+    val rows = (1L to 11L).map(i => (i, "s", i * 10L))
+      .toDF("doc_id", "source", "v")
+    val kept = graft.ops.Sampling
+      .percentBandFilter(rows, "v", "doc_id", "source", 0.1, 0.9)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === (2L to 10L).toSet)
+  }
 }
