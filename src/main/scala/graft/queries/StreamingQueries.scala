@@ -181,6 +181,48 @@ object StreamingQueries {
         |FROM per_user
         |GROUP BY n_sessions
         |ORDER BY n_sessions
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Streaming -> lake sink: the purchase stream lands as day-partitioned
+      // parquet via foreachBatch (EventStreams.sinkToParquet — the
+      // continuous-ingestion layout batch jobs read back), then the landed
+      // files are read and aggregated. Stateless passthrough, so append
+      // emission is total without watermark games; checkpoint + output dirs
+      // are wiped per run because the sink appends by contract.
+      "st04_stream_sink",
+      (s, dir) => {
+        val base = s"/root/repo/target/graft-io/st04_${math.abs(dir.hashCode)}"
+        val out = s"$base/data"; val ckpt = s"$base/checkpoint"
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val purchases = eventStream(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("value"),
+            expr("ts div 86400000000000").as("day"))
+        val q = EventStreams.sinkToParquet(purchases, out, ckpt,
+          Seq("day"), Trigger.AvailableNow())
+        q.awaitTermination()
+        // Partition-dir values are type-inferred (int at these magnitudes);
+        // cast back to the source's long so schemas match the oracle.
+        s.read.parquet(out)
+          .withColumn("day", col("day").cast("long"))
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            round(sum(col("value")), 2).as("sum_value"))
+          .orderBy(col("day"))
+      },
+      Some("""
+        |SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+        |       count(*)                AS n,
+        |       count(DISTINCT user_id) AS n_users,
+        |       round(sum(value), 2)    AS sum_value
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |GROUP BY 1
+        |ORDER BY day
         |""".stripMargin.trim))
   )
 }

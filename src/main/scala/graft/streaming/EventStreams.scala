@@ -195,10 +195,14 @@ object EventStreams {
     * checkpoint dir carries offsets + state across restarts.
     */
   def sinkToParquet(df: DataFrame, outDir: String, checkpointDir: String,
-      partitionCols: Seq[String] = Seq.empty): org.apache.spark.sql.streaming.StreamingQuery =
+      partitionCols: Seq[String] = Seq.empty,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val writer = batch.write.mode("append")
         (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
