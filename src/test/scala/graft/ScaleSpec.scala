@@ -122,6 +122,29 @@ class ScaleSpec extends SparkSpec {
       s"Bloom filter not pushed into the probe-side scan:\n$plan")
   }
 
+  test("scd2Intervals plans both windows over one keyed exchange") {
+    // The change-detect lag window and the boundary lead window share
+    // (key, ts, tie) partitioning+ordering, and the filter between them
+    // preserves sort order — so the whole history build must cost ONE
+    // shuffle of the change log, the property that holds at 100 TB.
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      val log = graft.queries.Tables(spark, "/root/testdata/sf0.001").events
+      val iv = graft.ops.Lake.scd2Intervals(
+        log.select($"user_id", $"ts", $"event_type", $"event_id"),
+        "user_id", "ts", "event_type", "event_id")
+      val plan = iv.queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.length === 1,
+        s"expected one exchange, got ${exchanges.length}:\n$plan")
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.length === 2, "expected lag + lead windows")
+    }
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
