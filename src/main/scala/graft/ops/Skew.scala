@@ -29,7 +29,14 @@ object Skew {
     require(salts > 0)
     val saltedBig = big.withColumn("_salt",
       pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salts)).cast("int"))
-    val replicatedSmall = small.withColumn("_salt",
+    // The small side amplifies `salts`-fold through the explode, so its
+    // scan partitioning bounds the replication AND the shuffle write that
+    // follows — Spread parallelizes both when the input arrives as fewer
+    // splits than cores (measured 2.0 s -> 1.3 s at sf0.1; no-op on real
+    // multi-split lake inputs). The big side is deliberately NOT spread:
+    // it flows scan -> join-key exchange with no per-row amplification,
+    // and an extra exchange there costs more than it frees (measured).
+    val replicatedSmall = Spread.ensure(small).withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(replicatedSmall, Seq(key, "_salt")).drop("_salt")
   }
