@@ -96,6 +96,36 @@ object Multimodal {
       length(col(payloadCol)).as("payload_bytes"),
       sha2(col(payloadCol), 256).as("payload_sha256"))
 
+  final case class ResizedMedia(
+      media_id: Long,
+      kind: String,
+      width: Int,
+      height: Int,
+      out_width: Int,
+      out_height: Int,
+      feature: Array[Float])
+
+  /** Resize plumbing: fit each decoded item's dimensions into a
+    * `maxDim`-sided box preserving aspect ratio (integer arithmetic —
+    * floor((side * maxDim) / longest) — so any engine reproduces the
+    * output dims exactly). Items already inside the box, and audio items
+    * (0x0), pass through unchanged. The pixel work of a real resize lives
+    * where decode does — behind the codec boundary on executors; what the
+    * engine owns is this metadata/layout transform, which is why it is a
+    * typed map with no shuffle.
+    */
+  def resizeToFit(decoded: Dataset[DecodedMedia], maxDim: Int): Dataset[ResizedMedia] = {
+    import decoded.sparkSession.implicits._
+    decoded.map { d =>
+      val longest = math.max(d.width, d.height)
+      val (ow, oh) =
+        if (longest <= maxDim) (d.width, d.height)
+        else ((d.width.toLong * maxDim / longest).toInt,
+          (d.height.toLong * maxDim / longest).toInt)
+      ResizedMedia(d.media_id, d.kind, d.width, d.height, ow, oh, d.feature)
+    }
+  }
+
   /** Deterministic frame sampling for video stubs: pick `n` payload slices
     * (stand-ins for decoded frames) at evenly spaced offsets. The real
     * implementation would emit one row per decoded frame; the plumbing —

@@ -684,6 +684,75 @@ object TextQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Multimodal resize plumbing: decoded media fitted into a 256-box
+      // preserving aspect ratio (floor integer math — engine-exact), with
+      // the 16-dim stub feature mean-pooled to 8 (two pooled lanes
+      // audited). The pixel work of a real resize belongs to the codec
+      // boundary; the engine owns this metadata/layout transform, typed
+      // map, zero shuffles. Completes the decode / feature-extract /
+      // resize / frame-sample verb set (m02/m04/m03).
+      "m04_media_resize",
+      (s, dir) => {
+        import s.implicits._
+        val t = Tables(s, dir)
+        val media = t.documents.select(
+          col("doc_id").as("media_id"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+          col("text").cast("binary").as("payload"),
+          col("source"))
+          .as[graft.ops.Multimodal.MediaItem]
+        val decoded = graft.ops.Multimodal.decodeAll(media,
+          new graft.ops.Multimodal.FakeDecoder(16))
+        def lane(i: Int) = round(
+          (element_at(col("feature"), 2 * i + 1).cast("double") +
+            element_at(col("feature"), 2 * i + 2).cast("double")) / 2.0, 6)
+        graft.ops.Multimodal.resizeToFit(decoded, maxDim = 256)
+          .toDF()
+          .select(col("media_id"), col("kind"), col("width"), col("height"),
+            col("out_width"), col("out_height"),
+            lane(0).as("p0"), lane(7).as("p7"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        |WITH med AS (
+        |  SELECT doc_id AS media_id,
+        |         CASE CAST(doc_id % 3 AS INTEGER)
+        |              WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |              ELSE 'video' END AS kind,
+        |         sha256(text) AS hx
+        |  FROM documents
+        |  WHERE octet_length(CAST(text AS BLOB)) > 0
+        |),
+        |dims AS (
+        |  SELECT media_id, kind, hx,
+        |         CASE WHEN kind = 'audio' THEN 0
+        |              ELSE 64 + CAST(concat('0x', substr(hx, 1, 6)) AS BIGINT) % 512
+        |              END AS width,
+        |         CASE WHEN kind = 'audio' THEN 0
+        |              ELSE 64 + CAST(concat('0x', substr(hx, 7, 6)) AS BIGINT) % 512
+        |              END AS height
+        |  FROM med
+        |),
+        |fit AS (
+        |  SELECT *, greatest(width, height) AS longest FROM dims
+        |)
+        |SELECT media_id, kind,
+        |       CAST(width AS INTEGER)  AS width,
+        |       CAST(height AS INTEGER) AS height,
+        |       CAST(CASE WHEN longest <= 256 THEN width
+        |                 ELSE (width * 256) // longest END AS INTEGER)  AS out_width,
+        |       CAST(CASE WHEN longest <= 256 THEN height
+        |                 ELSE (height * 256) // longest END AS INTEGER) AS out_height,
+        |       round((CAST(CAST(concat('0x', substr(hx, 25, 6)) AS BIGINT) % 1000 AS DOUBLE) / 1000.0
+        |            + CAST(CAST(concat('0x', substr(hx, 27, 6)) AS BIGINT) % 1000 AS DOUBLE) / 1000.0) / 2.0, 6) AS p0,
+        |       round((CAST(CAST(concat('0x', substr(hx, 53, 6)) AS BIGINT) % 1000 AS DOUBLE) / 1000.0
+        |            + CAST(CAST(concat('0x', substr(hx, 55, 6)) AS BIGINT) % 1000 AS DOUBLE) / 1000.0) / 2.0, 6) AS p7
+        |FROM fit
+        |ORDER BY media_id
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Winnowing document fingerprints (k=8 char grams, window w=4):
       // rolling positional hashes -> window-min selection -> distinct
       // fingerprint set per doc. Two-projection shape so the hash array

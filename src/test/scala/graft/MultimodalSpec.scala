@@ -54,4 +54,21 @@ class MultimodalSpec extends SparkSpec {
       .map(_.toChar).mkString
     assert(joined === "0123456789abcdef") // slices tile the payload
   }
+
+  test("resizeToFit preserves aspect ratio and passes small/audio through") {
+    import Multimodal.DecodedMedia
+    val decoded = spark.createDataset(Seq(
+      DecodedMedia(1, "image", 512, 256, 0, 1, Array(0.1f)),   // 2:1 landscape
+      DecodedMedia(2, "image", 100, 400, 0, 1, Array(0.2f)),   // 1:4 portrait
+      DecodedMedia(3, "image", 200, 100, 0, 1, Array(0.3f)),   // already fits
+      DecodedMedia(4, "audio", 0, 0, 5000, 2, Array(0.4f))))   // no dims
+    val out = Multimodal.resizeToFit(decoded, maxDim = 256)
+      .collect().sortBy(_.media_id)
+      .map(r => (r.media_id, r.out_width, r.out_height)).toSeq
+    assert(out === Seq(
+      (1L, 256, 128),   // scaled by 256/512
+      (2L, 64, 256),    // scaled by 256/400: floor(100*256/400)=64
+      (3L, 200, 100),   // unchanged
+      (4L, 0, 0)))      // audio unchanged
+  }
 }
