@@ -223,6 +223,51 @@ object StreamingQueries {
         |WHERE event_type = 'purchase'
         |GROUP BY 1
         |ORDER BY day
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Stream-stream interval join: each purchase attributed to the same
+      // user's signup within the preceding 7 days, BOTH sides unbounded
+      // streams (EventStreams.purchaseAttribution). The two watermarks
+      // bound the join state the engine must hold — the property that
+      // keeps this runnable forever — while inner-join matches emit as
+      // they are found, so no sentinel is needed for total emission.
+      "st05_stream_attribution",
+      (s, dir) => {
+        val ev = eventStream(s, dir)
+        val joined = EventStreams.purchaseAttribution(ev, "7 days")
+          .select(col("purchase_id"), col("user_id"), col("value"),
+            unix_timestamp(col("purchase_time")).as("p_epoch_s"),
+            unix_timestamp(col("signup_time")).as("s_epoch_s"))
+        runToTable(s, joined, "append")
+          .groupBy()
+          .agg(count(lit(1)).as("n_attributed"),
+            countDistinct(col("purchase_id")).as("n_purchases"),
+            countDistinct(col("user_id")).as("n_users"),
+            round(sum(col("value")), 2).as("sum_value"),
+            round(avg(col("p_epoch_s") - col("s_epoch_s")), 4)
+              .as("avg_lag_s"))
+      },
+      Some("""
+        |WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, value,
+        |         epoch_us(ts) // 1000000 AS p_epoch_s,
+        |         epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'
+        |),
+        |s AS (
+        |  SELECT user_id, epoch_us(ts) // 1000000 AS s_epoch_s,
+        |         epoch_us(ts) AS s_us
+        |  FROM events WHERE event_type = 'signup'
+        |)
+        |SELECT count(*)                          AS n_attributed,
+        |       count(DISTINCT purchase_id)       AS n_purchases,
+        |       count(DISTINCT p.user_id)         AS n_users,
+        |       round(sum(value), 2)              AS sum_value,
+        |       round(avg(p_epoch_s - s_epoch_s), 4) AS avg_lag_s
+        |FROM p JOIN s ON p.user_id = s.user_id
+        |  AND s.s_us <= p.p_us
+        |  AND s.s_us >= p.p_us - CAST(7 AS BIGINT) * 86400 * 1000000
         |""".stripMargin.trim))
   )
 }
