@@ -41,15 +41,27 @@ object Ivf {
     }
   }
 
-  /** Assign every vector to its max-cosine centroid. */
-  private def assign(df: DataFrame, centroids: DataFrame,
+  /** Assign every vector to its max-cosine centroid — map-only. The
+    * centroid set is driver-resolved (it is numCells rows by construction)
+    * and shipped as ONE array literal; per row the cell is the argmax of a
+    * HOF cosine sweep, ties to the lowest cell id (array_position returns
+    * the first maximum — same rule as an ORDER BY csim DESC, cell).
+    *
+    * The previous form (crossJoin + row_number over a per-id window)
+    * shuffled corpus x numCells rows — still carrying both vectors — just
+    * to pick each row's max: 64M rows / ~35 GB at the 10^6 x 64-cell
+    * bench, ~90 s per pass. This form shuffles nothing at any scale.
+    */
+  private def assignLiteral(df: DataFrame, cents: Seq[(Int, Seq[Float])],
       idCol: String, vecCol: String): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cell"))
-    df.crossJoin(broadcast(centroids))
-      .withColumn("csim", vector.cosine(col(vecCol), col("centroid")))
-      .withColumn("crnk", row_number().over(w))
-      .filter(col("crnk") === 1)
-      .select(col(idCol), col(vecCol), col("cell"))
+    val cArr = typedlit(cents)
+    df.select(col(idCol), col(vecCol),
+        transform(cArr, c =>
+          vector.cosine(col(vecCol), c.getField("_2"))).as("_sims"))
+      .select(col(idCol), col(vecCol),
+        element_at(cArr,
+          array_position(col("_sims"), array_max(col("_sims"))).cast("int"))
+          .getField("_1").as("cell"))
   }
 
   /** Element-wise mean of each cell's vectors -> new centroids. The mean
@@ -88,32 +100,39 @@ object Ivf {
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, IvfIndex]]())
 
-  /** Build an IVF index over `df(idCol, vecCol)`. */
+  /** Build an IVF index over `df(idCol, vecCol)`. Every Lloyd pass is
+    * map-only assignment ([[assignLiteral]]) plus one partial-aggregated
+    * mean; the centroid set round-trips through the driver between passes
+    * (numCells x dims floats — KB, not data).
+    */
   def build(df: DataFrame, idCol: String, vecCol: String,
       numCells: Int, iterations: Int = 2): IvfIndex = {
     // Deterministic init: the numCells rows with smallest md5(id).
-    val init = df
+    var cents: Seq[(Int, Seq[Float])] = df
       .select(col(idCol), col(vecCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .limit(numCells)
       .collect()
+      .toSeq.zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](1)) }
     val spark = df.sparkSession
-    var centroids = spark.createDataFrame(
+    var assigned = assignLiteral(df, cents, idCol, vecCol)
+    (0 until iterations).foreach { _ =>
+      // orderBy(cell) fixes the literal-array order, which is what makes
+      // the argmax tie rule (first max = lowest cell) deterministic.
+      cents = recompute(assigned, vecCol).orderBy(col("cell")).collect()
+        .toSeq.map(r => (r.getInt(0), r.getSeq[Float](1)))
+      assigned = assignLiteral(df, cents, idCol, vecCol)
+    }
+    val centroids = spark.createDataFrame(
       spark.sparkContext.parallelize(
-        init.zipWithIndex.map { case (r, i) =>
-          org.apache.spark.sql.Row(i, r.getSeq[Float](1))
-        }.toIndexedSeq, 1),
+        cents.map { case (c, v) => org.apache.spark.sql.Row(c, v) }
+          .toIndexedSeq, 1),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("cell",
           org.apache.spark.sql.types.IntegerType),
         org.apache.spark.sql.types.StructField("centroid",
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.FloatType)))))
-    var assigned = assign(df, centroids, idCol, vecCol)
-    (0 until iterations).foreach { _ =>
-      centroids = recompute(assigned, vecCol)
-      assigned = assign(df, centroids, idCol, vecCol)
-    }
     IvfIndex(assigned, centroids).persist()
   }
 
