@@ -168,13 +168,12 @@ object Ivf {
     val routedCellIds = routed.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val prunedCells = index.cells.filter(col("cell").isin(routedCellIds: _*))
-    val rankW = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col(idCol))
-    routed.join(prunedCells, "cell")
+    // Final ranking partial-aggregates (Similarity.rankTopK): candidates
+    // collapse to <= k per query map-side, so the only full-size relation
+    // in the whole search is the pruned cell scan itself.
+    val candidates = routed.join(prunedCells, "cell")
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("sim", round(vector.cosine(col(vecCol), col("query_vec")), roundTo))
-      .withColumn("rnk", row_number().over(rankW))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col(idCol).as("vec_id"), col("sim"))
+    Similarity.rankTopK(candidates, idCol, "sim", k)
   }
 }

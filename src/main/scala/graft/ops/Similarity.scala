@@ -25,6 +25,41 @@ import graft.functions.vector
   */
 object Similarity {
 
+  /** Per-query exact top-k over a (query_id, id, score) candidate
+    * relation via the partial-aggregating [[graft.functions.TopKByScore]]:
+    * every map task collapses its candidates to <= k per query BEFORE the
+    * exchange, so the shuffle carries partitions x queries x k structs —
+    * not the full candidate set, which for brute-force search is the
+    * corpus itself. Tie rule (score desc, id asc) matches the
+    * row_number-window form it replaces exactly. Long ids (every search
+    * surface here) take the aggregator; anything else falls back to the
+    * window.
+    *
+    * Output: query_id, rnk (1-based int), vec_id, `scoreName`.
+    */
+  private[graft] def rankTopK(candidates: DataFrame, idCol: String,
+      scoreName: String, k: Int): DataFrame = {
+    val idIsLong = candidates.schema(idCol).dataType ==
+      org.apache.spark.sql.types.LongType
+    if (idIsLong) {
+      val topk = udaf(new graft.functions.TopKByScore(k))
+      candidates
+        .groupBy(col("query_id"))
+        .agg(topk(col(idCol), col(scoreName)).as("top"))
+        .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rnk"),
+          col("e.id").as("vec_id"), col("e.score").as(scoreName))
+    } else {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col(scoreName).desc, col(idCol))
+      candidates
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("rnk"), col(idCol).as("vec_id"),
+          col(scoreName))
+    }
+  }
+
   /** Exact cosine top-k of `corpus` for each row of `probes`.
     * Output: query_id, rnk (1-based), vec_id, sim (rounded to `roundTo`).
     * Ranking uses the rounded sim with id tiebreak so ordering is stable
@@ -36,14 +71,10 @@ object Similarity {
       k: Int, roundTo: Int = 6): DataFrame = {
     val p = broadcast(probes.select(col(idCol).as("query_id"),
       col(vecCol).as("query_vec")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col(idCol))
-    Spread.ensure(corpus).crossJoin(p)
+    val candidates = Spread.ensure(corpus).crossJoin(p)
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("sim", round(vector.cosine(col(vecCol), col("query_vec")), roundTo))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col(idCol).as("vec_id"), col("sim"))
+    rankTopK(candidates, idCol, "sim", k)
   }
 
   /** Deterministic pseudo-random unit-ish hyperplanes: `planes` x `dims`
@@ -115,14 +146,10 @@ object Similarity {
       k: Int, roundTo: Int = 6): DataFrame = {
     val p = broadcast(probes.select(col(idCol).as("query_id"),
       col(vecCol).as("query_vec")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("ip").desc, col(idCol))
-    Spread.ensure(corpus).crossJoin(p)
+    val candidates = Spread.ensure(corpus).crossJoin(p)
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("ip", round(vector.dot(col(vecCol), col("query_vec")), roundTo))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col(idCol).as("vec_id"), col("ip"))
+    rankTopK(candidates, idCol, "ip", k)
   }
 
   /** The MIPS -> cosine reduction (Bachrach et al., RecSys'14): append

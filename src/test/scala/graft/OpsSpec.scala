@@ -343,6 +343,24 @@ class OpsSpec extends SparkSpec {
       "cosine order over augmented vectors must equal inner-product order")
   }
 
+  test("partial-aggregating top-k equals the window form, ties included") {
+    import org.apache.spark.sql.expressions.Window
+    // Scores engineered with ties ACROSS partitions: the aggregator's
+    // merge must break them identically to (score desc, id asc).
+    val cand = (1L to 400L).map(i => (i % 4, i, (i % 7).toDouble))
+      .toDF("query_id", "vid", "sim").repartition(8)
+    val viaAgg = graft.ops.Similarity.rankTopK(cand, "vid", "sim", k = 5)
+      .orderBy($"query_id", $"rnk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"vid")
+    val viaWindow = cand.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+      .select($"query_id", $"rnk", $"vid".as("vec_id"), $"sim")
+      .orderBy($"query_id", $"rnk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(viaAgg === viaWindow)
+  }
+
   test("scd2Intervals collapses repeats and chains validity boundaries") {
     // user 1: a a b a -> intervals a[10,30) b[30,40) a[40,null)
     // user 2: single event -> one open interval
