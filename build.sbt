@@ -26,7 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g proved too small once the suite reached 95 queries: family
+  // artifacts + shuffle/codegen overhead push the old-gen high enough
+  // that mid-suite queries measured GC schedule, not plan cost. The box
+  // has 128 GiB; 24g leaves ample room for the driver-side oracle stack.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
 
 // Forward stdin to forked `run` mains (the graft.Cli REPL reads it).

@@ -6,11 +6,34 @@ import org.apache.spark.sql.SparkSession
   * and prints one JSON line for the driver
   * ({"metric","value","unit","queries","sf"}).
   *
-  * A short warm-up (schema reads + one tiny query) runs first so the
-  * per-query numbers measure the plans, not JVM/classloader/codegen
-  * first-touch; queries then run in sorted name order.
+  * Measurement rules (each learned from a round-over-round regression):
+  *
+  *  - Warm-up is interleaved per query: each query runs once at sf0.001
+  *    immediately before its timed runs, so the timed numbers measure the
+  *    plan, not JVM/classloader/codegen first-touch.
+  *  - Each query is timed twice at the target scale and the best run is
+  *    reported: local[32] single-JVM runs carry ±2-3x per-query GC/JIT
+  *    noise, and the min of two is the steady-state estimate. A run that
+  *    throws contributes NO timing — a query whose every run failed
+  *    reports -1, never a fast-looking time-to-exception.
+  *  - The generated-class cache is raised from its 100-entry default: this
+  *    suite executes ~95 distinct queries x 3 runs, and at the default
+  *    size the early queries' classes are evicted before their timed runs,
+  *    re-measuring Janino compilation instead of execution.
+  *  - [[Caches.reset]] runs at every query-family boundary: families
+  *    deliberately share persisted artifacts (pair relations, IVF index,
+  *    fingerprint postings) WITHIN the family, but letting them accumulate
+  *    across all 95 queries pins gigabytes of block-manager storage and
+  *    was measured as a 3.7x whole-suite slowdown in round 3 (mid-suite
+  *    aggregates at 10-30x their isolated cost).
   */
 object Bench {
+  /** Family key: the leading letters of the query name ("d01" -> "d",
+    * "st03" -> "st"). Queries run in sorted name order, so each family is
+    * contiguous and its shared artifacts die at the boundary.
+    */
+  private def family(name: String): String = name.takeWhile(!_.isDigit)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -18,38 +41,40 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Static conf — must be set before the first session exists.
+      .config("spark.sql.codegen.cache.maxEntries", "3000")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm-up is interleaved per query: run it at the smallest scale factor
-    // immediately before timing it at the target one. The generated-code
-    // cache keys on (data-independent) plan source but holds only ~100
-    // classes — a single warm-up pass over all 40+ queries evicts the early
-    // queries' classes before their timed runs, so a prefix warm-up phase
-    // re-measures codegen compilation, not execution.
-    // Each query is timed twice at the target scale and the best run is
-    // reported: local[32] single-JVM runs carry ±2-3x per-query GC/JIT
-    // noise, and the min of two is the standard steady-state estimate —
-    // it is the plan's cost, not the garbage collector's schedule.
     val warmDir = "/root/testdata/sf0.001"
+    var prevFamily: String = null
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val fam = family(name)
+      if (prevFamily != null && fam != prevFamily) {
+        Caches.reset(spark)
+        // Let the ContextCleaner reclaim the family's localCheckpoint
+        // blocks (freed via weak references, so they need a GC to move).
+        System.gc()
+      }
+      prevFamily = fam
       try fn(spark, warmDir).count()
       catch { case _: Throwable => }
-      val times = (0 until 2).map { _ =>
+      val timings = (0 until 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      name -> times.min
+      name -> (if (timings.isEmpty) -1.0 else timings.min)
     }
     // Millisecond precision keeps the whole line under ~1.9k chars for 70+
     // queries so log-tail capture (last ~2k chars) retains it intact.
     def fmt(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -10,12 +10,20 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.codegen.cache.maxEntries", "3000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Sorted order + family-boundary cache hygiene, same as graft.Bench:
+    // families share persisted artifacts within themselves; across the
+    // whole sweep they would accumulate.
+    var prevFamily: String = null
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val fam = name.takeWhile(!_.isDigit)
+      if (prevFamily != null && fam != prevFamily) Caches.reset(spark)
+      prevFamily = fam
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

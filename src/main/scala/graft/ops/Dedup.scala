@@ -190,6 +190,13 @@ object Dedup {
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
 
+  /** Drop this session's memoized pair relations (see [[graft.Caches]]).
+    * Unpersisting the underlying blocks is the caller's job (one
+    * `catalog.clearCache()` covers every family).
+    */
+  private[graft] def invalidate(spark: org.apache.spark.sql.SparkSession): Unit =
+    Option(pairCache.get(spark)).foreach(_.clear())
+
   /** Near-duplicate pairs by CHARACTER n-gram Jaccard, same MinHash+LSH
     * machinery as [[nearDuplicatesMinhash]] over [[charShingles]]. The
     * finer shingles catch near-dups that word shingling misses (small

@@ -55,12 +55,18 @@ object Ivf {
   private def assignLiteral(df: DataFrame, cents: Seq[(Int, Seq[Float])],
       idCol: String, vecCol: String): DataFrame = {
     val cArr = typedlit(cents)
+    // Total on degenerate input: a null vector yields null cosines, where
+    // array_position returns null (and 0 would make element_at throw) —
+    // coalesce routes such rows to cell 1 instead of silently dropping
+    // them from the index. build() filters unembeddable rows up front, so
+    // this is belt-and-braces for direct callers.
+    val pos = array_position(col("_sims"), array_max(col("_sims")))
     df.select(col(idCol), col(vecCol),
         transform(cArr, c =>
           vector.cosine(col(vecCol), c.getField("_2"))).as("_sims"))
       .select(col(idCol), col(vecCol),
         element_at(cArr,
-          array_position(col("_sims"), array_max(col("_sims"))).cast("int"))
+          coalesce(nullif(pos, lit(0L)), lit(1L)).cast("int"))
           .getField("_1").as("cell"))
   }
 
@@ -100,13 +106,21 @@ object Ivf {
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, IvfIndex]]())
 
+  /** Drop this session's memoized indexes (see [[graft.Caches]]). */
+  private[graft] def invalidate(spark: org.apache.spark.sql.SparkSession): Unit =
+    Option(cache.get(spark)).foreach(_.clear())
+
   /** Build an IVF index over `df(idCol, vecCol)`. Every Lloyd pass is
     * map-only assignment ([[assignLiteral]]) plus one partial-aggregated
     * mean; the centroid set round-trips through the driver between passes
     * (numCells x dims floats — KB, not data).
     */
-  def build(df: DataFrame, idCol: String, vecCol: String,
+  def build(rawDf: DataFrame, idCol: String, vecCol: String,
       numCells: Int, iterations: Int = 2): IvfIndex = {
+    // A row without an embedding cannot be indexed (its cosine to every
+    // centroid is undefined); dropping it here keeps centroid init and
+    // assignment total instead of data-dependent.
+    val df = rawDf.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
     // Deterministic init: the numCells rows with smallest md5(id).
     var cents: Seq[(Int, Seq[Float])] = df
       .select(col(idCol), col(vecCol))

@@ -51,9 +51,15 @@ object Lake {
   def scd2Intervals(events: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    // Change detection must be null-safe on BOTH axes: `lag` of a null
+    // value is indistinguishable from "no previous row", so first-ness is
+    // tracked separately (row_number), and the value comparison uses <=>
+    // so a genuine transition to/from NULL is a change while NULL -> NULL
+    // is not.
     events
       .withColumn("_prev", lag(col(valueCol), 1).over(w))
-      .filter(col("_prev").isNull || col("_prev") =!= col(valueCol))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 || not(col("_prev") <=> col(valueCol)))
       .withColumn("valid_from", col(tsCol))
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .select(col(keyCol), col(valueCol), col("valid_from"), col("valid_to"),

@@ -35,10 +35,18 @@ object Similarity {
     * surface here) take the aggregator; anything else falls back to the
     * window.
     *
+    * Null and NaN scores are dropped before ranking: the two paths would
+    * otherwise disagree (desc ordering ranks NaN first; the aggregator's
+    * `better()` never admits it) and a null would crash the aggregator's
+    * non-nullable encoder. A candidate without a finite score has no
+    * defensible rank in either semantics.
+    *
     * Output: query_id, rnk (1-based int), vec_id, `scoreName`.
     */
-  private[graft] def rankTopK(candidates: DataFrame, idCol: String,
+  private[graft] def rankTopK(rawCandidates: DataFrame, idCol: String,
       scoreName: String, k: Int): DataFrame = {
+    val candidates = rawCandidates
+      .filter(col(scoreName).isNotNull && !isnan(col(scoreName)))
     val idIsLong = candidates.schema(idCol).dataType ==
       org.apache.spark.sql.types.LongType
     if (idIsLong) {

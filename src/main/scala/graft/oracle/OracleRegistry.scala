@@ -34,7 +34,11 @@ final case class Oracle(
     name: String,
     params: Seq[String],
     body: (OracleContext, RecordStore, Seq[JValue]) => JValue,
-    merger: Option[Seq[JValue] => JValue] = None)
+    merger: Option[Seq[JValue] => JValue] = None,
+    /** Source text for dynamically compiled oracles ([[SqlOracle]]); the
+      * reference stores the JS code on the oracle (proto/sum.proto:95-99).
+      */
+    code: Option[String] = None)
 
 final case class OracleRunError(msg: String) extends RuntimeException(msg)
 
@@ -49,7 +53,11 @@ final class OracleRegistry {
   private var nextId = 1L
 
   def create(o: Oracle): Either[String, Oracle] = synchronized {
-    val dup = oracles.values.exists(x => x.name == o.name && (x.body eq o.body))
+    // Same name + same body: identity for registered Scala bodies, source
+    // equality for compiled SQL text (the reference compares the stored
+    // Code string).
+    val dup = oracles.values.exists(x => x.name == o.name &&
+      ((x.body eq o.body) || (x.code.isDefined && x.code == o.code)))
     if (dup) Left("oracle already created")
     else {
       val assigned = o.copy(id = nextId)
@@ -58,6 +66,15 @@ final class OracleRegistry {
       Right(assigned)
     }
   }
+
+  /** Create from SQL text: compile (parse + analyze — [[SqlOracle]]), then
+    * register. A non-compiling text rejects HERE, with the compile
+    * message, matching the reference's CreateOracle behavior on broken
+    * code (node/service/oracles_test.go:14-23, compiler.go:19-52).
+    */
+  def createSql(spark: org.apache.spark.sql.SparkSession, name: String,
+      sqlText: String): Either[String, Oracle] =
+    SqlOracle.compile(spark, name, sqlText).flatMap(create)
 
   def read(id: Long): Either[String, Oracle] =
     synchronized(oracles.get(id).toRight(StoreErrors.oracleNotFound(id)))

@@ -44,6 +44,12 @@ object MixQueries {
       java.util.concurrent.ConcurrentHashMap[String,
         org.apache.spark.sql.DataFrame]]())
 
+  /** Drop this session's memoized fingerprint/postings relations (see
+    * [[graft.Caches]]).
+    */
+  private[graft] def invalidate(spark: org.apache.spark.sql.SparkSession): Unit =
+    Option(fpCache.get(spark)).foreach(_.clear())
+
   /** Memoized inverted-index postings over the winnowed fingerprints:
     * (fp, sorted doc list) for fingerprints seen in 2..maxDf documents.
     * The grouping shuffle over the full fingerprint relation is the

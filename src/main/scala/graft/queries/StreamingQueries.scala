@@ -46,32 +46,48 @@ object StreamingQueries {
     s.table(name)
   }
 
-  /** Events-plus-sentinel fixture for st03, written once per (session, sf
-    * dir): the real events table with one extra row planted gap + lateness
-    * + 1 min past the true max event time, under an impossible user id.
-    * The sentinel's only job is to advance the final watermark beyond
-    * every real session's end so append-mode emission is total; it is
-    * fixture preparation, not the measured operator, hence the memo.
+  /** Events-plus-sentinel fixture, written once per (session, sf dir,
+    * advance): the real events table with one extra row planted
+    * `advanceNs` past the true max event time, under an impossible user
+    * id. The sentinel's only job is to advance the final watermark beyond
+    * every real window/session's end so append-mode emission is total; it
+    * is fixture preparation, not the measured operator, hence the memo.
+    * st03 plants gap + lateness + 1 min; st01 plants 2 h (hour-window
+    * alignment + lateness, with margin).
     */
-  private def sentinelEventsDir(s: SparkSession, dir: String): String =
-    sentinelDirs.computeIfAbsent((s, dir), _ => {
+  private def sentinelEventsDir(s: SparkSession, dir: String,
+      advanceNs: Long): String = {
+    val perSession = sentinelDirs.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
+    perSession.computeIfAbsent(s"$dir/$advanceNs", _ => {
       val t = Tables(s, dir)
-      val scratch = s"/root/repo/target/graft-io/st03_${math.abs(dir.hashCode)}"
+      // Scratch path keyed on the sanitized dir + advance (not hashCode):
+      // distinct fixtures can never collide onto one path.
+      val scratch =
+        s"/root/repo/target/graft-io/sentinel_${advanceNs}_${sanitize(dir)}"
       val cols = Seq("event_id", "ts", "user_id", "event_type", "value",
         "props").map(col)
       val maxTs = t.events.agg(max(col("ts"))).head.getLong(0)
-      val sentinelTs = maxTs + 41L * 60 * 1000000000L // gap+lateness+1min
       val sentinel = s.range(1).select(
-        lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
+        lit(-1L).as("event_id"), lit(maxTs + advanceNs).as("ts"),
         lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
         lit(0.0).as("value"), lit("").as("props"))
       t.events.select(cols: _*).unionByName(sentinel)
         .write.mode("overwrite").parquet(scratch)
       scratch
     })
+  }
 
-  private val sentinelDirs = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), String]()
+  private val MinuteNs = 60L * 1000000000L
+
+  private def sanitize(path: String): String =
+    path.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  // Weak-keyed on the session (like graft.queries.Tables) so stopped
+  // sessions do not accumulate; the inner map is per-sf-dir.
+  private val sentinelDirs = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
 
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -87,11 +103,21 @@ object StreamingQueries {
     QueryDef(
       // Streaming tumbling-window aggregation (q13's streaming twin): the
       // watermarked 1-hour window counts/sums from EventStreams.hourlyStats
-      // run as a streaming job; complete-mode sink holds every window.
+      // run as a streaming job in APPEND mode — the sink receives exactly
+      // the windows the watermark has closed, the bounded-state shape that
+      // runs forever on a real stream (a complete-mode sink retains every
+      // window ever seen). A sentinel event 2 h past the true max (hour
+      // alignment + lateness + margin) closes the last real window so
+      // emission is total and the batch oracle must match exactly; the
+      // sentinel's own (still-open) window is filtered by event_type.
       "st01_stream_hourly",
       (s, dir) => {
-        val agg = EventStreams.hourlyStats(eventStream(s, dir))
-        runToTable(s, agg, "complete")
+        val scratch = sentinelEventsDir(s, dir, 120 * MinuteNs)
+        val stream = EventStreams.withEventTime(
+          s.readStream.schema(EventStreams.rawSchema).parquet(scratch))
+        val agg = EventStreams.hourlyStats(stream)
+        runToTable(s, agg, "append")
+          .filter(col("event_type") =!= "sentinel")
           .select(unix_timestamp(col("hour_start")).as("hour_epoch_s"),
             col("event_type"), col("n"),
             round(col("sum_value"), 2).as("sum_value"))
@@ -147,7 +173,7 @@ object StreamingQueries {
       // this matches q14's strict-> convention too.)
       "st03_stream_sessions",
       (s, dir) => {
-        val scratch = sentinelEventsDir(s, dir)
+        val scratch = sentinelEventsDir(s, dir, 41 * MinuteNs)
         val stream = EventStreams.withEventTime(
           s.readStream.schema(EventStreams.rawSchema).parquet(scratch))
         val sessions = runToTable(s,
@@ -192,7 +218,7 @@ object StreamingQueries {
       // are wiped per run because the sink appends by contract.
       "st04_stream_sink",
       (s, dir) => {
-        val base = s"/root/repo/target/graft-io/st04_${math.abs(dir.hashCode)}"
+        val base = s"/root/repo/target/graft-io/st04_${sanitize(dir)}"
         val out = s"$base/data"; val ckpt = s"$base/checkpoint"
         val fs = org.apache.hadoop.fs.FileSystem.get(
           s.sparkContext.hadoopConfiguration)

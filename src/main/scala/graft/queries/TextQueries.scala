@@ -380,6 +380,70 @@ object TextQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // The 100 TB embedding-dedup path, driver-certified: sign-random-
+      // projection LSH (Similarity.signBucketJoin — bucket-keyed join,
+      // no cross join at any scale) checked against the exact all-pairs
+      // relation through an in-query contract, a01-style.
+      //
+      // The testdata embeddings are near-orthogonal (max natural cosine
+      // ~0.47 — the regime where ANY sign-LSH is near-random), so the
+      // query PLANTS true near-duplicates the way a dedup workload sees
+      // them: a shifted-id copy of the vec_id < 50 slice with its first 8
+      // dims zeroed (cosine ~0.87-0.97 to its source) joins the corpus,
+      // and detection runs at threshold 0.8. Subset holds by construction
+      // (LSH candidates are verified with the same exact cosine the brute
+      // path uses; an unrounded sim >= t always rounds to >= t at 6
+      // decimals). Recall is bounded at 0.9: per planted pair the default
+      // 32-plane/8-band signature misses with p = (1 - p_band)^8 ~ 7e-4,
+      // so >= 6 misses out of 50 is a ~1e-11 event. n_exact is the one
+      // data-derived column the DuckDB oracle recomputes independently —
+      // and both engines agree on it even if a planted pair's geometry
+      // lands below threshold, because each recomputes the pair set from
+      // the same corpus.
+      "e02_lsh_neardup_contract",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val base = t.embeddings.select(col("vec_id"), col("embedding"))
+        val planted = base.filter(col("vec_id") < 50)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => when(i < 8, lit(0.0f)).otherwise(x)).as("embedding"))
+        val corpus = base.unionByName(planted)
+        val exact = Similarity.bruteForcePairs(corpus, "vec_id",
+            "embedding", threshold = 0.8)
+          .select(col("id_a"), col("id_b"), lit(1).as("in_e"))
+        val lsh = Similarity.signBucketJoin(corpus, "vec_id",
+            "embedding", threshold = 0.8)
+          .select(col("id_a"), col("id_b"), lit(1).as("in_p"))
+        lsh.join(exact, Seq("id_a", "id_b"), "full_outer")
+          .agg(count(col("in_e")).as("n_exact_raw"),
+            count(when(col("in_p").isNotNull && col("in_e").isNotNull, 1))
+              .as("n_both"),
+            count(when(col("in_p").isNotNull && col("in_e").isNull, 1))
+              .as("n_lsh_only"))
+          .select(col("n_exact_raw").as("n_exact"),
+            (col("n_lsh_only") === 0).as("subset_ok"),
+            (col("n_both").cast("double") >=
+              col("n_exact_raw").cast("double") * 0.9).as("recall_ok"))
+      },
+      Some("""
+        |WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |         list_transform(embedding,
+        |           (x, i) -> CASE WHEN i <= 8 THEN CAST(0 AS FLOAT) ELSE x END)
+        |           AS embedding
+        |  FROM embeddings WHERE vec_id < 50
+        |)
+        |SELECT count(*) AS n_exact, TRUE AS subset_ok, TRUE AS recall_ok
+        |FROM corpus a, corpus b
+        |WHERE a.vec_id < b.vec_id
+        |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.8
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Character 5-gram Jaccard near-dup pairs — same machinery as d02
       // over char shingles, but MinHash(64) in 8 bands of EIGHT: char-gram
       // similarity concentrates much higher than word-gram similarity on

@@ -188,21 +188,35 @@ object VectorQueries {
       // findDoubles parity: pairs of records with element-wise equal vectors
       // (Record.Equal, record.go:69-71; findDoubles oracle,
       // master/service_test.go:260-342). Array equality is exact on the
-      // raw float32s — no rounding involved.
+      // raw float32s — no rounding involved. The testdata has no natural
+      // doubles (this row passed vacuously at 0 rows for three rounds), so
+      // the query PLANTS them: a shifted-id copy of the vec_id < 20 slice
+      // is unioned in on both engines, making every planted (i, i+10^6)
+      // pair — and nothing else — a double the equality join must find.
       "v06_find_doubles",
       (s, dir) => {
         val t = Tables(s, dir)
-        val a = t.embeddings.select(col("vec_id").as("id_a"),
+        val base = t.embeddings.select(col("vec_id"), col("embedding"))
+        val planted = base.filter(col("vec_id") < 20)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        val all = base.unionByName(planted)
+        val a = all.select(col("vec_id").as("id_a"),
           col("embedding").as("emb_a"))
-        val b = t.embeddings.select(col("vec_id").as("id_b"),
+        val b = all.select(col("vec_id").as("id_b"),
           col("embedding").as("emb_b"))
         a.join(b, col("id_a") < col("id_b") && col("emb_a") === col("emb_b"))
           .select(col("id_a"), col("id_b"))
           .orderBy(col("id_a"), col("id_b"))
       },
       Some("""
+        |WITH all_recs AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id, embedding
+        |  FROM embeddings WHERE vec_id < 20
+        |)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |FROM embeddings a, embeddings b
+        |FROM all_recs a, all_recs b
         |WHERE a.vec_id < b.vec_id AND a.embedding = b.embedding
         |ORDER BY id_a, id_b
         |""".stripMargin.trim)),

@@ -42,6 +42,28 @@ class ScaleSpec extends SparkSpec {
     assert(adaptive.getDouble(1) === plain.getDouble(1))
   }
 
+  test("distributed min-label canonicalize converges on deep chains") {
+    // The billions-of-pairs path (Dedup.canonicalize's checkpointed
+    // min-label loop, forced via localThreshold = 0): 8192 chains of 16
+    // nodes — 123k edges whose worst-case component diameter needs ~15
+    // propagation rounds, so the loop's convergence detection and
+    // per-round localCheckpoint lineage truncation are genuinely
+    // exercised, not just the 1-2 round graphs of OpsSpec.
+    val n = 1L << 17
+    val edges = spark.range(n).filter($"id" % 16 =!= 15)
+      .select($"id".as("doc_a"), ($"id" + 1).as("doc_b"))
+    val labels = graft.ops.Dedup.canonicalize(edges, localThreshold = 0L)
+      .cache()
+    try {
+      assert(labels.count() === n)
+      // Every node's keeper is its chain's min id.
+      val bad = labels
+        .filter($"keeper_id" =!= ($"doc_id" - ($"doc_id" % 16))).count()
+      assert(bad === 0)
+      assert(labels.select($"keeper_id").distinct().count() === n / 16)
+    } finally labels.unpersist()
+  }
+
   test("keyHistogram surfaces the heaviest keys first") {
     val h = Skew.keyHistogram(
       spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"),
