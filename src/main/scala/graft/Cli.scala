@@ -32,9 +32,11 @@ object Cli {
       |  delete-record <id>
       |  list-records <page> <per_page>
       |  find-records <meta_key> <value>
+      |  create-oracle <name> <sql...>           compiled at create (SqlOracle)
       |  read-oracle <id>
       |  find-oracle <name>
       |  list-oracles <page> <per_page>
+      |  delete-oracle <id>
       |  run <oracle_id> [json_arg ...]
       |  help
       |  quit""".stripMargin
@@ -117,34 +119,162 @@ object Cli {
       case "list-records" =>
         Some(json(svc.listRecords(parts(1).toLong, parts(2).toLong)))
       case "find-records" => Some(json(svc.findRecords(parts(1), parts(2))))
+      case "create-oracle" =>
+        // SQL text is everything after the name — compiled at create, the
+        // reference's CreateOracle(code) contract.
+        val sql = parts.drop(2).mkString(" ")
+        Some(json(svc.oracles.createSql(svc.spark, parts(1), sql) match {
+          case Left(err) => graft.service.OracleResponse(success = false, err)
+          case Right(o)  => graft.service.OracleResponse(success = true,
+            o.id.toString, Some(o))
+        }))
       case "read-oracle" => Some(json(svc.readOracle(parts(1).toLong)))
       case "find-oracle" => Some(json(svc.findOracle(parts(1))))
       case "list-oracles" =>
         Some(json(svc.listOracles(parts(1).toLong, parts(2).toLong)))
+      case "delete-oracle" => Some(json(svc.deleteOracle(parts(1).toLong)))
       case "run" => Some(json(svc.run(parts(1).toLong, parts.drop(2))))
       case other => Some(s"""{"success":false,"msg":"unknown command: $other (try help)"}""")
     }
   }
 
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val svc = SumService(spark)
-    println("graft cli — canonical oracles registered; `help` for verbs")
+    // Remote mode: `--connect http://host:port` (or SPARK_GRAFT_CONNECT)
+    // speaks to a running graft.Serve daemon over the wire — the sumcli
+    // -> sumd topology — and needs no SparkSession of its own.
+    val connectIdx = args.indexOf("--connect")
+    val connect = if (connectIdx >= 0 && args.length > connectIdx + 1)
+      Some(args(connectIdx + 1)) else sys.env.get("SPARK_GRAFT_CONNECT")
+    val scriptArgs = args.filterNot(_.startsWith("--connect")).toSeq
+      .filterNot(a => connectIdx >= 0 && a == args(connectIdx + 1))
     val lines =
-      if (args.nonEmpty) Source.fromFile(args(0)).getLines()
+      if (scriptArgs.nonEmpty) Source.fromFile(scriptArgs.head).getLines()
       else Source.stdin.getLines()
-    var running = true
-    while (running && lines.hasNext) {
-      dispatch(svc, lines.next()) match {
-        case Some(out) => if (out.nonEmpty) println(out)
-        case None => running = false
-      }
+
+    connect match {
+      case Some(base) =>
+        println(s"graft cli — connected to $base; `help` for verbs")
+        var running = true
+        while (running && lines.hasNext) {
+          RemoteCli.dispatch(base, lines.next()) match {
+            case Some(out) => if (out.nonEmpty) println(out)
+            case None => running = false
+          }
+        }
+      case None =>
+        val spark = SparkSession.builder()
+          .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
+          .config("spark.sql.shuffle.partitions", "4")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+        val svc = SumService(spark)
+        println("graft cli — canonical oracles registered; `help` for verbs")
+        var running = true
+        while (running && lines.hasNext) {
+          dispatch(svc, lines.next()) match {
+            case Some(out) => if (out.nonEmpty) println(out)
+            case None => running = false
+          }
+        }
+        spark.stop()
     }
-    spark.stop()
+  }
+}
+
+/** The same verb set translated to [[graft.service.SumServer]] RPC posts —
+  * sumcli against a running sumd (cmd/sumcli). Responses are the wire
+  * JSON; `run` additionally opens the gzip envelope client-side so the
+  * printed form matches the local CLI's.
+  */
+object RemoteCli {
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  private def post(base: String, rpc: String, body: String): String = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"$base/$rpc"))
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+      .header("Content-Type", "application/json").build()
+    client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+  }
+
+  private def jstr(s: String): String =
+    JsonMethods.compact(JsonMethods.render(JString(s)))
+
+  def dispatch(base: String, line: String): Option[String] = {
+    val parts = line.trim.split("\\s+").toSeq
+    if (parts.isEmpty || parts.head.isEmpty) return Some("")
+    try dispatchParsed(base, parts)
+    catch {
+      case e: Exception =>
+        Some(s"""{"success":false,"msg":"bad arguments for ${parts.head} (try help)"}""")
+    }
+  }
+
+  private def dispatchParsed(base: String, parts: Seq[String]): Option[String] = {
+    def record(dataArg: String, metaArgs: Seq[String], id: Long): String = {
+      val data = dataArg.split(",").filter(_.nonEmpty).map(_.toFloat)
+      val meta = metaArgs.map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"metadata must be k=v, got: $kv")
+        s"${jstr(kv.take(i))}:${jstr(kv.drop(i + 1))}"
+      }.mkString(",")
+      s"""{"id":$id,"data":[${data.mkString(",")}],"meta":{$meta}}"""
+    }
+    parts.head match {
+      case "quit" | "exit" => None
+      case "help" => Some("remote verbs are identical to local ones; see `help` locally")
+      case "info" => Some(post(base, "Info", "{}"))
+      case "create-record" =>
+        Some(post(base, "CreateRecord", record(parts(1), parts.drop(2), 0L)))
+      case "read-record" =>
+        Some(post(base, "ReadRecord", s"""{"id":${parts(1).toLong}}"""))
+      case "update-record" =>
+        Some(post(base, "UpdateRecord",
+          record(parts(2), parts.drop(3), parts(1).toLong)))
+      case "delete-record" =>
+        Some(post(base, "DeleteRecord", s"""{"id":${parts(1).toLong}}"""))
+      case "list-records" =>
+        Some(post(base, "ListRecords",
+          s"""{"page":${parts(1).toLong},"per_page":${parts(2).toLong}}"""))
+      case "find-records" =>
+        Some(post(base, "FindRecords",
+          s"""{"meta":${jstr(parts(1))},"value":${jstr(parts(2))}}"""))
+      case "create-oracle" =>
+        Some(post(base, "CreateOracle",
+          s"""{"name":${jstr(parts(1))},"code":${jstr(parts.drop(2).mkString(" "))}}"""))
+      case "read-oracle" =>
+        Some(post(base, "ReadOracle", s"""{"id":${parts(1).toLong}}"""))
+      case "find-oracle" =>
+        Some(post(base, "FindOracle", s"""{"name":${jstr(parts(1))}}"""))
+      case "list-oracles" =>
+        Some(post(base, "ListOracles",
+          s"""{"page":${parts(1).toLong},"per_page":${parts(2).toLong}}"""))
+      case "delete-oracle" =>
+        Some(post(base, "DeleteOracle", s"""{"id":${parts(1).toLong}}"""))
+      case "run" =>
+        val argsJson = parts.drop(2).map(jstr).mkString(",")
+        val raw = post(base, "Run",
+          s"""{"oracle_id":${parts(1).toLong},"args":[$argsJson]}""")
+        // Open the envelope so the printed form matches the local CLI.
+        val parsed = JsonMethods.parse(raw)
+        val opened = parsed \ "data" match {
+          case JObject(_) =>
+            val compressed = (parsed \ "data" \ "compressed") == JBool(true)
+            val bytes = java.util.Base64.getDecoder.decode(
+              (parsed \ "data" \ "payload").asInstanceOf[JString].s)
+            new String(graft.oracle.Payload.open(
+              graft.oracle.Payload.Envelope(compressed, bytes)), "UTF-8")
+          case _ => "null"
+        }
+        val success = JsonMethods.compact(JsonMethods.render(parsed \ "success"))
+        val msg = JsonMethods.compact(JsonMethods.render(parsed \ "msg"))
+        Some(s"""{"success":$success,"msg":$msg,"data":$opened}""")
+      case other =>
+        Some(s"""{"success":false,"msg":"unknown command: $other (try help)"}""")
+    }
   }
 }

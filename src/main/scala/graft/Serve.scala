@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.service.{SumServer, SumService}
+
+/** The daemon entry point — the reference's `sumd` (cmd/sumd/main.go):
+  * start a Spark session, stand up [[graft.service.SumService]] with the
+  * canonical oracles registered, and serve the 14 RPC shapes on a socket
+  * until killed. Pair with `graft.Cli --connect http://host:port` for the
+  * sumcli topology.
+  *
+  * {{{
+  *   sbt "runMain graft.Serve 8585"         # or SPARK_GRAFT_PORT
+  *   echo "info" | sbt "runMain graft.Cli --connect http://127.0.0.1:8585/sum.SumService"
+  * }}}
+  */
+object Serve {
+  def main(args: Array[String]): Unit = {
+    val port = args.headOption.map(_.toInt)
+      .orElse(sys.env.get("SPARK_GRAFT_PORT").map(_.toInt))
+      .getOrElse(8585)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val server = new SumServer(SumService(spark), port)
+    server.start()
+    println(s"graft serving at ${server.baseUrl}")
+    sys.addShutdownHook { server.stop(); spark.stop() }
+    Thread.currentThread.join()
+  }
+}

@@ -1217,6 +1217,36 @@ object Relational {
         |FROM sampled
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Mergeable-sketch pipeline (a01's HLL taken to its lakehouse form):
+      // per-nation Theta/HLL sketches of the customer key are built ONCE
+      // (the pre-aggregated sketch table a pipeline would persist), then
+      // UNIONED into a global cardinality estimate — distinct-count
+      // rollup without re-touching the base data, the only shape that
+      // scales when the base table is 100 TB and the question is asked
+      // daily. Checked a01-style: the estimate must land within 5% of the
+      // exact distinct count (the oracle recomputes the exact side;
+      // HLL++ at default lgK is ~1.6% RSE, so 5% is a stable bound).
+      "a03_sketch_union",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val perNation = t.customer
+          .groupBy(col("c_nationkey"))
+          .agg(hll_sketch_agg(col("c_custkey")).as("sk"),
+            countDistinct(col("c_custkey")).as("part_exact"))
+        perNation
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
+            sum(col("part_exact")).as("n_exact_raw"))
+          .select(col("n_exact_raw").as("n_exact"),
+            (abs(col("est") - col("n_exact_raw")) <=
+              col("n_exact_raw").cast("double") * 0.05).as("sketch_ok"))
+      },
+      Some("""
+        |SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_exact,
+        |       TRUE AS sketch_ok
+        |FROM customer
         |""".stripMargin.trim))
   )
 }

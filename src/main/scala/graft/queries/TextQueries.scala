@@ -444,6 +444,127 @@ object TextQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Training-sample chunking: each document split into overlapping
+      // token windows (64 tokens, stride 48) — the sequence-prep step
+      // between cleaning and packing in an LLM data pipeline. Map-only:
+      // start positions come from `sequence`, each chunk is a slice, and
+      // the emitted fingerprint (md5 of the joined tokens) keeps the
+      // output narrow while pinning exact chunk content cross-engine.
+      // Output volume is ~len/stride rows per doc and nothing shuffles
+      // until the final orderBy (driver-gate only).
+      "t11_chunking",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val chunk = 64
+        val stride = 48
+        val toks = t.documents
+          .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) > 0)
+        toks
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0), size(col("toks")) - 1, lit(stride)))
+              .as("start"))
+          .select(col("doc_id"),
+            (col("start") / stride).cast("long").as("chunk_idx"),
+            slice(col("toks"), col("start") + 1, lit(chunk)).as("chunk"))
+          .select(col("doc_id"), col("chunk_idx"),
+            size(col("chunk")).cast("long").as("n_tokens"),
+            md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some("""
+        |WITH tok AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |starts AS (
+        |  SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start
+        |  FROM tok WHERE len(toks) > 0
+        |)
+        |SELECT doc_id,
+        |       CAST(start // 48 AS BIGINT) AS chunk_idx,
+        |       CAST(len(toks[start+1 : start+64]) AS BIGINT) AS n_tokens,
+        |       md5(array_to_string(toks[start+1 : start+64], ' ')) AS chunk_md5
+        |FROM starts
+        |ORDER BY doc_id, chunk_idx
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // BM25 relevance scoring (Robertson/Okapi, k1=1.2 b=0.75) of the
+      // corpus against a fixed query — the retrieval-quality scorer a
+      // data pipeline runs to mine training examples for a topic. Two
+      // shuffles total at any scale: one keyed aggregation for per-(doc,
+      // term) frequencies, one broadcast-joined document-frequency
+      // relation (|query terms| rows); the idf/tf math is map-side.
+      "t12_bm25",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val k1 = 1.2
+        val b = 0.75
+        val queryTerms = Seq("join", "scan", "vector")
+        val toks = t.documents
+          .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) > 0)
+        val docLen = toks.select(col("doc_id"),
+          size(col("toks")).cast("double").as("dl"))
+        val nAndAvg = docLen.agg(count(lit(1)).cast("double").as("n_docs"),
+          avg(col("dl")).as("avgdl"))
+        val tf = toks
+          .select(col("doc_id"), explode(col("toks")).as("term"))
+          .filter(col("term").isin(queryTerms: _*))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).cast("double").as("tf"))
+        val df = tf.groupBy(col("term"))
+          .agg(count(lit(1)).cast("double").as("df"))
+        val scored = tf
+          .join(broadcast(df), "term")
+          .join(docLen, "doc_id")
+          .crossJoin(broadcast(nAndAvg))
+          .select(col("doc_id"),
+            (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+              (col("tf") * (k1 + 1)) /
+              (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+              .as("term_score"))
+          .groupBy(col("doc_id"))
+          .agg(round(sum(col("term_score")), 4).as("bm25"))
+        scored.orderBy(col("bm25").desc, col("doc_id")).limit(20)
+      },
+      Some("""
+        |WITH tok AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |dl AS (
+        |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl
+        |  FROM tok WHERE len(toks) > 0
+        |),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+        |),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+        |  WHERE term IN ('join', 'scan', 'vector')
+        |  GROUP BY doc_id, term
+        |),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term)
+        |SELECT tf.doc_id,
+        |       round(sum(
+        |         ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |         (tf.tf * 2.2) /
+        |         (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 4) AS bm25
+        |FROM tf
+        |JOIN df ON tf.term = df.term
+        |JOIN dl ON tf.doc_id = dl.doc_id
+        |CROSS JOIN stats
+        |GROUP BY tf.doc_id
+        |ORDER BY bm25 DESC, tf.doc_id
+        |LIMIT 20
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Character 5-gram Jaccard near-dup pairs — same machinery as d02
       // over char shingles, but MinHash(64) in 8 bands of EIGHT: char-gram
       // similarity concentrates much higher than word-gram similarity on

@@ -74,11 +74,13 @@ class SumServerSpec extends SparkSpec {
 
   test("Run results above 2 KiB arrive gzip-compressed and open to the result") {
     withServer { (_, base) =>
-      // 300 records, then an oracle returning them all: >2 KiB of JSON.
-      for (i <- 1 to 300)
+      // 3 records joined against a 100-row spine: 300 rows, >2 KiB of JSON
+      // (generating size in the oracle keeps the store mutation count low —
+      // each wire create is a full copy-on-write swap by design).
+      for (i <- 1 to 3)
         post(base, "CreateRecord", s"""{"data":[$i.0]}""")
       val oc = post(base, "CreateOracle",
-        """{"name":"allIds","code":"SELECT id, data[0] AS x FROM records ORDER BY id"}""")
+        """{"name":"spine","code":"SELECT r.id AS id, t.id AS k, r.data[0] AS x FROM records r CROSS JOIN range(100) t ORDER BY id, k"}""")
       val oracleId = (oc \ "oracle" \ "id").asInstanceOf[JInt].num.toLong
       val run = post(base, "Run", s"""{"oracle_id":$oracleId,"args":[]}""")
       assert((run \ "success") === JBool(true))
