@@ -294,6 +294,78 @@ object StreamingQueries {
         |FROM p JOIN s ON p.user_id = s.user_id
         |  AND s.s_us <= p.p_us
         |  AND s.s_us >= p.p_us - CAST(7 AS BIGINT) * 86400 * 1000000
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Sliding-window rates (EventStreams.slidingStats): overlapping
+      // 1-hour windows advancing every 15 minutes — each event lands in 4
+      // windows (Spark's Expand), then partial+final aggregation; the
+      // watermark closes windows as it passes their end, so append-mode
+      // state stays bounded on an unbounded stream. Same sentinel trick
+      // as st01 makes emission total at the gate; the oracle enumerates
+      // each event's 4 containing windows explicitly.
+      "st06_stream_sliding",
+      (s, dir) => {
+        val scratch = sentinelEventsDir(s, dir, 120 * MinuteNs)
+        val stream = EventStreams.withEventTime(
+          s.readStream.schema(EventStreams.rawSchema).parquet(scratch))
+        val agg = EventStreams.slidingStats(stream)
+        runToTable(s, agg, "append")
+          .filter(col("event_type") =!= "sentinel")
+          .select(unix_timestamp(col("window_start")).as("w_epoch_s"),
+            col("event_type"), col("n"),
+            round(col("sum_value"), 2).as("sum_value"))
+          .orderBy(col("w_epoch_s"), col("event_type"))
+      },
+      Some("""
+        |WITH e AS (
+        |  SELECT epoch_ns(ts) // 1000000000 AS es, event_type, value
+        |  FROM events
+        |),
+        |w AS (
+        |  SELECT (es // 900) * 900 - k * 900 AS w_start, event_type, value
+        |  FROM e, range(4) t(k)
+        |)
+        |SELECT CAST(w_start AS BIGINT) AS w_epoch_s, event_type,
+        |       count(*)             AS n,
+        |       round(sum(value), 2) AS sum_value
+        |FROM w
+        |GROUP BY 1, 2
+        |ORDER BY w_epoch_s, event_type
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Custom keyed state (EventStreams.runningUserTotals,
+      // mapGroupsWithState): per-user running totals held in the state
+      // store, emitted each trigger in update mode. One AvailableNow
+      // batch -> exactly one output row per user carrying the final
+      // totals, which must equal the batch aggregation. The double sum
+      // folds in arrival order, so the output rounds it; counts are
+      // order-free. State shards by user key across executors — the
+      // continuously-updated-aggregate shape for per-entity logic that
+      // outgrows built-in aggregates.
+      "st07_stream_totals",
+      (s, dir) => {
+        import s.implicits._
+        val ev = eventStream(s, dir)
+          .select(col("user_id"), col("event_type"), col("value"))
+          .as[EventStreams.UserEvent]
+        val totals = EventStreams.runningUserTotals(ev).toDF()
+        runToTable(s, totals, "update")
+          .select(col("user_id"), col("n_events"),
+            round(col("total_value"), 2).as("total_value"),
+            col("n_purchases"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        |SELECT user_id,
+        |       count(*) AS n_events,
+        |       round(sum(value), 2) AS total_value,
+        |       CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |            AS BIGINT) AS n_purchases
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id
         |""".stripMargin.trim))
   )
 }
