@@ -486,6 +486,31 @@ object VectorQueries {
         |SELECT query_id, rnk, vec_id, ip
         |FROM ranked WHERE rnk <= 5
         |ORDER BY query_id, rnk
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // CosineSub (record.go:106-111): cosine over the first n elements of
+      // both vectors — the last §2.1 vector verb without its own
+      // driver-checked row (previously ScalaTest-only via PropertySpec).
+      "v14_cosine_sub",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.embeddings.crossJoin(refVec(t))
+          .filter(col("vec_id") =!= RefId)
+          .select(col("vec_id"),
+            round(cosineSub(col("embedding"), col("ref_embedding"), 24), 6)
+              .as("cos_first24"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""
+        |SELECT e.vec_id,
+        |       round(list_cosine_similarity(CAST(e.embedding[1:24] AS DOUBLE[]),
+        |                                    CAST(r.embedding[1:24] AS DOUBLE[])), 6)
+        |         AS cos_first24
+        |FROM embeddings e,
+        |     (SELECT embedding FROM embeddings WHERE vec_id = $RefId) r
+        |WHERE e.vec_id <> $RefId
+        |ORDER BY e.vec_id
         |""".stripMargin.trim))
   )
 }

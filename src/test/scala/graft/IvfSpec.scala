@@ -42,4 +42,30 @@ class IvfSpec extends SparkSpec {
     val cellCount = index.cells.select(countDistinct(col("cell"))).collect().head.getLong(0)
     assert(cellCount > 1 && cellCount <= 8)
   }
+
+  test("cell-partitioned lake layout prunes FILES to the routed cells") {
+    // The 100 TB claim behind Ivf.search's routed-cell IN predicate: on a
+    // lake the cells relation is written partitionBy("cell"), and the same
+    // declarative filter then prunes at the file listing — a nprobe-cell
+    // probe reads nprobe directories, not the corpus.
+    val index = Ivf.build(emb, "vec_id", "embedding", numCells = 8, iterations = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-lake").toString
+    index.cells.write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val lake = spark.read.parquet(dir)
+    val cells = lake.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted.take(2)
+    val routed = lake.filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+    // The physical scan's file listing after partition pruning holds only
+    // the routed cell directories (inputFiles is pre-pruning, so the
+    // assertion goes to FileSourceScanExec.selectedPartitions).
+    val scan = routed.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.nonEmpty, "cell filter must prune at listing")
+    assert(scan.selectedPartitions.partitionCount === cells.length,
+      s"expected ${cells.length} partition dirs read")
+    // And the pruned read still returns exactly those cells' rows.
+    assert(routed.count() ===
+      index.cells.filter(col("cell").isin(cells.map(Integer.valueOf): _*)).count())
+  }
 }
