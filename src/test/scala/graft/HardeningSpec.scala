@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Ivf, Lake, Similarity}
+
+/** Regression pins for the round-4 hardening fixes: SCD2 null-transition
+  * detection, rankTopK's null/NaN handling, IVF's degenerate-vector
+  * guard, and the suite-boundary cache hygiene contract.
+  */
+class HardeningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scd2Intervals treats NULL transitions as changes, NULL->NULL as none") {
+    val log = Seq[(Long, Long, Option[String], Long)](
+      (1L, 10L, Some("a"), 1L),
+      (1L, 20L, None, 2L),      // a -> NULL: a real change
+      (1L, 30L, None, 3L),      // NULL -> NULL: not a change
+      (1L, 40L, Some("b"), 4L), // NULL -> b: a real change
+      (2L, 10L, None, 5L))      // first row with NULL value survives
+      .toDF("k", "ts", "v", "tie")
+    val got = Lake.scd2Intervals(log, "k", "ts", "v", "tie")
+      .orderBy($"k", $"valid_from")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq === Seq(
+      (1L, Some("a"), 10L, 20L, false),
+      (1L, None, 20L, 40L, false),
+      (1L, Some("b"), 40L, -1L, true),
+      (2L, None, 10L, -1L, true)))
+  }
+
+  test("rankTopK drops null/NaN scores identically in both ranking paths") {
+    val candidates = Seq[(Long, Long, java.lang.Double)](
+      (1L, 11L, 0.9), (1L, 12L, Double.NaN), (1L, 13L, null),
+      (1L, 14L, 0.7), (1L, 15L, 0.8),
+      (2L, 21L, Double.NaN), (2L, 22L, null)) // query 2: nothing rankable
+      .toDF("query_id", "id", "score")
+    def ranks(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long)] =
+      df.orderBy($"query_id", $"rnk").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // Aggregator path (long ids).
+    val agg = ranks(Similarity.rankTopK(candidates, "id", "score", 2))
+    // Window path (non-long ids).
+    val win = ranks(Similarity.rankTopK(
+      candidates.withColumn("id", $"id".cast("int")), "id", "score", 2)
+      .withColumn("vec_id", $"vec_id".cast("long")))
+    assert(agg === Seq((1L, 1, 11L), (1L, 2, 15L)))
+    assert(win === agg) // identical semantics on degenerate scores
+  }
+
+  test("Ivf.build drops unembeddable rows instead of crashing or mis-cellng them") {
+    val rows = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)), (3L, Array(0.9f, 0.1f)))
+      .toDF("id", "vec")
+      .unionByName(Seq((4L, null.asInstanceOf[Array[Float]]))
+        .toDF("id", "vec"))
+      .unionByName(Seq((5L, Array.empty[Float])).toDF("id", "vec"))
+    val idx = Ivf.build(rows, "id", "vec", numCells = 2, iterations = 1)
+    val ids = idx.cells.select($"id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L)) // 4 (null) and 5 (empty) dropped
+  }
+
+  test("Caches.reset unpersists cached plans and drops the memo registries") {
+    val docs = Seq.tabulate(30)(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon zeta token$i end"))
+      .toDF("doc_id", "text")
+    val first = Dedup.nearDuplicatesMinhashCached(docs, "doc_id", "text", 0.5)
+    first.count() // materialize: registers persisted plans
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "the memoized pair relation should be cached")
+    Caches.reset(spark)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "reset must clear every cached plan")
+    // The memo registry was dropped too: the next call builds (and
+    // re-persists) a fresh relation rather than returning the stale one.
+    val second = Dedup.nearDuplicatesMinhashCached(docs, "doc_id", "text", 0.5)
+    assert(!(second eq first))
+    assert(!spark.sharedState.cacheManager.isEmpty)
+    Caches.reset(spark) // leave the shared session clean for other suites
+  }
+}
