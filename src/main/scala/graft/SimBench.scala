@@ -18,17 +18,18 @@ import graft.functions.vector
   */
 object SimBench {
 
-  /** Deterministic pseudo-random vector column: dims floats in [-1, 1).
-    * Multipliers stay small enough that id*c never overflows a long even
-    * at 10^6 rows (Spark 4 runs ANSI mode, which rejects overflow).
+  /** Deterministic pseudo-random vector column: dims floats in [-1, 1),
+    * each element an independent xxhash64 mix of (id, dim). The previous
+    * linear-congruential form (id*c1 + i*c2 mod p) generated arithmetic
+    * RAMPS — every vector lay near the 2-D span of (ones, ramp), cosines
+    * concentrated near ±1, and any angular structure (LSH buckets, IVF
+    * cells) collapsed. A similarity benchmark needs an angularly uniform
+    * corpus; hash-mixing per element provides it.
     */
   private def genVec(dims: Int): org.apache.spark.sql.Column =
-    transform(sequence(lit(0), lit(dims - 1)), i => {
-      val z = pmod(
-        col("id") * lit(2654435761L) + i.cast("long") * lit(40503L) + lit(12345L),
-        lit(1000000007L))
-      (z.cast("double") / lit(500000003.5d) - lit(1.0d)).cast("float")
-    })
+    transform(sequence(lit(0), lit(dims - 1)), i =>
+      (pmod(xxhash64(col("id"), i), lit(2000003L)).cast("double")
+        / lit(1000001.5d) - lit(1.0d)).cast("float"))
 
   private def corpus(spark: SparkSession, n: Long, dims: Int): DataFrame = {
     // Small corpora get few partitions: per-query latency on a 1024-row
@@ -117,7 +118,25 @@ object SimBench {
     val bruteRows = graft.ops.Similarity.bruteForceTopK(big, probes, "id", "vec", 10).count()
     val bruteSec = (System.nanoTime() - t3) / 1e9
 
-    println(s"""{"metric":"findsim_1024x475_qps","value":$qps,"unit":"qps","extra":{"findsim_1m_x64_sec":$bigSec,"hits_small":$hits,"hits_1m":$bigHits,"ivf_1m_build_sec":$buildSec,"ivf_1m_topk_sec":$ivfSec,"brute_1m_topk_sec":$bruteSec,"ivf_rows":$ivfRows,"brute_rows":$bruteRows}}""")
+    // Corpus-scale ALL-PAIRS near-dup at 10^6+1000 vectors: brute force is
+    // 5*10^11 cosines and cannot run; the wide sign-LSH bucket join's cost
+    // follows occupancy (bitsPerBand=22 -> ~0.25 expected rows/bucket/band).
+    // 1000 planted exact duplicates (shifted-id copies) give the ground
+    // truth: identical vectors collide in every band, so all 1000 pairs
+    // must be found regardless of parameters.
+    val planted = big.filter(col("id") < 1000)
+      .select((col("id") + 10000000L).as("id"), col("vec"))
+    val dupCorpus = big.unionByName(planted)
+    val t4 = System.nanoTime()
+    val lshPairs = graft.ops.Similarity.signBucketJoinWide(
+        dupCorpus, "id", "vec", threshold = 0.95, bands = 4, bitsPerBand = 22)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lshCount = lshPairs.count()
+    val lshSec = (System.nanoTime() - t4) / 1e9
+    val plantedFound = lshPairs
+      .filter(col("id_b") === col("id_a") + 10000000L).count()
+
+    println(s"""{"metric":"findsim_1024x475_qps","value":$qps,"unit":"qps","extra":{"findsim_1m_x64_sec":$bigSec,"hits_small":$hits,"hits_1m":$bigHits,"ivf_1m_build_sec":$buildSec,"ivf_1m_topk_sec":$ivfSec,"brute_1m_topk_sec":$bruteSec,"ivf_rows":$ivfRows,"brute_rows":$bruteRows,"lsh_allpairs_1m_sec":$lshSec,"lsh_pairs":$lshCount,"lsh_planted_found":$plantedFound}}""")
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -8,6 +8,31 @@ import org.apache.spark.sql.functions._
   * changing reference tables current without a transaction log.
   */
 object Lake {
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`ceil(totalBytes / targetFileBytes)` files. Streaming sinks and
+    * frequent small appends fragment a lake table into thousands of tiny
+    * files whose per-file open/footer cost dominates scans; periodic
+    * compaction is the maintenance job every table format schedules.
+    * Out-of-place (reads `inDir`, writes `outDir`) — atomic swap of the
+    * live table is transaction-log territory (Delta/Iceberg), not this
+    * op's job. Returns the target file count.
+    *
+    * The rewrite is one `coalesce` (no shuffle): at 100 TB the job is
+    * bounded by reading each byte once and writing it once, and
+    * partition-level parallelism is preserved up to the target count.
+    */
+  def compactParquet(spark: SparkSession, inDir: String, outDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(inDir)).getLength
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inDir).coalesce(nFiles)
+      .write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
 
   /** MERGE-style upsert of a change batch into a base table, keyed on
     * `keyCol`: rows only in `changes` are inserts, rows in both take the

@@ -85,8 +85,16 @@ object Similarity {
     rankTopK(candidates, idCol, "sim", k)
   }
 
-  /** Deterministic pseudo-random unit-ish hyperplanes: `planes` x `dims`
-    * doubles in [-1, 1), derived from `seed` via a splitmix64 walk.
+  /** Deterministic pseudo-random hyperplanes: `planes` x `dims` doubles in
+    * [-1, 1) derived from `seed` via a splitmix64 walk, then CENTERED to
+    * zero component-sum. Centering is load-bearing for bucket uniformity:
+    * an uncentered plane has component sum S_p ~ N(0, dims/3), and any
+    * vector whose own mean component m dominates its residual gets
+    * sign(dot) = sign(m * S_p) on EVERY plane — such vectors pile into
+    * the all-ones/all-zeros buckets (measured: top bucket 5,028 of 200k
+    * rows uncentered vs 8 centered), exactly the occupancy blowup the
+    * bucket join must avoid. Zero-sum planes make the signature invariant
+    * to a vector's mean component.
     */
   private[ops] def hyperplanes(planes: Int, dims: Int, seed: Long): Array[Array[Double]] = {
     var x = seed
@@ -98,21 +106,23 @@ object Similarity {
       z = z ^ (z >>> 31)
       (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
     }
-    Array.fill(planes, dims)(next())
+    Array.fill(planes, dims)(next()).map { p =>
+      val m = p.sum / p.length
+      p.map(_ - m)
+    }
   }
 
-  /** `planes`-bit sign signature of `vecCol` under the seeded hyperplanes.
-    * Pure column math: one dot product per plane, sign bit packed into a
-    * long. Codegen-friendly, no UDF.
+  /** `planes`-bit sign signature of `vecCol` under the seeded hyperplanes,
+    * bit b = sign of the dot with plane b, packed into one long. One fused
+    * [[graft.functions.SignBandSignatures]] pass — the compositional form
+    * (a `when(dot > 0)` tree per plane) overflowed whole-stage codegen and
+    * silently dropped the whole projection to the interpreted path,
+    * ~2000x slower (see the expression's scaladoc for the measurement).
     */
-  def signSignature(vecCol: Column, planes: Int, dims: Int, seed: Long = 42L): Column = {
-    val hp = hyperplanes(planes, dims, seed)
-    val bits = hp.zipWithIndex.map { case (plane, b) =>
-      val planeCol = array(plane.toIndexedSeq.map(lit): _*)
-      when(vector.dot(vecCol, planeCol) > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  def signSignature(vecCol: Column, planes: Int, dims: Int, seed: Long = 42L): Column =
+    element_at(
+      graft.functions.SignBandSignatures(vecCol,
+        Array(hyperplanes(planes, dims, seed))), 1)
 
   /** Candidate pairs whose sign signatures agree on at least one of
     * `bands` bands (pigeonhole over the signature), verified with exact
@@ -130,6 +140,40 @@ object Similarity {
       array((0 until bands).map(s =>
         shiftright(col("sig"), s * segBits).bitwiseAND((1L << segBits) - 1)): _*))
       .as(Seq("seg", "segval")))
+    bucketPairs(probes, threshold)
+  }
+
+  /** [[signBucketJoin]] with an INDEPENDENT signature per band (the
+    * textbook LSH formulation): band `b` hashes `bitsPerBand` hyperplanes
+    * from `seed + b`, so bands x bits is unbounded instead of capped at
+    * the 64 bits one packed long holds. This is the knob that matters at
+    * corpus scale: bucket occupancy is ~n / 2^bitsPerBand per band, so
+    * `bitsPerBand` must track log2(n) (e.g. 20+ bits at 10^6 rows) to
+    * keep the candidate join linear — and recall is then recovered by
+    * adding BANDS, which the packed form cannot do without stealing bits
+    * from selectivity. Collision probability per band for a pair at
+    * angle θ is (1 - θ/π)^bitsPerBand; across bands,
+    * 1 - (1 - p_band)^bands. Identical vectors collide in every band
+    * regardless of parameters, so exact-duplicate recall is always 1.
+    */
+  def signBucketJoinWide(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bands: Int = 8, bitsPerBand: Int = 20,
+      dims: Int = 64, seed: Long = 42L): DataFrame = {
+    require(bitsPerBand <= 63, "a band signature must fit one long")
+    val tensor = Array.tabulate(bands)(b => hyperplanes(bitsPerBand, dims, seed + b))
+    val sigs = Spread.ensure(df).select(col(idCol).as("vid"), col(vecCol).as("vec"),
+      graft.functions.SignBandSignatures(col(vecCol), tensor).as("sigs"))
+    val probes = sigs.select(col("vid"), col("vec"),
+      posexplode(col("sigs")).as(Seq("seg", "segval")))
+    bucketPairs(probes, threshold)
+  }
+
+  /** Shared tail of the sign-LSH joins: self-join a (vid, vec, seg,
+    * segval) probe relation on the band key, dedup candidate pairs, and
+    * verify with exact cosine.
+    */
+  private def bucketPairs(probes: DataFrame, threshold: Double): DataFrame =
     probes.as("a")
       .join(probes.as("b"),
         col("a.seg") === col("b.seg") && col("a.segval") === col("b.segval") &&
@@ -140,7 +184,6 @@ object Similarity {
       .withColumn("sim", vector.cosine(col("vec_a"), col("vec_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
-  }
 
   /** Exact maximum-inner-product top-k of `corpus` for each probe row —
     * the retrieval scoring used when embeddings are NOT length-normalized

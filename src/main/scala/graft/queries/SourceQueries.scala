@@ -146,6 +146,38 @@ object SourceQueries {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Small-file compaction (Lake.compactParquet): the documents table
+      // landed as 40 fragment files (a streaming sink's worst case), then
+      // compacted to ~target-size files with one shuffle-free coalesce
+      // rewrite — the maintenance job that keeps lake scan cost bounded
+      // by bytes, not file count. The oracle checks the compacted copy is
+      // content-identical to the source; IoPayloadSpec asserts the file
+      // count actually dropped.
+      "io05_compaction",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val base = ioDir("io05", dir)
+        t.documents.repartition(40)
+          .write.mode("overwrite").parquet(s"$base/frag")
+        graft.ops.Lake.compactParquet(s, s"$base/frag", s"$base/compact",
+          targetFileBytes = 4L * 1024 * 1024)
+        s.read.parquet(s"$base/compact")
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            min(col("doc_id")).as("min_doc"))
+          .orderBy(col("source"), col("lang"))
+      },
+      Some("""
+        |SELECT source, lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       min(doc_id) AS min_doc
+        |FROM documents
+        |GROUP BY source, lang
+        |ORDER BY source, lang
         |""".stripMargin.trim))
   )
 }

@@ -62,6 +62,25 @@ class HardeningSpec extends SparkSpec {
     assert(ids.toSeq === Seq(1L, 2L, 3L)) // 4 (null) and 5 (empty) dropped
   }
 
+  test("signBucketJoinWide: verified subset of brute force, exact dups always found") {
+    // 200 deterministic vectors + 20 shifted-id exact copies.
+    val base = spark.range(200).select($"id",
+      transform(sequence(lit(0), lit(15)), i =>
+        (pmod($"id" * lit(2654435761L) + i.cast("long") * lit(40503L), lit(1000007L))
+          .cast("double") / lit(500003.5) - lit(1.0)).cast("float")).as("vec"))
+    val dups = base.filter($"id" < 20).select(($"id" + 1000L).as("id"), $"vec")
+    val corpus = base.unionByName(dups)
+    val wide = Similarity.signBucketJoinWide(corpus, "id", "vec",
+      threshold = 0.9, bands = 6, bitsPerBand = 8, dims = 16)
+    val brute = Similarity.bruteForcePairs(corpus, "id", "vec", threshold = 0.9)
+    val wideSet = wide.select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteSet = brute.select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wideSet.subsetOf(bruteSet), "LSH pairs must verify against exact cosine")
+    // Identical vectors collide in every band: all 20 planted pairs found.
+    val plantedFound = wideSet.count { case (a, b) => b == a + 1000L }
+    assert(plantedFound === 20)
+  }
+
   test("Caches.reset unpersists cached plans and drops the memo registries") {
     val docs = Seq.tabulate(30)(i =>
       (i.toLong, s"alpha beta gamma delta epsilon zeta token$i end"))

@@ -50,6 +50,33 @@ class InterpretedParitySpec extends SparkSpec {
     assert(MinhashSignature(pref, 4).eval(prow()) === null)
   }
 
+  test("interpreted SignBandSignatures matches per-plane dot signs") {
+    val planes = Similarity2x2.tensor
+    val r = row(Seq(1f, -2f, 0.5f, 3f), Seq(0f, 0f, 0f, 0f))
+    val got = SignBandSignatures(a, planes).eval(r)
+      .asInstanceOf[ArrayData].toLongArray.toSeq
+    val want = planes.toSeq.map { band =>
+      band.zipWithIndex.foldLeft(0L) { case (sig, (pl, p)) =>
+        val dot = pl.zip(Seq(1.0, -2.0, 0.5, 3.0)).map { case (u, v) => u * v }.sum
+        if (dot > 0) sig | (1L << p) else sig
+      }
+    }
+    assert(got === want)
+    // Zero vector: every dot is 0, no sign bit set — total, not null.
+    val gz = SignBandSignatures(b, planes).eval(r)
+      .asInstanceOf[ArrayData].toLongArray.toSeq
+    assert(gz === Seq(0L, 0L))
+  }
+
+  private object Similarity2x2 {
+    // 2 bands x 3 planes x 4 dims of fixed values covering both signs.
+    val tensor: Array[Array[Array[Double]]] = Array(
+      Array(Array(0.5, 0.5, -1.0, 0.25), Array(-1.0, 0.1, 0.1, 0.1),
+        Array(0.0, 1.0, -1.0, 0.0)),
+      Array(Array(1.0, 1.0, 1.0, 1.0), Array(-0.2, -0.2, 0.3, -0.4),
+        Array(0.9, -0.1, 0.0, -0.3)))
+  }
+
   test("interpreted zero-denominator guards return 0.0") {
     val rz = row(Seq(0f, 0f), Seq(1f, 2f))
     assert(CosineSimilarity(a, b).eval(rz) === 0.0)

@@ -38,6 +38,23 @@ class IoPayloadSpec extends SparkSpec {
     assert(!plan.contains("PushedFilters: [IsNotNull(lang)"), "lang should be partition-pruned, not row-filtered")
   }
 
+  test("compactParquet collapses fragments without changing content") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    docs.repartition(30).write.mode("overwrite").parquet(s"$dir/frag")
+    def partFiles(d: String) =
+      new java.io.File(d).listFiles().count(_.getName.startsWith("part-"))
+    assert(partFiles(s"$dir/frag") === 30)
+    graft.ops.Lake.compactParquet(spark, s"$dir/frag", s"$dir/out",
+      targetFileBytes = 64L * 1024 * 1024)
+    assert(partFiles(s"$dir/out") < 30) // tiny table -> a handful of files
+    val a = docs.orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    val b = spark.read.parquet(s"$dir/out")
+      .select(docs.columns.map(col): _*)
+      .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    assert(b === a)
+  }
+
   test("payload envelope gzips above the 2 KiB threshold and round-trips") {
     val small = Payload.buildString("x" * 100)
     assert(!small.compressed && Payload.openString(small) === "x" * 100)
