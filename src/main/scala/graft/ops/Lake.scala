@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -34,6 +34,60 @@ object Lake {
     nFiles
   }
 
+  /** Z-order (Morton) clustering value over two numeric columns: each
+    * column is min/max-scaled to `bits` bits and the bits interleaved, so
+    * rows close in BOTH dimensions get close z-values. Scaling bounds are
+    * caller-provided (from a cheap pre-agg — see [[zorderWrite]]); nulls
+    * scale to 0, out-of-range values clamp.
+    *
+    * 2 x `bits` small bitwise terms — deliberately bounded so the
+    * projection stays inside whole-stage codegen (see SignBandSignatures
+    * for what happens past the limit); 8 bits/dim = 256 buckets/dim is
+    * plenty for FILE-level pruning, which is what z-order is for.
+    */
+  def zorderValue(a: Column, b: Column, minA: Double, maxA: Double,
+      minB: Double, maxB: Double, bits: Int = 8): Column = {
+    require(bits >= 1 && bits <= 16, "bits per dimension must be 1..16")
+    val top = (1L << bits) - 1
+    def scaled(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else least(lit(top), greatest(lit(0L),
+        ((coalesce(c.cast("double"), lit(lo)) - lit(lo)) *
+          (top / (hi - lo))).cast("long")))
+    val (qa, qb) = (scaled(a, minA, maxA), scaled(b, minB, maxB))
+    (0 until bits).map { i =>
+      shiftleft(shiftright(qa, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(qb, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Rewrite `df` as `numFiles` parquet files clustered by the z-order of
+    * (`colA`, `colB`) — the lake-layout optimization for tables queried by
+    * MORE THAN ONE dimension, where `partitionBy`/linear sort can only
+    * serve one. Each output file covers a contiguous z-range, i.e. a small
+    * rectangle in (A, B) space, so parquet footer min/max stats prune
+    * files for predicates on EITHER column (a linear sort's files are
+    * narrow in the sort column but span the full range of every other).
+    *
+    * Cost at 100 TB: one 4-row pre-agg for the scaling bounds, then ONE
+    * range exchange (sampled, balanced) + per-partition sort — the same
+    * shape as any global sort, no extra passes. IoPayloadSpec measures the
+    * pruning: candidate-file count under single-dimension predicates for
+    * z-order vs linear layout.
+    */
+  def zorderWrite(df: DataFrame, outDir: String, colA: String, colB: String,
+      numFiles: Int, bits: Int = 8): Unit = {
+    val b = df.agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).first()
+    val z = zorderValue(col(colA), col(colB),
+      b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3), bits)
+    df.withColumn("_z", z)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
   /** MERGE-style upsert of a change batch into a base table, keyed on
     * `keyCol`: rows only in `changes` are inserts, rows in both take the
     * change row's non-null fields (per-field `coalesce` — the same partial-
@@ -57,6 +111,44 @@ object Lake {
         when(col(s"b.$keyCol").isNull, lit("insert"))
           .when(col(s"c.$keyCol").isNull, lit("keep"))
           .otherwise(lit("update")).as("action"): _*)
+  }
+
+  /** Reduce a change relation to the winning row per key: the row with the
+    * greatest (`orderCols`) tuple — one partial-aggregated `max_by`, so a
+    * batch with many changes per key shuffles one struct per key, not the
+    * batch.
+    */
+  def latestPerKey(df: DataFrame, keyCol: String,
+      orderCols: Seq[String]): DataFrame = {
+    val payload = struct(df.columns.map(col).toIndexedSeq: _*)
+    df.groupBy(col(keyCol))
+      .agg(max_by(payload, struct(orderCols.map(col): _*)).as("_r"))
+      .select(col("_r.*"))
+  }
+
+  /** CDC apply with explicit ordering — last-write-wins upsert of a change
+    * feed into a keyed table: per key the surviving row is the one with
+    * the greatest (`orderCols`) tuple across base and changes. Unlike
+    * [[mergeUpsert]] (field-level patch, batch wins unconditionally), this
+    * is the ORDER-INDEPENDENT apply a streaming change feed needs: because
+    * per-key max is associative and commutative, applying micro-batches in
+    * ANY order converges to the same table — no cross-batch ordering
+    * assumption, which a distributed file source cannot provide anyway.
+    *
+    * One keyed full-outer join per batch (the Delta/Iceberg MERGE shape);
+    * changes are pre-reduced per key by [[latestPerKey]].
+    */
+  def cdcUpsert(base: DataFrame, changes: DataFrame, keyCol: String,
+      orderCols: Seq[String]): DataFrame = {
+    val c = latestPerKey(changes, keyCol, orderCols)
+    def ord(side: String) =
+      struct(orderCols.map(n => col(s"$side.$n")): _*)
+    val takeChange = col(s"b.$keyCol").isNull ||
+      (col(s"c.$keyCol").isNotNull && ord("c") > ord("b"))
+    base.as("b").join(c.as("c"),
+        col(s"b.$keyCol") === col(s"c.$keyCol"), "full_outer")
+      .select(base.columns.toIndexedSeq.map(n =>
+        when(takeChange, col(s"c.$n")).otherwise(col(s"b.$n")).as(n)): _*)
   }
 
   /** SCD type-2 compaction: turn a change-event log into validity

@@ -178,6 +178,43 @@ object SourceQueries {
         |FROM documents
         |GROUP BY source, lang
         |ORDER BY source, lang
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Z-order lake layout (Lake.zorderWrite): lineitem rewritten
+      // clustered by the Morton interleave of (l_partkey, l_suppkey), then
+      // queried with a range predicate on EACH dimension separately — the
+      // two-hot-columns access pattern partitionBy/linear sort cannot
+      // serve. The oracle checks the rewrite changed LAYOUT only (both
+      // aggregates match the raw table); IoPayloadSpec measures the actual
+      // file pruning (point predicates on either column skip >= half the
+      // files vs ~none for a linear sort's off-column).
+      "io06_zorder",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val base = ioDir("io06", dir)
+        graft.ops.Lake.zorderWrite(
+          t.lineitem.select(col("l_orderkey"), col("l_partkey"),
+            col("l_suppkey"), col("l_quantity")),
+          s"$base/z", "l_partkey", "l_suppkey", numFiles = 16)
+        val z = s.read.parquet(s"$base/z")
+        val byPart = z.filter(col("l_partkey") <= 100)
+          .agg(lit("part_slice").as("slice"), count(lit(1)).as("n"),
+            sum(col("l_quantity")).cast("double").as("qty"))
+        val bySupp = z.filter(col("l_suppkey") <= 10)
+          .agg(lit("supp_slice").as("slice"), count(lit(1)).as("n"),
+            sum(col("l_quantity")).cast("double").as("qty"))
+        byPart.unionByName(bySupp).orderBy(col("slice"))
+      },
+      Some("""
+        |SELECT 'part_slice' AS slice, count(*) AS n,
+        |       CAST(sum(l_quantity) AS DOUBLE) AS qty
+        |FROM lineitem WHERE l_partkey <= 100
+        |UNION ALL
+        |SELECT 'supp_slice' AS slice, count(*) AS n,
+        |       CAST(sum(l_quantity) AS DOUBLE) AS qty
+        |FROM lineitem WHERE l_suppkey <= 10
+        |ORDER BY slice
         |""".stripMargin.trim))
   )
 }

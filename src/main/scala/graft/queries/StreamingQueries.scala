@@ -366,6 +366,68 @@ object StreamingQueries {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Streaming CDC apply: the purchase stream is a change feed to a
+      // keyed lake table (latest purchase per user), written as a 4-file
+      // feed and processed ONE FILE PER TRIGGER — four real micro-batches,
+      // each running Lake.cdcUpsert (keyed full-outer MERGE join) against
+      // the table and atomically swapping the parquet dir. cdcUpsert's
+      // last-write-wins ordering on (ts_us, event_id) is associative, so
+      // the final table is independent of which file lands in which batch
+      // — the property that makes a distributed change feed deterministic.
+      // Ordering uses microsecond time on both engines (ns -> us) because
+      // the DuckDB oracle only sees us-truncated timestamps.
+      "st08_stream_cdc",
+      (s, dir) => {
+        val base = s"/root/repo/target/graft-io/st08_${sanitize(dir)}"
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val t = Tables(s, dir)
+        val feedDir = s"$base/feed"; val tableDir = s"$base/table"
+        t.events.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("value"),
+            expr("ts div 1000").as("ts_us"))
+          .repartition(4, pmod(col("event_id"), lit(4)))
+          .write.mode("overwrite").parquet(feedDir)
+        val feedSchema = s.read.parquet(feedDir).schema
+        val stream = s.readStream.schema(feedSchema)
+          .option("maxFilesPerTrigger", 1).parquet(feedDir)
+        val q = stream.writeStream
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+              org.apache.spark.sql.Row], _: Long) =>
+            val tablePath = new org.apache.hadoop.fs.Path(tableDir)
+            val cur = if (fs.exists(tablePath)) s.read.parquet(tableDir)
+              else batch.limit(0)
+            val merged = graft.ops.Lake.cdcUpsert(cur, batch.toDF(),
+              "user_id", Seq("ts_us", "event_id"))
+            val tmp = s"$base/table_tmp"
+            merged.write.mode("overwrite").parquet(tmp)
+            fs.delete(tablePath, true)
+            fs.rename(new org.apache.hadoop.fs.Path(tmp), tablePath)
+            ()
+          }.start()
+        q.awaitTermination()
+        s.read.parquet(tableDir).agg(
+          count(lit(1)).as("n_users"),
+          round(sum(col("value")), 2).as("sum_latest"),
+          max(col("ts_us")).as("max_ts_us"))
+      },
+      Some("""
+        |WITH ranked AS (
+        |  SELECT user_id, value, epoch_us(ts) AS ts_us,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT count(*) AS n_users,
+        |       round(sum(value), 2) AS sum_latest,
+        |       max(ts_us) AS max_ts_us
+        |FROM ranked WHERE rn = 1
         |""".stripMargin.trim))
   )
 }

@@ -444,6 +444,61 @@ object TextQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // The same contract as e02 for the WIDE form (signBucketJoinWide):
+      // an independent signature per band, so selectivity (bitsPerBand)
+      // and recall (bands) scale independently — the parameterization
+      // that stays linear at 10^6+ rows (SCALING.md). Gate-size params
+      // trade selectivity for recall: 16 bands x 8 bits gives a planted
+      // pair (cosine 0.87-0.97, so p_plane >= 0.84) per-band collision
+      // p >= 0.84^8 = 0.24 and overall miss p <= 0.76^16 = 0.012 —
+      // deterministic here (seeded planes, fixed parquet), measured
+      // recall 1.0 at sf0.001/sf0.01. Subset holds by construction:
+      // candidates are verified with the same exact cosine as the brute
+      // relation.
+      "e03_wide_lsh_contract",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val base = t.embeddings.select(col("vec_id"), col("embedding"))
+        val planted = base.filter(col("vec_id") < 50)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => when(i < 8, lit(0.0f)).otherwise(x)).as("embedding"))
+        val corpus = base.unionByName(planted)
+        val exact = Similarity.bruteForcePairs(corpus, "vec_id",
+            "embedding", threshold = 0.8)
+          .select(col("id_a"), col("id_b"), lit(1).as("in_e"))
+        val lsh = Similarity.signBucketJoinWide(corpus, "vec_id",
+            "embedding", threshold = 0.8, bands = 16, bitsPerBand = 8)
+          .select(col("id_a"), col("id_b"), lit(1).as("in_p"))
+        lsh.join(exact, Seq("id_a", "id_b"), "full_outer")
+          .agg(count(col("in_e")).as("n_exact_raw"),
+            count(when(col("in_p").isNotNull && col("in_e").isNotNull, 1))
+              .as("n_both"),
+            count(when(col("in_p").isNotNull && col("in_e").isNull, 1))
+              .as("n_lsh_only"))
+          .select(col("n_exact_raw").as("n_exact"),
+            (col("n_lsh_only") === 0).as("subset_ok"),
+            (col("n_both").cast("double") >=
+              col("n_exact_raw").cast("double") * 0.9).as("recall_ok"))
+      },
+      Some("""
+        |WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |         list_transform(embedding,
+        |           (x, i) -> CASE WHEN i <= 8 THEN CAST(0 AS FLOAT) ELSE x END)
+        |           AS embedding
+        |  FROM embeddings WHERE vec_id < 50
+        |)
+        |SELECT count(*) AS n_exact, TRUE AS subset_ok, TRUE AS recall_ok
+        |FROM corpus a, corpus b
+        |WHERE a.vec_id < b.vec_id
+        |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.8
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Training-sample chunking: each document split into overlapping
       // token windows (64 tokens, stride 48) — the sequence-prep step
       // between cleaning and packing in an LLM data pipeline. Map-only:

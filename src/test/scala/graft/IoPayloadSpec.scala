@@ -55,6 +55,46 @@ class IoPayloadSpec extends SparkSpec {
     assert(b === a)
   }
 
+  test("zorderWrite: files prune on BOTH dimensions, linear sort on one") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select($"l_partkey", $"l_suppkey", $"l_quantity")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    graft.ops.Lake.zorderWrite(li, s"$dir/z", "l_partkey", "l_suppkey", 16)
+    li.repartitionByRange(16, $"l_partkey").sortWithinPartitions($"l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lin")
+
+    // Candidate files for a point predicate = files whose footer-style
+    // [min,max] interval contains the value (what a parquet reader's
+    // file/row-group skip does with the same stats).
+    def candidates(d: String, column: String, v: Long): Int = {
+      val files = new java.io.File(d).listFiles()
+        .filter(_.getName.startsWith("part-")).map(_.toString)
+      files.count { f =>
+        val r = spark.read.parquet(f)
+          .agg(min(col(column)).cast("long"), max(col(column)).cast("long")).first()
+        r.getLong(0) <= v && v <= r.getLong(1)
+      }
+    }
+    val stats = li.agg(
+      min($"l_partkey").cast("long"), max($"l_partkey").cast("long"),
+      min($"l_suppkey").cast("long"), max($"l_suppkey").cast("long")).first()
+    val midPart = (stats.getLong(0) + stats.getLong(1)) / 2
+    val midSupp = (stats.getLong(2) + stats.getLong(3)) / 2
+
+    // Z-order: a point predicate on EITHER dimension skips at least half
+    // the files (each file is a rectangle in (part, supp) space).
+    assert(candidates(s"$dir/z", "l_partkey", midPart) <= 8)
+    assert(candidates(s"$dir/z", "l_suppkey", midSupp) <= 8)
+    // Linear sort serves its own column strictly better...
+    assert(candidates(s"$dir/lin", "l_partkey", midPart) <= 2)
+    // ...but cannot prune the other: every file spans ~the full suppkey
+    // range, which is exactly the gap z-order exists to close.
+    assert(candidates(s"$dir/lin", "l_suppkey", midSupp) >= 12)
+
+    // Layout only — content identical.
+    assert(spark.read.parquet(s"$dir/z").count() === li.count())
+  }
+
   test("payload envelope gzips above the 2 KiB threshold and round-trips") {
     val small = Payload.buildString("x" * 100)
     assert(!small.compressed && Payload.openString(small) === "x" * 100)

@@ -318,6 +318,30 @@ class OpsSpec extends SparkSpec {
       (4L, "d", 40.0, "insert")))
   }
 
+  test("cdcUpsert is last-write-wins and batch-order independent") {
+    val b1 = Seq((1L, 10L, 5.0, "x"), (2L, 10L, 6.0, "y")).toDF("k", "ts", "v", "s")
+    val b2 = Seq((1L, 20L, 7.0, "z"),                      // newer -> wins
+                 (2L, 5L, 1.0, "old"),                     // older -> loses
+                 (3L, 1L, 2.0, "new")).toDF("k", "ts", "v", "s")
+    val empty = b1.limit(0)
+    def apply2(first: org.apache.spark.sql.DataFrame,
+        second: org.apache.spark.sql.DataFrame) = {
+      val t1 = graft.ops.Lake.cdcUpsert(empty, first, "k", Seq("ts"))
+      graft.ops.Lake.cdcUpsert(t1, second, "k", Seq("ts"))
+        .orderBy($"k").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+        .toSeq
+    }
+    val want = Seq((1L, 20L, 7.0, "z"), (2L, 10L, 6.0, "y"), (3L, 1L, 2.0, "new"))
+    assert(apply2(b1, b2) === want)
+    assert(apply2(b2, b1) === want) // same table in either arrival order
+    // In-batch duplicates reduce to the per-key winner before the join.
+    val dup = Seq((9L, 1L, 1.0, "a"), (9L, 3L, 3.0, "c"), (9L, 2L, 2.0, "b"))
+      .toDF("k", "ts", "v", "s")
+    val one = graft.ops.Lake.cdcUpsert(empty, dup, "k", Seq("ts")).collect()
+    assert(one.length === 1 && one(0).getString(3) === "c")
+  }
+
   test("MIPS norm-augmentation preserves inner-product order under cosine") {
     // Un-normalized vectors whose cosine and inner-product orders differ:
     // the long vector wins on ip, the aligned unit vector wins on cosine.
