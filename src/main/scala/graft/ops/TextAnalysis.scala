@@ -179,6 +179,36 @@ object TextAnalysis {
     * Catalyst substitutes non-attribute arguments into HOF lambdas, which
     * would re-hash the whole text once per window element.
     */
+  /** Unigram language-model perplexity per document — the statistical
+    * quality score (a document far from the corpus distribution reads as
+    * boilerplate, gibberish, or another register) that LM-based filtering
+    * pipelines compute before training. The model is the corpus itself:
+    * Laplace-smoothed unigram probabilities p(t) = (c_t + 1) / (N + V),
+    * perplexity = exp(mean over the doc's tokens of -ln p).
+    *
+    * Plan at 100 TB: token explode -> one token-keyed count (vocab is
+    * Zipf-bounded — it grows ~sublinearly with the corpus and the count
+    * is partial-aggregated), a 1-row total for (N, V) shipped as
+    * literals, then tokens join vocab on the token key (AQE broadcasts
+    * the vocab side when it fits) and one doc-keyed mean. Nothing is
+    * driver-side except the two scalars. Output rounds to 4 decimals:
+    * ln/exp and float summation order differ across engines at ~1 ulp.
+    * Documents with no tokens have no perplexity and drop out.
+    */
+  def unigramPerplexity(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(Dedup.tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val s = vocab.agg(sum(col("c")), count(lit(1))).first()
+    val (n, v) = (s.getLong(0), s.getLong(1))
+    toks.join(vocab, "tok")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(exp(avg(-log((col("c") + lit(1.0)) / lit((n + v).toDouble)))), 4)
+          .as("ppl"))
+  }
+
   def kgramHashes(text: Column, k: Int): Column =
     // Guarded like charShingles: sequence(0, negative) DESCENDS rather
     // than being empty, so short texts must short-circuit explicitly.

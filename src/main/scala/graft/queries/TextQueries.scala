@@ -546,6 +546,33 @@ object TextQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Unigram LM perplexity per document (TextAnalysis.unigramPerplexity)
+      // — the statistical quality filter (perplexity-vs-corpus) an LM data
+      // pipeline runs before training. The model is the corpus's own
+      // Laplace-smoothed unigram distribution; output rounds to 4 decimals
+      // because ln/exp and summation order differ across engines at ~1 ulp.
+      "t13_perplexity",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        graft.ops.TextAnalysis.unigramPerplexity(t.documents, "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        |WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents
+        |),
+        |vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |stats AS (SELECT sum(c) AS n, count(*) AS v FROM vocab)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |       round(exp(avg(-ln((c + 1.0) / (n + v)))), 4) AS ppl
+        |FROM toks t JOIN vocab USING (tok), stats
+        |GROUP BY t.doc_id
+        |ORDER BY t.doc_id
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // BM25 relevance scoring (Robertson/Okapi, k1=1.2 b=0.75) of the
       // corpus against a fixed query — the retrieval-quality scorer a
       // data pipeline runs to mine training examples for a topic. Two
