@@ -43,31 +43,32 @@ object Ivf {
 
   /** Assign every vector to its max-cosine centroid — map-only. The
     * centroid set is driver-resolved (it is numCells rows by construction)
-    * and shipped as ONE array literal; per row the cell is the argmax of a
-    * HOF cosine sweep, ties to the lowest cell id (array_position returns
-    * the first maximum — same rule as an ORDER BY csim DESC, cell).
+    * and shipped ONCE as the fused [[graft.functions.CentroidArgmax]]
+    * expression's reference object; ties and the all-zero case go to the
+    * first centroid (same rule as the array_position form it replaces,
+    * which was itself the ORDER BY csim DESC, cell rule).
     *
-    * The previous form (crossJoin + row_number over a per-id window)
-    * shuffled corpus x numCells rows — still carrying both vectors — just
-    * to pick each row's max: 64M rows / ~35 GB at the 10^6 x 64-cell
-    * bench, ~90 s per pass. This form shuffles nothing at any scale.
+    * History of this hot path: the crossJoin + row_number form shuffled
+    * corpus x numCells rows (~35 GB/pass at the 10^6 x 64-cell bench,
+    * 90 s); the typedlit + transform-HOF form shuffled nothing but
+    * evaluated one INTERPRETED cosine per centroid per row (HOF lambdas
+    * never codegen) and re-materialized the centroid literal per row.
+    * The fused expression keeps the shuffle-free shape and moves the
+    * sweep into one JIT'd primitive loop — this is also the per-batch
+    * scoring scan for new corpus data, so its per-row cost IS the
+    * index's ingest cost at 100 TB.
     */
   private def assignLiteral(df: DataFrame, cents: Seq[(Int, Seq[Float])],
       idCol: String, vecCol: String): DataFrame = {
-    val cArr = typedlit(cents)
-    // Total on degenerate input: a null vector yields null cosines, where
-    // array_position returns null (and 0 would make element_at throw) —
-    // coalesce routes such rows to cell 1 instead of silently dropping
-    // them from the index. build() filters unembeddable rows up front, so
-    // this is belt-and-braces for direct callers.
-    val pos = array_position(col("_sims"), array_max(col("_sims")))
+    val ids = cents.map(_._1).toArray
+    val mat = cents.map(_._2.toArray).toArray
+    // Total on degenerate input: a null vector yields a null argmax —
+    // coalesce routes such rows to the first cell instead of silently
+    // dropping them from the index. build() filters unembeddable rows up
+    // front, so this is belt-and-braces for direct callers.
     df.select(col(idCol), col(vecCol),
-        transform(cArr, c =>
-          vector.cosine(col(vecCol), c.getField("_2"))).as("_sims"))
-      .select(col(idCol), col(vecCol),
-        element_at(cArr,
-          coalesce(nullif(pos, lit(0L)), lit(1L)).cast("int"))
-          .getField("_1").as("cell"))
+      coalesce(graft.functions.CentroidArgmax(col(vecCol), ids, mat),
+        lit(ids.head)).as("cell"))
   }
 
   /** Element-wise mean of each cell's vectors -> new centroids. The mean

@@ -77,6 +77,25 @@ class InterpretedParitySpec extends SparkSpec {
         Array(0.9, -0.1, 0.0, -0.3)))
   }
 
+  test("interpreted CentroidArgmax picks max-cosine cell, first on ties") {
+    val ids = Array(7, 3, 9)
+    val cents = Array(
+      Array(1f, 0f, 0f, 0f),   // cell 7
+      Array(0f, 1f, 0f, 0f),   // cell 3
+      Array(0f, 0f, 0f, 0f))   // cell 9: zero magnitude, scores 0
+    def amax(vec: Seq[Float]) =
+      CentroidArgmax(a, ids, cents).eval(row(vec, Seq(0f)))
+    assert(amax(Seq(2f, 0.5f, 0f, 0f)) === 7)
+    assert(amax(Seq(0.5f, 2f, 0f, 0f)) === 3)
+    // Equidistant from cells 7 and 3 -> strict > keeps the FIRST (7),
+    // matching array_position's first-maximum rule.
+    assert(amax(Seq(1f, 1f, 0f, 0f)) === 7)
+    // All-zero vector: every score 0, first centroid wins (old behavior).
+    assert(amax(Seq(0f, 0f, 0f, 0f)) === 7)
+    // Null vector -> null (callers coalesce to the first cell).
+    assert(CentroidArgmax(a, ids, cents).eval(InternalRow(null, null)) === null)
+  }
+
   test("interpreted zero-denominator guards return 0.0") {
     val rz = row(Seq(0f, 0f), Seq(1f, 2f))
     assert(CosineSimilarity(a, b).eval(rz) === 0.0)
