@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Pca, Similarity, TextAnalysis}
 
 /** Training-data pipeline coverage: dedup (exact fingerprint, MinHash+LSH,
   * SimHash), text quality/language heuristics, and embedding near-dup —
@@ -496,6 +496,60 @@ object TextQueries {
         |WHERE a.vec_id < b.vec_id
         |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.8
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // PCA over the embedding corpus (graft.ops.Pca): ONE GramAggregator
+      // pass (partial-aggregated sufficient statistics — the corpus never
+      // shuffles), driver-side Jacobi eigensolve of the 64x64 covariance,
+      // then the map-only fused MatVecProduct projection. The contract:
+      // total_var (trace of the covariance) is the data-derived column
+      // DuckDB recomputes independently as sum over dims of var_pop;
+      // proj_var_ok ties the DISTRIBUTED projection back to the driver
+      // eigenvalues (population variance of coordinate j == eigval j,
+      // tolerance covers the 1e-9 covariance rounding), orthonormal_ok
+      // checks the recovered basis, explained_ok the eigval/trace sanity.
+      "e04_pca_contract",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val emb = t.embeddings
+        val model = Pca.fit(emb, "embedding", 4)
+        val pv = Pca.transform(emb, "embedding", model)
+          .select(posexplode(col("proj")).as(Seq("j", "x")))
+          .groupBy(col("j")).agg(var_pop(col("x")).as("v"))
+          .orderBy(col("j")).collect().map(_.getDouble(1))
+        val projVarOk = pv.zip(model.eigenvalues).forall { case (v, e) =>
+          math.abs(v - e) <= 1e-5 + 1e-5 * math.abs(e) }
+        val orthonormalOk = (0 until model.k).forall { a =>
+          (a until model.k).forall { b =>
+            val g = model.components(a).zip(model.components(b))
+              .map { case (x, y) => x * y }.sum
+            math.abs(g - (if (a == b) 1.0 else 0.0)) < 1e-9 } }
+        val explainedOk = model.eigenvalues.sum <= model.totalVar + 1e-9 &&
+          model.eigenvalues.forall(_ >= -1e-12)
+        val nRows = emb.count()
+        val totalVar = emb
+          .select(posexplode(col("embedding")).as(Seq("i", "x")))
+          .groupBy(col("i")).agg(var_pop(col("x").cast("double")).as("v"))
+          .agg(sum(col("v"))).head.getDouble(0)
+        s.range(1).select(lit(nRows).as("n_rows"),
+          round(lit(totalVar), 4).as("total_var"),
+          lit(projVarOk).as("proj_var_ok"),
+          lit(orthonormalOk).as("orthonormal_ok"),
+          lit(explainedOk).as("explained_ok"))
+      },
+      Some("""
+        |WITH el AS (
+        |  SELECT generate_subscripts(embedding, 1) AS i,
+        |         unnest(embedding) AS x
+        |  FROM embeddings
+        |),
+        |pv AS (SELECT i, var_pop(CAST(x AS DOUBLE)) AS v FROM el GROUP BY i)
+        |SELECT (SELECT count(*) FROM embeddings) AS n_rows,
+        |       round(sum(v), 4) AS total_var,
+        |       TRUE AS proj_var_ok, TRUE AS orthonormal_ok,
+        |       TRUE AS explained_ok
+        |FROM pv
         |""".stripMargin.trim)),
 
     QueryDef(

@@ -318,6 +318,56 @@ class OpsSpec extends SparkSpec {
       (4L, "d", 40.0, "insert")))
   }
 
+  test("jacobiEigen recovers a known symmetric eigensystem") {
+    // A = Q diag(5, 2, 1) Q^T for an exact orthogonal Q built from a
+    // 45-degree rotation in the (0, 1) plane.
+    val r = math.sqrt(2.0) / 2.0
+    val q = Array(Array(r, -r, 0.0), Array(r, r, 0.0), Array(0.0, 0.0, 1.0))
+    val lam = Array(5.0, 2.0, 1.0)
+    val a = Array.tabulate(3, 3)((i, j) =>
+      (0 until 3).map(k => q(i)(k) * lam(k) * q(j)(k)).sum)
+    val (vals, vecs) = graft.ops.Pca.jacobiEigen(a)
+    val order = vals.indices.sortBy(i => -vals(i))
+    assert(order.map(vals).zip(lam).forall { case (g, w) => math.abs(g - w) < 1e-10 })
+    // Each recovered eigenvector matches the constructed one up to sign.
+    order.zipWithIndex.foreach { case (c, k) =>
+      val v = Array.tabulate(3)(row => vecs(row)(c))
+      val dot = math.abs(v.zip(q.map(_(k))).map { case (x, y) => x * y }.sum)
+      assert(math.abs(dot - 1.0) < 1e-10)
+    }
+  }
+
+  test("Pca.fit finds the planted dominant direction; transform matches eigvals") {
+    // 400 vectors: strong variance along u = (1,1,0,0)/sqrt2, weak along
+    // v = (0,0,1,-1)/sqrt2, deterministic "noise" from hash mixing.
+    val r = math.sqrt(2.0) / 2.0
+    val rows = spark.range(400).select($"id",
+      transform(sequence(lit(0), lit(3)), i =>
+        ((pmod(xxhash64($"id", lit(1)), lit(2001L)).cast("double") / 1000.5 - 1.0) *
+          when(i === 0 || i === 1, lit(3.0 * r)).otherwise(lit(0.0)) +
+         (pmod(xxhash64($"id", lit(2)), lit(2001L)).cast("double") / 1000.5 - 1.0) *
+          when(i === 2, lit(0.5 * r)).when(i === 3, lit(-0.5 * r)).otherwise(lit(0.0))
+        ).cast("float")).as("vec"))
+    val model = graft.ops.Pca.fit(rows, "vec", 2)
+    assert(model.k === 2)
+    // Dominant component aligns with u (up to sign, already fixed).
+    val u = Array(r, r, 0.0, 0.0)
+    val align = math.abs(model.components(0).zip(u).map { case (a, b) => a * b }.sum)
+    assert(align > 0.999, s"component 0 misaligned: $align")
+    // Projected population variance equals the eigenvalue, per component.
+    val pv = graft.ops.Pca.transform(rows, "vec", model)
+      .select(posexplode($"proj").as(Seq("j", "x")))
+      .groupBy($"j").agg(var_pop($"x").as("v"))
+      .orderBy($"j").collect().map(_.getDouble(1))
+    pv.zip(model.eigenvalues).foreach { case (v, e) =>
+      assert(math.abs(v - e) <= 1e-6 + 1e-6 * e, s"proj var $v vs eigval $e") }
+    // Components are orthonormal.
+    val g01 = model.components(0).zip(model.components(1))
+      .map { case (a, b) => a * b }.sum
+    val n0 = model.components(0).map(x => x * x).sum
+    assert(math.abs(g01) < 1e-9 && math.abs(n0 - 1.0) < 1e-9)
+  }
+
   test("cdcUpsert is last-write-wins and batch-order independent") {
     val b1 = Seq((1L, 10L, 5.0, "x"), (2L, 10L, 6.0, "y")).toDF("k", "ts", "v", "s")
     val b2 = Seq((1L, 20L, 7.0, "z"),                      // newer -> wins
