@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scalar (per-dimension affine) quantization of an embedding column —
+  * the storage-compression step for corpus-scale vector data: float32 ->
+  * one byte per dimension is a 4x cut in what 100 TB of embeddings costs
+  * to store, scan, and shuffle, at a bounded reconstruction error
+  * (half a quantization step per dimension).
+  *
+  * [[fit]] is one partial-aggregated pass for per-dimension min/max (the
+  * shuffle carries dims x partitions tiny rows, never the corpus);
+  * [[quantize]] is a map-only scan through the fused
+  * [[graft.functions.AffineQuantize]] expression. Every arithmetic step
+  * is exact IEEE double math, so quantized values are engine-portable —
+  * the v15 oracle cross-checks a corpus-wide checksum, not a tolerance.
+  */
+object Quantize {
+
+  /** Per-dimension quantization parameters. `scales(i) = (levels-1) /
+    * (max_i - min_i)`, 0 for a constant dimension (everything quantizes
+    * to level 0 there, and [[dequantize]] restores the constant).
+    */
+  case class Model(mins: Array[Double], scales: Array[Double], levels: Int) {
+    def dims: Int = mins.length
+  }
+
+  /** One pass over `vecCol` for per-dimension bounds. */
+  def fit(df: DataFrame, vecCol: String, levels: Int = 256): Model = {
+    val rows = df
+      .select(posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .orderBy(col("i"))
+      .collect()
+    val mins = rows.map(_.getDouble(1))
+    val maxs = rows.map(_.getDouble(2))
+    val scales = mins.zip(maxs).map { case (mn, mx) =>
+      if (mx > mn) (levels - 1).toDouble / (mx - mn) else 0.0 }
+    Model(mins, scales, levels)
+  }
+
+  /** Map-only quantization: `array<int>` of levels in [0, levels). */
+  def quantize(vec: Column, model: Model): Column =
+    graft.functions.AffineQuantize(vec, model.mins, model.scales, model.levels)
+
+  /** Reconstruction: `x̂_i = q_i / scale_i + min_i` (the level-0 value for
+    * constant dimensions). Emitted as `array<double>` so the downstream
+    * error math ([[graft.functions.DotProduct]] composition) stays exact.
+    */
+  def dequantize(qcol: Column, model: Model): Column = {
+    val inv = model.scales.map(s => if (s == 0.0) 0.0 else 1.0 / s)
+    graft.functions.AffineDequantize(qcol, inv, model.mins)
+  }
+
+  /** Mean squared reconstruction error per dimension, computed with the
+    * codegen'd dot expressions: `||x - x̂||² = x.x - 2 x.x̂ + x̂.x̂`.
+    */
+  def mseColumn(vec: Column, dequant: Column): Column = {
+    import graft.functions.vector
+    (vector.dot(vec, vec) - lit(2.0) * vector.dot(vec, dequant) +
+      vector.dot(dequant, dequant)) / size(vec)
+  }
+
+  /** Worst-case per-dimension MSE bound: (step/2)² averaged over dims,
+    * plus float32 representation noise.
+    */
+  def mseBound(model: Model): Double = {
+    val steps = model.scales.map(s => if (s == 0.0) 0.0 else 1.0 / s)
+    steps.map(st => (st / 2.0) * (st / 2.0)).sum / model.dims + 1e-9
+  }
+}

@@ -511,6 +511,57 @@ object VectorQueries {
         |     (SELECT embedding FROM embeddings WHERE vec_id = $RefId) r
         |WHERE e.vec_id <> $RefId
         |ORDER BY e.vec_id
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Scalar int8 quantization (graft.ops.Quantize): per-dim min/max in
+      // one partial-aggregated pass, then a map-only fused AffineQuantize
+      // scan — the 4x storage compression for corpus-scale embeddings.
+      // Every arithmetic step is exact IEEE double math (no
+      // transcendentals), so the ORACLE CROSS-CHECKS THE FULL QUANTIZED
+      // CONTENT via a corpus-wide checksum (sum of all levels) plus the
+      // per-dim level spread — not a tolerance contract. mse_ok ties the
+      // reconstruction to the analytic half-step bound through the
+      // codegen'd dot identity ||x - x̂||² = x.x - 2x.x̂ + x̂.x̂.
+      "v15_quantize",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val model = graft.ops.Quantize.fit(t.embeddings, "embedding")
+        val q = t.embeddings.select(col("vec_id"), col("embedding"),
+          graft.ops.Quantize.quantize(col("embedding"), model).as("q"))
+        val mseOk = q.select(
+            graft.ops.Quantize.mseColumn(col("embedding"),
+              graft.ops.Quantize.dequantize(col("q"), model)).as("mse"))
+          .agg(max(col("mse"))).head.getDouble(0) <=
+          graft.ops.Quantize.mseBound(model)
+        q.select(posexplode(col("q")).as(Seq("i", "qv")))
+          .agg(count(lit(1)).as("n_vals"),
+            sum(col("qv")).as("q_checksum"),
+            countDistinct(col("qv")).as("n_levels"))
+          .select(col("n_vals"), col("q_checksum"), col("n_levels"),
+            lit(mseOk).as("mse_ok"))
+      },
+      Some("""
+        |WITH el AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |),
+        |st AS (
+        |  SELECT i, min(x) AS mn, max(x) AS mx FROM el GROUP BY i
+        |),
+        |q AS (
+        |  SELECT CAST(LEAST(255, GREATEST(0,
+        |           FLOOR((x - mn) * (CASE WHEN mx > mn
+        |                             THEN 255.0 / (mx - mn)
+        |                             ELSE 0 END) + 0.5))) AS BIGINT) AS qv
+        |  FROM el JOIN st USING (i)
+        |)
+        |SELECT count(*) AS n_vals,
+        |       CAST(sum(qv) AS BIGINT) AS q_checksum,
+        |       count(DISTINCT qv) AS n_levels,
+        |       TRUE AS mse_ok
+        |FROM q
         |""".stripMargin.trim))
   )
 }

@@ -318,6 +318,38 @@ class OpsSpec extends SparkSpec {
       (4L, "d", 40.0, "insert")))
   }
 
+  test("Quantize round-trips within the half-step bound; exact at the grid") {
+    val rows = spark.range(300).select($"id",
+      transform(sequence(lit(0), lit(7)), i =>
+        (pmod(xxhash64($"id", i), lit(997L)).cast("double") / 498.0 - 1.0)
+          .cast("float")).as("vec"))
+    val model = graft.ops.Quantize.fit(rows, "vec")
+    assert(model.dims === 8 && model.levels === 256)
+    val q = rows.select($"vec",
+      graft.ops.Quantize.quantize($"vec", model).as("q"))
+    // Levels stay in [0, 255] and both extremes are hit per dimension
+    // (min maps to 0, max to 255 exactly).
+    val ext = q.select(posexplode($"q").as(Seq("i", "qv")))
+      .groupBy($"i").agg(min($"qv").as("lo"), max($"qv").as("hi"))
+      .collect()
+    assert(ext.forall(r => r.getInt(1) === 0 && r.getInt(2) === 255))
+    // Worst reconstruction error obeys the analytic bound.
+    val worst = q.select(graft.ops.Quantize.mseColumn($"vec",
+        graft.ops.Quantize.dequantize($"q", model)).as("mse"))
+      .agg(max($"mse")).head.getDouble(0)
+    assert(worst <= graft.ops.Quantize.mseBound(model), s"mse $worst")
+    // A constant dimension quantizes to level 0 and reconstructs exactly.
+    val const = spark.range(10).select(
+      transform(sequence(lit(0), lit(1)), i =>
+        when(i === 0, lit(0.75f)).otherwise($"id".cast("float"))).as("vec"))
+    val cm = graft.ops.Quantize.fit(const, "vec")
+    val cq = const.select(graft.ops.Quantize.quantize($"vec", cm).as("q"),
+      graft.ops.Quantize.dequantize(
+        graft.ops.Quantize.quantize($"vec", cm), cm).as("d")).collect()
+    assert(cq.forall(_.getSeq[Int](0).head === 0))
+    assert(cq.forall(r => math.abs(r.getSeq[Double](1).head - 0.75) < 1e-7))
+  }
+
   test("jacobiEigen recovers a known symmetric eigensystem") {
     // A = Q diag(5, 2, 1) Q^T for an exact orthogonal Q built from a
     // 45-degree rotation in the (0, 1) plane.
