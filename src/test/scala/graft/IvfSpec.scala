@@ -22,6 +22,24 @@ class IvfSpec extends SparkSpec {
     assert(ivf === brute)
   }
 
+  test("search over an int8-quantized corpus keeps top-5 recall") {
+    // The compressed serving path: store quantized (4x smaller), search
+    // on the dequantized reconstruction — recall vs the float corpus is
+    // what the half-step error bound buys end to end.
+    val model = graft.ops.Quantize.fit(emb, "embedding")
+    val deq = emb.select($"vec_id",
+      graft.ops.Quantize.dequantize(
+        graft.ops.Quantize.quantize($"embedding", model), model)
+        .as("embedding"))
+    val probes = emb.filter($"vec_id" < 20)
+    val qTop = Similarity.bruteForceTopK(deq, probes, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val fTop = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (qTop & fTop).size.toDouble / fTop.size
+    assert(recall >= 0.9, s"quantized-corpus recall $recall")
+  }
+
   test("reduced nprobe keeps high recall on the top-5") {
     val index = Ivf.build(emb, "vec_id", "embedding", numCells = 8, iterations = 2)
     val probes = emb.filter($"vec_id" < 20)
