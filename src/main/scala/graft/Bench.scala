@@ -49,8 +49,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val warmDir = "/root/testdata/sf0.001"
+    // Dev-only subsetting for fast iteration (the driver never sets this):
+    // SPARK_GRAFT_ONLY=regex runs just the matching queries.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     var prevFamily: String = null
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
+      .map { case (name, fn) =>
       val fam = family(name)
       if (prevFamily != null && fam != prevFamily) {
         Caches.reset(spark)
@@ -67,6 +72,8 @@ object Bench {
         catch { case _: Throwable => false }
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
+      if (only.isDefined) // diagnostics for dev runs only; keeps stdout JSON-clean
+        System.err.println(f"## $name runs: ${timings.map(t => f"$t%.3f").mkString(", ")}")
       name -> (if (timings.isEmpty) -1.0 else timings.min)
     }
     // Millisecond precision keeps the whole line under ~1.9k chars for 70+

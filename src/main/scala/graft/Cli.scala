@@ -209,10 +209,26 @@ object RemoteCli {
     if (parts.isEmpty || parts.head.isEmpty) return Some("")
     try dispatchParsed(base, parts)
     catch {
-      case e: Exception =>
+      // Argument-shape problems report as user error; transport failures
+      // (daemon down, refused connection, timeouts) surface as what they
+      // are — masking them as "bad arguments" sent users to `help` when
+      // the daemon was simply not running.
+      case e @ (_: java.io.IOException | _: InterruptedException) =>
+        Some(s"""{"success":false,"msg":"cannot reach daemon at $base: ${
+          jsonEscape(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))}"}""")
+      case _: NumberFormatException | _: IllegalArgumentException |
+          _: IndexOutOfBoundsException =>
         Some(s"""{"success":false,"msg":"bad arguments for ${parts.head} (try help)"}""")
     }
   }
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
 
   private def dispatchParsed(base: String, parts: Seq[String]): Option[String] = {
     def record(dataArg: String, metaArgs: Seq[String], id: Long): String = {

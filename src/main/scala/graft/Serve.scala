@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.service.{SumServer, SumService}
+import graft.service.{SumGrpcServer, SumServer, SumService}
 
 /** The daemon entry point — the reference's `sumd` (cmd/sumd/main.go):
   * start a Spark session, stand up [[graft.service.SumService]] with the
@@ -26,10 +26,17 @@ object Serve {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val server = new SumServer(SumService(spark), port)
+    val service = SumService(spark)
+    val server = new SumServer(service, port)
     server.start()
-    println(s"graft serving at ${server.baseUrl}")
-    sys.addShutdownHook { server.stop(); spark.stop() }
+    // The reference's actual framing, served alongside HTTP+JSON: gRPC +
+    // sum.proto on the next port (SPARK_GRAFT_GRPC_PORT overrides).
+    val grpcServer = new SumGrpcServer(service,
+      sys.env.get("SPARK_GRAFT_GRPC_PORT").map(_.toInt).getOrElse(port + 1))
+    grpcServer.start()
+    println(s"graft serving at ${server.baseUrl} " +
+      s"(grpc: 127.0.0.1:${grpcServer.boundPort})")
+    sys.addShutdownHook { grpcServer.stop(); server.stop(); spark.stop() }
     Thread.currentThread.join()
   }
 }

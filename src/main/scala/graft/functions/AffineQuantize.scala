@@ -58,7 +58,8 @@ case class AffineQuantize(child: Expression, mins: Array[Double],
         else vec.getDouble(i)
       val q = math.floor((x - mins(i)) * scales(i) + 0.5)
       out(i) =
-        if (q < 0.0) 0
+        if (q.isNaN) 0 // explicit: NaN fails both clamps; pin it to level 0
+        else if (q < 0.0) 0
         else if (q > (levels - 1).toDouble) levels - 1
         else q.toInt
       i += 1

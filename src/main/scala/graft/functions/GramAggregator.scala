@@ -58,10 +58,33 @@ class GramAggregator
     if (b.isEmpty) return a
     val out = if (a.length >= b.length) a else b
     val small = if (a.length >= b.length) b else a
-    var i = 0
-    while (i < small.length) {
-      if (i != 1) out(i) += small(i) // slot 1 is d, not additive
-      i += 1
+    val dOut = out(1).toInt
+    val dS = small(1).toInt
+    if (dS == dOut) {
+      var i = 0
+      while (i < small.length) {
+        if (i != 1) out(i) += small(i) // slot 1 is d, not additive
+        i += 1
+      }
+    } else {
+      // Partitions fixed different d from their first rows: the buffers'
+      // sum/triangle offsets disagree, so a flat add would mix entries at
+      // mismatched (i, j). Re-map the smaller-d buffer entry-by-entry —
+      // this keeps merge consistent with reduce's common-prefix rule
+      // regardless of which partition saw which row first.
+      out(0) += small(0)
+      var i = 0
+      while (i < dS) {
+        out(2 + i) += small(2 + i)
+        val rowS = 2 + dS + i * dS - (i * (i - 1)) / 2
+        val rowO = 2 + dOut + i * dOut - (i * (i - 1)) / 2
+        var j = i
+        while (j < dS) {
+          out(rowO + (j - i)) += small(rowS + (j - i))
+          j += 1
+        }
+        i += 1
+      }
     }
     out
   }

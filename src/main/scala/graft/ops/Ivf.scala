@@ -156,7 +156,8 @@ object Ivf {
     */
   def search(index: IvfIndex, probes: DataFrame,
       idCol: String, vecCol: String,
-      k: Int, nprobe: Int, roundTo: Int = 6): DataFrame = {
+      k: Int, nprobe: Int, roundTo: Int = 6,
+      maxInListCells: Int = 256): DataFrame = {
     val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
     // Route each probe to its nprobe closest cells (tiny broadcast join).
     val routeW = Window.partitionBy(col("query_id"))
@@ -180,9 +181,23 @@ object Ivf {
     // probe set, costing a codegen recompile per distinct query — the
     // right trade for an index scan that skips (numCells - nprobe)/
     // numCells of the corpus.
-    val routedCellIds = routed.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    val prunedCells = index.cells.filter(col("cell").isin(routedCellIds: _*))
+    val routedCells = routed.select(col("cell")).distinct()
+    val routedCellIds = routedCells.collect().map(_.getInt(0)).toSeq
+    // Serving-path hardening: past `maxInListCells` routed cells the
+    // IN-list's per-probe-set codegen recompile starts to dominate (each
+    // distinct literal set generates a fresh class — at high QPS or high
+    // nprobe that is a compile per request), so fall back to a broadcast
+    // semi join on the routed cell set: one stable plan for every probe
+    // set, values arriving as broadcast DATA instead of plan literals.
+    // The IN-list stays the default below the threshold because only a
+    // batch-stats-prunable predicate skips non-routed cached batches
+    // (or files, on cell-partitioned parquet) — the semi join hash-drops
+    // rows but must touch every batch. Results are identical either way.
+    val prunedCells =
+      if (routedCellIds.lengthCompare(maxInListCells) <= 0)
+        index.cells.filter(col("cell").isin(routedCellIds: _*))
+      else
+        index.cells.join(broadcast(routedCells), Seq("cell"), "left_semi")
     // Final ranking partial-aggregates (Similarity.rankTopK): candidates
     // collapse to <= k per query map-side, so the only full-size relation
     // in the whole search is the pruned cell scan itself.

@@ -24,10 +24,12 @@ object Lake {
     */
   def compactParquet(spark: SparkSession, inDir: String, outDir: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.getContentSummary(
-      new org.apache.hadoop.fs.Path(inDir)).getLength
+    // Resolve the filesystem FROM the path: inDir may live on a
+    // non-default FS (s3a:// vs local), where FileSystem.get(conf) throws
+    // "Wrong FS" despite the read/write path working fine.
+    val inPath = new org.apache.hadoop.fs.Path(inDir)
+    val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(inPath).getLength
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     spark.read.parquet(inDir).coalesce(nFiles)
       .write.mode("overwrite").parquet(outDir)

@@ -78,6 +78,81 @@ object Multimodal {
     }
   }
 
+  /** REAL image decoding over the public JDK's `javax.imageio` readers
+    * (PNG, JPEG, GIF, BMP — no native dependencies): true pixel
+    * dimensions, the color model's channel count, and a grid-mean-pooled
+    * RGB feature (`featureDim = 3 * grid * grid`, values in [0, 1]) — the
+    * standard cheap content embedding for near-dup/clustering before a
+    * learned encoder enters the pipeline.
+    *
+    * Non-image kinds and undecodable payloads return None (total, never
+    * throws), so one corrupt file cannot fail a 100 TB decode pass. The
+    * [[FakeDecoder]] remains the ORACLE-side decoder: a cross-engine
+    * correctness gate needs a decode DuckDB can replay (sha256 windows),
+    * which real pixel decoding is not — MultimodalSpec pins this decoder
+    * against in-memory rendered images and committed PNG/JPEG fixtures
+    * instead.
+    */
+  final class ImageIoDecoder(val grid: Int = 2) extends MediaDecoder {
+    require(grid >= 1 && grid <= 8, "grid must be 1..8")
+    override def featureDim: Int = 3 * grid * grid
+
+    override def decode(item: MediaItem): Option[DecodedMedia] = {
+      if (item.kind != "image" || item.payload == null || item.payload.isEmpty)
+        return None
+      try {
+        Multimodal.imageIoNoDiskCache
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(item.payload))
+        if (img == null) return None // no registered reader for the format
+        val w = img.getWidth
+        val h = img.getHeight
+        if (w <= 0 || h <= 0) return None
+        // Mean-pool RGB over a grid x grid tiling. One pass over the
+        // pixels; cell index derives from integer ratios so every pixel
+        // lands in exactly one cell regardless of dimensions.
+        val cells = grid * grid
+        val sums = new Array[Long](cells * 3)
+        val counts = new Array[Long](cells)
+        var y = 0
+        while (y < h) {
+          val cy = y * grid / h
+          var x = 0
+          while (x < w) {
+            val cell = cy * grid + x * grid / w
+            val rgb = img.getRGB(x, y)
+            sums(cell * 3) += (rgb >> 16) & 0xff
+            sums(cell * 3 + 1) += (rgb >> 8) & 0xff
+            sums(cell * 3 + 2) += rgb & 0xff
+            counts(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val feature = Array.tabulate(cells * 3) { i =>
+          val n = counts(i / 3)
+          if (n == 0) 0.0f else (sums(i).toDouble / n / 255.0).toFloat
+        }
+        Some(DecodedMedia(
+          media_id = item.media_id,
+          kind = item.kind,
+          width = w,
+          height = h,
+          duration_ms = 0L,
+          channels = img.getColorModel.getNumComponents,
+          feature = feature))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  /** Executed once per JVM before the first decode: in-memory streams
+    * only — the default ImageIO disk cache writes scratch files per
+    * decode, a per-row filesystem tax an executor-side batch decode
+    * cannot afford.
+    */
+  @transient private lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Decode a media Dataset partition-parallel. Undecodable rows are
     * dropped (total function; no task failures from bad payloads).
     */

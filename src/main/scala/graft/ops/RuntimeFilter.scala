@@ -1,7 +1,10 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftSqlInternal}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
 
 /** Manual runtime filtering for selective fact-dim joins: build a Bloom
   * filter over the (small) build side's join keys, broadcast it, and drop
@@ -31,11 +34,21 @@ object RuntimeFilter {
       probe: DataFrame, build: DataFrame,
       probeKey: String, buildKey: String,
       expectedItems: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
-    val bf = build.stat.bloomFilter(buildKey, expectedItems, fpp)
-    val bc = probe.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    // Build the sketch with Spark's own BloomFilterAggregate (partial+final
+    // sketch merge, no row collect) and probe it with BloomFilterMightContain
+    // on a constant: the same expression pair the runtime-bloom-filter
+    // optimizer rule injects, so the pre-filter stays inside whole-stage
+    // codegen — the earlier per-row Scala UDF paid ser/de on every probe row.
+    val numBits = math.max(64L,
+      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val sketch = GraftSqlInternal.column(
+      new BloomFilterAggregate(GraftSqlInternal.expression(col(buildKey)),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    val bf = build.select(sketch.as("bf")).head().getAs[Array[Byte]](0)
+    val mightContain = GraftSqlInternal.column(BloomFilterMightContain(
+      Literal(bf, BinaryType), GraftSqlInternal.expression(col(probeKey))))
     probe
-      .filter(col(probeKey).isNotNull && mightContain(col(probeKey)))
+      .filter(col(probeKey).isNotNull && mightContain)
       .join(build.select(col(buildKey)).distinct(),
         col(probeKey) === col(buildKey), "left_semi")
   }

@@ -3,9 +3,9 @@ package graft.oracle
 import scala.collection.mutable
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NamedParameter, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{NamedParameter, UnresolvedFunction, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.catalyst.plans.logical.{Command, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Command, LogicalPlan, UnresolvedWith}
 import org.json4s._
 
 import graft.model.SumRecord
@@ -55,7 +55,7 @@ object SqlOracle {
         Left("expected a query") // errNoDeclarations analogue (compiler.go:16)
       else {
         val params = paramNames(plan)
-        analyzeCheck(spark, plan).map { _ =>
+        sandboxCheck(plan).flatMap(_ => analyzeCheck(spark, plan)).map { _ =>
           Oracle(
             id = 0,
             name = name,
@@ -66,6 +66,48 @@ object SqlOracle {
         }
       }
     }
+  }
+
+  /** Functions an oracle may not call: arbitrary-reflection escapes that
+    * would let oracle text reach outside the engine. The reference's JS
+    * oracles had the run of otto's sandbox; the SQL surface gets the same
+    * spirit with a harder edge — compile-time rejection.
+    */
+  private val DeniedFunctions = Set("reflect", "java_method")
+
+  /** Defense-in-depth for user-submitted oracle text: the only readable
+    * relation is the `records` view (plus names the query itself defines
+    * via CTEs) — so `parquet.`/some/path`` style direct-file reads and
+    * catalog tables are rejected at create — and reflection functions are
+    * denied. Violations report as compile errors, matching the
+    * reference's compile-then-store contract.
+    */
+  private def sandboxCheck(plan: LogicalPlan): Either[String, Unit] = {
+    val cteNames = mutable.Set.empty[String]
+    plan.transformWithSubqueries {
+      case w: UnresolvedWith =>
+        w.cteRelations.foreach(r => cteNames += r._1.toLowerCase); w
+    }
+    var bad: Option[String] = None
+    plan.transformWithSubqueries {
+      case r: UnresolvedRelation =>
+        val ident = r.multipartIdentifier.map(_.toLowerCase)
+        if (ident != Seq(ViewName) &&
+            !(ident.lengthCompare(1) == 0 && cteNames.contains(ident.head)) &&
+            bad.isEmpty)
+          bad = Some("compile error: oracle SQL may only read the " +
+            s"'$ViewName' view, not ${r.multipartIdentifier.mkString(".")}")
+        r
+    }
+    plan.transformAllExpressionsWithSubqueries {
+      case f: UnresolvedFunction
+          if DeniedFunctions.contains(f.nameParts.last.toLowerCase) =>
+        if (bad.isEmpty)
+          bad = Some("compile error: function '" +
+            f.nameParts.mkString(".") + "' is not allowed in oracle SQL")
+        f
+    }
+    bad.toLeft(())
   }
 
   /** `:name` parameter markers in discovery order — the oracle's

@@ -320,8 +320,9 @@ object MixQueries {
       "t10_length_band",
       (s, dir) => {
         val t = Tables(s, dir)
-        val withTok = t.documents.select(col("doc_id"), col("source"),
-          size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
+        val withTok = TextAnalysis.tokensRelation(t.documents, "text")
+          .select(col("doc_id"), col("source"),
+            size(col("toks")).cast("long").as("n_tokens"))
         Sampling.percentBandFilter(withTok, "n_tokens", "doc_id", "source",
             0.05, 0.95)
           .groupBy(col("source"))
@@ -361,8 +362,9 @@ object MixQueries {
       "s05_token_budget",
       (s, dir) => {
         val t = Tables(s, dir)
-        val withTok = t.documents.select(col("doc_id"), col("source"),
-          size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
+        val withTok = TextAnalysis.tokensRelation(t.documents, "text")
+          .select(col("doc_id"), col("source"),
+            size(col("toks")).cast("long").as("n_tokens"))
         Sampling.selectUnderTokenBudget(withTok, "doc_id", "n_tokens",
             5000L, "source")
           .groupBy(col("source"))

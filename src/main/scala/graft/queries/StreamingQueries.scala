@@ -28,7 +28,8 @@ object StreamingQueries {
     * the data at gate scale (32 partitions: 5.9 s, 8: 2.2 s for st02), so
     * the gate provisions small.
     */
-  private val statePartitions = 8
+  private val statePartitions =
+    sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map(_.toInt).getOrElse(8)
 
   /** Run a streaming DataFrame to completion into a uniquely-named memory
     * sink and return the sink table.
@@ -38,6 +39,16 @@ object StreamingQueries {
     val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
     val before = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    // RocksDB state store by default: it is the provider a 100 TB keyed
+    // state deployment runs (state larger than executor heap, incremental
+    // compaction), and measured faster than the HDFS-backed store even at
+    // gate scale (st-family 20.6 s -> 17.7 s, median 2.60 -> 2.26 s;
+    // BENCH_NOTES §streaming). SPARK_GRAFT_STATE_PROVIDER=hdfs restores
+    // the default provider for A/B runs.
+    if (!sys.env.get("SPARK_GRAFT_STATE_PROVIDER").contains("hdfs"))
+      s.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val q = df.writeStream.format("memory").queryName(name)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()

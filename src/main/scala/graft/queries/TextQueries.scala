@@ -639,23 +639,26 @@ object TextQueries {
         val k1 = 1.2
         val b = 0.75
         val queryTerms = Seq("join", "scan", "vector")
-        val toks = t.documents
-          .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+        // One pass over the shared tokenized corpus derives doc length AND
+        // the per-doc query-term bags; carrying `dl` through the tf
+        // grouping key (it is functionally dependent on doc_id) removes
+        // the doc-length join entirely — the earlier shape re-ran the
+        // tokenize+explode chain for each of its three consumers.
+        val base = graft.ops.TextAnalysis.tokensRelation(t.documents, "text")
           .filter(size(col("toks")) > 0)
-        val docLen = toks.select(col("doc_id"),
-          size(col("toks")).cast("double").as("dl"))
-        val nAndAvg = docLen.agg(count(lit(1)).cast("double").as("n_docs"),
+          .select(col("doc_id"),
+            size(col("toks")).cast("double").as("dl"),
+            filter(col("toks"), tk => tk.isin(queryTerms: _*)).as("qtoks"))
+        val nAndAvg = base.agg(count(lit(1)).cast("double").as("n_docs"),
           avg(col("dl")).as("avgdl"))
-        val tf = toks
-          .select(col("doc_id"), explode(col("toks")).as("term"))
-          .filter(col("term").isin(queryTerms: _*))
-          .groupBy(col("doc_id"), col("term"))
+        val tf = base
+          .select(col("doc_id"), col("dl"), explode(col("qtoks")).as("term"))
+          .groupBy(col("doc_id"), col("dl"), col("term"))
           .agg(count(lit(1)).cast("double").as("tf"))
         val df = tf.groupBy(col("term"))
           .agg(count(lit(1)).cast("double").as("df"))
         val scored = tf
           .join(broadcast(df), "term")
-          .join(docLen, "doc_id")
           .crossJoin(broadcast(nAndAvg))
           .select(col("doc_id"),
             (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *

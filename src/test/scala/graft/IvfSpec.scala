@@ -53,6 +53,25 @@ class IvfSpec extends SparkSpec {
     assert(ivf.size === 20 * 5)
   }
 
+  test("semi-join pruning fallback returns exactly the IN-list path's results") {
+    // Serving-path hardening: past maxInListCells routed cells the IN
+    // literal (a codegen recompile per distinct probe set) gives way to a
+    // broadcast semi join on the routed cell set. Same index, same probes,
+    // maxInListCells = 0 forces the fallback — results must be identical
+    // row-for-row, rank-for-rank.
+    val index = Ivf.build(emb, "vec_id", "embedding", numCells = 8, iterations = 2)
+    val probes = emb.filter($"vec_id" < 20)
+    def run(maxInList: Int) =
+      Ivf.search(index, probes, "vec_id", "embedding", k = 5, nprobe = 3,
+          maxInListCells = maxInList)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val inList = run(maxInList = 256)
+    val semiJoin = run(maxInList = 0)
+    assert(inList === semiJoin)
+    assert(inList.nonEmpty)
+  }
+
   test("index cells partition the corpus") {
     val index = Ivf.build(emb, "vec_id", "embedding", numCells = 8, iterations = 1)
     val total = index.cells.count()

@@ -55,6 +55,67 @@ class MultimodalSpec extends SparkSpec {
     assert(joined === "0123456789abcdef") // slices tile the payload
   }
 
+  private def pngBytes(w: Int, h: Int)(pix: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pix(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageIoDecoder decodes real PNGs: true dimensions + pooled RGB") {
+    import Multimodal.ImageIoDecoder
+    // Left half pure red, right half pure blue: with grid=2 the pooled
+    // feature must be red-dominant in cells 0/2 and blue-dominant in 1/3.
+    val halves = pngBytes(40, 20)((x, _) => if (x < 20) 0xff0000 else 0x0000ff)
+    val solid = pngBytes(7, 13)((_, _) => 0x00ff00) // odd dims, solid green
+    val items = Seq(
+      MediaItem(1, "image", halves, "s1"),
+      MediaItem(2, "image", solid, "s2"),
+      MediaItem(3, "image", "not an image at all".getBytes("UTF-8"), "s3"),
+      MediaItem(4, "audio", halves, "s4")) // wrong kind: not decoded
+    val out = Multimodal.decodeAll(
+        spark.createDataset(items).repartition(2), new ImageIoDecoder(grid = 2))
+      .collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq === Seq(1L, 2L)) // 3 undecodable, 4 skipped
+    val a = out(0)
+    assert((a.width, a.height) === (40, 20))
+    assert(a.channels === 3 && a.duration_ms === 0L && a.feature.length === 12)
+    // cell 0 (top-left): mean red ~1, blue ~0; cell 1 (top-right): inverse
+    assert(a.feature(0) > 0.99f && a.feature(2) < 0.01f)
+    assert(a.feature(3) < 0.01f && a.feature(5) > 0.99f)
+    val b = out(1)
+    assert((b.width, b.height) === (7, 13))
+    assert(b.feature.grouped(3).forall(c =>
+      c(0) < 0.01f && c(1) > 0.99f && c(2) < 0.01f))
+  }
+
+  test("ImageIoDecoder decodes the committed PNG/JPEG fixtures") {
+    import Multimodal.ImageIoDecoder
+    def fixture(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/fixtures/$name")
+      assert(in != null, s"missing committed fixture $name")
+      try in.readAllBytes() finally in.close()
+    }
+    val items = Seq(
+      MediaItem(1, "image", fixture("gradient_32x16.png"), "fx"),
+      MediaItem(2, "image", fixture("gradient_32x16.jpg"), "fx"),
+      MediaItem(3, "image", fixture("checker_9x9.png"), "fx"))
+    val out = Multimodal.decodeAll(
+        spark.createDataset(items), new ImageIoDecoder(grid = 2))
+      .collect().sortBy(_.media_id)
+    assert(out.length === 3) // both codecs decode
+    assert(out.map(d => (d.width, d.height)).toSeq ===
+      Seq((32, 16), (32, 16), (9, 9)))
+    // PNG and JPEG hold the same gradient: lossy-compressed features agree
+    // loosely, dimensions exactly.
+    out.take(2).foreach(d => assert(d.feature.length === 12))
+    val diff = out(0).feature.zip(out(1).feature)
+      .map { case (p, j) => math.abs(p - j) }.max
+    assert(diff < 0.05f, s"PNG vs JPEG pooled features diverge: $diff")
+  }
+
   test("resizeToFit preserves aspect ratio and passes small/audio through") {
     import Multimodal.DecodedMedia
     val decoded = spark.createDataset(Seq(

@@ -133,15 +133,16 @@ class ScaleSpec extends SparkSpec {
       li, hot, "l_orderkey", "o_orderkey", expectedItems = 1000L, fpp = 0.01)
     val got = bloomed.agg(count(lit(1)), sum($"l_quantity")).collect().head
     assert(got === exact)
-    // The Bloom UDF filter sits on the probe side BELOW the semi join —
-    // pushed all the way into the scan's DataFilters (string-matched: AQE
+    // The Bloom pre-filter is the codegen expression pair (might_contain
+    // over a constant sketch), NOT a Scala UDF: it sits on the probe side
+    // below the semi join inside whole-stage codegen (string-matched: AQE
     // wraps the tree, hiding join nodes from collect()).
     val plan = bloomed.queryExecution.executedPlan.toString
     assert(plan.contains("LeftSemi"), s"no semi join in plan:\n$plan")
-    val probeScan = plan.linesIterator
-      .find(l => l.contains("FileScan") && l.contains("lineitem.parquet"))
-    assert(probeScan.exists(_.contains("UDF")),
-      s"Bloom filter not pushed into the probe-side scan:\n$plan")
+    assert(plan.contains("might_contain"),
+      s"might_contain pre-filter missing from plan:\n$plan")
+    assert(!plan.contains("UDF"),
+      s"per-row UDF back in the bloom path:\n$plan")
   }
 
   test("scd2Intervals plans both windows over one keyed exchange") {
@@ -199,5 +200,76 @@ class ScaleSpec extends SparkSpec {
     assert(joined.count() === 6000L)
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS o_bucketed")
+  }
+
+  test("quantize checksum is partition-invariant at 10^6 rows") {
+    // Guards the exact-IEEE oracle contract (v15's corpus checksum)
+    // against shuffle-order drift: fit's min/max and the AffineQuantize
+    // integer levels are per-row functions of the VALUES, and the checksum
+    // is a long sum (associative+commutative exactly), so any
+    // partitioning must reproduce it bit-for-bit.
+    val dims = 16
+    def corpus(parts: Int) = spark.range(1000000L).repartition(parts)
+      .select($"id", transform(sequence(lit(0), lit(dims - 1)),
+        j => (($"id" * 7 + j * 13) % 997).cast("float") / 31.0f)
+        .cast("array<float>").as("vec"))
+    val m1 = graft.ops.Quantize.fit(corpus(5), "vec")
+    val m2 = graft.ops.Quantize.fit(corpus(61), "vec")
+    assert(m1.mins.toSeq === m2.mins.toSeq, "fit mins drift with partitioning")
+    assert(m1.scales.toSeq === m2.scales.toSeq, "fit scales drift with partitioning")
+    def checksum(parts: Int): Long = corpus(parts)
+      .select(graft.ops.Quantize.quantize($"vec", m1).as("q"))
+      .select(aggregate(zip_with($"q",
+          sequence(lit(1), lit(dims)), (qi, w) => qi.cast("long") * w.cast("long")),
+        lit(0L), (acc, x) => acc + x).as("rowsum"))
+      .agg(sum($"rowsum")).head().getLong(0)
+    val c1 = checksum(5)
+    assert(c1 === checksum(61), "quantized checksum drifts with partitioning")
+    assert(c1 === checksum(32), "quantized checksum drifts with partitioning")
+  }
+
+  test("GramAggregator merge is partitioning-safe at 10^6 rows and across mixed d") {
+    import graft.functions.GramAggregator
+    // (a) associativity under repartition: double sums reorder, so values
+    // agree to relative tolerance while the count is exact.
+    def gram(parts: Int): Array[Double] = spark.range(1000000L)
+      .select(transform(sequence(lit(0), lit(7)),
+        j => (($"id" * 11 + j * 3) % 113).cast("float") / 7.0f)
+        .cast("array<float>").as("v"))
+      .select(udaf(new GramAggregator).apply($"v")).head().getSeq[Double](0).toArray
+    val g1 = gram(4)
+    val g2 = gram(37)
+    assert(g1.length === g2.length && g1(0) === 1000000.0 && g2(0) === 1000000.0)
+    g1.zip(g2).zipWithIndex.foreach { case ((x, y), i) =>
+      assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(x)),
+        s"gram buffer slot $i drifts across partitionings: $x vs $y")
+    }
+    // (b) partial buffers that fixed DIFFERENT d from their partitions'
+    // first rows: the merge must re-map the smaller layout by (i, j) — a
+    // flat element-wise add lands the d=4 triangle inside the d=8 sums
+    // (the silent corruption from the round-4 advice). Exercised directly
+    // on the Aggregator (both merge orders) because query-level local
+    // relations collapse to one sequential fold and never hit this path.
+    val a = (0 until 100).map(i => Array.tabulate(4)(j => (i + j).toFloat))
+    val b = (0 until 100).map(i => Array.tabulate(8)(j => (2 * i + j).toFloat))
+    val agg = new GramAggregator
+    val bufA = a.foldLeft(agg.zero)(agg.reduce)
+    val bufB = b.foldLeft(agg.zero)(agg.reduce)
+    val rows = a ++ b
+    def sumE(i: Int): Double =
+      rows.filter(_.length > i).map(_(i).toDouble).sum
+    def sumP(i: Int, j: Int): Double =
+      rows.filter(_.length > j).map(r => r(i).toDouble * r(j).toDouble).sum
+    for (buf <- Seq(agg.merge(bufA.clone(), bufB.clone()),
+                    agg.merge(bufB.clone(), bufA.clone()))) {
+      val d = buf(1).toInt
+      assert(d === 8 && buf(0) === 200.0)
+      for (i <- 0 until 8)
+        assert(math.abs(buf(2 + i) - sumE(i)) < 1e-6, s"sum slot $i corrupted")
+      for (i <- 0 until 8; j <- i until 8) {
+        val at = 2 + d + i * d - i * (i - 1) / 2 + (j - i)
+        assert(math.abs(buf(at) - sumP(i, j)) < 1e-6, s"moment ($i,$j) corrupted")
+      }
+    }
   }
 }

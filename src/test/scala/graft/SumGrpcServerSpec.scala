@@ -1,0 +1,153 @@
+package graft
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.sparkproject.connect.protobuf.{ByteString, DynamicMessage}
+
+import graft.oracle.Payload
+import graft.service.{SumGrpcClient, SumGrpcServer, SumProto, SumService}
+
+/** End-to-end over the reference's REAL wire protocol: a [[SumGrpcServer]]
+  * on an ephemeral loopback port driven through an actual gRPC channel
+  * with sum.proto dynamic messages — create records, compile-and-create a
+  * SQL oracle, Run it, open the gzip envelope (the sumd/sumcli loop,
+  * cmd/sumd/main.go:100-121, over gRPC this time).
+  */
+class SumGrpcServerSpec extends SparkSpec {
+
+  private def withGrpc(f: SumGrpcClient => Unit): Unit = {
+    val server = new SumGrpcServer(SumService(spark))
+    server.start()
+    val client = new SumGrpcClient("127.0.0.1", server.boundPort)
+    try f(client)
+    finally { client.close(); server.stop() }
+  }
+
+  private def record(client: SumGrpcClient, data: Seq[Float],
+      meta: Map[String, String] = Map.empty): DynamicMessage = {
+    val d = SumProto.descriptor("Record")
+    val b = client.newMessage("Record")
+    data.foreach(x =>
+      b.addRepeatedField(d.findFieldByName("data"), java.lang.Float.valueOf(x)))
+    val entryD = d.findNestedTypeByName("MetaEntry")
+    meta.foreach { case (k, v) =>
+      b.addRepeatedField(d.findFieldByName("meta"),
+        DynamicMessage.newBuilder(entryD)
+          .setField(entryD.findFieldByName("key"), k)
+          .setField(entryD.findFieldByName("value"), v).build())
+    }
+    b.build()
+  }
+
+  private def getBool(m: DynamicMessage, f: String): Boolean =
+    m.getField(m.getDescriptorForType.findFieldByName(f)).asInstanceOf[Boolean]
+  private def getMsg(m: DynamicMessage, f: String): DynamicMessage =
+    m.getField(m.getDescriptorForType.findFieldByName(f)).asInstanceOf[DynamicMessage]
+
+  test("create -> oracle -> Run -> envelope round-trip over a real gRPC channel") {
+    withGrpc { client =>
+      for (i <- 1 to 3) {
+        val resp = client.call("CreateRecord",
+          record(client, Seq(i.toFloat, 0.0f), Map("name" -> s"rec$i")))
+        assert(getBool(resp, "success"))
+        assert(SumProto.getString(resp, "msg") === i.toString) // id echo
+      }
+      // Compile-at-create SQL oracle, through protobuf this time.
+      val oc = client.call("CreateOracle", client.newMessage("Oracle")
+        .setField(SumProto.descriptor("Oracle").findFieldByName("name"), "firstData")
+        .setField(SumProto.descriptor("Oracle").findFieldByName("code"),
+          "SELECT id, data[0] AS x FROM records WHERE id <= :maxId ORDER BY id")
+        .build())
+      assert(getBool(oc, "success"), SumProto.getString(oc, "msg"))
+      val oracleId = SumProto.getLong(getMsg(oc, "oracle"), "id")
+      val call = client.newMessage("Call")
+      val callD = SumProto.descriptor("Call")
+      call.setField(callD.findFieldByName("oracle_id"),
+        java.lang.Long.valueOf(oracleId))
+      call.addRepeatedField(callD.findFieldByName("args"), "2")
+      val run = client.call("Run", call.build())
+      assert(getBool(run, "success"), SumProto.getString(run, "msg"))
+      val data = getMsg(run, "data")
+      assert(!getBool(data, "compressed"))
+      val payload = data.getField(
+        data.getDescriptorForType.findFieldByName("payload"))
+        .asInstanceOf[ByteString].toStringUtf8
+      assert(JsonMethods.parse(payload) === JsonMethods.parse(
+        """[{"id":1,"x":1.0},{"id":2,"x":2.0}]"""))
+    }
+  }
+
+  test("broken oracle code rejects at create over gRPC; big results gzip") {
+    withGrpc { client =>
+      val oracleD = SumProto.descriptor("Oracle")
+      val broken = client.call("CreateOracle", client.newMessage("Oracle")
+        .setField(oracleD.findFieldByName("name"), "broken")
+        .setField(oracleD.findFieldByName("code"), "lulz i won't compile =)")
+        .build())
+      assert(!getBool(broken, "success"))
+      assert(SumProto.getString(broken, "msg").startsWith("compile error:"))
+
+      for (i <- 1 to 3) client.call("CreateRecord", record(client, Seq(i.toFloat)))
+      val oc = client.call("CreateOracle", client.newMessage("Oracle")
+        .setField(oracleD.findFieldByName("name"), "spine")
+        .setField(oracleD.findFieldByName("code"),
+          "SELECT r.id AS id, t.id AS k, r.data[0] AS x " +
+            "FROM records r CROSS JOIN range(100) t ORDER BY id, k")
+        .build())
+      assert(getBool(oc, "success"), SumProto.getString(oc, "msg"))
+      val callD = SumProto.descriptor("Call")
+      val run = client.call("Run", client.newMessage("Call")
+        .setField(callD.findFieldByName("oracle_id"), java.lang.Long.valueOf(
+          SumProto.getLong(getMsg(oc, "oracle"), "id")))
+        .build())
+      assert(getBool(run, "success"))
+      val data = getMsg(run, "data")
+      assert(getBool(data, "compressed")) // >2 KiB -> gzip envelope
+      val raw = data.getField(
+        data.getDescriptorForType.findFieldByName("payload"))
+        .asInstanceOf[ByteString].toByteArray
+      val rows = JsonMethods.parse(
+        Payload.openString(Payload.Envelope(compressed = true, raw)))
+        .asInstanceOf[JArray].arr
+      assert(rows.size === 300)
+    }
+  }
+
+  test("record CRUD + pagination + find + info parity over gRPC") {
+    withGrpc { client =>
+      for (i <- 1 to 25)
+        client.call("CreateRecord", record(client, Seq(i.toFloat),
+          Map("tag" -> (if (i % 2 == 0) "even" else "odd"))))
+      val byIdD = SumProto.descriptor("ById")
+      def byId(id: Long) = client.newMessage("ById")
+        .setField(byIdD.findFieldByName("id"), java.lang.Long.valueOf(id)).build()
+      assert(getBool(client.call("ReadRecord", byId(7)), "success"))
+      assert(SumProto.getString(client.call("ReadRecord", byId(666)), "msg") ===
+        "record 666 not found.") // exact store error string on the wire
+      val listD = SumProto.descriptor("ListRequest")
+      val page3 = client.call("ListRecords", client.newMessage("ListRequest")
+        .setField(listD.findFieldByName("page"), java.lang.Long.valueOf(3L))
+        .setField(listD.findFieldByName("per_page"), java.lang.Long.valueOf(10L))
+        .build())
+      assert(SumProto.getLong(page3, "total") === 25L)
+      assert(SumProto.getLong(page3, "pages") === 3L)
+      assert(page3.getField(page3.getDescriptorForType.findFieldByName("records"))
+        .asInstanceOf[java.util.List[_]].size === 5)
+      val byMetaD = SumProto.descriptor("ByMeta")
+      val evens = client.call("FindRecords", client.newMessage("ByMeta")
+        .setField(byMetaD.findFieldByName("meta"), "tag")
+        .setField(byMetaD.findFieldByName("value"), "even").build())
+      assert(evens.getField(evens.getDescriptorForType.findFieldByName("records"))
+        .asInstanceOf[java.util.List[_]].size === 12)
+      assert(getBool(client.call("DeleteRecord", byId(7)), "success"))
+      assert(!getBool(client.call("ReadRecord", byId(7)), "success"))
+      val info = client.call("Info", client.newMessage("Empty").build())
+      assert(SumProto.getLong(info, "records") === 24L)
+      assert(SumProto.getString(info, "backend").startsWith("spark-"))
+      // Round-trip fidelity of the meta map + float data through protobuf.
+      val r8 = getMsg(client.call("ReadRecord", byId(8)), "record")
+      val rec = SumProto.protoToRecord(r8)
+      assert(rec.data.toSeq === Seq(8.0f) && rec.meta === Map("tag" -> "even"))
+    }
+  }
+}
