@@ -113,6 +113,16 @@ object SimBench {
     val t2 = System.nanoTime()
     val ivfRows = graft.ops.Ivf.search(idx, probes, "id", "vec", 10, 4).count()
     val ivfSec = (System.nanoTime() - t2) / 1e9
+    // Serving-path A/B: the same routed search through the broadcast
+    // semi-join pruning fallback (maxInListCells = 0 forces it) — no
+    // per-probe-set codegen recompile, but no batch-stat pruning either.
+    graft.ops.Ivf.search(idx, probes, "id", "vec", 10, 4,
+      maxInListCells = 0).count() // warm
+    val t2b = System.nanoTime()
+    val ivfSemiRows = graft.ops.Ivf.search(idx, probes, "id", "vec", 10, 4,
+      maxInListCells = 0).count()
+    val ivfSemiSec = (System.nanoTime() - t2b) / 1e9
+    require(ivfSemiRows == ivfRows, "semi-join fallback diverged from IN-list path")
     graft.ops.Similarity.bruteForceTopK(big, probes, "id", "vec", 10).count() // warm
     val t3 = System.nanoTime()
     val bruteRows = graft.ops.Similarity.bruteForceTopK(big, probes, "id", "vec", 10).count()
@@ -136,7 +146,7 @@ object SimBench {
     val plantedFound = lshPairs
       .filter(col("id_b") === col("id_a") + 10000000L).count()
 
-    println(s"""{"metric":"findsim_1024x475_qps","value":$qps,"unit":"qps","extra":{"findsim_1m_x64_sec":$bigSec,"hits_small":$hits,"hits_1m":$bigHits,"ivf_1m_build_sec":$buildSec,"ivf_1m_topk_sec":$ivfSec,"brute_1m_topk_sec":$bruteSec,"ivf_rows":$ivfRows,"brute_rows":$bruteRows,"lsh_allpairs_1m_sec":$lshSec,"lsh_pairs":$lshCount,"lsh_planted_found":$plantedFound}}""")
+    println(s"""{"metric":"findsim_1024x475_qps","value":$qps,"unit":"qps","extra":{"findsim_1m_x64_sec":$bigSec,"hits_small":$hits,"hits_1m":$bigHits,"ivf_1m_build_sec":$buildSec,"ivf_1m_topk_sec":$ivfSec,"ivf_1m_topk_semijoin_sec":$ivfSemiSec,"brute_1m_topk_sec":$bruteSec,"ivf_rows":$ivfRows,"brute_rows":$bruteRows,"lsh_allpairs_1m_sec":$lshSec,"lsh_pairs":$lshCount,"lsh_planted_found":$plantedFound}}""")
     spark.stop()
   }
 }
