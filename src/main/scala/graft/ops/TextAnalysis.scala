@@ -246,6 +246,47 @@ object TextAnalysis {
           .as("ppl"))
   }
 
+  /** Conditional bigram-LM perplexity per document — the next step up
+    * from [[unigramPerplexity]] and the shape of the KenLM-style quality
+    * filters production pipelines run: the model is the corpus's own
+    * Laplace-smoothed bigram distribution, p(w2|w1) = (c(w1,w2) + 1) /
+    * (c(w1,·) + V), scored as exp(mean(-ln p)) over each document's
+    * bigrams.
+    *
+    * Plan at 100 TB: one bigram explode persisted and consumed three ways
+    * (bigram counts, context counts, the scoring join); both count
+    * relations are Zipf-bounded (≤ V² and ≤ V rows) and broadcast when
+    * the measured V says they fit, with AQE deciding otherwise. V rides
+    * to the score as a literal from the same scalar pass. Output rounds
+    * to 4 decimals (ln/exp cross-engine ulp noise, as t13). Documents
+    * with fewer than two tokens have no bigrams and drop out.
+    */
+  def bigramPerplexity(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = tokensRelation(docs, textCol)
+    val v = toks.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok"))).first().getLong(0)
+    val bi = toks.filter(size(col("toks")) >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), size(col("toks")) - 2),
+          i => struct(element_at(col("toks"), i + 1).as("w1"),
+            element_at(col("toks"), i + 2).as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    bi.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bigramCounts = bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val contextCounts = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val bigramSide =
+      if (v.toDouble * v.toDouble <= 2e6) broadcast(bigramCounts) else bigramCounts
+    val contextSide = if (v <= 2000000L) broadcast(contextCounts) else contextCounts
+    bi.join(bigramSide, Seq("w1", "w2"))
+      .join(contextSide, Seq("w1"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(exp(avg(-log((col("c12") + lit(1.0)) /
+          (col("c1") + lit(v.toDouble))))), 4).as("ppl"))
+  }
+
   def kgramHashes(text: Column, k: Int): Column =
     // Guarded like charShingles: sequence(0, negative) DESCENDS rather
     // than being empty, so short texts must short-circuit explicitly.

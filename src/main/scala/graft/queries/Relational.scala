@@ -1247,6 +1247,42 @@ object Relational {
         |SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_exact,
         |       TRUE AS sketch_ok
         |FROM customer
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // One-pass heavy hitters over the token stream via the SpaceSaving
+      // sketch (graft.functions.SpaceSavingTopK): O(capacity) memory per
+      // partition regardless of stream cardinality, partials merging by
+      // counter addition — the "which tokens/domains dominate 100 TB"
+      // question answered without a full-vocabulary shuffle. At gate scale
+      // the capacity exceeds the corpus vocabulary, so the sketch's
+      // estimates are EXACT and the plain top-k SQL is a strict oracle
+      // (the eval tie-break, count desc then token asc, mirrors it); at
+      // real scale the same plan degrades gracefully to the SpaceSaving
+      // over-count bound instead of to an OOM.
+      "a04_heavy_hitters",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        graft.ops.TextAnalysis.tokensRelation(t.documents, "text")
+          .select(explode(col("toks")).as("tok"))
+          .agg(graft.functions.SpaceSavingTopK.topK(col("tok"), 10,
+            capacity = 256).as("top"))
+          .select(posexplode(col("top")).as(Seq("pos", "token", "cnt")))
+          .select((col("pos") + 1).cast("long").as("rnk"), col("token"),
+            col("cnt"))
+          .orderBy(col("rnk"))
+      },
+      Some("""
+        |WITH toks AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents
+        |),
+        |counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rnk,
+        |       tok AS token, cnt
+        |FROM counts
+        |ORDER BY cnt DESC, tok
+        |LIMIT 10
         |""".stripMargin.trim))
   )
 }

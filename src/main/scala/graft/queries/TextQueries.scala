@@ -627,6 +627,45 @@ object TextQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Conditional bigram-LM perplexity (TextAnalysis.bigramPerplexity):
+      // the KenLM-shaped statistical filter one notch above t13's unigram
+      // model — p(w2|w1) Laplace-smoothed from the corpus's own bigram/
+      // context counts. Same exactness discipline as t13: integer-valued
+      // count arithmetic up to the ln, then round(4) for cross-engine ulp.
+      "t14_bigram_ppl",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        graft.ops.TextAnalysis.bigramPerplexity(t.documents, "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        |WITH tok AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |uni AS (
+        |  SELECT count(DISTINCT tok) AS v
+        |  FROM (SELECT unnest(toks) AS tok FROM tok)
+        |),
+        |bi AS (
+        |  SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2
+        |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS i
+        |        FROM tok WHERE len(toks) >= 2)
+        |),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+        |ctx AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1)
+        |SELECT bi.doc_id, count(*) AS n_bigrams,
+        |       round(exp(avg(-ln((c12 + 1.0) / (c1 + v)))), 4) AS ppl
+        |FROM bi
+        |JOIN big USING (w1, w2)
+        |JOIN ctx USING (w1)
+        |CROSS JOIN uni
+        |GROUP BY bi.doc_id
+        |ORDER BY bi.doc_id
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // BM25 relevance scoring (Robertson/Okapi, k1=1.2 b=0.75) of the
       // corpus against a fixed query — the retrieval-quality scorer a
       // data pipeline runs to mine training examples for a topic. Two
