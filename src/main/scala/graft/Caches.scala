@@ -34,6 +34,7 @@ object Caches {
   def reset(spark: SparkSession): Unit = {
     graft.ops.Dedup.invalidate(spark)
     graft.ops.Ivf.invalidate(spark)
+    graft.ops.Pq.invalidate(spark)
     graft.ops.TextAnalysis.invalidate(spark)
     graft.queries.MixQueries.invalidate(spark)
     // Unpersists everything registered with the session's CacheManager —

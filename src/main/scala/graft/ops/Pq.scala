@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{AdcDot, PqAdcTable, PqEncode}
+
+/** Product quantization (Jégou, Douze & Schmid, "Product quantization for
+  * nearest neighbor search", TPAMI 2011): split each vector into `m`
+  * contiguous subspaces, k-means each subspace independently, and store a
+  * vector as its `m` centroid indices — `m * log2(ksub)` bits instead of
+  * `dims * 32`. With m=8, ksub=16 a 64-dim float32 embedding compresses
+  * 64x (256 bits -> 4), the storage step that makes billion-vector ANN
+  * serving fit in memory; queries score compressed rows asymmetrically
+  * (ADC): one m x ksub dot-product table per query, then m table lookups
+  * per corpus row instead of a d-element dot.
+  *
+  * Scale shape, mirroring [[Ivf]]: training is a few Lloyd passes where
+  * the assignment scan is ONE fused [[PqEncode]] map (all m subspaces in
+  * one primitive loop) and the update is one partial-aggregated keyed
+  * mean; the codebook tensor (m x ksub x dsub floats — KB) is the only
+  * driver traffic. Encoding is the same map; search is broadcast probes
+  * with per-probe ADC tables computed map-side ([[PqAdcTable]]) and a
+  * partial-aggregating top-k, so the shuffle carries <= probes x k rows.
+  * Codebooks compose with IVF: encode residuals per cell for IVF-PQ.
+  */
+object Pq {
+
+  final case class PqModel(m: Int, ksub: Int,
+      codebooks: Array[Array[Array[Float]]]) {
+    def dsub: Int = codebooks.head.head.length
+    def dims: Int = m * dsub
+  }
+
+  /** Train per-subspace codebooks with Lloyd iterations. Deterministic:
+    * init centroids are the sub-vectors of the `ksub` rows with smallest
+    * md5(id) (the [[Ivf.build]] rule), per-element means round to 6
+    * decimals so shuffle order cannot drift a codebook, and empty cells
+    * keep their previous centroid. Rows whose vectors are null or not of
+    * length `dims` are excluded from training (encode still handles them
+    * by the zero-fill prefix rule).
+    */
+  def fit(df: DataFrame, idCol: String, vecCol: String, m: Int, ksub: Int,
+      iterations: Int = 2): PqModel = {
+    val dims = df.select(col(vecCol)).filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).head().getInt(0)
+    require(dims % m == 0, s"dims $dims not divisible by m subspaces $m")
+    val dsub = dims / m
+    val clean = df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+    // Deterministic init: subspace j of init row k seeds centroid (j, k).
+    val initRows = clean
+      .select(col(idCol), col(vecCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(ksub)
+      .collect()
+      .map(_.getSeq[Float](1))
+    require(initRows.length == ksub,
+      s"need at least ksub=$ksub trainable rows, got ${initRows.length}")
+    var codebooks: Array[Array[Array[Float]]] = Array.tabulate(m, ksub) {
+      (j, k) => initRows(k).slice(j * dsub, (j + 1) * dsub).toArray
+    }
+    (0 until iterations).foreach { _ =>
+      // One fused-encode scan + one keyed mean for ALL subspaces: explode
+      // to (subspace, code, element position, value) and partial-aggregate
+      // — the exchange carries m*ksub*dsub keys, never the corpus.
+      val updated = clean
+        .select(PqEncode(col(vecCol), codebooks).as("codes"),
+          posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .select((col("pos") / dsub).cast("int").as("j"),
+          element_at(col("codes"), (col("pos") / dsub).cast("int") + 1).as("code"),
+          pmod(col("pos"), lit(dsub)).cast("int").as("i"),
+          col("x").cast("double").as("x"))
+        .groupBy(col("j"), col("code"), col("i"))
+        .agg(round(avg(col("x")), 6).as("mean"))
+        .collect()
+      val next = codebooks.map(_.map(_.clone()))
+      updated.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3).toFloat
+      }
+      codebooks = next
+    }
+    PqModel(m, ksub, codebooks)
+  }
+
+  /** Map-only corpus compression: (id, codes array<int> of length m). */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+      model: PqModel): DataFrame =
+    df.select(col(idCol), PqEncode(col(vecCol), model.codebooks).as("codes"))
+
+  /** Approximate max-inner-product top-k of an encoded corpus for each
+    * probe row via asymmetric distance: per-probe ADC tables map-side,
+    * m lookups per corpus row, partial-aggregating top-k. Output:
+    * query_id, rnk, vec_id, adc (rounded).
+    */
+  def adcTopK(encoded: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, model: PqModel,
+      k: Int, roundTo: Int = 6): DataFrame = {
+    val p = broadcast(probes.select(col(idCol).as("query_id"),
+      PqAdcTable(col(vecCol), model.codebooks).as("adc_table")))
+    val candidates = Spread.ensure(encoded).crossJoin(p)
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("adc", round(AdcDot(col("codes"), col("adc_table")), roundTo))
+    Similarity.rankTopK(candidates, idCol, "adc", k)
+  }
+
+  /** Memoized [[fit]] + [[encode]]: one trained model and one persisted
+    * encoded corpus per (session, corpus plan, parameters), the
+    * train-once/serve-many shape (see [[Ivf.buildCached]]). Weak-keyed on
+    * the session; [[invalidate]] is wired into [[graft.Caches.reset]].
+    */
+  def encodeCached(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iterations: Int = 2): (PqModel, DataFrame) = {
+    val perSession = cache.computeIfAbsent(df.sparkSession,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, (PqModel, DataFrame)]())
+    val key = s"${df.queryExecution.logical.semanticHash()}/$idCol/$vecCol/" +
+      s"$m/$ksub/$iterations"
+    perSession.computeIfAbsent(key, _ => {
+      val model = fit(df, idCol, vecCol, m, ksub, iterations)
+      val enc = encode(df, idCol, vecCol, model)
+      enc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (model, enc)
+    })
+  }
+
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, (PqModel, DataFrame)]]())
+
+  /** Drop this session's memoized models (see [[graft.Caches]]). */
+  private[graft] def invalidate(spark: org.apache.spark.sql.SparkSession): Unit =
+    Option(cache.get(spark)).foreach(_.clear())
+}

@@ -562,6 +562,45 @@ object VectorQueries {
         |       count(DISTINCT qv) AS n_levels,
         |       TRUE AS mse_ok
         |FROM q
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Product quantization (graft.ops.Pq): 64-dim float32 -> 8 codes of
+      // 5 bits (51x), scored asymmetrically (per-probe ADC table, m
+      // lookups per corpus row). PQ internals are not SQL-replayable, so
+      // — like a01/v09 — the query asserts the accuracy contract
+      // IN-QUERY: top-10 recall of the compressed search vs the exact
+      // MIPS ranking must clear a floor (deterministic: fit init, mean
+      // rounding, and ranking tiebreaks are all pinned; measured 0.35 at
+      // sf0.01 on the near-isotropic synthetic embeddings, PQ's worst
+      // case). The exact-checkable columns (probe count, result count =
+      // probes x k) gate the plumbing.
+      "v16_pq_recall",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val emb = t.embeddings
+        val (model, enc) = graft.ops.Pq.encodeCached(emb, "vec_id", "embedding",
+          m = 8, ksub = 32)
+        val probes = emb.filter(col("vec_id") < 20)
+        val pqTop = graft.ops.Pq.adcTopK(enc, probes, "vec_id", "embedding",
+            model, k = 10)
+          .select(col("query_id"), col("vec_id"))
+        val exactTop = graft.ops.Similarity.mipsTopK(emb, probes,
+            "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("vec_id"))
+        val matches = pqTop.join(exactTop, Seq("query_id", "vec_id"))
+        pqTop.agg(countDistinct(col("query_id")).as("n_queries"),
+            count(lit(1)).as("n_results"))
+          .crossJoin(matches.agg(count(lit(1)).as("n_match")))
+          .select(col("n_queries"), col("n_results"),
+            (col("n_match").cast("double") /
+              col("n_results").cast("double") >= 0.15).as("recall_ok"))
+      },
+      Some("""
+        |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |       CAST(count(*) * 10 AS BIGINT) AS n_results,
+        |       TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 20
         |""".stripMargin.trim))
   )
 }

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Pq, Similarity}
+
+/** Product quantization: exactness when the codebook can represent every
+  * sub-vector, recall sanity under real compression, determinism, and
+  * codegen (no interpreted fallback on the scan path).
+  */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("ksub >= corpus size makes ADC scoring exactly the true dot") {
+    // With one centroid available per training row and Lloyd converged,
+    // every sub-vector is its own centroid: encoding is lossless and the
+    // ADC score must equal the exact inner product to the last rounded
+    // digit — the PQ analogue of v11's full-probe == brute contract.
+    val tiny = emb.filter($"vec_id" < 8)
+    val model = Pq.fit(tiny, "vec_id", "embedding", m = 8, ksub = 8,
+      iterations = 2)
+    val enc = Pq.encode(tiny, "vec_id", "embedding", model)
+    val probes = tiny.filter($"vec_id" < 3)
+    def collect(df: org.apache.spark.sql.DataFrame, score: String) = df
+      .select($"query_id", $"rnk", $"vec_id", col(score).as("score"))
+      .collect().map(r => ((r.getLong(0), r.getInt(1), r.getLong(2)), r.getDouble(3)))
+      .sortBy(_._1)
+    val adc = collect(
+      Pq.adcTopK(enc, probes, "vec_id", "embedding", model, k = 5), "adc")
+    val exact = collect(
+      Similarity.mipsTopK(tiny, probes, "vec_id", "embedding", k = 5), "ip")
+    // Rankings must be identical; scores agree to the centroid round-6
+    // quantum (fit rounds means to 6 decimals for run-determinism, so the
+    // "own centroid" reconstruction is the sub-vector +- 5e-7/element).
+    assert(adc.map(_._1).toSeq === exact.map(_._1).toSeq)
+    adc.zip(exact).foreach { case ((key, a), (_, e)) =>
+      assert(math.abs(a - e) <= 5e-6, s"$key: adc $a vs exact $e")
+    }
+  }
+
+  test("compressed search keeps top-10 recall on the real corpus") {
+    // 64-dim float32 -> 8 codes of 5 bits: 51x compression. Recall@10 vs
+    // the exact MIPS ranking is the quantity the PQ trade sells. The
+    // synthetic embeddings are near-isotropic — PQ's worst case (no
+    // cluster structure for the codebooks to exploit) — so the floor is
+    // set above 10x chance (10/499 ~ 2%), not at production recall.
+    val (model, enc) = Pq.encodeCached(emb, "vec_id", "embedding",
+      m = 8, ksub = 32)
+    val probes = emb.filter($"vec_id" < 20)
+    val pq = Pq.adcTopK(enc, probes, "vec_id", "embedding", model, k = 10)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.mipsTopK(emb, probes, "vec_id", "embedding", k = 10)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pq & exact).size.toDouble / exact.size
+    assert(recall >= 0.2, s"PQ recall@10 $recall below floor")
+    assert(pq.size === 20 * 10)
+  }
+
+  test("fit is deterministic and encode survives repartitioning") {
+    val m1 = Pq.fit(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val m2 = Pq.fit(emb.repartition(13), "vec_id", "embedding", m = 8, ksub = 16)
+    assert(m1.codebooks.flatten.flatten.toSeq === m2.codebooks.flatten.flatten.toSeq)
+    val c1 = Pq.encode(emb, "vec_id", "embedding", m1)
+      .orderBy($"vec_id").collect().map(_.getSeq[Int](1))
+    val c2 = Pq.encode(emb.repartition(7), "vec_id", "embedding", m2)
+      .orderBy($"vec_id").collect().map(_.getSeq[Int](1))
+    assert(c1.zip(c2).forall { case (a, b) => a == b })
+    assert(c1.forall(codes => codes.length == 8 && codes.forall(k => k >= 0 && k < 16)))
+  }
+
+  test("the encode scan stays in whole-stage codegen") {
+    val model = Pq.fit(emb, "vec_id", "embedding", m = 8, ksub = 16,
+      iterations = 1)
+    val df = Pq.encode(emb, "vec_id", "embedding", model)
+    df.collect() // resolve AQE's final plan before reading it
+    val plan = df.queryExecution.executedPlan.toString
+    // The *(n) prefix is the whole-stage-codegen span marker: the encode
+    // projection must carry one (an interpreted-fallback Project prints
+    // without it — the round-4 trap this expression family exists to avoid).
+    assert(plan.linesIterator.exists(l =>
+        l.matches("""\*\(\d+\) Project.*graft_pq_encode.*""")),
+      s"PqEncode fell out of whole-stage codegen:\n$plan")
+  }
+}
