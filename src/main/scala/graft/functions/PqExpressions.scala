@@ -239,3 +239,77 @@ object AdcDot {
     GraftSqlInternal.column(AdcDot(
       GraftSqlInternal.expression(codes), GraftSqlInternal.expression(table)))
 }
+
+/** Residual against an assigned centroid: `vec - centroids(cell)` as
+  * `array<float>` — the IVF-PQ ingest step (PQ codes are trained on and
+  * encode the residual; the coarse centroid carries the rest of the
+  * signal). Centroid matrix rides once as a reference object, indexed by
+  * the cell column; out-of-range cells subtract nothing (vec passes
+  * through), missing vector tail reads as 0.0. Null vector or null cell
+  * -> null.
+  */
+case class CentroidResidual(left: Expression, right: Expression,
+    centroids: Array[Array[Float]]) extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "graft_centroid_residual"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!VectorExpressions.isVecType(left.dataType)) {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>/array<double>, got " +
+          left.dataType.catalogString)
+    } else if (right.dataType != IntegerType) {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an int cell column, got " +
+          right.dataType.catalogString)
+    } else if (centroids.isEmpty) {
+      TypeCheckResult.TypeCheckFailure(s"$prettyName needs centroids")
+    } else {
+      TypeCheckResult.TypeCheckSuccess
+    }
+
+  @transient private lazy val isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  def compute(vec: ArrayData, cell: Int): ArrayData = {
+    val n = vec.numElements()
+    val cent: Array[Float] =
+      if (cell >= 0 && cell < centroids.length) centroids(cell)
+      else Array.emptyFloatArray
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      val x =
+        if (vec.isNullAt(i)) 0.0f
+        else if (isFloat) vec.getFloat(i)
+        else vec.getDouble(i).toFloat
+      out(i) = if (i < cent.length) x - cent(i) else x
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(vec: Any, cell: Any): Any =
+    compute(vec.asInstanceOf[ArrayData], cell.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidResidual", this,
+      classOf[CentroidResidual].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CentroidResidual {
+  def apply(vec: Column, cell: Column,
+      centroids: Array[Array[Float]]): Column =
+    GraftSqlInternal.column(CentroidResidual(
+      GraftSqlInternal.expression(vec), GraftSqlInternal.expression(cell),
+      centroids))
+}

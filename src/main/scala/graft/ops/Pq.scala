@@ -3,7 +3,9 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{AdcDot, PqAdcTable, PqEncode}
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.{vector, AdcDot, CentroidResidual, PqAdcTable, PqEncode}
 
 /** Product quantization (Jégou, Douze & Schmid, "Product quantization for
   * nearest neighbor search", TPAMI 2011): split each vector into `m`
@@ -127,6 +129,92 @@ object Pq {
       java.util.concurrent.ConcurrentHashMap[String, (PqModel, DataFrame)]]())
 
   /** Drop this session's memoized models (see [[graft.Caches]]). */
-  private[graft] def invalidate(spark: org.apache.spark.sql.SparkSession): Unit =
+  private[graft] def invalidate(spark: org.apache.spark.sql.SparkSession): Unit = {
     Option(cache.get(spark)).foreach(_.clear())
+    Option(ivfPqCache.get(spark)).foreach(_.clear())
+  }
+
+  // ---- IVF-PQ composition --------------------------------------------------
+
+  /** An IVF-routed, PQ-compressed corpus: the standard billion-vector
+    * serving layout (Jégou et al. §IV). The coarse quantizer routes, the
+    * PQ codes encode the RESIDUAL `x - c_cell` (residuals concentrate
+    * near 0, so a shared residual codebook spends its levels where the
+    * data is), and a stored row is (id, cell, m codes).
+    */
+  final case class IvfPqIndex(ivf: Ivf.IvfIndex, model: PqModel,
+      encoded: DataFrame, centroidMatrix: Array[Array[Float]])
+
+  /** Build = IVF coarse index (shared via [[Ivf.buildCached]]), one fused
+    * residual map ([[CentroidResidual]]), PQ fit on the residuals, one
+    * fused encode scan. Deterministic end to end; only centroids and
+    * codebooks (KB) cross the driver.
+    */
+  def buildIvfPq(df: DataFrame, idCol: String, vecCol: String,
+      numCells: Int, m: Int, ksub: Int, iterations: Int = 2): IvfPqIndex = {
+    val ivf = Ivf.buildCached(df, idCol, vecCol, numCells)
+    val cents = ivf.centroids.orderBy(col("cell")).collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    val residuals = ivf.cells.select(col(idCol), col("cell"),
+      CentroidResidual(col(vecCol), col("cell"), cents).as("res"))
+    val model = fit(residuals, idCol, "res", m, ksub, iterations)
+    val encoded = residuals.select(col(idCol), col("cell"),
+      PqEncode(col("res"), model.codebooks).as("codes"))
+    encoded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    IvfPqIndex(ivf, model, encoded, cents)
+  }
+
+  /** Memoized [[buildIvfPq]] (see [[encodeCached]]). */
+  def buildIvfPqCached(df: DataFrame, idCol: String, vecCol: String,
+      numCells: Int, m: Int, ksub: Int, iterations: Int = 2): IvfPqIndex = {
+    val perSession = ivfPqCache.computeIfAbsent(df.sparkSession,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, IvfPqIndex]())
+    val key = s"${df.queryExecution.logical.semanticHash()}/$idCol/$vecCol/" +
+      s"$numCells/$m/$ksub/$iterations"
+    perSession.computeIfAbsent(key,
+      _ => buildIvfPq(df, idCol, vecCol, numCells, m, ksub, iterations))
+  }
+
+  private val ivfPqCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, IvfPqIndex]]())
+
+  /** Approximate MIPS top-k through the full IVF-PQ serving path: probes
+    * route to their `nprobe` best cells, only those cells' code rows are
+    * scanned, and each candidate costs m ADC lookups plus the stored
+    * centroid correction — `dot(q, x) = dot(q, c_cell) + dot(q, x - c_cell)`,
+    * with the second term approximated by the residual codes. The routed
+    * relation (probes x nprobe rows, carrying each probe's ADC table and
+    * centroid dot) broadcasts to the cell join, so the only full-size
+    * relation in the search is the pruned code scan — same pruning
+    * discipline as [[Ivf.search]] (IN-list under `maxInListCells`,
+    * broadcast semi join past it).
+    */
+  def ivfPqTopK(index: IvfPqIndex, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      roundTo: Int = 6, maxInListCells: Int = 256): DataFrame = {
+    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val routeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    val routed = p.crossJoin(broadcast(index.ivf.centroids))
+      .withColumn("csim", vector.cosine(col("query_vec"), col("centroid")))
+      .withColumn("crnk", row_number().over(routeW))
+      .filter(col("crnk") <= nprobe)
+      .select(col("query_id"), col("cell"),
+        vector.dot(col("query_vec"), col("centroid")).as("cdot"),
+        PqAdcTable(col("query_vec"), index.model.codebooks).as("adc_table"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val routedCells = routed.select(col("cell")).distinct()
+    val routedCellIds = routedCells.collect().map(_.getInt(0)).toSeq
+    val pruned =
+      if (routedCellIds.lengthCompare(maxInListCells) <= 0)
+        index.encoded.filter(col("cell").isin(routedCellIds: _*))
+      else
+        index.encoded.join(broadcast(routedCells), Seq("cell"), "left_semi")
+    val candidates = pruned.join(broadcast(routed), "cell")
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("adc",
+        round(col("cdot") + AdcDot(col("codes"), col("adc_table")), roundTo))
+    Similarity.rankTopK(candidates, idCol, "adc", k)
+  }
 }

@@ -601,6 +601,44 @@ object VectorQueries {
         |       CAST(count(*) * 10 AS BIGINT) AS n_results,
         |       TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 20
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // The composed IVF-PQ serving path (graft.ops.Pq.ivfPqTopK): coarse
+      // router picks nprobe of numCells cells, PQ codes encode the
+      // per-cell RESIDUAL, candidates cost m ADC lookups + the stored
+      // centroid-dot correction, and only routed cells' code rows are
+      // scanned — the standard billion-vector serving layout, end to end.
+      // Contract shape as v16: deterministic overall recall vs exact MIPS
+      // above a floor (measured 0.315 at sf0.01, floor 0.15), exact
+      // probe/result counts gating the plumbing. PqSpec pins the lossless
+      // limit (full probe + ksub >= corpus == exact MIPS).
+      "v17_ivfpq_recall",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val emb = t.embeddings
+        val index = graft.ops.Pq.buildIvfPqCached(emb, "vec_id", "embedding",
+          numCells = 8, m = 8, ksub = 32)
+        val probes = emb.filter(col("vec_id") < 20)
+        val routedTop = graft.ops.Pq.ivfPqTopK(index, probes,
+            "vec_id", "embedding", k = 10, nprobe = 4)
+          .select(col("query_id"), col("vec_id"))
+        val exactTop = graft.ops.Similarity.mipsTopK(emb, probes,
+            "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("vec_id"))
+        val matches = routedTop.join(exactTop, Seq("query_id", "vec_id"))
+        routedTop.agg(countDistinct(col("query_id")).as("n_queries"),
+            count(lit(1)).as("n_results"))
+          .crossJoin(matches.agg(count(lit(1)).as("n_match")))
+          .select(col("n_queries"), col("n_results"),
+            (col("n_match").cast("double") /
+              col("n_results").cast("double") >= 0.15).as("recall_ok"))
+      },
+      Some("""
+        |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |       CAST(count(*) * 10 AS BIGINT) AS n_results,
+        |       TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 20
         |""".stripMargin.trim))
   )
 }

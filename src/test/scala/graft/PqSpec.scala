@@ -73,6 +73,48 @@ class PqSpec extends SparkSpec {
     assert(c1.forall(codes => codes.length == 8 && codes.forall(k => k >= 0 && k < 16)))
   }
 
+  test("IVF-PQ with full probe and lossless residual codes equals exact MIPS") {
+    // nprobe == numCells removes routing loss; ksub >= corpus removes
+    // quantization loss (every residual is its own centroid) — so the
+    // whole composed path dot(q, c_cell) + ADC(residual codes) must
+    // reproduce the exact inner-product ranking. The composed analogue of
+    // v11's IVF contract and the lossless PQ case above.
+    val tiny = emb.filter($"vec_id" < 16)
+    val index = Pq.buildIvfPq(tiny, "vec_id", "embedding",
+      numCells = 4, m = 8, ksub = 16, iterations = 2)
+    val probes = tiny.filter($"vec_id" < 3)
+    val composed = Pq.ivfPqTopK(index, probes, "vec_id", "embedding",
+        k = 5, nprobe = 4)
+      .select($"query_id", $"rnk", $"vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    val exact = Similarity.mipsTopK(tiny, probes, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"rnk", $"vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(composed === exact)
+  }
+
+  test("IVF-PQ routed search keeps recall while scanning only nprobe cells") {
+    val index = Pq.buildIvfPqCached(emb, "vec_id", "embedding",
+      numCells = 8, m = 8, ksub = 32)
+    val probes = emb.filter($"vec_id" < 20)
+    val routed = Pq.ivfPqTopK(index, probes, "vec_id", "embedding",
+        k = 10, nprobe = 4)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.mipsTopK(emb, probes, "vec_id", "embedding", k = 10)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (routed & exact).size.toDouble / exact.size
+    assert(recall >= 0.15, s"IVF-PQ recall@10 $recall below floor")
+    assert(routed.size === 20 * 10)
+    // The semi-join fallback returns the identical result set.
+    val fallback = Pq.ivfPqTopK(index, probes, "vec_id", "embedding",
+        k = 10, nprobe = 4, maxInListCells = 0)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fallback === routed)
+  }
+
   test("the encode scan stays in whole-stage codegen") {
     val model = Pq.fit(emb, "vec_id", "embedding", m = 8, ksub = 16,
       iterations = 1)
