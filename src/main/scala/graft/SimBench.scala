@@ -128,6 +128,37 @@ object SimBench {
     val bruteRows = graft.ops.Similarity.bruteForceTopK(big, probes, "id", "vec", 10).count()
     val bruteSec = (System.nanoTime() - t3) / 1e9
 
+    // IVF-PQ at 1M: the full compressed serving path — coarse routing +
+    // residual PQ codes (m=8, ksub=256 -> 8 bytes/vector vs 256 for the
+    // raw float32s) + ADC scoring with the centroid-dot correction.
+    // Recall@10 is against exact MIPS over the same probes (the honest
+    // baseline for the dot-product ranking ivfPqTopK approximates).
+    val tp0 = System.nanoTime()
+    val pqIdx = graft.ops.Pq.buildIvfPq(big, "id", "vec",
+      numCells = 64, m = 8, ksub = 256, iterations = 1)
+    graft.ops.Pq.ivfPqTopK(pqIdx, probes, "id", "vec", 10, 4).count() // warm
+    val pqBuildSec = (System.nanoTime() - tp0) / 1e9
+    val tp1 = System.nanoTime()
+    val pqTop = graft.ops.Pq.ivfPqTopK(pqIdx, probes, "id", "vec", 10, 4)
+      .select(col("query_id"), col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pqRows = pqTop.count()
+    val pqSec = (System.nanoTime() - tp1) / 1e9
+    val mipsTop = graft.ops.Similarity.mipsTopK(big, probes, "id", "vec", 10)
+      .select(col("query_id"), col("vec_id"))
+    val pqMatch = pqTop.join(mipsTop, Seq("query_id", "vec_id")).count()
+    val pqRecall = pqMatch.toDouble / math.max(1L, pqRows)
+    // Two-stage: ADC 4x shortlist -> exact re-rank of only those rows.
+    val tr0 = System.nanoTime()
+    val rrTop = graft.ops.Pq.ivfPqTopKRerank(pqIdx, big, probes,
+        "id", "vec", 10, 4, rerankFactor = 4)
+      .select(col("query_id"), col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rrRows = rrTop.count()
+    val rrSec = (System.nanoTime() - tr0) / 1e9
+    val rrMatch = rrTop.join(mipsTop, Seq("query_id", "vec_id")).count()
+    val rrRecall = rrMatch.toDouble / math.max(1L, rrRows)
+
     // Corpus-scale ALL-PAIRS near-dup at 10^6+1000 vectors: brute force is
     // 5*10^11 cosines and cannot run; the wide sign-LSH bucket join's cost
     // follows occupancy (bitsPerBand=22 -> ~0.25 expected rows/bucket/band).
@@ -146,7 +177,7 @@ object SimBench {
     val plantedFound = lshPairs
       .filter(col("id_b") === col("id_a") + 10000000L).count()
 
-    println(s"""{"metric":"findsim_1024x475_qps","value":$qps,"unit":"qps","extra":{"findsim_1m_x64_sec":$bigSec,"hits_small":$hits,"hits_1m":$bigHits,"ivf_1m_build_sec":$buildSec,"ivf_1m_topk_sec":$ivfSec,"ivf_1m_topk_semijoin_sec":$ivfSemiSec,"brute_1m_topk_sec":$bruteSec,"ivf_rows":$ivfRows,"brute_rows":$bruteRows,"lsh_allpairs_1m_sec":$lshSec,"lsh_pairs":$lshCount,"lsh_planted_found":$plantedFound}}""")
+    println(s"""{"metric":"findsim_1024x475_qps","value":$qps,"unit":"qps","extra":{"findsim_1m_x64_sec":$bigSec,"hits_small":$hits,"hits_1m":$bigHits,"ivf_1m_build_sec":$buildSec,"ivf_1m_topk_sec":$ivfSec,"ivf_1m_topk_semijoin_sec":$ivfSemiSec,"brute_1m_topk_sec":$bruteSec,"ivf_rows":$ivfRows,"brute_rows":$bruteRows,"ivfpq_1m_build_sec":$pqBuildSec,"ivfpq_1m_topk_sec":$pqSec,"ivfpq_recall_at10":$pqRecall,"ivfpq_rerank_1m_sec":$rrSec,"ivfpq_rerank_recall_at10":$rrRecall,"lsh_allpairs_1m_sec":$lshSec,"lsh_pairs":$lshCount,"lsh_planted_found":$plantedFound}}""")
     spark.stop()
   }
 }

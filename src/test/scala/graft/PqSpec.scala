@@ -115,6 +115,43 @@ class PqSpec extends SparkSpec {
     assert(fallback === routed)
   }
 
+  test("IVF-PQ rerank: exact stage-2 scoring lifts recall over raw ADC order") {
+    val index = Pq.buildIvfPqCached(emb, "vec_id", "embedding",
+      numCells = 8, m = 8, ksub = 32)
+    val probes = emb.filter($"vec_id" < 20)
+    def recallOf(df: org.apache.spark.sql.DataFrame, exact: Set[(Long, Long)]) = {
+      val got = df.select($"query_id", $"vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got, (got & exact).size.toDouble / exact.size)
+    }
+    val exact = Similarity.mipsTopK(emb, probes, "vec_id", "embedding", k = 10)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (plain, plainRecall) = recallOf(
+      Pq.ivfPqTopK(index, probes, "vec_id", "embedding", k = 10, nprobe = 4),
+      exact)
+    val (reranked, rerankRecall) = recallOf(
+      Pq.ivfPqTopKRerank(index, emb, probes, "vec_id", "embedding",
+        k = 10, nprobe = 4, rerankFactor = 4), exact)
+    assert(reranked.size === plain.size)
+    // Stage 2 rescores a 4x shortlist exactly, so every true neighbor the
+    // compressed scan surfaces anywhere in the top-40 is promoted: recall
+    // can only improve over trusting the ADC order.
+    assert(rerankRecall >= plainRecall,
+      s"rerank $rerankRecall < plain ADC $plainRecall")
+    // With routing loss removed (nprobe == numCells) and the whole corpus
+    // in the shortlist, stage 2 IS exact MIPS — rank-for-rank.
+    val n = emb.count().toInt
+    val full = Pq.ivfPqTopKRerank(index, emb, probes, "vec_id", "embedding",
+        k = 10, nprobe = 8, rerankFactor = (n / 10) + 1)
+      .select($"query_id", $"rnk", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    val fullExact = Similarity.mipsTopK(emb, probes, "vec_id", "embedding", k = 10)
+      .select($"query_id", $"rnk", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(full === fullExact)
+  }
+
   test("the encode scan stays in whole-stage codegen") {
     val model = Pq.fit(emb, "vec_id", "embedding", m = 8, ksub = 16,
       iterations = 1)
