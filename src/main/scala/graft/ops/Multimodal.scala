@@ -153,6 +153,110 @@ object Multimodal {
   @transient private lazy val imageIoNoDiskCache: Unit =
     javax.imageio.ImageIO.setUseCache(false)
 
+  /** REAL audio decoding over the public JDK's `javax.sound.sampled`
+    * (WAV/AIFF/AU PCM — no native dependencies): true sample rate,
+    * channel count, duration from the frame count, and a windowed
+    * RMS-energy feature — `featureDim` equal-width windows over the
+    * first channel, each the root-mean-square of its samples normalized
+    * to [0, 1]. RMS-energy envelopes are the standard cheap audio
+    * fingerprint for silence trimming / near-dup bucketing before a
+    * learned encoder enters the pipeline.
+    *
+    * Decoding streams the frames once (no full-clip buffer beyond the
+    * payload itself, which already sits in the row); 8/16/24/32-bit
+    * signed and 8-bit unsigned PCM are handled, compressed encodings
+    * return None. Non-audio kinds and undecodable payloads return None
+    * (total, never throws) — one corrupt file cannot fail a 100 TB
+    * decode pass. [[FakeDecoder]] remains the ORACLE-side decoder (the
+    * cross-engine gate needs sha256 windows DuckDB can replay);
+    * MultimodalSpec pins this decoder against synthesized WAV clips with
+    * known sine/silence structure.
+    */
+  final class AudioWavDecoder(val featureDim: Int = 16) extends MediaDecoder {
+    require(featureDim >= 1 && featureDim <= 64, "featureDim must be 1..64")
+
+    override def decode(item: MediaItem): Option[DecodedMedia] = {
+      if (item.kind != "audio" || item.payload == null || item.payload.isEmpty)
+        return None
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(item.payload))
+        try {
+          val fmt = in.getFormat
+          val enc = fmt.getEncoding
+          val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          if (!signed && !unsigned) return None // compressed — needs a codec
+          val bits = fmt.getSampleSizeInBits
+          if (bits != 8 && bits != 16 && bits != 24 && bits != 32) return None
+          val channels = fmt.getChannels
+          val frames = in.getFrameLength
+          if (frames <= 0 || channels <= 0 || fmt.getFrameRate <= 0 ||
+            fmt.getFrameSize <= 0) return None
+          val durationMs = (frames * 1000.0 / fmt.getFrameRate).toLong
+          val bytesPerSample = bits / 8
+          val frameSize = fmt.getFrameSize
+          val big = fmt.isBigEndian
+          val fullScale = ((1L << (bits - 1)) - 1).toDouble
+
+          // One streaming pass: frame i lands in window i*featureDim/frames.
+          val sumSq = new Array[Double](featureDim)
+          val counts = new Array[Long](featureDim)
+          val buf = new Array[Byte](frameSize * 1024)
+          var frameIdx = 0L
+          var carry = 0 // bytes of a partial frame carried between reads
+          var eof = false
+          while (!eof) {
+            val n = in.read(buf, carry, buf.length - carry)
+            if (n <= 0) eof = true
+            else {
+              val avail = carry + n
+              val whole = avail / frameSize * frameSize
+              var off = 0
+              while (off < whole) {
+                // first channel's sample at this frame
+                var s = 0L
+                if (big) {
+                  var b = 0
+                  while (b < bytesPerSample) { s = (s << 8) | (buf(off + b) & 0xff); b += 1 }
+                } else {
+                  var b = bytesPerSample - 1
+                  while (b >= 0) { s = (s << 8) | (buf(off + b) & 0xff); b -= 1 }
+                }
+                val v =
+                  if (unsigned) s - (1L << (bits - 1)) // center 8-bit unsigned
+                  else { // sign-extend
+                    val shift = 64 - bits
+                    (s << shift) >> shift
+                  }
+                val w = math.min(((frameIdx * featureDim) / frames).toInt, featureDim - 1)
+                val x = v / fullScale
+                sumSq(w) += x * x
+                counts(w) += 1
+                frameIdx += 1
+                off += frameSize
+              }
+              carry = avail - whole
+              if (carry > 0) System.arraycopy(buf, whole, buf, 0, carry)
+            }
+          }
+          val feature = Array.tabulate(featureDim) { i =>
+            if (counts(i) == 0) 0.0f
+            else math.min(1.0, math.sqrt(sumSq(i) / counts(i))).toFloat
+          }
+          Some(DecodedMedia(
+            media_id = item.media_id,
+            kind = item.kind,
+            width = 0,
+            height = 0,
+            duration_ms = durationMs,
+            channels = channels,
+            feature = feature))
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
   /** Decode a media Dataset partition-parallel. Undecodable rows are
     * dropped (total function; no task failures from bad payloads).
     */

@@ -238,4 +238,74 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
+
+  /** SemDeDup-style cluster-scoped near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embeddings (the shared
+    * [[Ivf]] coarse quantizer — same centroids an ANN index would use),
+    * then compare pairs ONLY within a cluster. Candidate cost drops from
+    * n²/2 to Σ|cell|²/2 ≈ n²/(2·numCells) with balanced cells — the trick
+    * that made 100 TB-scale semantic dedup tractable in the paper — and
+    * the within-cell join is keyed by cell id, so it shuffles each
+    * vector once and never materializes a cross join. Every surviving
+    * pair is verified with the same exact cosine as [[bruteForcePairs]],
+    * so cluster-scoped ⊆ exact by construction; what clustering trades
+    * away is recall on pairs whose members route to different cells —
+    * near-dup vectors (cosine ≥ ~0.8) almost always share an argmax
+    * centroid, which is the paper's (and this operator's) bet, and the
+    * e05 contract query measures it instead of assuming it.
+    *
+    * Output: id_a < id_b, sim (rounded), cell.
+    */
+  def clusterScopedPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numCells: Int, roundTo: Int = 6): DataFrame = {
+    val index = Ivf.buildCached(df.select(col(idCol), col(vecCol)),
+      idCol, vecCol, numCells)
+    val a = index.cells.select(col("cell"),
+      col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = index.cells.select(col("cell"),
+      col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(vector.cosine(col("vec_a"), col("vec_b")), roundTo))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"), col("cell"))
+  }
+
+  /** The keep-set of SemDeDup: drop every row that has a LOWER-id
+    * cluster-mate above the threshold (the deterministic analogue of the
+    * paper's keep-one-per-duplicate-group — min id survives as the
+    * representative, the same rule as [[Dedup]]'s exact pass). One
+    * distinct over the pair relation + one left-anti join, both keyed.
+    */
+  def semDedupKeep(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numCells: Int): DataFrame = {
+    val removed = clusterScopedPairs(df, idCol, vecCol, threshold, numCells)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(removed, Seq(idCol), "left_anti")
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09):
+    * combine ranked lists from heterogeneous retrievers —
+    * `score(d) = Σ_lists 1/(kRrf + rank_list(d))`, absent-from-list
+    * contributes 0 — the standard score-free way to fuse sparse (BM25)
+    * and dense (embedding) retrieval, robust to incomparable score
+    * scales. Each input holds `idCol` + an integer `rnk` (1-based);
+    * inputs are top-N lists (bounded by construction), so the full-outer
+    * joins are trivially small however large the corpus the retrievers
+    * scanned. Output: idCol, rrf (rounded — ranks are exact integers, so
+    * the rounded sum is engine-invariant).
+    */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String,
+      kRrf: Int = 60, roundTo: Int = 6): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val scored = lists.zipWithIndex.map { case (l, i) =>
+      l.select(col(idCol),
+        (lit(1.0) / (lit(kRrf.toDouble) + col("rnk"))).as(s"rrf_c$i")) }
+    val joined = scored.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val total = lists.indices
+      .map(i => coalesce(col(s"rrf_c$i"), lit(0.0)))
+      .reduce(_ + _)
+    joined.select(col(idCol), round(total, roundTo).as("rrf"))
+  }
 }

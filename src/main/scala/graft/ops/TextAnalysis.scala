@@ -287,6 +287,88 @@ object TextAnalysis {
           (col("c1") + lit(v.toDouble))))), 4).as("ppl"))
   }
 
+  /** BM25 relevance scores (Robertson/Okapi) of every document against a
+    * fixed term set — extracted from the t12 query so retrieval surfaces
+    * (plain ranking, hybrid RRF fusion) share one implementation. One
+    * pass over the shared [[tokensRelation]] derives doc length AND the
+    * per-doc query-term bags; `dl` rides the tf grouping key (it is
+    * functionally dependent on the doc id), which removes the doc-length
+    * join entirely. Two shuffles at any scale: the keyed (doc, term)
+    * frequency aggregation and the final per-doc sum; the document-
+    * frequency relation is |queryTerms| rows, broadcast. Output: idCol,
+    * bm25 (rounded).
+    */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      roundTo: Int = 4): DataFrame = {
+    val base = tokensRelation(docs, textCol)
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol),
+        size(col("toks")).cast("double").as("dl"),
+        filter(col("toks"), tk => tk.isin(queryTerms: _*)).as("qtoks"))
+    val nAndAvg = base.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = base
+      .select(col(idCol), col("dl"), explode(col("qtoks")).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfRel = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfRel), "term")
+      .crossJoin(broadcast(nAndAvg))
+      .select(col(idCol),
+        (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("term_score"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("term_score")), roundTo).as("bm25"))
+  }
+
+  /** DSIR-style importance weights for data selection (Xie et al. 2023,
+    * arXiv:2302.03169): model the target and raw corpora as bag-of-
+    * hashed-token distributions over `buckets` buckets, and score each
+    * document by its log importance ratio
+    * `Σ_b c_doc[b]·(ln p_target[b] − ln p_raw[b])` (add-one smoothed) —
+    * documents that look like the target domain get high weights, and
+    * sampling ∝ weight reshapes the raw corpus toward the target without
+    * training a model. Hashing uses the same md5 bucket as every sampler
+    * here ([[Sampling.hashBucket]]), so weights are engine- and
+    * partition-invariant.
+    *
+    * Shape at scale: tokenize+explode is map-side off the shared
+    * [[tokensRelation]]; the bucket distribution table is `buckets` rows
+    * (broadcast); per-doc bucket counts take ONE keyed shuffle and the
+    * final per-doc sum folds ≤ `buckets` exact-integer counts — rounded
+    * at 4 decimals so double summation order cannot leak cross-engine.
+    * Output: idCol, n_tokens, log_weight.
+    */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 64, roundTo: Int = 4): DataFrame = {
+    val terms = tokensRelation(docs, textCol)
+      .select(col(idCol), isTarget.as("is_tgt"), explode(col("toks")).as("term"))
+      .select(col(idCol), col("is_tgt"),
+        Sampling.hashBucket(col("term"), buckets).as("bucket"))
+    val dist = terms.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_raw"),
+        count(when(col("is_tgt"), 1)).as("n_tgt"))
+      .agg(collect_list(struct(col("bucket"), col("n_raw"), col("n_tgt")))
+        .as("rows"),
+        sum(col("n_raw")).as("tot_raw"), sum(col("n_tgt")).as("tot_tgt"))
+      .select(explode(col("rows")).as("r"),
+        col("tot_raw"), col("tot_tgt"))
+      .select(col("r.bucket").as("bucket"),
+        (log((col("r.n_tgt") + lit(1.0)) / (col("tot_tgt") + lit(buckets.toDouble))) -
+          log((col("r.n_raw") + lit(1.0)) / (col("tot_raw") + lit(buckets.toDouble))))
+          .as("log_ratio"))
+    val perDoc = terms.groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    perDoc.join(broadcast(dist), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_tokens"),
+        round(sum(col("c") * col("log_ratio")), roundTo).as("log_weight"))
+  }
+
   def kgramHashes(text: Column, k: Int): Column =
     // Guarded like charShingles: sequence(0, negative) DESCENDS rather
     // than being empty, so short texts must short-circuit explicitly.

@@ -395,6 +395,59 @@ object MixQueries {
         |WHERE cum <= 5000
         |GROUP BY source
         |ORDER BY source
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // DSIR-style importance weights (arXiv:2302.03169): score every
+      // document by how target-like its hashed-token distribution is
+      // (target = English docs), the model-free data-selection signal
+      // that reshapes a raw crawl toward a domain. Top 20 by weight —
+      // highest-scoring docs must be overwhelmingly the target language,
+      // which t01's langid heuristic confirms independently. The bucket
+      // distribution table is 64 rows (broadcast); the per-doc fold is
+      // exact-integer counts times a shared log-ratio, rounded at 4 so
+      // summation order cannot leak cross-engine.
+      "s06_dsir_weights",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        TextAnalysis.importanceWeights(t.documents, "doc_id", "text",
+            isTarget = col("lang") === "en", buckets = 64)
+          .orderBy(col("log_weight").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""
+        |WITH tok AS (
+        |  SELECT doc_id, lang = 'en' AS is_tgt,
+        |         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |           AS term
+        |  FROM documents
+        |),
+        |b AS (
+        |  SELECT doc_id, is_tgt,
+        |         CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT) % 64
+        |           AS bucket
+        |  FROM tok
+        |),
+        |dist AS (
+        |  SELECT bucket,
+        |         count(*) AS n_raw,
+        |         count(*) FILTER (WHERE is_tgt) AS n_tgt
+        |  FROM b GROUP BY bucket
+        |),
+        |tot AS (SELECT sum(n_raw) AS tr, sum(n_tgt) AS tt FROM dist),
+        |lr AS (
+        |  SELECT bucket,
+        |         ln((n_tgt + 1.0) / (tt + 64.0)) -
+        |         ln((n_raw + 1.0) / (tr + 64.0)) AS log_ratio
+        |  FROM dist CROSS JOIN tot
+        |),
+        |pd AS (SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY doc_id, bucket)
+        |SELECT pd.doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       round(sum(c * log_ratio), 4) AS log_weight
+        |FROM pd JOIN lr USING (bucket)
+        |GROUP BY pd.doc_id
+        |ORDER BY log_weight DESC, doc_id
+        |LIMIT 20
         |""".stripMargin.trim))
   )
 }

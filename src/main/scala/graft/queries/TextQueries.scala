@@ -553,6 +553,60 @@ object TextQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // SemDeDup (cluster-scoped semantic dedup, arXiv:2303.09540) under
+      // the same planted-signal contract as e02/e03: the corpus gains 50
+      // true near-dups (cosine ~0.87-0.97), detection runs per k-means
+      // cell (Similarity.clusterScopedPairs — candidates drop from n²/2
+      // to Σ|cell|²/2, the join is keyed by cell id, no cross join).
+      // subset_ok holds by construction (candidates verified with the
+      // exact cosine); recall_ok measures the paper's bet that near-dups
+      // share an argmax centroid — deterministic here (seeded k-means
+      // init, fixed parquet), measured 1.0 at sf0.001/sf0.01. n_exact is
+      // the data-derived column DuckDB recomputes independently.
+      "e05_semdedup_contract",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val base = t.embeddings.select(col("vec_id"), col("embedding"))
+        val planted = base.filter(col("vec_id") < 50)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => when(i < 8, lit(0.0f)).otherwise(x)).as("embedding"))
+        val corpus = base.unionByName(planted)
+        val exact = Similarity.bruteForcePairs(corpus, "vec_id",
+            "embedding", threshold = 0.8)
+          .select(col("id_a"), col("id_b"), lit(1).as("in_e"))
+        val clustered = Similarity.clusterScopedPairs(corpus, "vec_id",
+            "embedding", threshold = 0.8, numCells = 16)
+          .select(col("id_a"), col("id_b"), lit(1).as("in_p"))
+        clustered.join(exact, Seq("id_a", "id_b"), "full_outer")
+          .agg(count(col("in_e")).as("n_exact_raw"),
+            count(when(col("in_p").isNotNull && col("in_e").isNotNull, 1))
+              .as("n_both"),
+            count(when(col("in_p").isNotNull && col("in_e").isNull, 1))
+              .as("n_clu_only"))
+          .select(col("n_exact_raw").as("n_exact"),
+            (col("n_clu_only") === 0).as("subset_ok"),
+            (col("n_both").cast("double") >=
+              col("n_exact_raw").cast("double") * 0.9).as("recall_ok"))
+      },
+      Some("""
+        |WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |         list_transform(embedding,
+        |           (x, i) -> CASE WHEN i <= 8 THEN CAST(0 AS FLOAT) ELSE x END)
+        |           AS embedding
+        |  FROM embeddings WHERE vec_id < 50
+        |)
+        |SELECT count(*) AS n_exact, TRUE AS subset_ok, TRUE AS recall_ok
+        |FROM corpus a, corpus b
+        |WHERE a.vec_id < b.vec_id
+        |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.8
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Training-sample chunking: each document split into overlapping
       // token windows (64 tokens, stride 48) — the sequence-prep step
       // between cleaning and packing in an LLM data pipeline. Map-only:
@@ -675,38 +729,9 @@ object TextQueries {
       "t12_bm25",
       (s, dir) => {
         val t = Tables(s, dir)
-        val k1 = 1.2
-        val b = 0.75
-        val queryTerms = Seq("join", "scan", "vector")
-        // One pass over the shared tokenized corpus derives doc length AND
-        // the per-doc query-term bags; carrying `dl` through the tf
-        // grouping key (it is functionally dependent on doc_id) removes
-        // the doc-length join entirely — the earlier shape re-ran the
-        // tokenize+explode chain for each of its three consumers.
-        val base = graft.ops.TextAnalysis.tokensRelation(t.documents, "text")
-          .filter(size(col("toks")) > 0)
-          .select(col("doc_id"),
-            size(col("toks")).cast("double").as("dl"),
-            filter(col("toks"), tk => tk.isin(queryTerms: _*)).as("qtoks"))
-        val nAndAvg = base.agg(count(lit(1)).cast("double").as("n_docs"),
-          avg(col("dl")).as("avgdl"))
-        val tf = base
-          .select(col("doc_id"), col("dl"), explode(col("qtoks")).as("term"))
-          .groupBy(col("doc_id"), col("dl"), col("term"))
-          .agg(count(lit(1)).cast("double").as("tf"))
-        val df = tf.groupBy(col("term"))
-          .agg(count(lit(1)).cast("double").as("df"))
-        val scored = tf
-          .join(broadcast(df), "term")
-          .crossJoin(broadcast(nAndAvg))
-          .select(col("doc_id"),
-            (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
-              (col("tf") * (k1 + 1)) /
-              (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
-              .as("term_score"))
-          .groupBy(col("doc_id"))
-          .agg(round(sum(col("term_score")), 4).as("bm25"))
-        scored.orderBy(col("bm25").desc, col("doc_id")).limit(20)
+        TextAnalysis.bm25Scores(t.documents, "doc_id", "text",
+            queryTerms = Seq("join", "scan", "vector"))
+          .orderBy(col("bm25").desc, col("doc_id")).limit(20)
       },
       Some("""
         |WITH tok AS (
@@ -739,6 +764,94 @@ object TextQueries {
         |CROSS JOIN stats
         |GROUP BY tf.doc_id
         |ORDER BY bm25 DESC, tf.doc_id
+        |LIMIT 20
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Hybrid retrieval: fuse the sparse (BM25, t12's scorer) and dense
+      // (embedding-cosine against a probe vector) top-50 lists with
+      // reciprocal-rank fusion (Similarity.rrfFuse) — the standard
+      // sparse+dense combination for mining training examples, score-
+      // scale-free by construction. Each arm ends in TakeOrderedAndProject
+      // (top-50, no global sort); ranks are assigned by a window over the
+      // BOUNDED 50-row lists, so the single-partition window is free; the
+      // fusion join touches <= 100 rows however large the corpus. Ranks
+      // are exact integers cross-engine because both arms order by a
+      // rounded score with an id tiebreak.
+      "t15_hybrid_rrf",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val byBm = Window.orderBy(col("bm25").desc, col("doc_id"))
+        val sparse = TextAnalysis.bm25Scores(t.documents, "doc_id", "text",
+            queryTerms = Seq("join", "scan", "vector"))
+          .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+          .withColumn("rnk", row_number().over(byBm))
+        val probe = broadcast(t.embeddings.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv")))
+        val bySim = Window.orderBy(col("sim").desc, col("doc_id"))
+        val dense = t.embeddings.filter(col("vec_id") =!= 0).crossJoin(probe)
+          .select(col("vec_id").as("doc_id"),
+            round(graft.functions.vector.cosine(col("embedding"), col("qv")), 6)
+              .as("sim"))
+          .orderBy(col("sim").desc, col("doc_id")).limit(50)
+          .withColumn("rnk", row_number().over(bySim))
+        Similarity.rrfFuse(Seq(sparse, dense), "doc_id")
+          .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+      },
+      Some("""
+        |WITH tok AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |dl AS (
+        |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl
+        |  FROM tok WHERE len(toks) > 0
+        |),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+        |),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+        |  WHERE term IN ('join', 'scan', 'vector')
+        |  GROUP BY doc_id, term
+        |),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        |bm AS (
+        |  SELECT tf.doc_id,
+        |         round(sum(
+        |           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |           (tf.tf * 2.2) /
+        |           (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 4) AS bm25
+        |  FROM tf
+        |  JOIN df ON tf.term = df.term
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  CROSS JOIN stats
+        |  GROUP BY tf.doc_id
+        |),
+        |stop AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50),
+        |srank AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+        |  FROM stop
+        |),
+        |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+        |dsim AS (
+        |  SELECT vec_id AS doc_id,
+        |         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |                                      CAST(q AS DOUBLE[])), 6) AS sim
+        |  FROM embeddings, qv WHERE vec_id <> 0
+        |  ORDER BY sim DESC, doc_id LIMIT 50
+        |),
+        |drank AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rnk
+        |  FROM dsim
+        |)
+        |SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+        |       round(COALESCE(CAST(1 AS DOUBLE) / (60 + s.rnk), 0) +
+        |             COALESCE(CAST(1 AS DOUBLE) / (60 + d.rnk), 0), 6) AS rrf
+        |FROM srank s FULL OUTER JOIN drank d ON s.doc_id = d.doc_id
+        |ORDER BY rrf DESC, doc_id
         |LIMIT 20
         |""".stripMargin.trim)),
 

@@ -116,6 +116,77 @@ class MultimodalSpec extends SparkSpec {
     assert(diff < 0.05f, s"PNG vs JPEG pooled features diverge: $diff")
   }
 
+  /** Synthesize a PCM WAV in memory via javax.sound.sampled itself:
+    * sample(i) in [-1, 1] from the generator, encoded at the given
+    * bit depth/endianness, duplicated across channels.
+    */
+  private def wavBytes(
+      sampleRate: Float, bits: Int, channels: Int, nFrames: Int,
+      signed: Boolean = true)(gen: Int => Double): Array[Byte] = {
+    import javax.sound.sampled._
+    val bytesPer = bits / 8
+    val fmt = new AudioFormat(sampleRate, bits, channels, signed, false)
+    val pcm = new Array[Byte](nFrames * channels * bytesPer)
+    val fullScale = (1L << (bits - 1)) - 1
+    for (i <- 0 until nFrames; c <- 0 until channels) {
+      val v = math.max(-1.0, math.min(1.0, gen(i)))
+      val raw =
+        if (signed) math.round(v * fullScale)
+        else math.round(v * fullScale) + (1L << (bits - 1))
+      val off = (i * channels + c) * bytesPer
+      var b = 0
+      while (b < bytesPer) { pcm(off + b) = ((raw >> (8 * b)) & 0xff).toByte; b += 1 }
+    }
+    val stream = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("AudioWavDecoder decodes real WAVs: duration, channels, RMS envelope") {
+    import Multimodal.AudioWavDecoder
+    val rate = 8000f
+    // 2 s clip: first second a 440 Hz sine at amplitude 0.5, second silent.
+    // RMS of a sine at amplitude a is a/sqrt(2) ~ 0.3536.
+    val toneThenSilence = wavBytes(rate, 16, 1, 16000) { i =>
+      if (i < 8000) 0.5 * math.sin(2 * math.Pi * 440 * i / rate) else 0.0
+    }
+    // 8-bit unsigned stereo full-scale square wave: RMS ~ 1 everywhere.
+    val square = wavBytes(rate, 8, 2, 4000, signed = false) { i =>
+      if (i % 2 == 0) 1.0 else -1.0
+    }
+    val items = Seq(
+      MediaItem(1, "audio", toneThenSilence, "s1"),
+      MediaItem(2, "audio", square, "s2"),
+      MediaItem(3, "audio", "not audio".getBytes("UTF-8"), "s3"),
+      MediaItem(4, "image", toneThenSilence, "s4")) // wrong kind: skipped
+    val out = Multimodal.decodeAll(
+        spark.createDataset(items).repartition(2), new AudioWavDecoder(8))
+      .collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq === Seq(1L, 2L))
+    val a = out(0)
+    assert(a.width === 0 && a.height === 0)
+    assert(a.duration_ms === 2000L && a.channels === 1)
+    assert(a.feature.length === 8)
+    // windows 0-3 cover the tone (RMS ~ 0.3536), 4-7 the silence (~ 0)
+    a.feature.take(4).foreach(v => assert(math.abs(v - 0.3536f) < 0.01f, v))
+    a.feature.drop(4).foreach(v => assert(v < 0.001f, v))
+    val b = out(1)
+    assert(b.duration_ms === 500L && b.channels === 2)
+    b.feature.foreach(v => assert(v > 0.95f, v)) // full-scale square
+  }
+
+  test("AudioWavDecoder matches FakeDecoder's schema through decodeAll") {
+    import Multimodal.AudioWavDecoder
+    val clip = wavBytes(16000f, 16, 1, 1600)(i => 0.25 * math.sin(i / 10.0))
+    val ds = spark.createDataset(Seq(MediaItem(9, "audio", clip, "s")))
+    val real = Multimodal.decodeAll(ds, new AudioWavDecoder(16))
+    val fake = Multimodal.decodeAll(ds, new FakeDecoder(16))
+    assert(real.schema === fake.schema) // drop-in decoder swap
+    assert(real.head().duration_ms === 100L)
+  }
+
   test("resizeToFit preserves aspect ratio and passes small/audio through") {
     import Multimodal.DecodedMedia
     val decoded = spark.createDataset(Seq(

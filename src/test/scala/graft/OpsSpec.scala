@@ -518,4 +518,79 @@ class OpsSpec extends SparkSpec {
       .select($"doc_id").collect().map(_.getLong(0)).toSet
     assert(kept === (2L to 10L).toSet)
   }
+
+  test("clusterScopedPairs ⊆ exact pairs; near-dups in one cluster are found") {
+    // Two tight clusters around orthogonal axes + a planted near-dup in
+    // each: SemDeDup must find both within-cluster dup pairs, and every
+    // pair it emits must also be in the exact relation.
+    def v(axis: Int, eps: Float, d: Int = 8): Array[Float] =
+      Array.tabulate(d)(i => (if (i == axis) 1.0f else 0.0f) +
+        (if (i == (axis + 1) % d) eps else 0.0f))
+    val rows = Seq(
+      (0L, v(0, 0.00f)), (1L, v(0, 0.05f)), (2L, v(0, 0.60f)),
+      (10L, v(4, 0.00f)), (11L, v(4, 0.05f)), (12L, v(4, 0.60f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = graft.ops.Similarity
+      .bruteForcePairs(df, "vec_id", "embedding", threshold = 0.9)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clustered = graft.ops.Similarity
+      .clusterScopedPairs(df, "vec_id", "embedding", threshold = 0.9, numCells = 2)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clustered.subsetOf(exact))
+    // the two tight dup pairs live inside one cluster each — found
+    assert(clustered.contains((0L, 1L)) && clustered.contains((10L, 11L)))
+  }
+
+  test("semDedupKeep keeps the min-id representative of each dup group") {
+    def v(axis: Int, eps: Float, d: Int = 8): Array[Float] =
+      Array.tabulate(d)(i => (if (i == axis) 1.0f else 0.0f) +
+        (if (i == (axis + 1) % d) eps else 0.0f))
+    // numCells = 2 so the dup trio cannot straddle more cells than the
+    // two natural directions — with numCells close to n, k-means may
+    // split a dup group and SemDeDup (correctly, by design) loses those
+    // cross-cell pairs.
+    val df = Seq(
+      (0L, v(0, 0.00f)), (1L, v(0, 0.02f)), (2L, v(0, 0.04f)), // dup group
+      (10L, v(4, 0.00f)), (20L, v(4, 0.60f)))                  // other arm
+      .toDF("vec_id", "embedding")
+    val kept = graft.ops.Similarity
+      .semDedupKeep(df, "vec_id", "embedding", threshold = 0.95, numCells = 2)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 10L, 20L)) // 1 and 2 removed; min id 0 survives
+  }
+
+  test("rrfFuse sums reciprocal ranks and scores absent entries as 0") {
+    val a = Seq((7L, 1), (8L, 2)).toDF("doc_id", "rnk")
+    val b = Seq((8L, 1), (9L, 2)).toDF("doc_id", "rnk")
+    val out = graft.ops.Similarity.rrfFuse(Seq(a, b), "doc_id", kRrf = 60)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out(7L) === (1.0 / 61).round6)
+    assert(out(8L) === (1.0 / 62 + 1.0 / 61).round6)
+    assert(out(9L) === (1.0 / 62).round6)
+  }
+
+  private implicit class R6(val d: Double) {
+    def round6: Double = BigDecimal(d).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("importanceWeights up-weights target-like token distributions") {
+    // Target docs speak {aa bb}, raw background speaks {zz yy}: the
+    // held-out doc speaking the target vocabulary must score above the
+    // one speaking the background vocabulary.
+    val docs = Seq(
+      (1L, "aa bb aa bb", true), (2L, "aa bb bb aa", true),
+      (3L, "zz yy zz yy", false), (4L, "zz yy yy zz", false),
+      (5L, "aa aa bb bb", false), // target-like but not labeled target
+      (6L, "zz zz yy yy", false))
+      .toDF("doc_id", "text", "is_en")
+    val w = graft.ops.TextAnalysis
+      .importanceWeights(docs, "doc_id", "text", isTarget = $"is_en",
+        buckets = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(w(5L) > w(6L)) // target-like beats background-like
+    assert(w(1L) > 0 && w(3L) < 0)
+    // weights are a pure function of content: identical bags score equal
+    assert(w(1L) === w(2L))
+  }
 }
