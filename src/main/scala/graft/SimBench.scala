@@ -177,7 +177,23 @@ object SimBench {
     val plantedFound = lshPairs
       .filter(col("id_b") === col("id_a") + 10000000L).count()
 
-    println(s"""{"metric":"findsim_1024x475_qps","value":$qps,"unit":"qps","extra":{"findsim_1m_x64_sec":$bigSec,"hits_small":$hits,"hits_1m":$bigHits,"ivf_1m_build_sec":$buildSec,"ivf_1m_topk_sec":$ivfSec,"ivf_1m_topk_semijoin_sec":$ivfSemiSec,"brute_1m_topk_sec":$bruteSec,"ivf_rows":$ivfRows,"brute_rows":$bruteRows,"ivfpq_1m_build_sec":$pqBuildSec,"ivfpq_1m_topk_sec":$pqSec,"ivfpq_recall_at10":$pqRecall,"ivfpq_rerank_1m_sec":$rrSec,"ivfpq_rerank_recall_at10":$rrRecall,"lsh_allpairs_1m_sec":$lshSec,"lsh_pairs":$lshCount,"lsh_planted_found":$plantedFound}}""")
+    // SemDeDup at 1M+1000: cluster-scoped pairs over the same planted
+    // corpus. 1024 cells keep the within-cell candidate volume at
+    // ~sum(|cell|^2)/2 ~ 5*10^8 exact cosines (vs 5*10^11 brute) and the
+    // assignment sweep is the fused CentroidArgmax scan; planted rows are
+    // EXACT copies, so they must share their source's argmax cell and all
+    // 1000 pairs must surface regardless of the k-means outcome.
+    val t5 = System.nanoTime()
+    val semPairs = graft.ops.Similarity.clusterScopedPairs(
+        dupCorpus, "id", "vec", threshold = 0.95, numCells = 1024,
+        iterations = 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val semCount = semPairs.count()
+    val semSec = (System.nanoTime() - t5) / 1e9
+    val semPlantedFound = semPairs
+      .filter(col("id_b") === col("id_a") + 10000000L).count()
+
+    println(s"""{"metric":"findsim_1024x475_qps","value":$qps,"unit":"qps","extra":{"findsim_1m_x64_sec":$bigSec,"hits_small":$hits,"hits_1m":$bigHits,"ivf_1m_build_sec":$buildSec,"ivf_1m_topk_sec":$ivfSec,"ivf_1m_topk_semijoin_sec":$ivfSemiSec,"brute_1m_topk_sec":$bruteSec,"ivf_rows":$ivfRows,"brute_rows":$bruteRows,"ivfpq_1m_build_sec":$pqBuildSec,"ivfpq_1m_topk_sec":$pqSec,"ivfpq_recall_at10":$pqRecall,"ivfpq_rerank_1m_sec":$rrSec,"ivfpq_rerank_recall_at10":$rrRecall,"lsh_allpairs_1m_sec":$lshSec,"lsh_pairs":$lshCount,"lsh_planted_found":$plantedFound,"semdedup_1m_sec":$semSec,"semdedup_pairs":$semCount,"semdedup_planted_found":$semPlantedFound}}""")
     spark.stop()
   }
 }

@@ -258,9 +258,10 @@ object Similarity {
     */
   def clusterScopedPairs(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, numCells: Int, roundTo: Int = 6): DataFrame = {
+      threshold: Double, numCells: Int, roundTo: Int = 6,
+      iterations: Int = 2): DataFrame = {
     val index = Ivf.buildCached(df.select(col(idCol), col(vecCol)),
-      idCol, vecCol, numCells)
+      idCol, vecCol, numCells, iterations)
     val a = index.cells.select(col("cell"),
       col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = index.cells.select(col("cell"),

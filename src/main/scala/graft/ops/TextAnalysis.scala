@@ -369,6 +369,67 @@ object TextAnalysis {
         round(sum(col("c") * col("log_ratio")), roundTo).as("log_weight"))
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021,
+    * arXiv:2112.11446 Table A1) — the rule battery web-scale LM corpora
+    * are filtered with before any learned scorer runs. Each rule is a
+    * per-row column expression (map-only, whole-stage codegen; zero
+    * shuffles at any corpus size):
+    *
+    *   - word count in [minWords, maxWords] (paper: 50..100k)
+    *   - mean word length in [3, 10]
+    *   - symbol-to-word ratio ('#' or '...') <= 0.1
+    *   - < 90% of lines start with a bullet ('- ', '* ', '•')
+    *   - < 30% of lines end with '...'
+    *   - >= 80% of words contain at least one alphabetic character
+    *   - >= 2 distinct "required" English stopwords present
+    *     (the/be/to/of/and/that/have/with)
+    *
+    * All ratios are exact integer divisions (rounded for presentation
+    * only), so the keep decision is engine- and partition-invariant.
+    */
+  def gopherQuality(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val nWords = size(toks)
+    val meanLen = length(concat_ws("", toks)).cast("double") /
+      nWords.cast("double")
+    // '#' count + occurrences of the three-char ellipsis.
+    val hashCount = length(text) - length(expr(s"replace($textCol, '#', '')"))
+    val ellipsisCount =
+      (length(text) - length(expr(s"replace($textCol, '...', '')"))) / 3
+    val symbolRatio = (hashCount + ellipsisCount).cast("double") /
+      nWords.cast("double")
+    val lines = filter(split(text, "\n"), l => trim(l) =!= "")
+    val nLines = size(lines)
+    val bulletLines = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•")))
+    val ellipsisLines = size(filter(lines, l => rtrim(l).endsWith("...")))
+    val bulletRatio = when(nLines > 0,
+      bulletLines.cast("double") / nLines.cast("double")).otherwise(lit(0.0))
+    val ellipsisLineRatio = when(nLines > 0,
+      ellipsisLines.cast("double") / nLines.cast("double")).otherwise(lit(0.0))
+    val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]")))
+    val alphaRatio = alphaWords.cast("double") / nWords.cast("double")
+    val required = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nRequired = size(array_intersect(array_distinct(toks),
+      array(required.map(lit): _*)))
+    val keep = (nWords >= minWords) && (nWords <= maxWords) &&
+      (meanLen >= 3.0) && (meanLen <= 10.0) &&
+      (symbolRatio <= 0.1) && (bulletRatio < 0.9) &&
+      (ellipsisLineRatio < 0.3) && (alphaRatio >= 0.8) && (nRequired >= 2)
+    docs.select(
+      col(idCol).as("doc_id"),
+      nWords.as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(symbolRatio, 6).as("symbol_ratio"),
+      round(bulletRatio, 6).as("bullet_line_ratio"),
+      round(ellipsisLineRatio, 6).as("ellipsis_line_ratio"),
+      round(alphaRatio, 6).as("alpha_word_ratio"),
+      nRequired.as("n_req_stopwords"),
+      keep.cast("int").as("keep"))
+  }
+
   def kgramHashes(text: Column, k: Int): Column =
     // Guarded like charShingles: sequence(0, negative) DESCENDS rather
     // than being empty, so short texts must short-circuit explicitly.

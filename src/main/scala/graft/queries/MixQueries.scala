@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Dedup, Sampling, Spread, TextAnalysis}
@@ -448,6 +449,166 @@ object MixQueries {
         |GROUP BY pd.doc_id
         |ORDER BY log_weight DESC, doc_id
         |LIMIT 20
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Gopher quality rules (arXiv:2112.11446 Table A1): the rule battery
+      // web-scale corpora run BEFORE any learned scorer — word count band,
+      // mean word length band, symbol ratio, bullet/ellipsis line ratios,
+      // alphabetic-word fraction, required-stopword floor. Map-only pass
+      // (zero shuffles at any corpus size); every ratio is an exact
+      // integer division so keep decisions are engine-invariant.
+      "t16_gopher_rules",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        TextAnalysis.gopherQuality(t.documents, "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        |WITH tok AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |base AS (
+        |  SELECT doc_id,
+        |         len(toks) AS n_words,
+        |         CAST(length(array_to_string(toks, '')) AS DOUBLE)
+        |           / len(toks) AS mean_word_len,
+        |         CAST(length(text) - length(replace(text, '#', ''))
+        |              + (length(text) - length(replace(text, '...', ''))) // 3
+        |              AS DOUBLE) / len(toks) AS symbol_ratio,
+        |         list_filter(string_split(text, chr(10)),
+        |                     l -> trim(l) <> '') AS lines,
+        |         CAST(len(list_filter(toks,
+        |                t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+        |           / len(toks) AS alpha_word_ratio,
+        |         len(list_intersect(list_distinct(toks),
+        |             ['the','be','to','of','and','that','have','with'])) AS n_req
+        |  FROM tok
+        |),
+        |r AS (
+        |  SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+        |         CASE WHEN len(lines) > 0
+        |              THEN CAST(len(list_filter(lines,
+        |                     l -> starts_with(l, '- ') OR starts_with(l, '* ')
+        |                          OR starts_with(l, '•'))) AS DOUBLE)
+        |                   / len(lines) ELSE 0.0 END AS bullet_line_ratio,
+        |         CASE WHEN len(lines) > 0
+        |              THEN CAST(len(list_filter(lines,
+        |                     l -> ends_with(rtrim(l), '...'))) AS DOUBLE)
+        |                   / len(lines) ELSE 0.0 END AS ellipsis_line_ratio,
+        |         alpha_word_ratio, n_req
+        |  FROM base
+        |)
+        |SELECT doc_id, n_words,
+        |       round(mean_word_len, 6)      AS mean_word_len,
+        |       round(symbol_ratio, 6)       AS symbol_ratio,
+        |       round(bullet_line_ratio, 6)  AS bullet_line_ratio,
+        |       round(ellipsis_line_ratio, 6) AS ellipsis_line_ratio,
+        |       round(alpha_word_ratio, 6)   AS alpha_word_ratio,
+        |       n_req AS n_req_stopwords,
+        |       CASE WHEN n_words >= 50 AND n_words <= 100000
+        |                 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |                 AND symbol_ratio <= 0.1 AND bullet_line_ratio < 0.9
+        |                 AND ellipsis_line_ratio < 0.3
+        |                 AND alpha_word_ratio >= 0.8 AND n_req >= 2
+        |            THEN 1 ELSE 0 END AS keep
+        |FROM r ORDER BY doc_id
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // CCNet-shaped pipeline composition (Wenzek et al. 2020,
+      // arXiv:1911.00359): exact-dedup -> language ID -> LM-perplexity
+      // terciles (head/middle/tail), each stage one of this engine's
+      // operators riding the SHARED corpus artifacts (fingerprint pass,
+      // t01's langid, t13's persisted vocab relation). The tercile
+      // assignment uses an exact global ntile over the kept-English
+      // relation for cross-engine equality; a 100 TB deployment replaces
+      // that one global window with sampled quantile thresholds (the
+      // paper itself fits its buckets on a sample) — everything else is
+      // keyed or map-side at any scale.
+      "t18_ccnet_pipeline",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val keepers = t.documents
+          .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+          .filter(col("rn") === 1).select(col("doc_id"))
+        val lang = TextAnalysis.languageId(t.documents, "doc_id", "text")
+          .select(col("doc_id"), col("pred_lang"))
+        val ppl = TextAnalysis.unigramPerplexity(t.documents, "doc_id", "text")
+          .select(col("doc_id"), col("ppl"))
+        val en = keepers.join(lang, "doc_id")
+          .filter(col("pred_lang") === "en").join(ppl, "doc_id")
+        en.withColumn("bucket",
+            ntile(3).over(Window.orderBy(col("ppl"), col("doc_id"))))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg(col("ppl")), 4).as("avg_ppl"),
+            min(col("ppl")).as("min_ppl"),
+            max(col("ppl")).as("max_ppl"))
+          .orderBy(col("bucket"))
+      },
+      Some("""
+        |WITH fp AS (
+        |  SELECT doc_id,
+        |         md5(trim(regexp_replace(regexp_replace(lower(text),
+        |             '[.,!?;:]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents
+        |),
+        |keep AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |    FROM fp) WHERE rn = 1
+        |),
+        |tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |hits AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein'))) AS hits_de,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','is','in')))         AS hits_en,
+        |    len(list_filter(toks, x -> x IN ('el','los','de','y','es','un','una')))         AS hits_es,
+        |    len(list_filter(toks, x -> x IN ('le','la','et','est','les','un','une')))       AS hits_fr,
+        |    len(list_filter(toks, x -> x IN ('的','是','了','在','我')))                      AS hits_zh
+        |  FROM tok
+        |),
+        |lang AS (
+        |  SELECT doc_id,
+        |         CASE greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh)
+        |              WHEN hits_de THEN 'de' WHEN hits_en THEN 'en'
+        |              WHEN hits_es THEN 'es' WHEN hits_fr THEN 'fr'
+        |              ELSE 'zh' END AS pred_lang
+        |  FROM hits
+        |),
+        |toksu AS (SELECT doc_id, unnest(toks) AS tok FROM tok),
+        |vocab AS (SELECT tok, count(*) AS c FROM toksu GROUP BY tok),
+        |stats AS (SELECT sum(c) AS n, count(*) AS v FROM vocab),
+        |ppl AS (
+        |  SELECT t.doc_id, round(exp(avg(-ln((c + 1.0) / (n + v)))), 4) AS ppl
+        |  FROM toksu t JOIN vocab USING (tok), stats
+        |  GROUP BY t.doc_id
+        |),
+        |en AS (
+        |  SELECT k.doc_id, p.ppl
+        |  FROM keep k
+        |  JOIN lang l ON l.doc_id = k.doc_id
+        |  JOIN ppl p ON p.doc_id = k.doc_id
+        |  WHERE l.pred_lang = 'en'
+        |),
+        |b AS (
+        |  SELECT doc_id, ppl,
+        |         ntile(3) OVER (ORDER BY ppl, doc_id) AS bucket
+        |  FROM en
+        |)
+        |SELECT bucket, count(*) AS n_docs,
+        |       round(avg(ppl), 4) AS avg_ppl,
+        |       min(ppl) AS min_ppl, max(ppl) AS max_ppl
+        |FROM b GROUP BY bucket ORDER BY bucket
         |""".stripMargin.trim))
   )
 }

@@ -439,6 +439,61 @@ object StreamingQueries {
         |       round(sum(value), 2) AS sum_latest,
         |       max(ts_us) AS max_ts_us
         |FROM ranked WHERE rn = 1
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Streaming NEAR-dup dedup over a document stream: each arriving
+      // doc's MinHash(8) signature over char 5-gram shingles is the
+      // dedup key — signature-identical docs (near-dups, not just exact
+      // dups) collapse to their first arrival, the streaming half of
+      // d02's batch LSH pass and the ingest-time guard a training
+      // pipeline runs before anything lands in the lake. State is
+      // watermark-bounded (dropDuplicatesWithinWatermark; synthetic
+      // event times span < the 1 h delay, so the gate dedup is total).
+      // WHICH doc survives a signature group is arrival-order dependent,
+      // so the checked output is the order-invariant reduction: the
+      // count of distinct signatures. The scale note from Dedup applies:
+      // this per-row signature form pays k md5 sweeps per doc; a 100 TB
+      // ingest amortizes via the explode + partial-min shape instead.
+      "st09_stream_neardup",
+      (s, dir) => {
+        val docsSchema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(docsSchema)
+          .option("basePath", dir).parquet(s"$dir/documents*.parquet")
+        val sig = stream.filter(length(col("text")) >= 5)
+          .withColumn("event_time",
+            timestamp_seconds(lit(1700000000L) + pmod(col("doc_id"), lit(600L))))
+          .withColumn("sig", concat_ws(",", transform(
+            graft.ops.Dedup.minhashSignature(
+              graft.ops.Dedup.charShingles(col("text"), 5), 8),
+            v => v.cast("string"))))
+        val uniq = EventStreams.dedupStream(sig, "1 hour", Seq("sig"))
+        runToTable(s, uniq.select(col("sig")), "append")
+          .agg(count(lit(1)).as("n_unique"))
+      },
+      Some("""
+        |WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(length(text) - 4),
+        |           i -> substr(text, i + 1, 5))) AS grams
+        |  FROM documents WHERE length(text) >= 5
+        |),
+        |ex AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(g), 1, 12)) AS BIGINT)  AS h1,
+        |         CAST(concat('0x', substr(md5(g), 13, 12)) AS BIGINT) AS h2
+        |  FROM (SELECT doc_id, unnest(grams) AS g FROM sh)
+        |),
+        |hashed AS (
+        |  SELECT doc_id, j, min((h1 + j * h2) % 2147483647) AS sigv
+        |  FROM ex, range(8) t(j)
+        |  GROUP BY doc_id, j
+        |),
+        |sigs AS (
+        |  SELECT doc_id, array_to_string(list(sigv ORDER BY j), ',') AS sig
+        |  FROM hashed GROUP BY doc_id
+        |)
+        |SELECT count(DISTINCT sig) AS n_unique FROM sigs
         |""".stripMargin.trim))
   )
 }

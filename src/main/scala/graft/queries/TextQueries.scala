@@ -1466,6 +1466,26 @@ object TextQueries {
         |       (distinct_ratio >= 0.4 AND
         |        (top_bigram_n <= 1 OR top_bigram_frac <= 0.18)) AS keep
         |FROM m ORDER BY doc_id
-        |""".stripMargin.trim))
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Distributed BPE vocabulary training (arXiv:1508.07909): the
+      // tokenizer-construction step, run over the corpus the tokenizer
+      // will serve. The corpus is touched exactly once (one tokenize +
+      // count shuffle -> the Zipf-bounded word-frequency relation); each
+      // of the 8 merge rounds is one keyed pair-count aggregation over
+      // ~vocab rows plus a ONE-row driver pull (the argmax pair) and a
+      // map-side re-segmentation fold. Deterministic by construction
+      // (frequency ties break lexicographically), but the merge choice is
+      // an iterative data-dependent argmax — not expressible as one SQL
+      // statement, so this entry carries the driver's rows-only check and
+      // BpeSpec pins the merge sequence on a hand-computed corpus.
+      "t17_bpe_merges",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        graft.ops.Bpe.trainTable(s, t.documents, "text", numMerges = 8)
+          .orderBy(col("rank"))
+      },
+      None)
   )
 }

@@ -574,6 +574,27 @@ class OpsSpec extends SparkSpec {
       BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
+  test("gopherQuality applies each rule and keeps only clean long docs") {
+    val good = ("the quick brown fox of and " * 10).trim // 60 words, clean
+    val short = "the of tiny doc here"                    // 5 words
+    val bullets = "- one two three\n- four five six\n- seven eight nine"
+    val symbols = ("the of " + "### ## # " * 30).trim     // symbol-heavy
+    val dots = "the of line one...\nline two...\nline three is fine"
+    val docs = Seq(
+      (1L, good), (2L, short), (3L, bullets), (4L, symbols), (5L, dots))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQuality(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("keep") === 1)
+    assert(out(2L).getAs[Int]("keep") === 0) // under the 50-word floor
+    assert(out(3L).getAs[Double]("bullet_line_ratio") === 1.0)
+    assert(out(4L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(out(4L).getAs[Int]("keep") === 0)
+    assert(out(5L).getAs[Double]("ellipsis_line_ratio") === 0.666667) // round 6
+    // required-stopword floor: the good doc carries the/of/and = 3
+    assert(out(1L).getAs[Int]("n_req_stopwords") === 3)
+  }
+
   test("importanceWeights up-weights target-like token distributions") {
     // Target docs speak {aa bb}, raw background speaks {zz yy}: the
     // held-out doc speaking the target vocabulary must score above the
