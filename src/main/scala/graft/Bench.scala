@@ -44,6 +44,7 @@ object Bench {
       // Static conf — must be set before the first session exists.
       .config("spark.sql.codegen.cache.maxEntries", "3000")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

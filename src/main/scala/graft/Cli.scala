@@ -166,6 +166,7 @@ object Cli {
           .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
           .config("spark.sql.shuffle.partitions", "4")
           .config("spark.ui.enabled", "false")
+          .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
           .getOrCreate()
         spark.sparkContext.setLogLevel("ERROR")
         val svc = SumService(spark)

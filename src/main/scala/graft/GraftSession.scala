@@ -21,6 +21,14 @@ object GraftSession {
       // probe-side scan at row-group granularity — free at 100 TB.
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Parquet `timestamp[us]` columns written without isAdjustedToUTC
+      // (pyarrow's default) must read as session-tz TIMESTAMP, not
+      // TIMESTAMP_NTZ: with the UTC session timezone above the two carry
+      // identical instants, but NTZ forbids the epoch arithmetic
+      // (`ts.cast(long)`, `ts div 1h`) the time-series operators are
+      // built on — and DuckDB's naive-timestamp epoch math agrees with
+      // the UTC reading, so the oracle contract needs it too.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
   }
 
   /** Create (or reuse) a session with graft functions registered and the

@@ -508,4 +508,72 @@ object Dedup {
       .filter(col("hamming") <= maxDistance)
       .distinct()
   }
+
+  /** Exact duplicated-SPAN detection (the substring-level dedup of Lee et
+    * al., arXiv:2107.06499 — "Deduplicating Training Data Makes Language
+    * Models Better"): document-level dedup misses boilerplate repeated
+    * INSIDE otherwise-distinct pages (headers, license blocks, templated
+    * paragraphs), which that paper shows LLMs memorize. A k-token gram
+    * occurring more than once corpus-wide marks every position it covers;
+    * overlapping marks merge into maximal spans per document.
+    *
+    * The reference implementation builds a suffix array — a global sort
+    * the Spark-native equivalent of which is this gram-keyed pipeline:
+    *
+    *  1. map-side: tokenize, slide a k-token window, md5 each gram —
+    *     one narrow (doc, pos, gram_key) row per token, no shuffle;
+    *  2. ONE shuffle keyed on gram_key for the `count > 1` duplicate set
+    *     (partial-aggregated; gram keys are 128-bit md5, never the text);
+    *  3. join positions back to duplicated keys (same gram_key
+    *     partitioning — AQE reuses the exchange) and merge overlapping
+    *     [pos, pos+k) intervals with ONE per-document window pass
+    *     (classic island detection: a row starts a new span iff its start
+    *     exceeds the running max end of everything before it).
+    *
+    * Cost is linear in corpus tokens at any scale; nothing pairwise ever
+    * materializes (the duplicate SET is the join side, not dup x dup).
+    * Output per document: `doc_id, n_tokens, n_dup_spans, dup_tokens,
+    * dup_frac` — the trim/drop decision feed, exact integer math
+    * throughout so the DuckDB oracle hash-matches (d09).
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), col("toks"), size(col("toks")).as("n_tokens"))
+    // Guard short docs explicitly: sequence(0, negative) would DESCEND.
+    val starts = when(col("n_tokens") >= k,
+      sequence(lit(0), col("n_tokens") - k)).otherwise(array())
+    val grams = toks.select(col(idCol), posexplode_outer(
+        transform(starts, i =>
+          md5(concat_ws(" ", slice(col("toks"), i + 1, lit(k))))))
+        .as(Seq("pos", "gram_key")))
+      .filter(col("gram_key").isNotNull)
+    val dupKeys = grams.groupBy(col("gram_key"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+      .select(col("gram_key"))
+    val covered = grams.join(dupKeys, Seq("gram_key"))
+      .select(col(idCol), col("pos"), (col("pos") + k).as("e"))
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevMax = max(col("e")).over(byPos.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    val islands = covered
+      .withColumn("brk",
+        when(prevMax.isNull || col("pos") > prevMax, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(byPos.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val spans = islands.groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).as("s"), max(col("e")).as("en"))
+    val perDoc = spans.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("en") - col("s")).as("dup_tokens"))
+    toks.select(col(idCol), col("n_tokens").cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double"), 6).as("dup_frac"))
+  }
 }

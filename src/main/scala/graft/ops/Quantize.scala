@@ -71,4 +71,71 @@ object Quantize {
     val steps = model.scales.map(s => if (s == 0.0) 0.0 else 1.0 / s)
     steps.map(st => (st / 2.0) * (st / 2.0)).sum / model.dims + 1e-9
   }
+
+  // ---- 1-bit (sign) binary quantization ------------------------------
+  //
+  // The extreme compression point: float32 -> 1 bit/dim (32x), candidate
+  // scoring = xor+popcount instead of dims multiply-adds. No fit pass at
+  // all — the "model" is the sign function, so encode is embarrassingly
+  // map-side and two corpora encoded independently are directly
+  // comparable (unlike the PQ/affine codebooks, which pin a fitted
+  // model). Hamming distance over sign bits approximates ANGULAR rank:
+  // P[sign disagree on a random direction] = theta/pi, the same identity
+  // sign-LSH relies on — so BQ shortlists re-ranked by exact cosine
+  // (rerank pattern below) recover most of the exact top-k at a fraction
+  // of the scan cost. This is the 100 TB serving shape: signatures
+  // (16 B/row at 64 dims) live hot, raw vectors are fetched ONLY for the
+  // shortlist via a keyed join.
+
+  /** Map-only sign signature: `wordBits` dims per long ([[graft.functions.SignPack]]). */
+  def signBits(vec: Column, wordBits: Int = 32): Column =
+    graft.functions.SignPack(vec, wordBits)
+
+  /** Exact top-k by Hamming distance of sign signatures. Output:
+    * query_id, rnk, vec_id, hamming — ranked by (hamming asc, vec_id asc).
+    * `probes` rows are broadcast; the corpus-side scan is one fused
+    * signature + distance sweep, and the shuffle carries only the
+    * partial top-k per partition ([[Similarity.rankTopK]]'s aggregator).
+    */
+  def hammingTopK(corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val sigs = corpus.select(col(idCol),
+      signBits(col(vecCol)).as("sig"))
+    val p = broadcast(probes.select(col(idCol).as("query_id"),
+      signBits(col(vecCol)).as("qsig")))
+    val cand = Spread.ensure(sigs).crossJoin(p)
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("hamming",
+        graft.functions.HammingWords(col("sig"), col("qsig")))
+      // rankTopK ranks DESC: negated distance is the similarity view of
+      // the same order (ties included), so ranks match (hamming asc, id).
+      .withColumn("agree", -col("hamming").cast("double"))
+    Similarity.rankTopK(cand, idCol, "agree", k)
+      .select(col("query_id"), col("rnk"), col("vec_id"),
+        (-col("agree")).cast("int").as("hamming"))
+  }
+
+  /** Two-stage binary-quantized search: Hamming shortlist of
+    * `k * overfetch` per query over the 1-bit signatures, then exact
+    * cosine re-rank of ONLY the shortlisted raw vectors (keyed join —
+    * the full-precision corpus is touched shortlist-deep, never scanned).
+    * Output matches [[Similarity.bruteForceTopK]]: query_id, rnk,
+    * vec_id, sim.
+    */
+  def binaryRerankTopK(corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int, overfetch: Int = 4,
+      roundTo: Int = 6): DataFrame = {
+    val shortlist = hammingTopK(corpus, probes, idCol, vecCol, k * overfetch)
+      .select(col("query_id"), col("vec_id"))
+    val p = broadcast(probes.select(col(idCol).as("query_id"),
+      col(vecCol).as("query_vec")))
+    val cand = shortlist
+      .join(corpus.select(col(idCol).as("vec_id"), col(vecCol)), Seq("vec_id"))
+      .join(p, Seq("query_id"))
+      .withColumn("sim",
+        round(graft.functions.vector.cosine(col(vecCol), col("query_vec")),
+          roundTo))
+    Similarity.rankTopK(cand.withColumnRenamed("vec_id", idCol), idCol,
+      "sim", k)
+  }
 }

@@ -256,6 +256,76 @@ object MixQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Exact duplicated-SPAN detection (Lee et al., arXiv:2107.06499):
+      // k-token grams occurring more than once corpus-wide mark spans;
+      // overlapping marks merge into maximal per-doc spans — the
+      // substring-level trim/drop feed that document-level dedup misses
+      // (repeated boilerplate inside otherwise-unique pages). One
+      // gram-keyed count shuffle + one per-doc window; linear in corpus
+      // tokens, nothing pairwise (see Dedup.duplicatedSpans).
+      "d09_span_dedup",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Dedup.duplicatedSpans(t.documents, "doc_id", "text", k = 8)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        |WITH tok AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |base AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM tok),
+        |grams AS (
+        |  SELECT doc_id,
+        |         CAST(unnest(range(greatest(n_tokens - 7, 0))) AS BIGINT)
+        |           AS pos,
+        |         unnest(list_transform(range(greatest(n_tokens - 7, 0)),
+        |           i -> md5(array_to_string(toks[i+1:i+8], ' '))))
+        |           AS gram_key
+        |  FROM base
+        |),
+        |dup AS (
+        |  SELECT gram_key FROM grams GROUP BY gram_key HAVING count(*) > 1
+        |),
+        |cov AS (
+        |  SELECT g.doc_id, g.pos, g.pos + 8 AS e
+        |  FROM grams g JOIN dup USING (gram_key)
+        |),
+        |isl AS (
+        |  SELECT doc_id, pos, e,
+        |         CASE WHEN pos > coalesce(max(e) OVER (
+        |                PARTITION BY doc_id ORDER BY pos
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |                -1)
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM cov
+        |),
+        |isl2 AS (
+        |  SELECT doc_id, pos, e,
+        |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |                        ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM isl
+        |),
+        |spans AS (
+        |  SELECT doc_id, island, min(pos) AS s, max(e) AS en
+        |  FROM isl2 GROUP BY 1, 2
+        |),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+        |         CAST(sum(en - s) AS BIGINT) AS dup_tokens
+        |  FROM spans GROUP BY 1
+        |)
+        |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+        |       coalesce(a.n_dup_spans, 0) AS n_dup_spans,
+        |       coalesce(a.dup_tokens, 0) AS dup_tokens,
+        |       round(CAST(coalesce(a.dup_tokens, 0) AS DOUBLE)
+        |             / b.n_tokens, 6) AS dup_frac
+        |FROM base b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY b.doc_id
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Benchmark decontamination: flag training docs sharing winnowed
       // k-gram fingerprints with a held-out eval split (10% hash split
       // plays the benchmark). The winnowing guarantee makes this exact

@@ -106,7 +106,7 @@ object StreamingQueries {
     // source force-injects basePath = the path itself, which then fails
     // the "basePath must be a directory" check on a single-file source.
     EventStreams.withEventTime(
-      s.readStream.schema(EventStreams.rawSchema)
+      s.readStream.schema(EventStreams.eventsSchemaFor(s, s"$dir/events.parquet"))
         .option("basePath", dir).parquet(s"$dir/events*.parquet"))
   }
 
@@ -460,6 +460,15 @@ object StreamingQueries {
         val docsSchema = s.read.parquet(s"$dir/documents.parquet").schema
         val stream = s.readStream.schema(docsSchema)
           .option("basePath", dir).parquet(s"$dir/documents*.parquet")
+          // File-stream sources parallelize per FILE (no row-group
+          // splitting): a single-file fixture would run the expensive
+          // shingle+minhash map on ONE task (measured 31 s at sf0.1).
+          // An explicit round-robin exchange spreads the micro-batch
+          // before the per-row work — the signature map must never
+          // depend on source parallelism. (A real deployment's stream
+          // arrives in many files/partitions, but the knob still
+          // belongs to the operator, not the source layout.)
+          .repartition(Runtime.getRuntime.availableProcessors())
         val sig = stream.filter(length(col("text")) >= 5)
           .withColumn("event_time",
             timestamp_seconds(lit(1700000000L) + pmod(col("doc_id"), lit(600L))))

@@ -43,14 +43,30 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
 
-  /** The events table carries nanosecond timestamps, which Spark's parquet
-    * reader rejects by default; `nanosAsLong` reads `ts` as a LongType of
-    * epoch nanos. All event-time arithmetic downstream is exact integer math
-    * on nanos (matching DuckDB's `epoch_ns`).
+  /** The events table exposes `ts` as a LongType of epoch NANOS whatever
+    * the parquet physically stores — all event-time arithmetic downstream
+    * is exact integer math on nanos (matching the oracles' DuckDB
+    * `epoch_ns`, which likewise normalizes any timestamp unit):
+    *
+    *  - `timestamp[ns]` data (rounds 1-4): Spark rejects nano precision
+    *    by default; `nanosAsLong` reads the raw column as epoch nanos.
+    *  - `timestamp[us]`/`[ms]` data (round 5+): read as a session-tz
+    *    TIMESTAMP (UTC; NTZ inference is disabled in every session
+    *    factory here) and converted via `unix_micros * 1000` — exact, no
+    *    precision exists below micros to lose. The conversion is a
+    *    map-side projection, so raw-`ts` range filters no longer reach
+    *    the parquet scan as native pushdown; the events queries bucket /
+    *    window over the full table rather than range-scan it, and a
+    *    deployment that needs pushdown would partition the lake by time
+    *    (io03's layout) rather than lean on row-group stats.
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events")
+    val df = t("events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+    }
   }
 }
 

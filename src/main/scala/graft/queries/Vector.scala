@@ -675,6 +675,89 @@ object VectorQueries {
         |       CAST(count(*) * 10 AS BIGINT) AS n_results,
         |       TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 20
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // 1-bit binary quantization + exact Hamming top-k
+      // (graft.ops.Quantize.hammingTopK): sign bits packed 32/long by the
+      // fused SignPack expression, distance = xor+popcount per word pair.
+      // Unlike the v16-v18 recall contracts this ranking is FULLY
+      // deterministic from the data (no fitted model), so the oracle
+      // replays the identical packing in DuckDB BIGINT math and the
+      // result is hash-checked end to end — packing, distance, and the
+      // (hamming asc, vec_id asc) tie rule all cross-engine exact.
+      "v19_binary_hamming",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val emb = t.embeddings
+        val probes = emb.filter(col("vec_id") < 5)
+        graft.ops.Quantize.hammingTopK(emb, probes, "vec_id", "embedding",
+            k = 10)
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some("""
+        |WITH sig AS (
+        |  SELECT vec_id,
+        |         CAST(list_sum(list_transform(range(1, 33), i ->
+        |           CASE WHEN embedding[i] > 0
+        |                THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END))
+        |           AS BIGINT) AS s0,
+        |         CAST(list_sum(list_transform(range(33, 65), i ->
+        |           CASE WHEN embedding[i] > 0
+        |                THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END))
+        |           AS BIGINT) AS s1
+        |  FROM embeddings
+        |),
+        |cand AS (
+        |  SELECT p.vec_id AS query_id, c.vec_id,
+        |         bit_count(xor(p.s0, c.s0)) + bit_count(xor(p.s1, c.s1))
+        |           AS hamming
+        |  FROM sig p JOIN sig c ON c.vec_id <> p.vec_id
+        |  WHERE p.vec_id < 5
+        |),
+        |r AS (
+        |  SELECT query_id, vec_id, hamming,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY hamming, vec_id) AS rnk
+        |  FROM cand
+        |)
+        |SELECT query_id, CAST(rnk AS INT) AS rnk, vec_id,
+        |       CAST(hamming AS INT) AS hamming
+        |FROM r WHERE rnk <= 10
+        |ORDER BY query_id, rnk
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Binary-quantized two-stage search
+      // (graft.ops.Quantize.binaryRerankTopK): Hamming shortlist at 4x
+      // over the 1-bit signatures (32x-compressed scan), exact cosine
+      // re-rank of only the shortlisted raw vectors. Same contract shape
+      // as v18: recall vs the exact cosine top-10 above a floor, with
+      // exact probe/result counts gating the plumbing.
+      "v20_bq_rerank",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val emb = t.embeddings
+        val probes = emb.filter(col("vec_id") < 20)
+        val bqTop = graft.ops.Quantize.binaryRerankTopK(emb, probes,
+            "vec_id", "embedding", k = 10, overfetch = 4)
+          .select(col("query_id"), col("vec_id"))
+        val exactTop = graft.ops.Similarity.bruteForceTopK(emb, probes,
+            "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("vec_id"))
+        val matches = bqTop.join(exactTop, Seq("query_id", "vec_id"))
+        bqTop.agg(countDistinct(col("query_id")).as("n_queries"),
+            count(lit(1)).as("n_results"))
+          .crossJoin(matches.agg(count(lit(1)).as("n_match")))
+          .select(col("n_queries"), col("n_results"),
+            (col("n_match").cast("double") /
+              col("n_results").cast("double") >= 0.50).as("recall_ok"))
+      },
+      Some("""
+        |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |       CAST(count(*) * 10 AS BIGINT) AS n_results,
+        |       TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 20
         |""".stripMargin.trim))
   )
 }

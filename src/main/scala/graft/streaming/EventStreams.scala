@@ -29,9 +29,39 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** [[rawSchema]] with `ts` as a native timestamp — the shape of events
+    * files whose writer kept microsecond timestamp encoding rather than
+    * epoch-nano int64 (file streams need a user-supplied schema, so the
+    * source cannot infer this per-file).
+    */
+  val timestampSchema: StructType = StructType(rawSchema.map {
+    case f if f.name == "ts" => f.copy(dataType = TimestampType)
+    case f                   => f
+  })
+
+  /** The [[rawSchema]]/[[timestampSchema]] choice for the events files
+    * under `path`, decided from one batch footer read (driver-side, no
+    * scan). Streaming sources replay this schema for every file.
+    */
+  def eventsSchemaFor(spark: SparkSession, path: String): StructType =
+    spark.read.parquet(path).schema("ts").dataType match {
+      case LongType => rawSchema
+      case _        => timestampSchema
+    }
+
+  /** Normalize `ts` to epoch-nano longs whichever of the two schemas the
+    * source carried (exact: nothing exists below micros to lose).
+    */
+  def normalizeTs(events: DataFrame): DataFrame =
+    events.schema("ts").dataType match {
+      case LongType => events
+      case _ => events.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+    }
+
   /** Nanos -> microsecond-precision event-time timestamp column. */
   def withEventTime(events: DataFrame): DataFrame =
-    events.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(events).withColumn(
+      "event_time", timestamp_micros(expr("ts div 1000")))
 
   /** Tumbling 1-hour window counts/sums per event type, tolerating
     * `lateness` of out-of-order data. Partial aggregation happens map-side;
@@ -230,7 +260,7 @@ object EventStreams {
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     withEventTime(
-      spark.readStream.schema(rawSchema)
+      spark.readStream.schema(eventsSchemaFor(spark, dir))
         .option("maxFilesPerTrigger", "1")
         .parquet(dir))
   }

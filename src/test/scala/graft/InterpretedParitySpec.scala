@@ -136,4 +136,34 @@ class InterpretedParitySpec extends SparkSpec {
         - viaCodegen.getDouble(2)) < 1e-12)
     }
   }
+
+  test("interpreted SignPack packs strict-positive bits per 32-dim word") {
+    // 40 dims: bits 0-31 land in word 0, bits 32-39 in word 1. Values at
+    // exactly 0.0 (and nulls) must leave the bit CLEAR (> 0, not >= 0).
+    val xs = (0 until 40).map {
+      case 0  => 1f   // bit 0 set
+      case 5  => -2f
+      case 7  => 0f   // boundary: clear
+      case 33 => 3f   // word 1, bit 1
+      case _  => -1f
+    }
+    val got = SignPack(a, 32).eval(row(xs, Seq.empty))
+      .asInstanceOf[ArrayData].toLongArray.toSeq
+    assert(got === Seq(1L, 2L))
+    assert(SignPack(a, 32).eval(InternalRow(null, null)) === null)
+  }
+
+  test("interpreted HammingWords is xor-popcount over the common prefix") {
+    val wa = BoundReference(0, ArrayType(LongType), nullable = true)
+    val wb = BoundReference(1, ArrayType(LongType), nullable = true)
+    def wrow(x: Seq[Long], y: Seq[Long]): InternalRow =
+      InternalRow(ArrayData.toArrayData(x.toArray),
+        ArrayData.toArrayData(y.toArray))
+    assert(HammingWords(wa, wb).eval(
+      wrow(Seq(0xFFL, 0x1L), Seq(0x0FL, 0x3L))) === 5)
+    // common prefix: extra words on one side are ignored
+    assert(HammingWords(wa, wb).eval(
+      wrow(Seq(0x1L), Seq(0x1L, 0xFFL))) === 0)
+    assert(HammingWords(wa, wb).eval(InternalRow(null, null)) === null)
+  }
 }

@@ -614,4 +614,78 @@ class OpsSpec extends SparkSpec {
     // weights are a pure function of content: identical bags score equal
     assert(w(1L) === w(2L))
   }
+
+  test("hammingTopK ranks by true sign-bit disagreement") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val probes = emb.filter($"vec_id" < 3)
+    val got = graft.ops.Quantize
+      .hammingTopK(emb, probes, "vec_id", "embedding", k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getInt(3)))
+      .toMap
+    // Reference: recompute sign bits + Hamming on the driver.
+    val vecs = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def bits(v: Array[Float]): Array[Boolean] = v.map(_ > 0f)
+    def ham(a: Long, b: Long): Int =
+      bits(vecs(a)).zip(bits(vecs(b))).count(p => p._1 != p._2)
+    for (q <- 0L to 2L) {
+      val want = vecs.keys.filter(_ != q).toSeq
+        .map(id => (ham(q, id), id)).sorted.take(5)
+      val gotQ = (1 to 5).map(r => got((q, r)))
+      assert(gotQ.map(_._1) === want.map(_._2), s"rank ids for query $q")
+      assert(gotQ.map(_._2) === want.map(_._1), s"distances for query $q")
+    }
+  }
+
+  test("binaryRerankTopK scores shortlisted candidates with exact cosine") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val probes = emb.filter($"vec_id" < 5)
+    val rer = graft.ops.Quantize
+      .binaryRerankTopK(emb, probes, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    val exact = Similarity
+      .bruteForceTopK(emb, probes, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    // Re-ranked sims are TRUE cosines: wherever the shortlist recovered
+    // an exact top-5 member, the score must agree to the rounding digit.
+    val hits = rer.keySet intersect exact.keySet
+    assert(hits.nonEmpty, "shortlist recovered none of the exact top-5")
+    hits.foreach(k => assert(rer(k) === exact(k)))
+  }
+
+  test("duplicatedSpans merges overlapping gram hits into maximal spans") {
+    // doc 1 and doc 2 share a 10-token run -> with k=4 the 7 gram hits
+    // must merge to ONE span of 10 tokens; doc 3 shares nothing.
+    val run = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $run gamma"),
+      (2L, s"$run delta epsilon"),
+      (3L, "nothing shared here at all by design, tokens differ"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup
+      .duplicatedSpans(docs, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(1L) === ((13L, 1L, 10L, 0.769231)))
+    assert(out(2L) === ((12L, 1L, 10L, 0.833333)))
+    assert(out(3L)._2 === 0L)
+    assert(out(3L)._3 === 0L)
+  }
+
+  test("duplicatedSpans counts within-doc gram repeats") {
+    // The same 4-token phrase twice in ONE doc: both occurrences are
+    // duplicated spans (corpus-wide count > 1 includes same-doc).
+    val docs = Seq(
+      (1L, "p q r s xx yy p q r s"),
+      (2L, "completely different text tokens here"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup
+      .duplicatedSpans(docs, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) === ((2L, 8L))) // two disjoint 4-token spans
+    assert(out(2L) === ((0L, 0L)))
+  }
 }

@@ -11,12 +11,15 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  /** Every query is now DuckDB-oracle-checked: a01 and v09 emit their
+  /** Almost every query is DuckDB-oracle-checked: a01 and v09 emit their
     * sketch/ANN accuracy contracts as in-query tolerance booleans (plus
-    * exact-checkable columns) instead of raw sketch internals, so nothing
-    * is left on the weaker rows-only check.
+    * exact-checkable columns) instead of raw sketch internals. The one
+    * deliberate rows-only entry is BPE training: its merge choice is an
+    * iterative data-dependent argmax (8 rounds of pair-count -> argmax ->
+    * re-segment), not one SQL statement; BpeSpec pins the exact merge
+    * sequence on a hand-computed corpus instead.
     */
-  private val rowsOnlyExempt = Set.empty[String]
+  private val rowsOnlyExempt = Set("t17_bpe_merges")
 
   test("every query has matching oracle coverage or is explicitly exempt") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --

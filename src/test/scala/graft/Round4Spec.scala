@@ -110,8 +110,7 @@ class Round4Spec extends SparkSpec {
   test("io03 partitioned sink prunes partitions and matches direct filter") {
     val res = q("io03_partitioned_sink").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val direct = spark.read.parquet(s"$sf/events.parquet")
+    val direct = graft.queries.Tables(spark, sf).events
       .filter(pmod(expr("ts div 86400000000000"), lit(7)) < 3)
       .groupBy($"event_type").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
