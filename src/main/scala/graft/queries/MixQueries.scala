@@ -522,6 +522,72 @@ object MixQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Learned quality filter — multinomial Naive Bayes over hashed
+      // token buckets (the GPT-3/CCNet/LLaMA "quality classifier" stage;
+      // see TextAnalysis.nbQualityScores). Seed labels play the curated
+      // (src0/src1) vs background (src8/src9) reference sets; every doc
+      // is scored by the class log-likelihood ratio + prior. The whole
+      // trained model is a 64-row broadcast table; train and inference
+      // share the same two keyed exchanges. Top-20 by score — rounding
+      // at 4 decimals absorbs summation-order ulp noise, doc_id breaks
+      // rank ties, exactly the s06 determinism recipe.
+      "s07_nb_quality",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        TextAnalysis.nbQualityScores(t.documents, "doc_id", "text",
+            isPositive = col("source").isin("src0", "src1"),
+            isNegative = col("source").isin("src8", "src9"),
+            buckets = 64)
+          .orderBy(col("nb_score").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""
+        |WITH lab AS (
+        |  SELECT doc_id, text,
+        |         source IN ('src0', 'src1') AS is_pos,
+        |         source IN ('src8', 'src9') AS is_neg
+        |  FROM documents
+        |),
+        |tok AS (
+        |  SELECT doc_id, is_pos, is_neg,
+        |         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |           AS term
+        |  FROM lab
+        |),
+        |b AS (
+        |  SELECT doc_id, is_pos, is_neg,
+        |         CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT) % 64
+        |           AS bucket
+        |  FROM tok
+        |),
+        |dist AS (
+        |  SELECT bucket,
+        |         count(*) FILTER (WHERE is_pos) AS n_pos,
+        |         count(*) FILTER (WHERE is_neg) AS n_neg
+        |  FROM b GROUP BY bucket
+        |),
+        |tot AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM dist),
+        |w AS (
+        |  SELECT bucket,
+        |         ln((n_pos + 1.0) / (tp + 64.0)) -
+        |         ln((n_neg + 1.0) / (tn + 64.0)) AS w
+        |  FROM dist CROSS JOIN tot
+        |),
+        |prior AS (
+        |  SELECT ln((count(*) FILTER (WHERE is_pos) + 1.0) /
+        |            (count(*) FILTER (WHERE is_neg) + 1.0)) AS log_prior
+        |  FROM lab
+        |),
+        |pd AS (SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY doc_id, bucket)
+        |SELECT pd.doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       round(sum(c * w) + any_value(log_prior), 4) AS nb_score
+        |FROM pd JOIN w USING (bucket) CROSS JOIN prior
+        |GROUP BY pd.doc_id
+        |ORDER BY nb_score DESC, doc_id
+        |LIMIT 20
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Gopher quality rules (arXiv:2112.11446 Table A1): the rule battery
       // web-scale corpora run BEFORE any learned scorer — word count band,
       // mean word length band, symbol ratio, bullet/ellipsis line ratios,
@@ -601,17 +667,20 @@ object MixQueries {
       "t18_ccnet_pipeline",
       (s, dir) => {
         val t = Tables(s, dir)
-        val keepers = t.documents
-          .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
-          .filter(col("rn") === 1).select(col("doc_id"))
-        val lang = TextAnalysis.languageId(t.documents, "doc_id", "text")
-          .select(col("doc_id"), col("pred_lang"))
+        // ONE corpus scan computes the content fingerprint AND the langid
+        // marker hits (languageId's `keep` fusion); the dedup window then
+        // shuffles only (doc_id, fp, pred_lang) — the text never crosses
+        // an exchange, and the old keepers-join-lang stage disappears.
+        val scored = TextAnalysis.languageId(t.documents, "doc_id", "text",
+          keep = Seq(Dedup.fingerprint(col("text")).as("fp")))
         val ppl = TextAnalysis.unigramPerplexity(t.documents, "doc_id", "text")
           .select(col("doc_id"), col("ppl"))
-        val en = keepers.join(lang, "doc_id")
-          .filter(col("pred_lang") === "en").join(ppl, "doc_id")
+        val en = scored
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+          .filter(col("rn") === 1 && col("pred_lang") === "en")
+          .select(col("doc_id"))
+          .join(ppl, "doc_id")
         en.withColumn("bucket",
             ntile(3).over(Window.orderBy(col("ppl"), col("doc_id"))))
           .groupBy(col("bucket"))

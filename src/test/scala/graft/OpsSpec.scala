@@ -615,6 +615,28 @@ class OpsSpec extends SparkSpec {
     assert(w(1L) === w(2L))
   }
 
+  test("nbQualityScores separates classes and scores unlabeled docs") {
+    // Curated seed speaks {aa bb}, background seed {zz yy}: the unlabeled
+    // doc speaking the curated vocabulary must score above the one
+    // speaking background, and the seeds themselves must rank sanely.
+    val docs = Seq(
+      (1L, "aa bb aa bb", "pos"), (2L, "aa bb bb aa", "pos"),
+      (3L, "zz yy zz yy", "neg"), (4L, "zz yy yy zz", "neg"),
+      (5L, "aa aa bb bb", "unlabeled"),
+      (6L, "zz zz yy yy", "unlabeled"))
+      .toDF("doc_id", "text", "seed")
+    val scores = graft.ops.TextAnalysis
+      .nbQualityScores(docs, "doc_id", "text",
+        isPositive = $"seed" === "pos", isNegative = $"seed" === "neg",
+        buckets = 16)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(5L) > scores(6L))
+    assert(scores(1L) > 0 && scores(3L) < 0)
+    // pure function of content: identical bags score identically
+    assert(scores(1L) === scores(2L))
+    assert(scores(1L) === scores(5L))
+  }
+
   test("hammingTopK ranks by true sign-bit disagreement") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val probes = emb.filter($"vec_id" < 3)
