@@ -194,7 +194,29 @@ object SimBench {
     val semPlantedFound = semPairs
       .filter(col("id_b") === col("id_a") + 10000000L).count()
 
-    println(s"""{"metric":"findsim_1024x475_qps","value":$qps,"unit":"qps","extra":{"findsim_1m_x64_sec":$bigSec,"hits_small":$hits,"hits_1m":$bigHits,"ivf_1m_build_sec":$buildSec,"ivf_1m_topk_sec":$ivfSec,"ivf_1m_topk_semijoin_sec":$ivfSemiSec,"brute_1m_topk_sec":$bruteSec,"ivf_rows":$ivfRows,"brute_rows":$bruteRows,"ivfpq_1m_build_sec":$pqBuildSec,"ivfpq_1m_topk_sec":$pqSec,"ivfpq_recall_at10":$pqRecall,"ivfpq_rerank_1m_sec":$rrSec,"ivfpq_rerank_recall_at10":$rrRecall,"lsh_allpairs_1m_sec":$lshSec,"lsh_pairs":$lshCount,"lsh_planted_found":$plantedFound,"semdedup_1m_sec":$semSec,"semdedup_pairs":$semCount,"semdedup_planted_found":$semPlantedFound}}""")
+    // Binary quantization at 1M: no fit pass at all — the 1-bit encode is
+    // part of the scan. Hamming top-k is the 32x-compressed candidate
+    // sweep (2 xor+popcnt per row vs 64 FMA); the rerank variant fetches
+    // only the 4x shortlist's raw vectors for exact cosine. Recall@10 is
+    // against the exact cosine top-k over the same probes.
+    graft.ops.Quantize.hammingTopK(big, probes, "id", "vec", 10).count() // warm
+    val tq0 = System.nanoTime()
+    val bqRows = graft.ops.Quantize.hammingTopK(big, probes, "id", "vec", 10)
+      .count()
+    val bqSec = (System.nanoTime() - tq0) / 1e9
+    val tq1 = System.nanoTime()
+    val bqTop = graft.ops.Quantize.binaryRerankTopK(big, probes, "id", "vec",
+        10, overfetch = 4)
+      .select(col("query_id"), col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bqRerankRows = bqTop.count()
+    val bqRerankSec = (System.nanoTime() - tq1) / 1e9
+    val cosTop = graft.ops.Similarity.bruteForceTopK(big, probes, "id", "vec", 10)
+      .select(col("query_id"), col("vec_id"))
+    val bqMatch = bqTop.join(cosTop, Seq("query_id", "vec_id")).count()
+    val bqRecall = bqMatch.toDouble / math.max(1L, bqRerankRows)
+
+    println(s"""{"metric":"findsim_1024x475_qps","value":$qps,"unit":"qps","extra":{"findsim_1m_x64_sec":$bigSec,"hits_small":$hits,"hits_1m":$bigHits,"ivf_1m_build_sec":$buildSec,"ivf_1m_topk_sec":$ivfSec,"ivf_1m_topk_semijoin_sec":$ivfSemiSec,"brute_1m_topk_sec":$bruteSec,"ivf_rows":$ivfRows,"brute_rows":$bruteRows,"ivfpq_1m_build_sec":$pqBuildSec,"ivfpq_1m_topk_sec":$pqSec,"ivfpq_recall_at10":$pqRecall,"ivfpq_rerank_1m_sec":$rrSec,"ivfpq_rerank_recall_at10":$rrRecall,"bq_hamming_1m_sec":$bqSec,"bq_rows":$bqRows,"bq_rerank_1m_sec":$bqRerankSec,"bq_rerank_recall_at10":$bqRecall,"lsh_allpairs_1m_sec":$lshSec,"lsh_pairs":$lshCount,"lsh_planted_found":$plantedFound,"semdedup_1m_sec":$semSec,"semdedup_pairs":$semCount,"semdedup_planted_found":$semPlantedFound}}""")
     spark.stop()
   }
 }

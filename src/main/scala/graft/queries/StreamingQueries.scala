@@ -503,6 +503,46 @@ object StreamingQueries {
         |  FROM hashed GROUP BY doc_id
         |)
         |SELECT count(DISTINCT sig) AS n_unique FROM sigs
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Stream-STATIC enrichment join — the one join mode the family
+      // lacked (st05 is stream-stream): arriving events join a broadcast
+      // dimension (customer -> market segment) with NO join state at all,
+      // then feed a watermarked hourly window per segment in append mode.
+      // This is the 100 TB enrichment shape: the static side is a plain
+      // batch relation re-broadcast per micro-batch (a lake-backed dim
+      // picks up slowly-changing updates for free), the stream side
+      // keeps only the windowed-agg state. The sentinel (user_id -1)
+      // never matches the dimension — the inner join drops the row, but
+      // the watermark operator sits BEFORE the join, so the sentinel
+      // still closes the final real windows and emission is total.
+      "st10_stream_enrich",
+      (s, dir) => {
+        val scratch = sentinelEventsDir(s, dir, 120 * MinuteNs)
+        val stream = EventStreams.withEventTime(
+          s.readStream.schema(EventStreams.rawSchema).parquet(scratch))
+        val dim = broadcast(Tables(s, dir).customer
+          .select(col("c_custkey"), col("c_mktsegment")))
+        val agg = stream
+          .withWatermark("event_time", "10 minutes")
+          .join(dim, col("user_id") === col("c_custkey"))
+          .groupBy(window(col("event_time"), "1 hour"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+        runToTable(s, agg, "append")
+          .select(unix_timestamp(col("window.start")).as("hour_epoch_s"),
+            col("c_mktsegment"), col("n"), round(col("sv"), 2).as("sum_value"))
+          .orderBy(col("hour_epoch_s"), col("c_mktsegment"))
+      },
+      Some("""
+        |SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) * 3600
+        |         AS hour_epoch_s,
+        |       c_mktsegment,
+        |       count(*)             AS n,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2
         |""".stripMargin.trim))
   )
 }

@@ -733,7 +733,9 @@ object VectorQueries {
       // over the 1-bit signatures (32x-compressed scan), exact cosine
       // re-rank of only the shortlisted raw vectors. Same contract shape
       // as v18: recall vs the exact cosine top-10 above a floor, with
-      // exact probe/result counts gating the plumbing.
+      // exact probe/result counts gating the plumbing (measured 0.585 at
+      // sf0.01, floor 0.50; SimBench's angularly-uniform corpus — the
+      // worst case for sign bits — floors at 0.34).
       "v20_bq_rerank",
       (s, dir) => {
         val t = Tables(s, dir)
