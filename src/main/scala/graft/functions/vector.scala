@@ -117,5 +117,18 @@ object vector {
       es => VectorMagnitude(es.head))
     GraftSqlInternal.registerFunction(spark, "graft_minhash_signature",
       es => MinhashSignature(es(0), minhashK(es)))
+    GraftSqlInternal.registerFunction(spark, "graft_sign_pack", es => {
+      require(es.length == 1 || es.length == 2,
+        s"graft_sign_pack(vec[, wordBits]) takes 1-2 arguments, got ${es.length}")
+      val bits =
+        if (es.length < 2) 32
+        else {
+          require(es(1).foldable, "graft_sign_pack's wordBits must be a literal")
+          es(1).eval().asInstanceOf[Number].intValue()
+        }
+      SignPack(es(0), bits)
+    })
+    GraftSqlInternal.registerFunction(spark, "graft_hamming",
+      es => HammingWords(es(0), es(1)))
   }
 }

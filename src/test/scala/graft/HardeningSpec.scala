@@ -99,4 +99,45 @@ class HardeningSpec extends SparkSpec {
     assert(!spark.sharedState.cacheManager.isEmpty)
     Caches.reset(spark) // leave the shared session clean for other suites
   }
+
+  test("signBits/hammingTopK survive null, empty, and short vectors") {
+    import org.apache.spark.sql.functions._
+    val emb = Seq(
+      (0L, Some(Seq(1f, -1f, 2f, 3f))),
+      (1L, Some(Seq(-1f, 1f))),       // shorter: high bits stay clear
+      (2L, Some(Seq.empty[Float])),   // empty: all-zero signature
+      (3L, None))                     // null vector: null signature
+      .toDF("vec_id", "embedding")
+    val sigs = emb.select($"vec_id",
+      graft.ops.Quantize.signBits($"embedding").as("sig"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    assert(sigs(0L) === Seq(0xDL)) // bits 0,2,3
+    assert(sigs(1L) === Seq(0x2L))
+    assert(sigs(2L) === Seq.empty[Long])
+    assert(sigs(3L) === null)
+    // topK over the same relation: the null-vector row cannot crash the
+    // scan — its null distance is dropped by rankTopK's null filter, so
+    // exactly the two non-null non-self rows rank.
+    val probes = emb.filter($"vec_id" === 0L)
+    val got = graft.ops.Quantize
+      .hammingTopK(emb, probes, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(2), r.getInt(3)))
+    assert(got.map(_._1).toSet === Set(1L, 2L))
+  }
+
+  test("duplicatedSpans: empty corpus, no-text docs, and full-dup docs") {
+    import org.apache.spark.sql.functions._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.ops.Dedup.duplicatedSpans(empty, "doc_id", "text").count() === 0)
+    // A doc below k tokens yields no grams but must still report a row;
+    // two identical docs are 100% duplicated span.
+    val docs = Seq((1L, "tiny"), (2L, "a b c d e f g h i"),
+      (3L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.duplicatedSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getDouble(4))).toMap
+    assert(out(1L) === ((0L, 0.0)))
+    assert(out(2L) === ((9L, 1.0)))
+    assert(out(3L) === ((9L, 1.0)))
+  }
 }

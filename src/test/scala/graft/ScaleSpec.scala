@@ -272,4 +272,35 @@ class ScaleSpec extends SparkSpec {
       }
     }
   }
+
+  test("duplicatedSpans is partition-invariant with planted boilerplate") {
+    // 100k synthetic docs, every 50th carrying the same 12-token
+    // boilerplate block inside otherwise-unique filler: the d09 contract
+    // (exact integer span math, oracle hash-check) requires the output
+    // relation to be IDENTICAL under any partitioning — gram counting is
+    // a commutative keyed count and island merging is per-doc windowed,
+    // so nothing may depend on shuffle order.
+    val boiler = (1 to 12).map(i => s"boiler$i").mkString(" ")
+    def docs(parts: Int) = spark.range(100000L).repartition(parts)
+      .select($"id".as("doc_id"),
+        concat_ws(" ",
+          concat(lit("u"), $"id", lit("a")), concat(lit("u"), $"id", lit("b")),
+          when($"id" % 50 === 0, lit(boiler))
+            .otherwise(concat(lit("filler"), $"id")),
+          concat(lit("u"), $"id", lit("c")), concat(lit("u"), $"id", lit("d")))
+          .as("text"))
+    def summary(parts: Int): (Long, Long, Long) = {
+      val out = graft.ops.Dedup.duplicatedSpans(docs(parts), "doc_id", "text",
+        k = 8)
+      val r = out.agg(sum($"dup_tokens"), sum($"n_dup_spans"),
+        count(when($"dup_tokens" > 0, 1))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val s1 = summary(7)
+    assert(s1 === summary(63), "span stats drift with partitioning")
+    // Every planted doc (2000 of them) carries exactly one merged span
+    // covering the boilerplate run and nothing else.
+    assert(s1._3 === 2000L, s"expected 2000 flagged docs, got ${s1._3}")
+    assert(s1._2 === 2000L, "each flagged doc must merge to ONE span")
+  }
 }

@@ -87,6 +87,16 @@ class VectorExpressionsSpec extends SparkSpec {
       "SELECT graft_minhash_signature(array(named_struct('h1', 5L, 'h2', 11L)), 3) s")
       .collect().head.getSeq[Long](0)
     assert(sig === Seq(5L, 16L, 27L))
+    // 1-bit family: pack [1, -1, 0, 2] -> bits {0, 3} = 9; hamming vs
+    // bit 0 alone = disagreement on bit 3 only.
+    val packed = spark.sql(
+      "SELECT graft_sign_pack(array(1.0F, -1.0F, 0.0F, 2.0F)) s")
+      .collect().head.getSeq[Long](0)
+    assert(packed === Seq(9L))
+    val ham = spark.sql(
+      "SELECT graft_hamming(array(9L), array(1L)) h")
+      .collect().head.getInt(0)
+    assert(ham === 1)
   }
 
   test("nd-shape access: ndGet/matrixRow/reshapeRows over a row-major 2x3") {
