@@ -338,6 +338,155 @@ object TextQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // The capstone composition: a COMPLETE training-data curation
+      // pipeline in one declarative plan — Gopher rule battery (t16) ->
+      // exact dedup keep-first (d01/t18) -> learned NB quality filter
+      // (s07, score > 0) -> per-source sequence packing into 2048-token
+      // bins (p01). Every stage is one of this engine's operators riding
+      // the SHARED memoized relations (tokenized corpus, NB weight
+      // table); composing them adds id-keyed joins of per-doc rows, not
+      // new corpus scans — the corpus text is read once for the rule
+      // scan, once for the fingerprint, once for tokenization, all
+      // map-side, and everything after is small keyed exchanges. The
+      // whole pipeline is one Catalyst plan: AQE sees the stage
+      // selectivities at runtime and sizes the survivor joins itself.
+      "p02_pipeline_pack",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        // Rule battery CONFIGURED FOR THE CORPUS (the paper's own advice:
+        // thresholds are tuned per source): the synthetic gate corpus has
+        // exactly one of Gopher's eight required stopwords in its
+        // vocabulary, so the stock n_req >= 2 keeps nothing — the battery
+        // here gates on the rounded metric columns (cross-engine equality
+        // of which t16 hash-proves) with the stopword floor at 1.
+        val rules = TextAnalysis.gopherQuality(t.documents, "doc_id", "text")
+          .filter(col("n_words") >= 50 &&
+            col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+            col("alpha_word_ratio") >= 0.8 && col("n_req_stopwords") >= 1)
+          .select(col("doc_id"))
+        val keepers = graft.ops.Dedup
+          .dropExactDuplicates(t.documents, "doc_id", "text")
+          .select(col("doc_id"))
+        val quality = TextAnalysis.nbQualityScores(t.documents, "doc_id",
+            "text",
+            isPositive = col("source").isin("src0", "src1"),
+            isNegative = col("source").isin("src8", "src9"), buckets = 64)
+          .filter(col("nb_score") > 0)
+          .select(col("doc_id"), col("n_tokens"))
+        val survivors = t.documents.select(col("doc_id"), col("source"))
+          .join(rules, Seq("doc_id")).join(keepers, Seq("doc_id"))
+          .join(quality, Seq("doc_id"))
+        graft.ops.Sampling.packIntoBins(survivors, "doc_id", "n_tokens",
+            2048L, "source")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            (max(col("bin")) + 1).cast("long").as("n_bins"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        |WITH gtok AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |rules AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |           len(toks) AS n_words,
+        |           round(CAST(length(array_to_string(toks, '')) AS DOUBLE)
+        |             / len(toks), 6) AS mean_word_len,
+        |           round(CAST(len(list_filter(toks,
+        |                  t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+        |             / len(toks), 6) AS alpha_word_ratio,
+        |           len(list_intersect(list_distinct(toks),
+        |               ['the','be','to','of','and','that','have','with']))
+        |             AS n_req
+        |    FROM gtok)
+        |  WHERE n_words >= 50
+        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND alpha_word_ratio >= 0.8 AND n_req >= 1
+        |),
+        |fp AS (
+        |  SELECT doc_id,
+        |         md5(trim(regexp_replace(regexp_replace(lower(text),
+        |             '[.,!?;:]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents
+        |),
+        |keep AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |    FROM fp) WHERE rn = 1
+        |),
+        |lab AS (
+        |  SELECT doc_id, text,
+        |         source IN ('src0', 'src1') AS is_pos,
+        |         source IN ('src8', 'src9') AS is_neg
+        |  FROM documents
+        |),
+        |ntok AS (
+        |  SELECT doc_id, is_pos, is_neg,
+        |         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |           AS term
+        |  FROM lab
+        |),
+        |nb AS (
+        |  SELECT doc_id, is_pos, is_neg,
+        |         CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT) % 64
+        |           AS bucket
+        |  FROM ntok
+        |),
+        |dist AS (
+        |  SELECT bucket,
+        |         count(*) FILTER (WHERE is_pos) AS n_pos,
+        |         count(*) FILTER (WHERE is_neg) AS n_neg
+        |  FROM nb GROUP BY bucket
+        |),
+        |tot AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM dist),
+        |w AS (
+        |  SELECT bucket,
+        |         ln((n_pos + 1.0) / (tp + 64.0)) -
+        |         ln((n_neg + 1.0) / (tn + 64.0)) AS w
+        |  FROM dist CROSS JOIN tot
+        |),
+        |prior AS (
+        |  SELECT ln((count(*) FILTER (WHERE is_pos) + 1.0) /
+        |            (count(*) FILTER (WHERE is_neg) + 1.0)) AS log_prior
+        |  FROM lab
+        |),
+        |pd AS (SELECT doc_id, bucket, count(*) AS c FROM nb GROUP BY doc_id, bucket),
+        |q AS (
+        |  SELECT pd.doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         round(sum(c * w) + any_value(log_prior), 4) AS nb_score
+        |  FROM pd JOIN w USING (bucket) CROSS JOIN prior
+        |  GROUP BY pd.doc_id
+        |),
+        |sv AS (
+        |  SELECT d.doc_id, d.source, q.n_tokens
+        |  FROM documents d
+        |  JOIN rules USING (doc_id)
+        |  JOIN keep USING (doc_id)
+        |  JOIN q USING (doc_id)
+        |  WHERE q.nb_score > 0
+        |),
+        |packed AS (
+        |  SELECT source, doc_id, n_tokens,
+        |         coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |           ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           // 2048 AS bin
+        |  FROM sv
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |       CAST(max(bin) + 1 AS BIGINT)  AS n_bins
+        |FROM packed
+        |GROUP BY source
+        |ORDER BY source
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Multimodal plumbing, oracle-checked: documents' text bytes stand in
       // for opaque media payloads; the audit path (size + sha256, no
       // decode) is exactly Multimodal.describe. Payload bytes never
