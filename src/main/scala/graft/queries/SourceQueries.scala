@@ -2,6 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import graft.ops.TextAnalysis
+
 /** Source/sink breadth: CSV and JSON-lines round-trips and a
   * date-partitioned parquet sink read back with a partition-pruned scan.
   * Each query writes under `target/graft-io/<name>_<dirhash>` (inside the
@@ -215,6 +217,59 @@ object SourceQueries {
         |       CAST(sum(l_quantity) AS DOUBLE) AS qty
         |FROM lineitem WHERE l_suppkey <= 10
         |ORDER BY slice
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Training-shard export — the step that hands curated data to the
+      // training job: documents packed into 2048-token bins per source
+      // (p01's layout) land on the lake partitioned by (source, bin),
+      // clustered before the write so each shard is ONE right-sized file
+      // (the anti-small-files discipline of io03). A data loader then
+      // reads shard directories independently, and a single (source, bin)
+      // predicate prunes to exactly one directory at listing time
+      // (Round4Spec asserts the layout and the pruned read). The checked
+      // output is the per-shard manifest read BACK from the written lake
+      // — equality with the source-side oracle proves round-trip
+      // fidelity of the sharded layout, not just the write path.
+      "io07_shard_export",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val out = ioDir("io07", dir)
+        val withTok = TextAnalysis.tokensRelation(t.documents, "text")
+          .select(col("doc_id"), col("source"),
+            size(col("toks")).cast("long").as("n_tokens"))
+        graft.ops.Sampling.packIntoBins(withTok, "doc_id", "n_tokens",
+            2048L, "source")
+          .repartition(col("source"), col("bin"))
+          .write.mode("overwrite").partitionBy("source", "bin").parquet(out)
+        s.read.parquet(out)
+          .groupBy(col("source"), col("bin").cast("long").as("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("shard_tokens"),
+            min(col("doc_id")).as("min_doc"))
+          .orderBy(col("source"), col("bin"))
+      },
+      Some("""
+        |WITH toks AS (
+        |  SELECT doc_id, source,
+        |         len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |           AS n_tokens
+        |  FROM documents
+        |),
+        |packed AS (
+        |  SELECT source, doc_id, n_tokens,
+        |         coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |           ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           // 2048 AS bin
+        |  FROM toks
+        |)
+        |SELECT source, CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+        |       min(doc_id) AS min_doc
+        |FROM packed
+        |GROUP BY source, bin
+        |ORDER BY source, bin
         |""".stripMargin.trim))
   )
 }

@@ -124,6 +124,31 @@ class Round4Spec extends SparkSpec {
       s"expected partition-filter pruning in:\n$plan")
   }
 
+  test("io07 shard export: one file per shard, (source,bin) read prunes") {
+    val q = graft.SparkEntry.queries
+    q("io07_shard_export")(spark, sf).collect() // runs the write
+    val out = s"/root/repo/target/graft-io/io07_${math.abs(sf.hashCode)}"
+    // The pre-write repartition clusters by the partition key: every
+    // (source, bin) shard directory must hold exactly ONE parquet file —
+    // the data-loader contract (and the anti-small-files discipline).
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("source="))
+      .flatMap(_.listFiles().filter(_.getName.startsWith("bin=")))
+    assert(shardDirs.nonEmpty, "expected source=*/bin=* shard directories")
+    shardDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1,
+        s"${d.getPath} holds ${files.length} files; shards must be 1 file")
+    }
+    // A shard predicate must prune at listing time (partition filters),
+    // not scan-and-filter.
+    val plan = spark.read.parquet(out)
+      .filter($"source" === "src0" && $"bin" === 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("source"),
+      s"expected partition-filter pruning in:\n$plan")
+  }
+
   test("st01/st02 streaming results equal their batch twins") {
     val batchHourly = q("q13_events_hourly").collect()
       .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
