@@ -159,4 +159,36 @@ object Sampling {
         coalesce(sum(col(tokenCol)).over(w), lit(0L)))
       .withColumn("bin", expr(s"prior_tokens div $binSize"))
   }
+
+  /** Temperature-scaled domain sampling (the multilingual/multi-domain
+    * rebalancing of XLM, arXiv:1901.07291 §3.1, and mT5): domain weights
+    * w_d = |d|^alpha / sum_j |j|^alpha flatten the size distribution
+    * (alpha=1 proportional, alpha=0 uniform; alpha=0.5 here so sqrt —
+    * correctly-rounded IEEE on every engine, unlike pow), then each
+    * domain is down-sampled toward its share of `budget` rows by the same
+    * md5-content-hash rule as [[deterministicSample]]. The per-domain keep
+    * threshold is materialized as an INTEGER bucket count
+    * (round(rate*10000)), so row membership is a pure integer comparison
+    * — engine/run/partition-invariant; floats only decide the (tiny,
+    * 1-ulp-insensitive after round) threshold itself.
+    *
+    * Scale shape: the weight table is |domains| rows (one small agg +
+    * 1-row total), broadcast back onto the corpus; the sampling pass is
+    * map-only. Returns per-row data tagged with weight/threshold; callers
+    * aggregate.
+    */
+  def temperatureMix(df: DataFrame, idCol: String, domainCol: String,
+      budget: Long): DataFrame = {
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("c_docs"))
+    val z = counts.agg(sum(sqrt(col("c_docs"))).as("z"))
+    val rated = counts.crossJoin(broadcast(z))
+      .withColumn("weight", sqrt(col("c_docs")) / col("z"))
+      .withColumn("rate",
+        least(lit(1.0), col("weight") * lit(budget.toDouble) / col("c_docs")))
+      .withColumn("thresh", round(col("rate") * 10000).cast("long"))
+      .select(col(domainCol), col("c_docs"), col("weight"), col("thresh"))
+    df.join(broadcast(rated), domainCol)
+      .filter(hashBucket(col(idCol), 10000) < col("thresh"))
+  }
 }

@@ -543,4 +543,43 @@ object TextAnalysis {
       array_distinct(transform(sequence(lit(0), size(hs) - w),
         j => array_min(slice(hs, j + lit(1), lit(w))))))
       .otherwise(array().cast("array<long>"))
+
+  /** Per-domain unigram-distribution divergence from the corpus mixture:
+    * KL(p_domain || p_corpus) = sum_t p(t|d) * ln(p(t|d) / p(t)) in nats,
+    * plus token/vocabulary counts. This is the data-mixture diagnostic a
+    * curation pipeline runs before choosing domain weights (the quantity
+    * DoReMi-style reweighting, arXiv:2305.10429, optimizes against): a
+    * domain with high KL is far from the corpus average and dominates or
+    * starves tokens under naive proportional mixing.
+    *
+    * Scale shape: ONE corpus scan (the shared [[tokensRelation]]) feeds a
+    * (domain, token)-keyed count — everything after runs on that relation,
+    * which is |domains| x |vocab| rows (Zipf-bounded, NOT corpus-sized).
+    * The corpus marginal `ct` and domain totals `ns` are windows over it,
+    * and the single-partition grand-total window is over the same
+    * vocab-bounded relation (at 100 TB this is ~domains x millions of
+    * rows of longs — trivially one executor's work; the corpus itself
+    * never re-shuffles). KL terms sum per domain with round-at-4 for
+    * cross-engine float parity (each domain folds over <= |vocab| terms).
+    */
+  def domainDivergence(docs: DataFrame, idCol: String, textCol: String,
+      domainCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokensRelation(docs, textCol)
+    val st = toks
+      .select(col(domainCol).as("domain"), explode(col("toks")).as("token"))
+      .groupBy(col("domain"), col("token"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val j = st
+      .withColumn("ns", sum(col("c")).over(Window.partitionBy(col("domain"))))
+      .withColumn("ct", sum(col("c")).over(Window.partitionBy(col("token"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+    j.groupBy(col("domain"))
+      .agg(
+        sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        round(sum((col("c") / col("ns")) *
+          log((col("c") / col("ns")) / (col("ct") / col("n")))), 4).as("kl"))
+      .orderBy(col("domain"))
+  }
 }

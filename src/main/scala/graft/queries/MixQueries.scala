@@ -748,6 +748,94 @@ object MixQueries {
         |       round(avg(ppl), 4) AS avg_ppl,
         |       min(ppl) AS min_ppl, max(ppl) AS max_ppl
         |FROM b GROUP BY bucket ORDER BY bucket
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Per-domain unigram-distribution KL divergence from the corpus
+      // mixture — the data-mixture diagnostic run before choosing domain
+      // weights (the quantity DoReMi-style reweighting, arXiv:2305.10429,
+      // optimizes against). One corpus scan feeds a (domain, token) count;
+      // everything downstream is vocab-bounded, never corpus-sized.
+      "t19_domain_kl",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        TextAnalysis.domainDivergence(t.documents, "doc_id", "text", "source")
+          .withColumnRenamed("domain", "source")
+      },
+      Some("""
+        |WITH tok AS (
+        |  SELECT source,
+        |         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |  FROM documents
+        |),
+        |st AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        |j AS (
+        |  SELECT source, token, CAST(c AS DOUBLE) AS c,
+        |         CAST(sum(c) OVER (PARTITION BY source) AS DOUBLE) AS ns,
+        |         CAST(sum(c) OVER (PARTITION BY token) AS DOUBLE) AS ct,
+        |         CAST(sum(c) OVER () AS DOUBLE) AS n
+        |  FROM st
+        |)
+        |SELECT source,
+        |       CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       count(*) AS n_distinct,
+        |       round(sum((c / ns) * ln((c / ns) / (ct / n))), 4) AS kl
+        |FROM j
+        |GROUP BY source
+        |ORDER BY source
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Temperature-scaled domain mixing (XLM arXiv:1901.07291 §3.1 /
+      // mT5): w_d = sqrt(|d|) / sum sqrt(|j|) flattens the domain size
+      // distribution; each domain down-samples toward its share of a
+      // 200-doc budget by the engine's deterministic md5-bucket rule.
+      // The raw sources are uniform (25 docs each), so the domain is the
+      // 4-char source prefix — which merges src10..src19 into "src1",
+      // a deliberately SKEWED 11x grouping that makes the flattening
+      // non-vacuous: "src1" holds 55% of the corpus but sqrt-temperature
+      // caps it at ~28% of the weight. Output: per-domain corpus size,
+      // weight, and sampled doc/char totals. The keep decision is an
+      // integer bucket-vs-threshold comparison, so the sampled SET is
+      // engine/partition-invariant.
+      "s08_temperature_mix",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val docs = t.documents
+          .withColumn("domain", substring(col("source"), 1, 4))
+        Sampling.temperatureMix(docs, "doc_id", "domain", budget = 200L)
+          .groupBy(col("domain"), col("c_docs"), col("weight"))
+          .agg(count(lit(1)).as("n_sampled"),
+            sum(col("n_chars")).as("sampled_chars"))
+          .select(col("domain"), col("c_docs"),
+            round(col("weight"), 4).as("weight"),
+            col("n_sampled"), col("sampled_chars"))
+          .orderBy(col("domain"))
+      },
+      Some("""
+        |WITH d AS (SELECT doc_id, n_chars, substr(source, 1, 4) AS domain
+        |           FROM documents),
+        |c AS (SELECT domain, count(*) AS c_docs FROM d GROUP BY domain),
+        |z AS (SELECT sum(sqrt(c_docs)) AS z FROM c),
+        |r AS (
+        |  SELECT domain, c_docs,
+        |         sqrt(c_docs) / z AS weight,
+        |         CAST(round(least(1.0, (sqrt(c_docs) / z) * 200 / c_docs) * 10000)
+        |              AS BIGINT) AS thresh
+        |  FROM c CROSS JOIN z
+        |),
+        |kept AS (
+        |  SELECT d.domain, d.n_chars
+        |  FROM d JOIN r USING (domain)
+        |  WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |        % 10000 < r.thresh
+        |)
+        |SELECT r.domain, r.c_docs, round(r.weight, 4) AS weight,
+        |       count(*) AS n_sampled,
+        |       CAST(sum(k.n_chars) AS BIGINT) AS sampled_chars
+        |FROM kept k JOIN r ON r.domain = k.domain
+        |GROUP BY r.domain, r.c_docs, r.weight
+        |ORDER BY r.domain
         |""".stripMargin.trim))
   )
 }

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.ops.TextAnalysis
+import graft.sources.TableIO
 
 /** Source/sink breadth: CSV and JSON-lines round-trips and a
   * date-partitioned parquet sink read back with a partition-pruned scan.
@@ -270,6 +271,42 @@ object SourceQueries {
         |FROM packed
         |GROUP BY source, bin
         |ORDER BY source, bin
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Bucketed managed tables: lineitem and orders written co-bucketed
+      // on the join key (graft.sources.TableIO.writeBucketed), then joined
+      // and aggregated. With matching bucket counts the join plans with
+      // ZERO exchanges — the layout a lake uses for its hottest repeated
+      // join so the shuffle is paid once at write time, not per query
+      // (ScaleSpec asserts the exchange-free plan; this query puts the
+      // same path under the driver's correctness gate). The oracle
+      // aggregates the original parquet, so a hash match also proves the
+      // bucketed write/read round-trip is lossless.
+      "io08_bucketed_join",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val tag = math.abs(dir.hashCode).toString
+        val liT = s"io08_li_$tag"
+        val oT = s"io08_o_$tag"
+        TableIO.writeBucketed(t.lineitem.select(col("l_orderkey"),
+          col("l_extendedprice"), col("l_discount")), liT, 8, "l_orderkey")
+        TableIO.writeBucketed(t.orders.select(col("o_orderkey"),
+          col("o_orderpriority")), oT, 8, "o_orderkey")
+        s.table(liT)
+          .join(s.table(oT), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+              .as("revenue"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        |SELECT o_orderpriority, count(*) AS n_items,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority
         |""".stripMargin.trim))
   )
 }

@@ -51,8 +51,19 @@ object TableIO {
     * `bucketCol` plan with zero exchanges.
     */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
-      bucketCol: String): Unit =
+      bucketCol: String): Unit = {
+    val spark = df.sparkSession
+    // Idempotent across sessions: a previous JVM may have left the managed
+    // table's directory behind without this session's catalog knowing the
+    // table — saveAsTable then fails with LOCATION_ALREADY_EXISTS even in
+    // Overwrite mode. Drop the catalog entry AND clear a leftover location.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(table)
+  }
 }

@@ -710,4 +710,62 @@ class OpsSpec extends SparkSpec {
     assert(out(1L) === ((2L, 8L))) // two disjoint 4-token spans
     assert(out(2L) === ((0L, 0L)))
   }
+
+  test("domainDivergence: corpus-like domain scores near 0, skewed domain high") {
+    // Domain "mix" mirrors the corpus mixture; domain "skew" is all one
+    // token. KL(skew || corpus) must dominate, and every KL is >= 0 up to
+    // the round-at-4 contract.
+    val docs = (Seq.tabulate(40)(i => (i.toLong, "mix", "a b c d")) ++
+      Seq.tabulate(10)(i => (100L + i, "skew", "a a a a")))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.domainDivergence(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("mix")._1 === 160L && out("mix")._2 === 4L)
+    assert(out("skew")._1 === 40L && out("skew")._2 === 1L)
+    assert(out.values.forall(_._3 >= -0.0001))
+    assert(out("skew")._3 > out("mix")._3 + 0.5,
+      s"skewed domain must diverge far more: $out")
+    // Single-domain corpus: its distribution IS the corpus -> KL == 0.
+    val one = TextAnalysis.domainDivergence(
+      docs.filter($"source" === "mix"), "doc_id", "text", "source")
+      .collect()
+    assert(one.length === 1 && one.head.getDouble(3) === 0.0)
+  }
+
+  test("temperatureMix flattens skewed domains and is partition-invariant") {
+    val docs = (Seq.tabulate(400)(i => (i.toLong, "big")) ++
+      Seq.tabulate(25)(i => (1000L + i, "small")))
+      .toDF("doc_id", "domain")
+    val out = graft.ops.Sampling.temperatureMix(docs, "doc_id", "domain",
+      budget = 100L)
+    val byDom = out.groupBy($"domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sqrt temperature: w_big = 20/25, w_small = 5/25 -> rates 0.2 and
+    // 0.8 — the big domain samples at a 4x LOWER rate than the small one.
+    val rateBig = byDom("big") / 400.0
+    val rateSmall = byDom("small") / 25.0
+    assert(rateBig < rateSmall / 2,
+      s"big domain must be down-sampled harder: $byDom")
+    // Sampled set is a pure function of ids: any partitioning, same rows.
+    val again = graft.ops.Sampling.temperatureMix(docs.repartition(13),
+      "doc_id", "domain", budget = 100L)
+    assert(again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("io08 bucketed join equals the plain parquet join") {
+    val t = graft.queries.Tables(spark, sf)
+    val expect = t.lineitem
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("revenue"))
+      .orderBy($"o_orderpriority")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val got = SparkEntry.queries("io08_bucketed_join")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === expect.toSeq)
+  }
 }
