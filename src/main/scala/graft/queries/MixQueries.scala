@@ -836,6 +836,211 @@ object MixQueries {
         |FROM kept k JOIN r ON r.domain = k.domain
         |GROUP BY r.domain, r.c_docs, r.weight
         |ORDER BY r.domain
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Per-source data card ("Datasheets for Datasets", Gebru et al.,
+      // arXiv:1803.09010, as a query): the per-domain summary a curated
+      // corpus ships with — doc/token counts, exact- AND near-duplicate
+      // incidence, dominant predicted language, mean LM perplexity, mean
+      // heuristic quality. Every column rides an operator this engine
+      // already memoizes (tokensRelation, fingerprint, the d02 minhash
+      // pair cache, languageId, unigramPerplexity, qualityScore), so the
+      // composed plan adds only id-keyed joins and ONE per-source fold —
+      // no new corpus scans beyond the operators' own. n_dup_docs is
+      // exact-fingerprint membership (legitimately 0 on this corpus —
+      // the mechanism is pinned with planted dups in OpsSpec);
+      // n_neardup_docs counts docs in any MinHash-verified pair at
+      // jaccard >= 0.5, the same relation d02 certifies. The
+      // dominant-language pick is (count desc, lang asc) —
+      // deterministic on ties.
+      "p03_data_card",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val base = TextAnalysis.tokensRelation(t.documents, "text")
+          .select(col("doc_id"), col("source"),
+            size(col("toks")).cast("long").as("n_tokens"))
+        val dup = t.documents
+          .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))
+          .withColumn("is_dup",
+            (count(lit(1)).over(Window.partitionBy(col("fp"))) > 1)
+              .cast("long"))
+          .select(col("doc_id"), col("is_dup"))
+        val neardup = Dedup.nearDuplicatesMinhashCached(t.documents,
+            "doc_id", "text", threshold = 0.5, numHashes = 32, bands = 8,
+            shingleN = 3)
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .distinct()
+          .withColumn("is_neardup", lit(1L))
+        val lang = TextAnalysis.languageId(t.documents, "doc_id", "text")
+          .select(col("doc_id"), col("pred_lang"))
+        val ppl = TextAnalysis.unigramPerplexity(t.documents, "doc_id", "text")
+          .select(col("doc_id"), col("ppl"))
+        val quality = TextAnalysis.qualityScore(
+            TextAnalysis.qualityMetrics(t.documents, "doc_id", "text"))
+          .select(col("doc_id"), col("quality_score"))
+        val perDoc = base.join(dup, "doc_id").join(lang, "doc_id")
+          .join(ppl, "doc_id").join(quality, "doc_id")
+          .join(neardup, Seq("doc_id"), "left")
+        val card = perDoc.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("is_dup")).as("n_dup_docs"),
+          sum(coalesce(col("is_neardup"), lit(0L))).as("n_neardup_docs"),
+          round(avg(col("ppl")), 4).as("avg_ppl"),
+          round(avg(col("quality_score")), 4).as("avg_quality"))
+        val topLang = perDoc
+          .groupBy(col("source"), col("pred_lang"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(Window.partitionBy(col("source"))
+            .orderBy(col("c").desc, col("pred_lang"))))
+          .filter(col("rn") === 1)
+          .select(col("source"), col("pred_lang").as("top_lang"),
+            col("c").as("top_lang_docs"))
+        card.join(topLang, "source")
+          .select(col("source"), col("n_docs"), col("total_tokens"),
+            col("n_dup_docs"), col("n_neardup_docs"),
+            col("top_lang"), col("top_lang_docs"),
+            col("avg_ppl"), col("avg_quality"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        |WITH tok AS (
+        |  SELECT doc_id, source,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |base AS (SELECT doc_id, source, len(toks) AS n_tokens FROM tok),
+        |fp AS (
+        |  SELECT doc_id,
+        |         md5(trim(regexp_replace(regexp_replace(lower(text),
+        |             '[.,!?;:]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents
+        |),
+        |dup AS (
+        |  SELECT doc_id,
+        |         CASE WHEN count(*) OVER (PARTITION BY fp) > 1
+        |              THEN 1 ELSE 0 END AS is_dup
+        |  FROM fp
+        |),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) >= 3
+        |              THEN list_distinct(list_transform(range(len(toks) - 2),
+        |                     i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+        |              ELSE [] END AS shingles
+        |  FROM tok
+        |),
+        |ex AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT)  AS h1,
+        |         CAST(concat('0x', substr(md5(s), 13, 12)) AS BIGINT) AS h2
+        |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0)
+        |),
+        |hashed AS (
+        |  SELECT doc_id, j, min((h1 + j * h2) % 2147483647) AS sigv
+        |  FROM ex, range(32) t(j)
+        |  GROUP BY doc_id, j
+        |),
+        |sigs AS (SELECT doc_id, list(sigv ORDER BY j) AS sig FROM hashed GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS key
+        |  FROM sigs, range(8) t(b)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+        |),
+        |hsets AS (SELECT doc_id, list(h1) AS hs FROM ex GROUP BY doc_id),
+        |verified AS (
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM cand c
+        |  JOIN hsets sa ON sa.doc_id = c.doc_a
+        |  JOIN hsets sb ON sb.doc_id = c.doc_b
+        |  WHERE len(list_intersect(sa.hs, sb.hs)) * 1.0
+        |        / len(list_distinct(sa.hs || sb.hs)) >= 0.5
+        |),
+        |nd AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_a AS doc_id FROM verified
+        |    UNION ALL SELECT doc_b AS doc_id FROM verified)
+        |),
+        |hits AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein'))) AS hits_de,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','is','in')))         AS hits_en,
+        |    len(list_filter(toks, x -> x IN ('el','los','de','y','es','un','una')))         AS hits_es,
+        |    len(list_filter(toks, x -> x IN ('le','la','et','est','les','un','une')))       AS hits_fr,
+        |    len(list_filter(toks, x -> x IN ('的','是','了','在','我')))                      AS hits_zh
+        |  FROM tok
+        |),
+        |lang AS (
+        |  SELECT doc_id,
+        |         CASE greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh)
+        |              WHEN hits_de THEN 'de' WHEN hits_en THEN 'en'
+        |              WHEN hits_es THEN 'es' WHEN hits_fr THEN 'fr'
+        |              ELSE 'zh' END AS pred_lang
+        |  FROM hits
+        |),
+        |toksu AS (SELECT doc_id, unnest(toks) AS tok FROM tok),
+        |vocab AS (SELECT tok, count(*) AS c FROM toksu GROUP BY tok),
+        |stats AS (SELECT sum(c) AS n, count(*) AS v FROM vocab),
+        |ppl AS (
+        |  SELECT t.doc_id, round(exp(avg(-ln((c + 1.0) / (n + v)))), 4) AS ppl
+        |  FROM toksu t JOIN vocab USING (tok), stats
+        |  GROUP BY t.doc_id
+        |),
+        |qbase AS (
+        |  SELECT doc_id,
+        |         len(list_filter(string_split(text, ' '), x -> x <> ''))  AS n_tokens,
+        |         length(text)                                             AS n_chars,
+        |         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+        |         len(list_filter(string_split(text, ' '),
+        |            x -> x IN ('the','a','of','and','to','is','in')))     AS en_hits
+        |  FROM documents
+        |),
+        |quality AS (
+        |  SELECT doc_id,
+        |         least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+        |         + (1.0 - least(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) * 10.0, 1.0)) * 0.3
+        |         + least(CAST(en_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 5.0, 1.0) * 0.3
+        |           AS quality_score
+        |  FROM qbase
+        |),
+        |perdoc AS (
+        |  SELECT b.doc_id, b.source, b.n_tokens, d.is_dup, l.pred_lang,
+        |         p.ppl, q.quality_score,
+        |         CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_neardup
+        |  FROM base b
+        |  JOIN dup d USING (doc_id)
+        |  JOIN lang l USING (doc_id)
+        |  JOIN ppl p USING (doc_id)
+        |  JOIN quality q USING (doc_id)
+        |  LEFT JOIN nd n USING (doc_id)
+        |),
+        |card AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |         CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+        |         CAST(sum(is_neardup) AS BIGINT) AS n_neardup_docs,
+        |         round(avg(ppl), 4) AS avg_ppl,
+        |         round(avg(quality_score), 4) AS avg_quality
+        |  FROM perdoc GROUP BY source
+        |),
+        |tl AS (
+        |  SELECT source, pred_lang AS top_lang, c AS top_lang_docs FROM (
+        |    SELECT source, pred_lang, count(*) AS c,
+        |           row_number() OVER (PARTITION BY source
+        |             ORDER BY count(*) DESC, pred_lang) AS rn
+        |    FROM perdoc GROUP BY source, pred_lang)
+        |  WHERE rn = 1
+        |)
+        |SELECT c.source, c.n_docs, c.total_tokens, c.n_dup_docs,
+        |       c.n_neardup_docs, t.top_lang, t.top_lang_docs,
+        |       c.avg_ppl, c.avg_quality
+        |FROM card c JOIN tl t USING (source)
+        |ORDER BY c.source
         |""".stripMargin.trim))
   )
 }

@@ -760,6 +760,51 @@ object VectorQueries {
         |       CAST(count(*) * 10 AS BIGINT) AS n_results,
         |       TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 20
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Clustering diagnostics over the shared IVF coarse quantizer — the
+      // index-health audit run after building any clustered layout
+      // (IVF/SemDeDup/corpus cartography): (1) every vector's stored cell
+      // is its max-cosine centroid, re-verified INDEPENDENTLY of the
+      // fused CentroidArgmax assignment path by scoring all |cells|
+      // centroids per vector through the CosineSimilarity expression
+      // (1e-6 tolerance absorbs float-vs-double accumulation-order drift
+      // between the two implementations — this is an audit of the argmax
+      // DECISION, not of last-bit arithmetic); (2) mean cosine to the own
+      // centroid strictly exceeds mean cosine to other centroids (the
+      // clustering carries real structure). The audit scan is corpus x
+      // |cells| rows against a broadcast 8-row centroid table — at 100 TB
+      // the same audit runs over a deterministic hash-sample of the
+      // corpus (a02's sampling pattern), cells being a fitted artifact.
+      // The oracle recomputes n_points (embeddable rows) independently;
+      // k-means itself is not SQL-expressible, so the geometric checks
+      // are in-query contracts, a01/e02-style.
+      "v21_cluster_diag",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val idx = graft.ops.Ivf.buildCached(t.embeddings, "vec_id",
+          "embedding", numCells = 8, iterations = 2)
+        val scored = idx.cells
+          .crossJoin(broadcast(idx.centroids.withColumnRenamed("cell", "ccell")))
+          .withColumn("csim", cosine(col("embedding"), col("centroid")))
+        val per = scored.groupBy(col("vec_id"), col("cell"))
+          .agg(max(col("csim")).as("max_sim"),
+            max(when(col("ccell") === col("cell"), col("csim"))).as("own_sim"),
+            avg(when(col("ccell") =!= col("cell"), col("csim"))).as("other_sim"))
+        per.agg(
+            count(lit(1)).as("n_points"),
+            (sum(when(col("own_sim") >= col("max_sim") - lit(1e-6), 1L)
+              .otherwise(0L)) === count(lit(1))).as("assign_ok"),
+            (avg(col("own_sim")) > avg(col("other_sim"))).as("separation_ok"))
+          .select(col("n_points"), lit(8).as("n_cells"),
+            col("assign_ok"), col("separation_ok"))
+      },
+      Some("""
+        |SELECT count(*) AS n_points, 8 AS n_cells,
+        |       TRUE AS assign_ok, TRUE AS separation_ok
+        |FROM embeddings
+        |WHERE embedding IS NOT NULL AND len(embedding) > 0
         |""".stripMargin.trim))
   )
 }

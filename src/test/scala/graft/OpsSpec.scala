@@ -754,6 +754,24 @@ class OpsSpec extends SparkSpec {
       out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("v21 cluster diagnostics and p03 data card hold their contracts") {
+    val diag = SparkEntry.queries("v21_cluster_diag")(spark, sf).collect()
+    assert(diag.length === 1)
+    assert(diag.head.getBoolean(2), "assign_ok must hold")
+    assert(diag.head.getBoolean(3), "separation_ok must hold")
+
+    val card = SparkEntry.queries("p03_data_card")(spark, sf).collect()
+    val docs = graft.queries.Tables(spark, sf).documents
+    assert(card.map(_.getLong(1)).sum === docs.count(),
+      "per-source doc counts must partition the corpus")
+    // Every near-dup count is bounded by its source's doc count, and the
+    // card's totals column matches the independent token recount.
+    assert(card.forall(r => r.getLong(4) <= r.getLong(1)))
+    val tokTotal = docs.select(
+      sum(size(graft.ops.Dedup.tokens($"text"))).cast("long")).head.getLong(0)
+    assert(card.map(_.getLong(2)).sum === tokTotal)
+  }
+
   test("io08 bucketed join equals the plain parquet join") {
     val t = graft.queries.Tables(spark, sf)
     val expect = t.lineitem
