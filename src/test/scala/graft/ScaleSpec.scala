@@ -303,4 +303,58 @@ class ScaleSpec extends SparkSpec {
     assert(s1._3 === 2000L, s"expected 2000 flagged docs, got ${s1._3}")
     assert(s1._2 === 2000L, "each flagged doc must merge to ONE span")
   }
+
+  test("domainDivergence is partition-invariant at 10^5 docs; KL orders skew") {
+    // The (domain, token) relation the KL windows run over is
+    // vocab-bounded, so the only scale risk is double-summation order in
+    // the per-domain fold — the round-at-4 contract must absorb it across
+    // partitionings. Domain d0 draws from 16 tokens, d1 from the 4-token
+    // SUBSET that dominates the corpus marginal less -> d1's KL must be
+    // larger, at any partitioning.
+    def docs(parts: Int) = spark.range(100000L).repartition(parts)
+      .select($"id".as("doc_id"),
+        when($"id" % 4 === 0, "d1").otherwise("d0").as("source"),
+        concat_ws(" ",
+          concat(lit("w"), when($"id" % 4 === 0, $"id" % 4)
+            .otherwise($"id" % 16)),
+          concat(lit("w"), when($"id" % 4 === 0, ($"id" + 1) % 4)
+            .otherwise(($"id" + 7) % 16))).as("text"))
+    def run(parts: Int): Map[String, (Long, Long, Double)] = {
+      graft.ops.TextAnalysis.invalidate(spark)
+      graft.ops.TextAnalysis.domainDivergence(docs(parts),
+          "doc_id", "text", "source")
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    }
+    val a = run(7)
+    assert(a === run(61), "domain KL drifts with partitioning")
+    assert(a("d1")._3 > a("d0")._3,
+      s"narrow domain must diverge more: $a")
+    assert(a("d0")._1 + a("d1")._1 === 200000L)
+  }
+
+  test("temperatureMix keeps an identical doc set at 10^6 rows under any partitioning") {
+    val docs = spark.range(1000000L)
+      .select($"id".as("doc_id"),
+        when($"id" % 10 === 0, "small").otherwise("big").as("domain"))
+    def sampleCount(parts: Int): (Long, Long, Long) = {
+      val out = graft.ops.Sampling.temperatureMix(docs.repartition(parts),
+        "doc_id", "domain", budget = 100000L)
+      val r = out.agg(count(lit(1)),
+        sum(when($"domain" === "small", 1L).otherwise(0L)),
+        expr("bit_xor(xxhash64(doc_id))")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val s1 = sampleCount(9)
+    assert(s1 === sampleCount(57), "sampled set drifts with partitioning")
+    // sqrt temperature on a 9:1 skew: the small domain's sampling rate
+    // must exceed the big domain's (flattening), and the total stays
+    // near the budget.
+    val (total, small, _) = s1
+    val big = total - small
+    assert(small / 100000.0 > big / 900000.0 * 1.5,
+      s"flattening failed: small=$small big=$big")
+    assert(total > 80000L && total < 120000L, s"budget off: $total")
+  }
 }
