@@ -256,6 +256,78 @@ object MixQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Cross-source contamination matrix: for every source pair, how many
+      // document pairs share winnowed fingerprints and how many
+      // fingerprints they share in total — the "did corpus A leak into
+      // corpus B" diagnostic run before mixing sources (the cross-corpus
+      // view of d07/t09's within-corpus machinery). Rides the SAME
+      // persisted postings relation as d07/t09; pairs explode map-side
+      // from the df-bounded lists, sources attach via two id-keyed joins,
+      // and the output is |sources|^2-bounded at any corpus size.
+      "d10_source_overlap",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val k = 8; val w = 4; val maxDf = 20
+        val postings = postingsCached(s, t.documents, k, w, maxDf)
+        val srcOf = t.documents.select(col("doc_id"), col("source"))
+        val pairs = postings
+          .select(explode(flatten(transform(col("docs"), (a, i) =>
+            transform(slice(col("docs"), i + lit(2), size(col("docs"))),
+              b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+          .select(col("p.doc_a"), col("p.doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_shared"))
+        pairs
+          .join(srcOf.select(col("doc_id").as("doc_a"),
+            col("source").as("src_a")), "doc_a")
+          .join(srcOf.select(col("doc_id").as("doc_b"),
+            col("source").as("src_b")), "doc_b")
+          .select(least(col("src_a"), col("src_b")).as("source_a"),
+            greatest(col("src_a"), col("src_b")).as("source_b"),
+            col("n_shared"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_doc_pairs"),
+            sum(col("n_shared")).as("n_shared_fps"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some("""
+        |WITH hs AS (
+        |  SELECT doc_id,
+        |         list_transform(range(length(text) - 7),
+        |           i -> CAST(concat('0x', substr(md5('0:' ||
+        |                  substr(text, CAST(i + 1 AS INTEGER), 8)), 1, 15))
+        |                AS BIGINT)) AS hs
+        |  FROM documents WHERE length(text) >= 11
+        |),
+        |fp AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(len(hs) - 3),
+        |           j -> list_min(hs[j+1 : j+4]))) AS fps
+        |  FROM hs
+        |),
+        |ex AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+        |rare AS (SELECT fp FROM ex GROUP BY fp HAVING count(*) BETWEEN 2 AND 20),
+        |fe AS (SELECT e.doc_id, e.fp FROM ex e JOIN rare r USING (fp)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |  FROM fe a JOIN fe b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |sp AS (
+        |  SELECT least(da.source, db.source)    AS source_a,
+        |         greatest(da.source, db.source) AS source_b,
+        |         p.n_shared
+        |  FROM pairs p
+        |  JOIN documents da ON da.doc_id = p.doc_a
+        |  JOIN documents db ON db.doc_id = p.doc_b
+        |)
+        |SELECT source_a, source_b, count(*) AS n_doc_pairs,
+        |       CAST(sum(n_shared) AS BIGINT) AS n_shared_fps
+        |FROM sp GROUP BY 1, 2
+        |ORDER BY source_a, source_b
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Exact duplicated-SPAN detection (Lee et al., arXiv:2107.06499):
       // k-token grams occurring more than once corpus-wide mark spans;
       // overlapping marks merge into maximal per-doc spans — the

@@ -772,6 +772,15 @@ class OpsSpec extends SparkSpec {
     assert(card.map(_.getLong(2)).sum === tokTotal)
   }
 
+  test("d10 overlap matrix is canonically ordered with positive counts") {
+    val m = SparkEntry.queries("d10_source_overlap")(spark, sf).collect()
+    assert(m.nonEmpty)
+    assert(m.forall(r => r.getString(0) <= r.getString(1)),
+      "source pairs must be canonicalized (a <= b)")
+    assert(m.forall(r => r.getLong(2) > 0 && r.getLong(3) >= r.getLong(2)),
+      "each doc pair shares at least one fingerprint")
+  }
+
   test("io08 bucketed join equals the plain parquet join") {
     val t = graft.queries.Tables(spark, sf)
     val expect = t.lineitem
