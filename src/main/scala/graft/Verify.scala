@@ -20,8 +20,14 @@ object Verify {
     // Sorted order + family-boundary cache hygiene, same as graft.Bench:
     // families share persisted artifacts within themselves; across the
     // whole sweep they would accumulate.
+    // SPARK_GRAFT_ONLY=regex restricts the dump (local iteration only —
+    // the driver never sets it, so the driver always verifies everything).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     var prevFamily: String = null
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) =>
+        only.forall(_.findFirstIn(name).isDefined) }
+      .foreach { case (name, fn) =>
       val fam = name.takeWhile(!_.isDigit)
       if (prevFamily != null && fam != prevFamily) Caches.reset(spark)
       prevFamily = fam

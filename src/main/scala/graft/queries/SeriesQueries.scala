@@ -149,6 +149,159 @@ object SeriesQueries {
         |FROM iv
         |GROUP BY event_type
         |ORDER BY event_type
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Sequential funnel conversion: first view -> first click at-or-after
+      // that view -> first purchase at-or-after that click, per user; one
+      // summary row of stage counts + conversion rates. Each stage is a
+      // user-keyed min-aggregate joined to the previous stage's per-user
+      // timestamp — |users|-row relations after the first aggregate, so
+      // every join past stage one is user-keyed and AQE-broadcastable at
+      // any event-log scale. Rates are float divisions of exact integer
+      // counts, so the two engines agree bit-for-bit.
+      "q43_funnel",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val ev = t.events.select(col("user_id"), col("event_type"), col("ts"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, Seq("user_id")).filter(col("ts") >= col("t_view"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, Seq("user_id")).filter(col("ts") >= col("t_click"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+        ev.select(col("user_id")).distinct()
+          .join(v, Seq("user_id"), "left")
+          .join(c, Seq("user_id"), "left")
+          .join(p, Seq("user_id"), "left")
+          .agg(count(lit(1)).as("n_users"),
+            count(col("t_view")).as("n_view"),
+            count(col("t_click")).as("n_click"),
+            count(col("t_purchase")).as("n_purchase"))
+          .select(col("n_users"), col("n_view"), col("n_click"),
+            col("n_purchase"),
+            round(col("n_click").cast("double") /
+              col("n_view").cast("double"), 4).as("view_to_click"),
+            round(col("n_purchase").cast("double") /
+              col("n_click").cast("double"), 4).as("click_to_buy"))
+      },
+      Some("""
+        |WITH ev AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events
+        |),
+        |v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM ev e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+        |  GROUP BY e.user_id
+        |),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM ev e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        |  GROUP BY e.user_id
+        |),
+        |j AS (
+        |  SELECT u.user_id, v.t_view, c.t_click, p.t_purchase
+        |  FROM (SELECT DISTINCT user_id FROM ev) u
+        |  LEFT JOIN v USING (user_id)
+        |  LEFT JOIN c USING (user_id)
+        |  LEFT JOIN p USING (user_id)
+        |)
+        |SELECT count(*) AS n_users,
+        |       count(t_view) AS n_view,
+        |       count(t_click) AS n_click,
+        |       count(t_purchase) AS n_purchase,
+        |       round(CAST(count(t_click) AS DOUBLE) /
+        |             CAST(count(t_view) AS DOUBLE), 4) AS view_to_click,
+        |       round(CAST(count(t_purchase) AS DOUBLE) /
+        |             CAST(count(t_click) AS DOUBLE), 4) AS click_to_buy
+        |FROM j
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Rolling z-score anomaly detection: hourly event counts per type on
+      // the dense hour grid (q39's generator — so the trailing frame always
+      // spans real consecutive hours), scored against the PRECEDING 24
+      // hours only (no leakage of the scored point into its own baseline).
+      // The frame's mean/variance come from integer sum / sum-of-squares
+      // window aggregates; z is then ONE float expression over exact
+      // integers, so Spark and DuckDB agree bit-for-bit — no stddev_samp
+      // summation-order drift. Emits hours with |z| > 2.5 over a full
+      // 24-hour baseline with positive variance (both gates integer-exact).
+      "q44_anomaly",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val ev = t.events.withColumn("hour", expr("ts div 3600000000000"))
+        val perHour = ev.groupBy(col("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_raw"))
+        val grid = ev.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"))).as("hour"))
+          .crossJoin(ev.select(col("event_type")).distinct())
+        val dense = grid.join(perHour, Seq("hour", "event_type"), "left")
+          .withColumn("n", coalesce(col("n_raw"), lit(0L)))
+        val frame = Window.partitionBy(col("event_type"))
+          .orderBy(col("hour")).rowsBetween(-24, -1)
+        dense
+          .withColumn("w", count(lit(1)).over(frame))
+          .withColumn("s", sum(col("n")).over(frame))
+          .withColumn("s2", sum(col("n") * col("n")).over(frame))
+          .filter(col("w") === 24 && col("s2") * 24 > col("s") * col("s"))
+          .withColumn("z",
+            round((col("n").cast("double") - col("s").cast("double") / 24.0d) /
+              sqrt((col("s2").cast("double") -
+                col("s").cast("double") * col("s").cast("double") / 24.0d) /
+                23.0d), 4))
+          .filter(abs(col("z")) > 2.5)
+          .select((col("hour") * 3600).as("hour_epoch_s"), col("event_type"),
+            col("n"), col("z"))
+          .orderBy(col("hour_epoch_s"), col("event_type"))
+      },
+      Some("""
+        |WITH ev AS (
+        |  SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour,
+        |         event_type
+        |  FROM events
+        |),
+        |per AS (SELECT hour, event_type, count(*) AS n_raw FROM ev GROUP BY 1, 2),
+        |bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM ev),
+        |grid AS (
+        |  SELECT g.hour, ty.event_type
+        |  FROM (SELECT unnest(range(lo, hi + 1)) AS hour FROM bounds) g
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM ev) ty
+        |),
+        |dense AS (
+        |  SELECT g.hour, g.event_type, coalesce(p.n_raw, 0) AS n
+        |  FROM grid g LEFT JOIN per p USING (hour, event_type)
+        |),
+        |win AS (
+        |  SELECT hour, event_type, n,
+        |         count(*) OVER f AS w,
+        |         sum(n) OVER f AS s,
+        |         sum(n * n) OVER f AS s2
+        |  FROM dense
+        |  WINDOW f AS (PARTITION BY event_type ORDER BY hour
+        |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        |),
+        |scored AS (
+        |  SELECT hour, event_type, n,
+        |         round((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / 24.0) /
+        |               sqrt((CAST(s2 AS DOUBLE) -
+        |                     CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 24.0) /
+        |                    23.0), 4) AS z
+        |  FROM win
+        |  WHERE w = 24 AND s2 * 24 > s * s
+        |)
+        |SELECT hour * 3600 AS hour_epoch_s, event_type, n, z
+        |FROM scored
+        |WHERE abs(z) > 2.5
+        |ORDER BY hour_epoch_s, event_type
         |""".stripMargin.trim))
   )
 }
