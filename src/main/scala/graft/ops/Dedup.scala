@@ -284,6 +284,41 @@ object Dedup {
     hp.select(col("doc_id"),
       transform(col("pairs"), p => p.getField("h1")).as("hs"))
 
+  /** Exact shingle-set CONTAINMENT over caller-supplied candidate pairs:
+    * C(A,B) = |S(A) ∩ S(B)| / min(|S(A)|, |S(B)|) — the near-INCLUSION
+    * measure (Broder's containment coefficient). A short document embedded
+    * in a long one has high containment but low Jaccard, so symmetric
+    * minhash banding under-recalls it; candidates should come from a
+    * shared-substring signal instead (the winnowed-fingerprint postings of
+    * [[graft.ops.TextAnalysis.winnow]] — any shared run of >= k+w-1
+    * characters contributes a candidate regardless of the size ratio).
+    *
+    * `candidates` must carry (doc_a, doc_b); output appends the two set
+    * sizes plus exact `containment` and `jaccard` over the 48-bit hashed
+    * word-`shingleN`-gram sets. Joins are id-keyed on the candidate
+    * relation — work stays proportional to candidates, never pairs².
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      candidates: DataFrame, shingleN: Int = 3): DataFrame = {
+    val sets = hashSets(hashedShingles(
+      wordShingled(docs, idCol, textCol, shingleN)))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")),
+        "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")),
+        "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))))
+      .select(col("doc_a"), col("doc_b"),
+        size(col("hs_a")).as("size_a"), size(col("hs_b")).as("size_b"),
+        (col("n_inter").cast("double") /
+          least(size(col("hs_a")), size(col("hs_b"))).cast("double"))
+          .as("containment"),
+        (col("n_inter").cast("double") /
+          size(array_union(col("hs_a"), col("hs_b"))).cast("double"))
+          .as("jaccard"))
+  }
+
   /** Join the two hashed-shingle sets onto candidate pairs and keep pairs
     * with exact hashed-set Jaccard >= threshold.
     */

@@ -582,4 +582,42 @@ object TextAnalysis {
           log((col("c") / col("ns")) / (col("ct") / col("n")))), 4).as("kl"))
       .orderBy(col("domain"))
   }
+
+  /** Per-domain distinctive terms (class-based TF-IDF, the BERTopic
+    * "c-TF-IDF" shape): each domain is treated as ONE pseudo-document,
+    * tf = c/ns over its token counts, idf = ln(1 + |domains|/df) with df
+    * counted over domains (not documents) — so shared vocabulary scores
+    * ~0 and the top terms are what a human would label the domain with.
+    *
+    * Same scale shape as [[domainDivergence]]: ONE corpus-sized keyed
+    * shuffle builds the (domain, token) counts off the shared
+    * [[tokensRelation]]; every window and the final rank run on that
+    * vocab-bounded relation. Scores are one float expression over exact
+    * integers, rounded at 6 BEFORE ranking so both engines rank the
+    * identical value (ties break on token).
+    */
+  def distinctiveTerms(docs: DataFrame, idCol: String, textCol: String,
+      domainCol: String, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokensRelation(docs, textCol)
+    val st = toks
+      .select(col(domainCol).as("domain"), explode(col("toks")).as("token"))
+      .groupBy(col("domain"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val withStats = st
+      .withColumn("ns", sum(col("c")).over(Window.partitionBy(col("domain"))))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
+    val nDomains = st.agg(countDistinct(col("domain")).as("n_dom"))
+    val scored = withStats.crossJoin(nDomains)
+      .withColumn("score",
+        round((col("c").cast("double") / col("ns").cast("double")) *
+          log(lit(1.0) + col("n_dom").cast("double") /
+            col("df").cast("double")), 6))
+    val rankWin = Window.partitionBy(col("domain"))
+      .orderBy(col("score").desc, col("token"))
+    scored
+      .withColumn("rk", row_number().over(rankWin))
+      .filter(col("rk") <= topK)
+      .select(col("domain"), col("rk"), col("token"), col("score"))
+  }
 }

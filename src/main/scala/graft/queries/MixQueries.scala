@@ -328,6 +328,95 @@ object MixQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Near-INCLUSION pairs: containment C = |A∩B| / min(|A|,|B|) over
+      // word-3-gram shingle sets — the quote/excerpt detector Jaccard
+      // misses (a short doc embedded in a long one has high containment
+      // but low Jaccard, so minhash bands under-recall it). Candidates
+      // come from the shared-substring postings (d07's relation, shared
+      // via postingsCached): any shared >= 11-char run pairs two docs
+      // regardless of their size ratio. Verification is two id-keyed
+      // joins against the hashed shingle sets — work stays proportional
+      // to candidates at any corpus size.
+      "d11_containment",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val k = 8; val w = 4; val maxDf = 20; val minShared = 3
+        val postings = postingsCached(s, t.documents, k, w, maxDf)
+        val cand = postings
+          .select(explode(flatten(transform(col("docs"), (a, i) =>
+            transform(slice(col("docs"), i + lit(2), size(col("docs"))),
+              b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+          .select(col("p.doc_a"), col("p.doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= minShared)
+          .select(col("doc_a"), col("doc_b"))
+        Dedup.containmentPairs(t.documents, "doc_id", "text", cand)
+          .filter(col("containment") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), col("size_a"), col("size_b"),
+            round(col("containment"), 6).as("containment"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""
+        |WITH hs AS (
+        |  SELECT doc_id,
+        |         list_transform(range(length(text) - 7),
+        |           i -> CAST(concat('0x', substr(md5('0:' ||
+        |                  substr(text, CAST(i + 1 AS INTEGER), 8)), 1, 15))
+        |                AS BIGINT)) AS hs
+        |  FROM documents WHERE length(text) >= 11
+        |),
+        |fp AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(len(hs) - 3),
+        |           j -> list_min(hs[j+1 : j+4]))) AS fps
+        |  FROM hs
+        |),
+        |exf AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+        |rare AS (SELECT fp FROM exf GROUP BY fp HAVING count(*) BETWEEN 2 AND 20),
+        |fe AS (SELECT e.doc_id, e.fp FROM exf e JOIN rare r USING (fp)),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM fe a JOIN fe b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= 3
+        |),
+        |tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(len(toks) - 2),
+        |           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingles
+        |  FROM tok WHERE len(toks) >= 3
+        |),
+        |hsets AS (
+        |  SELECT doc_id,
+        |         list_transform(shingles,
+        |           s -> CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT)) AS hs
+        |  FROM sh
+        |),
+        |verified AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |         len(sa.hs) AS size_a, len(sb.hs) AS size_b,
+        |         len(list_intersect(sa.hs, sb.hs)) * 1.0
+        |           / least(len(sa.hs), len(sb.hs)) AS containment,
+        |         len(list_intersect(sa.hs, sb.hs)) * 1.0
+        |           / len(list_distinct(sa.hs || sb.hs)) AS jaccard
+        |  FROM cand c
+        |  JOIN hsets sa ON sa.doc_id = c.doc_a
+        |  JOIN hsets sb ON sb.doc_id = c.doc_b
+        |)
+        |SELECT doc_a, doc_b, size_a, size_b,
+        |       round(containment, 6) AS containment,
+        |       round(jaccard, 6) AS jaccard
+        |FROM verified WHERE containment >= 0.5
+        |ORDER BY doc_a, doc_b
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Exact duplicated-SPAN detection (Lee et al., arXiv:2107.06499):
       // k-token grams occurring more than once corpus-wide mark spans;
       // overlapping marks merge into maximal per-doc spans — the
@@ -855,6 +944,56 @@ object MixQueries {
         |FROM j
         |GROUP BY source
         |ORDER BY source
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Per-source distinctive terms: class-based TF-IDF (the BERTopic
+      // c-TF-IDF shape — each source is one pseudo-document, idf counts
+      // the SOURCES containing a term). Top-5 per source labels what
+      // makes each slice of a mixture different — the topic-card feed of
+      // a corpus datasheet. Rides the shared tokensRelation; the only
+      // corpus-sized shuffle is the (source, token) count, with every
+      // window and the rank running on the vocab-bounded relation.
+      // Scores round at 6 BEFORE ranking so both engines rank the
+      // identical value; ties break on token.
+      "t20_tfidf_terms",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        TextAnalysis.distinctiveTerms(t.documents, "doc_id", "text",
+            "source", topK = 5)
+          .withColumnRenamed("domain", "source")
+          .orderBy(col("source"), col("rk"))
+      },
+      Some("""
+        |WITH tok AS (
+        |  SELECT source,
+        |         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |  FROM documents
+        |),
+        |st AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        |w AS (
+        |  SELECT source, token, c,
+        |         sum(c) OVER (PARTITION BY source) AS ns,
+        |         count(*) OVER (PARTITION BY token) AS df,
+        |         (SELECT count(DISTINCT source) FROM st) AS n_dom
+        |  FROM st
+        |),
+        |scored AS (
+        |  SELECT source, token,
+        |         round((CAST(c AS DOUBLE) / CAST(ns AS DOUBLE)) *
+        |               ln(1.0 + CAST(n_dom AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+        |           AS score
+        |  FROM w
+        |),
+        |ranked AS (
+        |  SELECT source, token, score,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY score DESC, token) AS rk
+        |  FROM scored
+        |)
+        |SELECT source, rk, token, score
+        |FROM ranked WHERE rk <= 5
+        |ORDER BY source, rk
         |""".stripMargin.trim)),
 
     QueryDef(

@@ -795,4 +795,36 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq === expect.toSeq)
   }
+
+  test("containmentPairs: embedded doc has containment 1.0, low jaccard") {
+    val big = (1 to 40).map(i => s"w$i").mkString(" ")
+    val small = (10 to 16).map(i => s"w$i").mkString(" ") // strict substring
+    val docs = Seq((1L, big), (2L, small),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8")).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val rows = Dedup.containmentPairs(docs, "doc_id", "text", cand)
+      .orderBy($"doc_b").collect()
+    assert(rows.length === 2)
+    val inc = rows(0) // (1, 2): every shingle of the small doc is in the big
+    assert(inc.getAs[Double]("containment") === 1.0)
+    assert(inc.getAs[Double]("jaccard") < 0.2,
+      "asymmetric inclusion must NOT look like a symmetric near-dup")
+    val disjoint = rows(1) // (1, 3): nothing shared
+    assert(disjoint.getAs[Double]("containment") === 0.0)
+  }
+
+  test("distinctiveTerms ranks a domain-unique token above shared vocab") {
+    val docs = Seq(
+      (1L, "common common quantum quantum quantum", "physics"),
+      (2L, "common common genome genome genome", "biology"),
+      (3L, "common genome quantum", "mixed")
+    ).toDF("doc_id", "text", "domain")
+    val top = TextAnalysis.distinctiveTerms(docs, "doc_id", "text",
+        "domain", topK = 1)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    // "common" appears in every domain -> idf ln(1+3/3)=ln 2 but tf is
+    // diluted; the domain-heavy token wins in its home domain.
+    assert(top("physics") === "quantum")
+    assert(top("biology") === "genome")
+  }
 }
