@@ -286,6 +286,43 @@ object Similarity {
     df.join(removed, Seq(idCol), "left_anti")
   }
 
+  /** D4-style prototypicality pruning (Tirumala et al., arXiv:2308.12284
+    * §3: SemDeDup, then drop the most PROTOTYPICAL points of each
+    * cluster): rank within each coarse cell by cosine-to-own-centroid
+    * descending (id tiebreak — fully deterministic) and mark the top
+    * floor(epsilon·|cell|) as dropped. Points nearest the centroid are
+    * the cluster's redundant core; keeping the periphery preserves
+    * diversity per token budget.
+    *
+    * Shares the [[Ivf.buildCached]] index with SemDeDup/ANN, so the
+    * k-means pass is paid once per corpus. The per-cell rank is one
+    * window over the cell-keyed relation; at 100 TB a cell can hold
+    * ~10⁹ points, so a deployment would replace exact row_number with
+    * sampled quantile thresholds on `proto` (the same trade t18's
+    * global ntile documents) — the keep SET changes only at the
+    * threshold boundary.
+    *
+    * Output: (idCol, cell, proto, cell_n, dropped).
+    */
+  def prototypicalityPrune(
+      df: DataFrame, idCol: String, vecCol: String,
+      epsilon: Double, numCells: Int, iterations: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val index = Ivf.buildCached(df.select(col(idCol), col(vecCol)),
+      idCol, vecCol, numCells, iterations)
+    val scored = index.cells
+      .join(broadcast(index.centroids), "cell")
+      .withColumn("proto", vector.cosine(col(vecCol), col("centroid")))
+    val rankWin = Window.partitionBy(col("cell"))
+      .orderBy(col("proto").desc, col(idCol))
+    scored
+      .withColumn("rk", row_number().over(rankWin))
+      .withColumn("cell_n",
+        count(lit(1)).over(Window.partitionBy(col("cell"))))
+      .select(col(idCol), col("cell"), col("proto"), col("cell_n"),
+        (col("rk") <= floor(col("cell_n") * epsilon)).as("dropped"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09):
     * combine ranked lists from heterogeneous retrievers —
     * `score(d) = Σ_lists 1/(kRrf + rank_list(d))`, absent-from-list

@@ -805,6 +805,47 @@ object VectorQueries {
         |       TRUE AS assign_ok, TRUE AS separation_ok
         |FROM embeddings
         |WHERE embedding IS NOT NULL AND len(embedding) > 0
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // D4 prototypicality pruning (arXiv:2308.12284) as an in-query
+      // contract (k-means not being SQL-expressible, same as v21/e05):
+      // drop the floor(eps*|cell|) points closest to their centroid in
+      // each coarse cell. Checked: the drop count lands in the exact
+      // [floor(eps*n) - n_cells, floor(eps*n)] band the per-cell floor
+      // guarantees, every cell's drop count is exactly floor(eps*|cell|),
+      // and the dropped points' mean centroid-cosine strictly exceeds the
+      // kept points' (we removed the redundant core, not the periphery).
+      "e06_d4_prune_contract",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val eps = 0.2
+        val marked = graft.ops.Similarity.prototypicalityPrune(
+          t.embeddings, "vec_id", "embedding", eps, numCells = 8)
+        val perCell = marked.groupBy(col("cell"), col("cell_n"))
+          .agg(sum(when(col("dropped"), 1L).otherwise(0L)).as("cell_dropped"))
+          .withColumn("cell_ok",
+            col("cell_dropped") === floor(col("cell_n") * eps))
+        val cells_ok = perCell.agg(
+          (sum(when(col("cell_ok"), 0L).otherwise(1L)) === 0L).as("per_cell_ok"))
+        marked.agg(
+            count(lit(1)).as("n_points"),
+            sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped_raw"),
+            avg(when(col("dropped"), col("proto"))).as("drop_mean"),
+            avg(when(!col("dropped"), col("proto"))).as("keep_mean"))
+          .crossJoin(cells_ok)
+          .select(col("n_points"),
+            (col("n_dropped_raw") <= floor(col("n_points") * eps) &&
+              col("n_dropped_raw") >= floor(col("n_points") * eps) - 8)
+              .as("drop_frac_ok"),
+            col("per_cell_ok"),
+            (col("drop_mean") > col("keep_mean")).as("proto_ok"))
+      },
+      Some("""
+        |SELECT count(*) AS n_points, TRUE AS drop_frac_ok,
+        |       TRUE AS per_cell_ok, TRUE AS proto_ok
+        |FROM embeddings
+        |WHERE embedding IS NOT NULL AND len(embedding) > 0
         |""".stripMargin.trim))
   )
 }

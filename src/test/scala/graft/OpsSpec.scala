@@ -827,4 +827,23 @@ class OpsSpec extends SparkSpec {
     assert(top("physics") === "quantum")
     assert(top("biology") === "genome")
   }
+
+  test("prototypicalityPrune drops exactly floor(eps*cell) core points") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val marked = Similarity.prototypicalityPrune(emb, "vec_id", "embedding",
+      epsilon = 0.25, numCells = 4)
+    val perCell = marked.groupBy($"cell", $"cell_n")
+      .agg(sum(when($"dropped", 1L).otherwise(0L)).as("nd"),
+        avg(when($"dropped", $"proto")).as("dm"),
+        avg(when(!$"dropped", $"proto")).as("km"))
+      .collect()
+    assert(perCell.nonEmpty)
+    perCell.foreach { r =>
+      val expect = (r.getAs[Long]("cell_n") * 0.25).toLong
+      assert(r.getAs[Long]("nd") === expect, s"cell ${r.get(0)} drop count")
+      if (expect > 0)
+        assert(r.getAs[Double]("dm") > r.getAs[Double]("km"),
+          "dropped core must be more prototypical than the kept periphery")
+    }
+  }
 }
