@@ -323,6 +323,37 @@ object Similarity {
         (col("rk") <= floor(col("cell_n") * epsilon)).as("dropped"))
   }
 
+  /** NDCG@k (Järvelin & Kekäläinen, TOIS 2002): grade a retrieval run
+    * against a relevance table. `run` carries (idCol, rnk) — a 1-based
+    * ranking, typically a top-N list; `truth` carries (idCol, gain) with
+    * non-negative graded relevance. DCG discounts each gain by
+    * ln(2)/ln(rank+1); IDCG re-ranks the truth's own top-k gains
+    * (gain desc, id tiebreak — deterministic under ties). Absent-from-
+    * truth run entries contribute gain 0, the same rule as [[rrfFuse]].
+    *
+    * The run side is bounded by construction; the only corpus-sized work
+    * is the ideal top-k, which plans as TakeOrderedAndProject (no global
+    * sort). Output: one row (dcg, idcg, ndcg), rounded at the END so
+    * both engines round identical double chains.
+    */
+  def ndcgAtK(run: DataFrame, truth: DataFrame, idCol: String, k: Int,
+      roundTo: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ln2 = log(lit(2.0))
+    val dcg = run.filter(col("rnk") <= k)
+      .join(truth.select(col(idCol), col("gain")), Seq(idCol), "left")
+      .agg(sum(coalesce(col("gain"), lit(0.0)) * ln2 /
+        log(col("rnk") + lit(1.0))).as("dcg"))
+    val byGain = Window.orderBy(col("gain").desc, col(idCol))
+    val idcg = truth.orderBy(col("gain").desc, col(idCol)).limit(k)
+      .withColumn("irnk", row_number().over(byGain))
+      .agg(sum(col("gain") * ln2 / log(col("irnk") + lit(1.0))).as("idcg"))
+    dcg.crossJoin(idcg).select(
+      round(col("dcg"), roundTo).as("dcg"),
+      round(col("idcg"), roundTo).as("idcg"),
+      round(col("dcg") / col("idcg"), roundTo).as("ndcg"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09):
     * combine ranked lists from heterogeneous retrievers —
     * `score(d) = Σ_lists 1/(kRrf + rank_list(d))`, absent-from-list

@@ -1005,6 +1005,93 @@ object TextQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Retrieval evaluation: NDCG@10 of the BM25 arm graded against
+      // embedding-cosine relevance to the probe (vec_id 0) — the harness
+      // that tells a pipeline whether its sparse retriever is worth
+      // fusing (compare with t15's RRF). Gains clip at 0 and round at 6
+      // before any ranking; both engines then discount/divide the same
+      // doubles and round once at the end. The ideal ranking plans as
+      // TakeOrderedAndProject — no global sort of the truth relation.
+      "t21_ndcg",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val byBm = Window.orderBy(col("bm25").desc, col("doc_id"))
+        val run = TextAnalysis.bm25Scores(t.documents, "doc_id", "text",
+            queryTerms = Seq("join", "scan", "vector"))
+          .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+          .withColumn("rnk", row_number().over(byBm))
+        val probe = broadcast(t.embeddings.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv")))
+        val truth = t.embeddings.filter(col("vec_id") =!= 0).crossJoin(probe)
+          .select(col("vec_id").as("doc_id"),
+            greatest(lit(0.0),
+              round(graft.functions.vector.cosine(col("embedding"), col("qv")),
+                6)).as("gain"))
+        Similarity.ndcgAtK(run, truth, "doc_id", k = 10)
+      },
+      Some("""
+        |WITH tok AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |dl AS (
+        |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl
+        |  FROM tok WHERE len(toks) > 0
+        |),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+        |),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+        |  WHERE term IN ('join', 'scan', 'vector')
+        |  GROUP BY doc_id, term
+        |),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        |bm AS (
+        |  SELECT tf.doc_id,
+        |         round(sum(
+        |           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |           (tf.tf * 2.2) /
+        |           (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 4) AS bm25
+        |  FROM tf
+        |  JOIN df ON tf.term = df.term
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  CROSS JOIN stats
+        |  GROUP BY tf.doc_id
+        |),
+        |runk AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+        |  FROM (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10)
+        |),
+        |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+        |gains AS (
+        |  SELECT vec_id AS doc_id,
+        |         greatest(0.0,
+        |           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |                                        CAST(q AS DOUBLE[])), 6)) AS gain
+        |  FROM embeddings, qv WHERE vec_id <> 0
+        |),
+        |d AS (
+        |  SELECT sum(coalesce(g.gain, 0.0) * ln(2.0) / ln(r.rnk + 1.0)) AS dcg
+        |  FROM runk r LEFT JOIN gains g USING (doc_id)
+        |  WHERE r.rnk <= 10
+        |),
+        |i AS (
+        |  SELECT sum(gain * ln(2.0) / ln(irnk + 1.0)) AS idcg
+        |  FROM (
+        |    SELECT gain, row_number() OVER (ORDER BY gain DESC, doc_id) AS irnk
+        |    FROM (SELECT doc_id, gain FROM gains
+        |          ORDER BY gain DESC, doc_id LIMIT 10)
+        |  )
+        |)
+        |SELECT round(dcg, 4) AS dcg, round(idcg, 4) AS idcg,
+        |       round(dcg / idcg, 4) AS ndcg
+        |FROM d, i
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Character 5-gram Jaccard near-dup pairs — same machinery as d02
       // over char shingles, but MinHash(64) in 8 bands of EIGHT: char-gram
       // similarity concentrates much higher than word-gram similarity on

@@ -828,6 +828,20 @@ class OpsSpec extends SparkSpec {
     assert(top("biology") === "genome")
   }
 
+  test("ndcgAtK matches the hand-computed discounted gains") {
+    val run = Seq(("a", 1), ("b", 2)).toDF("id", "rnk")
+    val truth = Seq(("a", 1.0), ("c", 3.0), ("b", 2.0)).toDF("id", "gain")
+    val r = Similarity.ndcgAtK(run, truth, "id", k = 2).collect()(0)
+    // DCG = 1.0 + 2.0*ln2/ln3 = 2.2619; IDCG = 3.0 + 2.0*ln2/ln3 = 4.2619
+    assert(r.getAs[Double]("dcg") === 2.2619)
+    assert(r.getAs[Double]("idcg") === 4.2619)
+    assert(r.getAs[Double]("ndcg") === 0.5307)
+    // A run that ranks truth's own top-k in order scores exactly 1.0.
+    val ideal = Seq(("c", 1), ("b", 2)).toDF("id", "rnk")
+    val p = Similarity.ndcgAtK(ideal, truth, "id", k = 2).collect()(0)
+    assert(p.getAs[Double]("ndcg") === 1.0)
+  }
+
   test("prototypicalityPrune drops exactly floor(eps*cell) core points") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val marked = Similarity.prototypicalityPrune(emb, "vec_id", "embedding",
