@@ -573,8 +573,31 @@ object Dedup {
     */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
-    val toks = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+    val toks = tokensWithCount(docs, idCol, textCol)
+    val spans = duplicatedSpanSet(toks, idCol, k)
+    val perDoc = spans.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("en") - col("s")).as("dup_tokens"))
+    toks.select(col(idCol), col("n_tokens").cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double"), 6).as("dup_frac"))
+  }
+
+  /** (idCol, toks, n_tokens) tokenization shared by the span ops. */
+  private def tokensWithCount(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol), tokens(col(textCol)).as("toks"))
       .select(col(idCol), col("toks"), size(col("toks")).as("n_tokens"))
+
+  /** Maximal duplicated spans (idCol, island, s, en) over a tokenized
+    * relation — steps 1-3 of [[duplicatedSpans]]'s pipeline doc.
+    */
+  private def duplicatedSpanSet(toks: DataFrame, idCol: String,
+      k: Int): DataFrame = {
     // Guard short docs explicitly: sequence(0, negative) would DESCEND.
     val starts = when(col("n_tokens") >= k,
       sequence(lit(0), col("n_tokens") - k)).otherwise(array())
@@ -598,17 +621,46 @@ object Dedup {
         when(prevMax.isNull || col("pos") > prevMax, 1).otherwise(0))
       .withColumn("island", sum(col("brk")).over(byPos.rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-    val spans = islands.groupBy(col(idCol), col("island"))
+    islands.groupBy(col(idCol), col("island"))
       .agg(min(col("pos")).as("s"), max(col("e")).as("en"))
-    val perDoc = spans.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_dup_spans"),
-        sum(col("en") - col("s")).as("dup_tokens"))
-    toks.select(col(idCol), col("n_tokens").cast("long").as("n_tokens"))
-      .join(perDoc, Seq(idCol), "left")
-      .select(col(idCol), col("n_tokens"),
-        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
-        coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"),
-        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
-          col("n_tokens").cast("double"), 6).as("dup_frac"))
+  }
+
+  /** Span REMOVAL — the "act" to [[duplicatedSpans]]'s "detect": every
+    * token inside a duplicated span is cut and the document re-joined
+    * from the survivors (the scrub policy of Lee et al. §4.1 applied to
+    * ALL marked occurrences — deterministic, no keep-first tie to break).
+    *
+    * The spans per document collapse to ONE small array via an id-keyed
+    * aggregate; the cut itself is then a single map-side HOF over the
+    * token array (`filter` + `exists` over the span list — spans per doc
+    * are few by construction, having merged to maximal islands). Nothing
+    * new shuffles beyond [[duplicatedSpanSet]]'s gram count: the rebuild
+    * cost is linear in corpus tokens.
+    *
+    * Output: idCol, n_tokens, kept_tokens, scrub_md5 (md5 of the
+    * space-rejoined survivor text — whitespace-normalized like
+    * [[normalize]], so both engines hash identical strings).
+    */
+  def scrubDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val toks = tokensWithCount(docs, idCol, textCol)
+    val spanArr = duplicatedSpanSet(toks, idCol, k)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("s").cast("long").as("s"),
+        col("en").cast("long").as("en"))).as("sp"))
+    val degenerate = array(struct(lit(0L).as("s"), lit(0L).as("en")))
+    toks.join(spanArr, Seq(idCol), "left")
+      .withColumn("spn", coalesce(col("sp"), degenerate))
+      .withColumn("kept", transform(
+        filter(
+          transform(col("toks"), (tok, i) =>
+            struct(i.cast("long").as("i"), tok.as("tok"))),
+          p => !exists(col("spn"), sp =>
+            p.getField("i") >= sp.getField("s") &&
+              p.getField("i") < sp.getField("en"))),
+        p => p.getField("tok")))
+      .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("kept_tokens"),
+        md5(concat_ws(" ", col("kept"))).as("scrub_md5"))
   }
 }

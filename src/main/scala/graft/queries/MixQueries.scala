@@ -487,6 +487,82 @@ object MixQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Duplicated-span REMOVAL — d09's detect turned into the act: every
+      // token inside a corpus-duplicated 8-gram span is cut and the doc
+      // re-joined from the survivors. The hash-checked scrub_md5 proves
+      // both engines rebuild byte-identical cleaned text, i.e. the
+      // surgery (not just the span accounting) is exact. Spans collapse
+      // to one per-doc array; the cut is a single map-side HOF — nothing
+      // shuffles beyond d09's gram count at any corpus size.
+      "d12_span_scrub",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Dedup.scrubDuplicatedSpans(t.documents, "doc_id", "text", k = 8)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        |WITH tok AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |base AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM tok),
+        |grams AS (
+        |  SELECT doc_id,
+        |         CAST(unnest(range(greatest(n_tokens - 7, 0))) AS BIGINT)
+        |           AS pos,
+        |         unnest(list_transform(range(greatest(n_tokens - 7, 0)),
+        |           i -> md5(array_to_string(toks[i+1:i+8], ' '))))
+        |           AS gram_key
+        |  FROM base
+        |),
+        |dup AS (
+        |  SELECT gram_key FROM grams GROUP BY gram_key HAVING count(*) > 1
+        |),
+        |cov AS (
+        |  SELECT g.doc_id, g.pos, g.pos + 8 AS e
+        |  FROM grams g JOIN dup USING (gram_key)
+        |),
+        |isl AS (
+        |  SELECT doc_id, pos, e,
+        |         CASE WHEN pos > coalesce(max(e) OVER (
+        |                PARTITION BY doc_id ORDER BY pos
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |                -1)
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM cov
+        |),
+        |isl2 AS (
+        |  SELECT doc_id, pos, e,
+        |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |                        ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM isl
+        |),
+        |spans AS (
+        |  SELECT doc_id, island, min(pos) AS s, max(e) AS en
+        |  FROM isl2 GROUP BY 1, 2
+        |),
+        |spl AS (
+        |  SELECT doc_id, list(s ORDER BY s) AS ss, list(en ORDER BY s) AS es
+        |  FROM spans GROUP BY doc_id
+        |),
+        |scr AS (
+        |  SELECT b.doc_id, b.n_tokens,
+        |         list_transform(
+        |           list_filter(range(len(b.toks)),
+        |             i -> len(list_filter(range(len(coalesce(p.ss, []))),
+        |                    j -> p.ss[j+1] <= i AND i < p.es[j+1])) = 0),
+        |           i -> b.toks[i+1]) AS kept
+        |  FROM base b LEFT JOIN spl p USING (doc_id)
+        |)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(len(kept) AS BIGINT) AS kept_tokens,
+        |       md5(coalesce(array_to_string(kept, ' '), '')) AS scrub_md5
+        |FROM scr
+        |ORDER BY doc_id
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Benchmark decontamination: flag training docs sharing winnowed
       // k-gram fingerprints with a held-out eval split (10% hash split
       // plays the benchmark). The winnowing guarantee makes this exact

@@ -828,6 +828,25 @@ class OpsSpec extends SparkSpec {
     assert(top("biology") === "genome")
   }
 
+  test("scrubDuplicatedSpans cuts exactly the shared-gram spans") {
+    val docs = Seq(
+      (1L, "u1 u2 a b c u3 u4"),
+      (2L, "v1 a b c v2"),
+      (3L, "w1 w2 w3")
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubDuplicatedSpans(docs, "doc_id", "text", k = 3)
+      .orderBy($"doc_id").collect()
+    def md5Of(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0).getAs[Long]("kept_tokens") === 4L)
+    assert(out(0).getAs[String]("scrub_md5") === md5Of("u1 u2 u3 u4"))
+    assert(out(1).getAs[Long]("kept_tokens") === 2L)
+    assert(out(1).getAs[String]("scrub_md5") === md5Of("v1 v2"))
+    // No duplicated gram -> untouched (rejoined with single spaces).
+    assert(out(2).getAs[Long]("kept_tokens") === 3L)
+    assert(out(2).getAs[String]("scrub_md5") === md5Of("w1 w2 w3"))
+  }
+
   test("ndcgAtK matches the hand-computed discounted gains") {
     val run = Seq(("a", 1), ("b", 2)).toDF("id", "rnk")
     val truth = Seq(("a", 1.0), ("c", 3.0), ("b", 2.0)).toDF("id", "gain")
