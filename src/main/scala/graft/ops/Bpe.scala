@@ -97,11 +97,33 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Memoized [[train]]: the merge table is a pure function of (corpus
+    * plan, numMerges, minFreq), and both the vocabulary query (t17) and
+    * the fertility evaluation (t23) consume it — so the iterative
+    * driver loop runs once per (session, corpus, params). Weak-keyed on
+    * the session like [[graft.queries.Tables]].
+    */
+  def trainCached(docs: DataFrame, textCol: String, numMerges: Int,
+      minFreq: Long = 2): Seq[(Int, String, String, Long)] = {
+    val perSession = mergeCache.computeIfAbsent(docs.sparkSession,
+      _ => new java.util.concurrent.ConcurrentHashMap[String,
+        Seq[(Int, String, String, Long)]]())
+    val key = s"${docs.queryExecution.logical.semanticHash()}/$textCol/" +
+      s"$numMerges/$minFreq"
+    perSession.computeIfAbsent(key, _ =>
+      train(docs, textCol, numMerges, minFreq))
+  }
+
+  private val mergeCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String,
+        Seq[(Int, String, String, Long)]]]())
+
   /** The trained merge table as a DataFrame (rank, left, right, freq). */
   def trainTable(spark: SparkSession, docs: DataFrame, textCol: String,
       numMerges: Int, minFreq: Long = 2): DataFrame = {
     import spark.implicits._
-    train(docs, textCol, numMerges, minFreq)
+    trainCached(docs, textCol, numMerges, minFreq)
       .toDF("rank", "left", "right", "freq")
   }
 

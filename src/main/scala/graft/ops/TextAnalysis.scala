@@ -529,6 +529,52 @@ object TextAnalysis {
         i => Dedup.hash60(0, text.substr(i + lit(1), lit(k)))))
       .otherwise(array().cast("array<long>"))
 
+  /** Content-defined chunking (the FastCDC/rsync family, Xia et al., ATC
+    * '16): cut a document wherever the rolling k-gram hash ≡ 0 mod
+    * `modulus`, giving ~modulus-char chunks whose BOUNDARIES move with
+    * the content. Unlike fixed-stride windows (t11), an insertion near
+    * the front shifts no downstream chunk identity: every chunk whose
+    * bytes are unchanged keeps its hash — the property that makes
+    * chunk-level dedup/caching work under edits.
+    *
+    * Entirely map-side (one HOF chain per row, no shuffle at any corpus
+    * size). Output: idCol, chunk_idx, start, len, chunk_md5 — one row
+    * per non-empty chunk, linear in corpus bytes.
+    */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, modulus: Int = 64): DataFrame = {
+    // HOFs are interpreted (CodegenFallback), so an expensive array must
+    // only ever appear as a HOF ARGUMENT (evaluated once per call), never
+    // be indexed per lambda element — `element_at(hs, i)` inside a lambda
+    // re-derives the whole md5 chain per element, O(len²) per row (the
+    // same trap wordShingled documents for split()).
+    val hs = kgramHashes(col(textCol), k)
+    // (pos, hash) pairs via zip_with — `hs` evaluates twice (arg + size),
+    // not per element; zip_with pads nothing here (equal lengths).
+    val interior = transform(
+      filter(
+        zip_with(hs, sequence(lit(0), greatest(size(hs), lit(1)) - 1),
+          (h, i) => struct(h.as("h"), i.as("i"))),
+        p => p.getField("h") % modulus === 0 && p.getField("i") > 0),
+      p => p.getField("i"))
+    val cuts = concat(array(lit(0)), interior,
+      array(length(col(textCol)).cast("int")))
+    // Adjacent cut pairs: zip cuts against its own tail; the final
+    // (last, null) pad row dies on the len > 0 filter below.
+    val chunks = zip_with(cuts,
+      slice(cuts, lit(2), greatest(size(cuts), lit(2))),
+      (s, e) => struct(s.as("s"), (e - s).as("len")))
+    docs
+      .select(col(idCol), col(textCol).as("txt"), chunks.as("chunks"))
+      .select(col(idCol), col("txt"),
+        posexplode(col("chunks")).as(Seq("chunk_idx", "c")))
+      .filter(col("c.len") > 0)
+      .select(col(idCol), col("chunk_idx"),
+        col("c.s").cast("long").as("start"),
+        col("c.len").cast("long").as("len"),
+        md5(col("txt").substr(col("c.s") + 1, col("c.len"))).as("chunk_md5"))
+  }
+
   /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
     * SIGMOD'03): over the positional k-gram hashes, keep the minimum of
     * each `w`-length sliding window, deduplicated. Any substring of

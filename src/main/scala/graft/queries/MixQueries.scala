@@ -1073,6 +1073,106 @@ object MixQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Content-defined chunking (FastCDC/rsync family): cut wherever the
+      // rolling 8-gram hash ≡ 0 mod 64 — boundaries move WITH the content,
+      // so an edit near the front leaves every untouched chunk's identity
+      // (start-relative bytes, hence md5) intact, unlike t11's fixed
+      // stride. Chunk hashes are the unit of chunk-level dedup and
+      // transfer caching. Map-only at any corpus size; the oracle replays
+      // the identical hash/cut/md5 chain.
+      "t22_cdc_chunks",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        TextAnalysis.cdcChunks(t.documents, "doc_id", "text",
+            k = 8, modulus = 64)
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some("""
+        |WITH h AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN length(text) >= 8
+        |              THEN list_transform(range(length(text) - 7),
+        |                     i -> CAST(concat('0x', substr(md5('0:' ||
+        |                            substr(text, CAST(i + 1 AS INTEGER), 8)),
+        |                            1, 15)) AS BIGINT))
+        |              ELSE [] END AS hs
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, text,
+        |         [0] ||
+        |         list_filter(range(1, greatest(len(hs), 1)),
+        |           i -> hs[i+1] % 64 = 0) ||
+        |         [length(text)] AS cuts
+        |  FROM h
+        |),
+        |e AS (
+        |  SELECT doc_id, text, cuts, unnest(range(len(cuts) - 1)) AS j
+        |  FROM c
+        |)
+        |SELECT doc_id, CAST(j AS INTEGER) AS chunk_idx,
+        |       CAST(cuts[j+1] AS BIGINT) AS start,
+        |       CAST(cuts[j+2] - cuts[j+1] AS BIGINT) AS len,
+        |       md5(substr(text, CAST(cuts[j+1] + 1 AS INTEGER),
+        |                  CAST(cuts[j+2] - cuts[j+1] AS INTEGER))) AS chunk_md5
+        |FROM e
+        |WHERE cuts[j+2] - cuts[j+1] > 0
+        |ORDER BY doc_id, chunk_idx
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Tokenizer fertility evaluation: apply the corpus-trained BPE
+      // (t17's cached merge table) to each source's vocabulary and grade
+      // the result — the "is this tokenizer efficient on this mixture"
+      // check run before committing a tokenizer to a training corpus.
+      // Segmentation runs over the DISTINCT-word relation (Zipf-bounded),
+      // never the corpus; per-source stats weight by word frequency.
+      // n_tokens/n_distinct_words are SQL-exact; the BPE-dependent facts
+      // ship as in-query contract booleans (the merge argmax is iterative,
+      // not one SQL statement — t17's exemption): every segmented word
+      // rejoins to its original, and weighted fertility lies in
+      // [1, mean word chars].
+      "t23_bpe_fertility",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val merges = graft.ops.Bpe.trainCached(t.documents, "text",
+          numMerges = 8).map(m => (m._2, m._3))
+        val toks = TextAnalysis.tokensRelation(t.documents, "text")
+        val words = toks
+          .select(col("source"), explode(col("toks")).as("word"))
+          .groupBy(col("source"), col("word"))
+          .agg(count(lit(1)).as("freq"))
+        graft.ops.Bpe.segment(words, "word", merges)
+          .withColumn("n_pieces", size(col("pieces")))
+          .withColumn("rejoined", concat_ws("", col("pieces")))
+          .groupBy(col("source"))
+          .agg(sum(col("freq")).as("n_tokens"),
+            count(lit(1)).as("n_distinct_words"),
+            (sum(when(col("rejoined") === col("word"), 0L).otherwise(1L))
+              === 0L).as("rejoin_ok"),
+            (sum(col("freq") * col("n_pieces")) >= sum(col("freq")))
+              .as("fertility_ge_1"),
+            (sum(col("freq") * col("n_pieces")) <=
+              sum(col("freq") * length(col("word"))))
+              .as("fertility_le_chars"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        |WITH tok AS (
+        |  SELECT source,
+        |         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        |  FROM documents
+        |),
+        |st AS (SELECT source, word, count(*) AS freq FROM tok GROUP BY 1, 2)
+        |SELECT source, CAST(sum(freq) AS BIGINT) AS n_tokens,
+        |       count(*) AS n_distinct_words,
+        |       TRUE AS rejoin_ok, TRUE AS fertility_ge_1,
+        |       TRUE AS fertility_le_chars
+        |FROM st GROUP BY source
+        |ORDER BY source
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Temperature-scaled domain mixing (XLM arXiv:1901.07291 §3.1 /
       // mT5): w_d = sqrt(|d|) / sum sqrt(|j|) flattens the domain size
       // distribution; each domain down-samples toward its share of a

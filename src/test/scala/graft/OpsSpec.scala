@@ -847,6 +847,31 @@ class OpsSpec extends SparkSpec {
     assert(out(2).getAs[String]("scrub_md5") === md5Of("w1 w2 w3"))
   }
 
+  test("cdcChunks tiles each doc exactly and survives a front insertion") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .orderBy($"n_chars".desc).limit(1)
+      .select($"doc_id", $"text")
+    val tiling = TextAnalysis.cdcChunks(docs, "doc_id", "text")
+      .groupBy($"doc_id").agg(sum($"len").as("covered"),
+        min($"start").as("first"), count(lit(1)).as("n_chunks"))
+      .join(docs.select($"doc_id", length($"text").as("n")), "doc_id")
+      .collect()(0)
+    assert(tiling.getAs[Long]("covered") === tiling.getAs[Int]("n").toLong)
+    assert(tiling.getAs[Long]("first") === 0L)
+    assert(tiling.getAs[Long]("n_chunks") > 2, "fixture long enough to chunk")
+
+    // The CDC property: prepend an edit; every original chunk except the
+    // first (whose bytes the insertion touches) keeps its identity.
+    val edited = docs.select($"doc_id",
+      concat(lit("EDITED PREFIX 123 "), $"text").as("text"))
+    val orig = TextAnalysis.cdcChunks(docs, "doc_id", "text")
+      .orderBy($"chunk_idx").collect().map(_.getAs[String]("chunk_md5"))
+    val after = TextAnalysis.cdcChunks(edited, "doc_id", "text")
+      .collect().map(_.getAs[String]("chunk_md5")).toSet
+    assert(orig.drop(1).forall(after.contains),
+      "all original chunks past the edit keep their content hash")
+  }
+
   test("ndcgAtK matches the hand-computed discounted gains") {
     val run = Seq(("a", 1), ("b", 2)).toDF("id", "rnk")
     val truth = Seq(("a", 1.0), ("c", 3.0), ("b", 2.0)).toDF("id", "gain")
