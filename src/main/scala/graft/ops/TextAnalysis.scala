@@ -543,31 +543,45 @@ object TextAnalysis {
     */
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, modulus: Int = 64): DataFrame = {
-    // HOFs are interpreted (CodegenFallback), so an expensive array must
-    // only ever appear as a HOF ARGUMENT (evaluated once per call), never
-    // be indexed per lambda element — `element_at(hs, i)` inside a lambda
-    // re-derives the whole md5 chain per element, O(len²) per row (the
-    // same trap wordShingled documents for split()).
-    val hs = kgramHashes(col(textCol), k)
-    // (pos, hash) pairs via zip_with — `hs` evaluates twice (arg + size),
-    // not per element; zip_with pads nothing here (equal lengths).
-    val interior = transform(
-      filter(
-        zip_with(hs, sequence(lit(0), greatest(size(hs), lit(1)) - 1),
-          (h, i) => struct(h.as("h"), i.as("i"))),
-        p => p.getField("h") % modulus === 0 && p.getField("i") > 0),
-      p => p.getField("i"))
-    val cuts = concat(array(lit(0)), interior,
-      array(length(col(textCol)).cast("int")))
-    // Adjacent cut pairs: zip cuts against its own tail; the final
-    // (last, null) pad row dies on the len > 0 filter below.
-    val chunks = zip_with(cuts,
-      slice(cuts, lit(2), greatest(size(cuts), lit(2))),
-      (s, e) => struct(s.as("s"), (e - s).as("len")))
-    docs
-      .select(col(idCol), col(textCol).as("txt"), chunks.as("chunks"))
+    // Two structural rules keep this linear (HOFs are interpreted, and a
+    // per-lambda-element reference to a DERIVED array re-derives its whole
+    // chain per element — the O(len²) trap wordShingled documents):
+    //  1. expensive arrays appear only as HOF ARGUMENTS, never indexed
+    //     inside a lambda;
+    //  2. each derived array is materialized as a NAMED column in its own
+    //     projection (t06's pattern) — CollapseProject declines to inline
+    //     a non-cheap alias referenced more than once, so `hs` and `cuts`
+    //     evaluate exactly once per row however many times the next stage
+    //     reads them.
+    val hs = col("hs"); val cuts = col("cuts")
+    Spread.ensure(docs)
+      .select(col(idCol), col(textCol).as("txt"),
+        kgramHashes(col(textCol), k).as("hs"))
+      // Two-arg transform supplies the element index directly — no
+      // sequence/zip_with/struct intermediates over the corpus-sized
+      // hash array; non-boundary positions become nulls and one filter
+      // pass drops them.
       .select(col(idCol), col("txt"),
-        posexplode(col("chunks")).as(Seq("chunk_idx", "c")))
+        concat(
+          array(lit(0)),
+          filter(
+            transform(hs, (h, i) =>
+              when(h % modulus === 0 && i > 0, i)),
+            x => x.isNotNull),
+          array(length(col("txt")).cast("int"))).as("cuts"))
+      // Adjacent cut pairs: zip cuts against its own tail; the final
+      // (last, null) pad row dies on the len > 0 filter below.
+      .select(col(idCol), col("txt"),
+        zip_with(cuts, slice(cuts, lit(2), greatest(size(cuts), lit(2))),
+          (s, e) => struct(s.as("s"), (e - s).as("len"))).as("chunks"))
+      // posexplode_OUTER on purpose: the non-outer form triggers
+      // InferFiltersFromGenerate, whose size(...)>0 guard is pushed below
+      // the staged projections WITH THE WHOLE CHAIN SUBSTITUTED — the
+      // scan-side filter then re-derives the md5 chain ~10x per row
+      // (measured 21 s -> 1.4 s at sf0.1). The len > 0 filter below
+      // already drops the outer-null pad rows the guard would have.
+      .select(col(idCol), col("txt"),
+        posexplode_outer(col("chunks")).as(Seq("chunk_idx", "c")))
       .filter(col("c.len") > 0)
       .select(col(idCol), col("chunk_idx"),
         col("c.s").cast("long").as("start"),
