@@ -357,4 +357,65 @@ class ScaleSpec extends SparkSpec {
       s"flattening failed: small=$small big=$big")
     assert(total > 80000L && total < 120000L, s"budget off: $total")
   }
+
+  test("scrubDuplicatedSpans rebuilds identical text at 10^5 docs under any partitioning") {
+    // Same planted-boilerplate corpus as the d09 invariance test: every
+    // 50th doc embeds a 12-token block whose duplicated 8-grams merge to
+    // ONE 12-token span. The scrub must cut exactly those 12 tokens from
+    // planted docs, leave the rest byte-identical, and the full
+    // (kept_tokens, scrub_md5) relation may not depend on partitioning —
+    // the gram-count shuffle and span window are the order-sensitive
+    // spots the hash checksum guards.
+    val boiler = (1 to 12).map(i => s"boiler$i").mkString(" ")
+    def docs(parts: Int) = spark.range(100000L).repartition(parts)
+      .select($"id".as("doc_id"),
+        concat_ws(" ",
+          concat(lit("u"), $"id", lit("a")), concat(lit("u"), $"id", lit("b")),
+          when($"id" % 50 === 0, lit(boiler))
+            .otherwise(concat(lit("filler"), $"id")),
+          concat(lit("u"), $"id", lit("c")), concat(lit("u"), $"id", lit("d")))
+          .as("text"))
+    def summary(parts: Int): (Long, Long, Long, Long) = {
+      val out = graft.ops.Dedup.scrubDuplicatedSpans(docs(parts),
+        "doc_id", "text", k = 8)
+      val r = out.agg(count(lit(1)), sum($"kept_tokens"),
+        count(when($"kept_tokens" < $"n_tokens", 1)),
+        expr("bit_xor(xxhash64(doc_id, scrub_md5))")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    val s1 = summary(7)
+    assert(s1 === summary(63), "scrubbed corpus drifts with partitioning")
+    assert(s1._3 === 2000L, s"exactly the planted docs lose tokens: ${s1._3}")
+    // 98k untouched docs keep 5 tokens; 2k planted docs keep 16 - 12 = 4.
+    assert(s1._2 === 98000L * 5 + 2000L * 4, s"kept-token total: ${s1._2}")
+  }
+
+  test("distinctiveTerms is partition-invariant at 10^5 docs and surfaces the domain marker") {
+    // d1 docs carry a marker token absent from d0; shared filler spans
+    // both. The ranked output (rounded-before-rank scores, token
+    // tiebreak) must be identical under any partitioning, and each
+    // domain's top-1 must be its own marker (d0's most distinctive token
+    // is whichever shared filler d1 dilutes least — so only d1's marker
+    // is asserted, plus rank stability for both).
+    def docs(parts: Int) = spark.range(100000L).repartition(parts)
+      .select($"id".as("doc_id"),
+        when($"id" % 4 === 0, "d1").otherwise("d0").as("source"),
+        concat_ws(" ",
+          when($"id" % 4 === 0, lit("markerone")).otherwise(lit("plainword")),
+          concat(lit("shared"), $"id" % 8)).as("text"))
+    def run(parts: Int): Seq[(String, Int, String, Double)] = {
+      graft.ops.TextAnalysis.invalidate(spark)
+      graft.ops.TextAnalysis.distinctiveTerms(docs(parts),
+          "doc_id", "text", "source", topK = 3)
+        .orderBy($"domain", $"rk")
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+          r.getDouble(3))).toSeq
+    }
+    val a = run(7)
+    assert(a === run(61), "ranked terms drift with partitioning")
+    val top = a.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    assert(top("d1") === "markerone")
+    assert(top("d0") === "plainword")
+  }
 }
