@@ -307,6 +307,41 @@ object SourceQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Schema evolution on the lake: a v1 writer lands (c_custkey,
+      // c_name), a later v2 writer appends (c_custkey, c_name, c_acctbal)
+      // to the SAME directory; mergeSchema reconciles the footers and v1
+      // rows surface the new column as null — the additive-column
+      // migration every long-lived lake table goes through, with no
+      // rewrite of old files. The check proves the union schema (3 cols),
+      // that exactly the v2 rows carry balances, and the exact balance
+      // sum — i.e. values route to the right columns across file schemas.
+      "io09_schema_evolution",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val out = ioDir("io09", dir)
+        t.customer.filter(col("c_custkey") % 2 === 0)
+          .select(col("c_custkey"), col("c_name"))
+          .write.mode("overwrite").parquet(out)
+        t.customer.filter(col("c_custkey") % 2 === 1)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+          .write.mode("append").parquet(out)
+        val merged = s.read.option("mergeSchema", "true").parquet(out)
+        merged.agg(
+            count(lit(1)).as("n_rows"),
+            count(col("c_acctbal")).as("n_with_bal"),
+            round(sum(col("c_acctbal")), 2).as("bal_sum"))
+          .select(lit(merged.schema.size).as("n_cols"), col("n_rows"),
+            col("n_with_bal"), col("bal_sum"))
+      },
+      Some("""
+        |SELECT 3 AS n_cols, count(*) AS n_rows,
+        |       count(CASE WHEN c_custkey % 2 = 1 THEN 1 END) AS n_with_bal,
+        |       round(sum(CASE WHEN c_custkey % 2 = 1 THEN c_acctbal END), 2)
+        |         AS bal_sum
+        |FROM customer
         |""".stripMargin.trim))
   )
 }

@@ -846,6 +846,51 @@ object VectorQueries {
         |       TRUE AS per_cell_ok, TRUE AS proto_ok
         |FROM embeddings
         |WHERE embedding IS NOT NULL AND len(embedding) > 0
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // IVF serving diagnostic: the recall-vs-cost curve over nprobe —
+      // the knob an operator turns when an ANN index misses. Routed cell
+      // sets are NESTED as nprobe grows (rank by centroid cosine, cell
+      // tiebreak), and a true top-k member present in a candidate set
+      // always survives that set's top-k, so recall against the
+      // full-probe baseline is PROVABLY non-decreasing — checked per
+      // step (mono_ok), with full probe recovering the baseline exactly
+      // (full_ok; v11 separately certifies full probe == brute force).
+      // Rides v09's cached index; each sweep scans only its routed cells.
+      "v22_nprobe_sweep",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val emb = t.embeddings
+        val probes = emb.orderBy(col("vec_id")).limit(10)
+        val idx = graft.ops.Ivf.buildCached(emb, "vec_id", "embedding",
+          numCells = 16, iterations = 1)
+        val full = graft.ops.Ivf.search(idx, probes, "vec_id", "embedding",
+            k = 5, nprobe = 16)
+          .select(col("query_id").as("fq"), col("vec_id").as("fv"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sweep = Seq(1, 2, 4, 8, 16).map { np =>
+          graft.ops.Ivf.search(idx, probes, "vec_id", "embedding",
+              k = 5, nprobe = np)
+            .join(full, col("query_id") === col("fq") &&
+              col("vec_id") === col("fv"), "left")
+            .agg(count(col("fv")).as("hits"), count(lit(1)).as("n_ret"))
+            .select(lit(np).as("nprobe"), col("hits"), col("n_ret"))
+        }.reduce(_ unionByName _)
+        val byNp = Window.orderBy(col("nprobe"))
+        sweep
+          .withColumn("prev_hits", lag(col("hits"), 1).over(byNp))
+          .select(col("nprobe"),
+            (col("prev_hits").isNull || col("hits") >= col("prev_hits"))
+              .as("mono_ok"),
+            (col("nprobe") < 16 || col("hits") === col("n_ret"))
+              .as("full_ok"))
+          .orderBy(col("nprobe"))
+      },
+      Some("""
+        |SELECT nprobe, TRUE AS mono_ok, TRUE AS full_ok
+        |FROM (VALUES (1), (2), (4), (8), (16)) t(nprobe)
+        |ORDER BY nprobe
         |""".stripMargin.trim))
   )
 }
