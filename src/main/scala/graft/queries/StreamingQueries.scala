@@ -543,6 +543,60 @@ object StreamingQueries {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2
         |ORDER BY 1, 2
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Stream-stream LEFT OUTER interval join — st05's inner join
+      // silently drops exactly the rows a funnel-health monitor needs:
+      // purchases with NO qualifying signup in the preceding 7 days.
+      // Outer-result emission is watermark-driven (a null-signup row may
+      // only emit once no matching signup can still arrive), so the
+      // sentinel advances the final watermark 8 days past the true max —
+      // beyond every purchase's match window + lateness — making outer
+      // emission total at the gate; a real unbounded stream's advancing
+      // watermark does this continuously. The sentinel rides BOTH filter
+      // legs (it must advance both input watermarks), matches only
+      // itself, and is dropped by the user filter after the sink.
+      "st11_stream_attrib_gaps",
+      (s, dir) => {
+        val scratch = sentinelEventsDir(s, dir, 8L * 24 * 60 * MinuteNs)
+        val stream = EventStreams.withEventTime(
+          s.readStream.schema(EventStreams.rawSchema).parquet(scratch))
+        val joined = EventStreams.attributionJoin(
+          stream.filter(col("event_type").isin("purchase", "sentinel")),
+          stream.filter(col("event_type").isin("signup", "sentinel")),
+          window = "7 days", joinType = "left_outer")
+        runToTable(s, joined, "append")
+          .filter(col("user_id") =!= -1L)
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("signup_time")).as("n_matched"),
+            countDistinct(when(col("signup_time").isNull,
+              col("purchase_id"))).as("n_gap_purchases"),
+            round(sum(when(col("signup_time").isNull, col("value"))), 2)
+              .as("gap_value"))
+      },
+      Some("""
+        |WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, value, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'
+        |),
+        |s AS (
+        |  SELECT user_id AS s_user_id, epoch_us(ts) AS s_us
+        |  FROM events WHERE event_type = 'signup'
+        |),
+        |j AS (
+        |  SELECT p.purchase_id, p.value, s.s_us
+        |  FROM p LEFT JOIN s ON p.user_id = s.s_user_id
+        |    AND s.s_us <= p.p_us
+        |    AND s.s_us >= p.p_us - CAST(7 AS BIGINT) * 86400 * 1000000
+        |)
+        |SELECT count(*) AS n_rows,
+        |       count(s_us) AS n_matched,
+        |       count(DISTINCT CASE WHEN s_us IS NULL THEN purchase_id END)
+        |         AS n_gap_purchases,
+        |       round(sum(CASE WHEN s_us IS NULL THEN value END), 2)
+        |         AS gap_value
+        |FROM j
         |""".stripMargin.trim))
   )
 }

@@ -869,7 +869,7 @@ object VectorQueries {
             k = 5, nprobe = 16)
           .select(col("query_id").as("fq"), col("vec_id").as("fv"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val sweep = Seq(1, 2, 4, 8, 16).map { np =>
+        val sweep = Seq(1, 4, 16).map { np =>
           graft.ops.Ivf.search(idx, probes, "vec_id", "embedding",
               k = 5, nprobe = np)
             .join(full, col("query_id") === col("fq") &&
@@ -889,7 +889,7 @@ object VectorQueries {
       },
       Some("""
         |SELECT nprobe, TRUE AS mono_ok, TRUE AS full_ok
-        |FROM (VALUES (1), (2), (4), (8), (16)) t(nprobe)
+        |FROM (VALUES (1), (4), (16)) t(nprobe)
         |ORDER BY nprobe
         |""".stripMargin.trim))
   )

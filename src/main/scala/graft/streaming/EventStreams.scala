@@ -202,19 +202,36 @@ object EventStreams {
     * batch inputs (the test oracle).
     */
   def purchaseAttribution(events: DataFrame, window: String = "7 days",
-      lateness: String = "10 minutes"): DataFrame = {
-    val purchases = events.filter(col("event_type") === "purchase")
+      lateness: String = "10 minutes"): DataFrame =
+    attributionJoin(events.filter(col("event_type") === "purchase"),
+      events.filter(col("event_type") === "signup"), window, lateness)
+
+  /** The general interval-attribution join over two pre-filtered event
+    * streams. With `joinType = "left_outer"` purchases with NO qualifying
+    * signup emit a null-signup row once the watermark proves no match can
+    * still arrive — the conversion-gap shape (an inner join silently
+    * drops exactly the rows a funnel-health monitor needs). Outer-result
+    * emission is watermark-driven, so a gate run must advance the final
+    * watermark past every purchase's match window (the sentinel fixture);
+    * on a real unbounded stream the advancing watermark does it
+    * continuously. State stays bounded either way.
+    */
+  def attributionJoin(purchaseEvents: DataFrame, signupEvents: DataFrame,
+      window: String = "7 days", lateness: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
+    val purchases = purchaseEvents
       .withWatermark("event_time", lateness)
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("event_time").as("purchase_time"), col("value"))
-    val signups = events.filter(col("event_type") === "signup")
+    val signups = signupEvents
       .withWatermark("event_time", lateness)
       .select(col("user_id").as("s_user_id"),
         col("event_time").as("signup_time"))
     purchases.join(signups,
       col("user_id") === col("s_user_id") &&
         col("signup_time") <= col("purchase_time") &&
-        col("signup_time") >= col("purchase_time") - expr(s"INTERVAL $window"))
+        col("signup_time") >= col("purchase_time") - expr(s"INTERVAL $window"),
+      joinType)
       .select(col("purchase_id"), col("user_id"), col("purchase_time"),
         col("signup_time"), col("value"))
   }
