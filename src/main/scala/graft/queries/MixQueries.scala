@@ -1226,6 +1226,67 @@ object MixQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Curriculum ordering (Bengio et al., ICML'09): rank the corpus by
+      // LM perplexity (easy -> hard), cut into terciles, and interleave
+      // them round-robin into a deterministic training order — every
+      // consecutive block of 3 samples spans the difficulty range, so
+      // early training isn't all-easy and the order is reproducible
+      // bit-for-bit across engines (ntile over rounded ppl with doc_id
+      // tiebreak). Rides the memoized perplexity relation (scored once
+      // for t13 and every composite consumer); the interleave is two
+      // windows over the |docs| score relation. At 100 TB the ntile
+      // becomes sampled tercile thresholds (t18's trade) and the
+      // position arithmetic is unchanged.
+      "s09_curriculum",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val ppl = TextAnalysis.unigramPerplexity(t.documents, "doc_id",
+          "text")
+        val byPpl = org.apache.spark.sql.expressions.Window
+          .orderBy(col("ppl"), col("doc_id"))
+        val byTier = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("tercile")).orderBy(col("ppl"), col("doc_id"))
+        ppl
+          .withColumn("tercile", ntile(3).over(byPpl).cast("long"))
+          .withColumn("position",
+            ((row_number().over(byTier) - 1) * 3).cast("long") +
+              col("tercile") - 1)
+          .select(col("position"), col("doc_id"), col("tercile"), col("ppl"))
+          .orderBy(col("position"))
+          .limit(30)
+      },
+      Some("""
+        |WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents
+        |),
+        |vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |stats AS (SELECT sum(c) AS n, count(*) AS v FROM vocab),
+        |ppl AS (
+        |  SELECT t.doc_id, round(exp(avg(-ln((c + 1.0) / (n + v)))), 4) AS ppl
+        |  FROM toks t JOIN vocab USING (tok), stats
+        |  GROUP BY t.doc_id
+        |),
+        |tiered AS (
+        |  SELECT doc_id, ppl,
+        |         CAST(ntile(3) OVER (ORDER BY ppl, doc_id) AS BIGINT) AS tercile
+        |  FROM ppl
+        |),
+        |ordered AS (
+        |  SELECT CAST((row_number() OVER (PARTITION BY tercile
+        |                                  ORDER BY ppl, doc_id) - 1) * 3
+        |              AS BIGINT) + tercile - 1 AS position,
+        |         doc_id, tercile, ppl
+        |  FROM tiered
+        |)
+        |SELECT position, doc_id, tercile, ppl
+        |FROM ordered
+        |ORDER BY position
+        |LIMIT 30
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Per-source data card ("Datasheets for Datasets", Gebru et al.,
       // arXiv:1803.09010, as a query): the per-domain summary a curated
       // corpus ships with — doc/token counts, exact- AND near-duplicate

@@ -1363,6 +1363,96 @@ object TextQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Duplicate-cluster size distribution — the dedup AUDIT that tells
+      // an operator whether near-dup structure is pairwise noise or deep
+      // template families (a heavy tail here means one boilerplate source
+      // dominates and minhash parameters/thresholds deserve a look).
+      // Rides the SAME cached pair relation and canonicalization as d05;
+      // the histogram is two keyed aggregates over the |pair-graph| label
+      // relation, never the corpus. Oracle replays the full recursive
+      // transitive closure.
+      "d13_cluster_sizes",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val pairs = graft.ops.Dedup.nearDuplicatesMinhashCached(
+          t.documents, "doc_id", "text", threshold = 0.5)
+        graft.ops.Dedup.canonicalize(pairs)
+          .groupBy(col("keeper_id"))
+          .agg(count(lit(1)).as("cluster_size"))
+          .groupBy(col("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("cluster_size")).as("n_docs"))
+          .orderBy(col("cluster_size"))
+      },
+      Some("""
+        |WITH RECURSIVE
+        |tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) >= 3
+        |              THEN list_distinct(list_transform(range(len(toks) - 2),
+        |                     i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+        |              ELSE [] END AS shingles
+        |  FROM tok
+        |),
+        |ex AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT)  AS h1,
+        |         CAST(concat('0x', substr(md5(s), 13, 12)) AS BIGINT) AS h2
+        |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0)
+        |),
+        |hashed AS (
+        |  SELECT doc_id, j, min((h1 + j * h2) % 2147483647) AS sigv
+        |  FROM ex, range(32) t(j)
+        |  GROUP BY doc_id, j
+        |),
+        |sigs AS (SELECT doc_id, list(sigv ORDER BY j) AS sig FROM hashed GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS key
+        |  FROM sigs, range(8) t(b)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+        |),
+        |hsets AS (SELECT doc_id, list(h1) AS hs FROM ex GROUP BY doc_id),
+        |verified AS (
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM cand c
+        |  JOIN hsets sa ON sa.doc_id = c.doc_a
+        |  JOIN hsets sb ON sb.doc_id = c.doc_b
+        |  WHERE len(list_intersect(sa.hs, sb.hs)) * 1.0
+        |        / len(list_distinct(sa.hs || sb.hs)) >= 0.5
+        |),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM verified
+        |  UNION
+        |  SELECT doc_b AS src, doc_a AS dst FROM verified
+        |),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |),
+        |labels AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS keeper_id
+        |  FROM reach GROUP BY src
+        |),
+        |comp AS (
+        |  SELECT keeper_id, count(*) AS cluster_size FROM labels GROUP BY keeper_id
+        |)
+        |SELECT cluster_size, count(*) AS n_clusters,
+        |       CAST(sum(cluster_size) AS BIGINT) AS n_docs
+        |FROM comp
+        |GROUP BY cluster_size
+        |ORDER BY cluster_size
+        |""".stripMargin.trim)),
+
+    QueryDef(
       "m03_frame_sample",
       (s, dir) => {
         import s.implicits._
