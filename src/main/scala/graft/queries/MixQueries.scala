@@ -825,6 +825,71 @@ object MixQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Uncertainty sampling (Lewis & Gale, SIGIR'94 — the active-learning
+      // selection step): the docs the trained NB quality filter is LEAST
+      // sure about (|log-likelihood ratio| closest to 0) are the ones
+      // worth human labels next — annotating confident docs teaches the
+      // model nothing. Same trained model and exact-integer scoring as
+      // s07 (the oracle replays the full NB chain); only the ranking
+      // changes, so the selection is engine-invariant under the identical
+      // round-at-4 + doc_id tiebreak rule.
+      "s10_uncertainty_sample",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        TextAnalysis.nbQualityScores(t.documents, "doc_id", "text",
+            isPositive = col("source").isin("src0", "src1"),
+            isNegative = col("source").isin("src8", "src9"),
+            buckets = 64)
+          .orderBy(abs(col("nb_score")), col("doc_id"))
+          .limit(20)
+      },
+      Some("""
+        |WITH lab AS (
+        |  SELECT doc_id, text,
+        |         source IN ('src0', 'src1') AS is_pos,
+        |         source IN ('src8', 'src9') AS is_neg
+        |  FROM documents
+        |),
+        |tok AS (
+        |  SELECT doc_id, is_pos, is_neg,
+        |         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |           AS term
+        |  FROM lab
+        |),
+        |b AS (
+        |  SELECT doc_id, is_pos, is_neg,
+        |         CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT) % 64
+        |           AS bucket
+        |  FROM tok
+        |),
+        |dist AS (
+        |  SELECT bucket,
+        |         count(*) FILTER (WHERE is_pos) AS n_pos,
+        |         count(*) FILTER (WHERE is_neg) AS n_neg
+        |  FROM b GROUP BY bucket
+        |),
+        |tot AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM dist),
+        |w AS (
+        |  SELECT bucket,
+        |         ln((n_pos + 1.0) / (tp + 64.0)) -
+        |         ln((n_neg + 1.0) / (tn + 64.0)) AS w
+        |  FROM dist CROSS JOIN tot
+        |),
+        |prior AS (
+        |  SELECT ln((count(*) FILTER (WHERE is_pos) + 1.0) /
+        |            (count(*) FILTER (WHERE is_neg) + 1.0)) AS log_prior
+        |  FROM lab
+        |),
+        |pd AS (SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY doc_id, bucket)
+        |SELECT pd.doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       round(sum(c * w) + any_value(log_prior), 4) AS nb_score
+        |FROM pd JOIN w USING (bucket) CROSS JOIN prior
+        |GROUP BY pd.doc_id
+        |ORDER BY abs(round(sum(c * w) + any_value(log_prior), 4)), doc_id
+        |LIMIT 20
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Gopher quality rules (arXiv:2112.11446 Table A1): the rule battery
       // web-scale corpora run BEFORE any learned scorer — word count band,
       // mean word length band, symbol ratio, bullet/ellipsis line ratios,

@@ -178,6 +178,43 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/out/event_type=click").exists())
   }
 
+  test("left-outer attributionJoin emits gap rows only after the watermark proves no match") {
+    implicit val sqlCtx = spark.sqlContext
+    val pStream = MemoryStream[(Long, Long, Timestamp, Double)]
+    val sStream = MemoryStream[(Long, Timestamp)]
+    val joined = EventStreams.attributionJoin(
+      pStream.toDF.toDF("event_id", "user_id", "event_time", "value"),
+      sStream.toDF.toDF("user_id", "event_time"),
+      window = "7 days", lateness = "0 seconds", joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("attrib_gaps_out")
+      .outputMode("append").start()
+    try {
+      // Batch 1: user 2 signs up then purchases (match); user 1 only
+      // purchases. The match emits; the GAP row must NOT — a signup for
+      // user 1 could still arrive within the watermark.
+      sStream.addData((2L, ts(0)))
+      pStream.addData((100L, 2L, ts(5), 9.0), (101L, 1L, ts(10), 5.0))
+      q.processAllAvailable()
+      val t1 = spark.table("attrib_gaps_out").collect()
+      assert(t1.exists(_.getLong(0) == 100L), "inner match emits immediately")
+      assert(!t1.exists(_.getLong(0) == 101L),
+        "gap row must wait for the watermark")
+      // Batches 2-3: advance BOTH watermarks far past user 1's match
+      // window (watermark is computed from the PREVIOUS batch's max event
+      // time, so outer emission needs one more batch after the advance).
+      val far = Timestamp.valueOf("2024-01-20 10:00:00")
+      val far2 = Timestamp.valueOf("2024-01-21 10:00:00")
+      pStream.addData((900L, 99L, far, 0.0)); sStream.addData((99L, far))
+      q.processAllAvailable()
+      pStream.addData((901L, 99L, far2, 0.0)); sStream.addData((99L, far2))
+      q.processAllAvailable()
+      val t2 = spark.table("attrib_gaps_out").collect()
+      val gap = t2.filter(_.getLong(0) == 101L)
+      assert(gap.length === 1, "exactly one gap row for the unmatched purchase")
+      assert(gap.head.isNullAt(3), "gap row carries a null signup_time")
+    } finally q.stop()
+  }
+
   test("file-stream form reads the events table incrementally") {
     // Copy the parquet into a dir the stream can list (single file).
     val src = "/root/testdata/sf0.001/events.parquet"
