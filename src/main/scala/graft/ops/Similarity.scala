@@ -348,10 +348,13 @@ object Similarity {
     val idcg = truth.orderBy(col("gain").desc, col(idCol)).limit(k)
       .withColumn("irnk", row_number().over(byGain))
       .agg(sum(col("gain") * ln2 / log(col("irnk") + lit(1.0))).as("idcg"))
+    // A degenerate truth (no rows, or all-zero gains) has no ideal
+    // ranking to normalize against: ndcg is null, not NaN/Infinity.
     dcg.crossJoin(idcg).select(
       round(col("dcg"), roundTo).as("dcg"),
       round(col("idcg"), roundTo).as("idcg"),
-      round(col("dcg") / col("idcg"), roundTo).as("ndcg"))
+      round(when(col("idcg") =!= 0.0d, col("dcg") / col("idcg")), roundTo)
+        .as("ndcg"))
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09):

@@ -140,4 +140,40 @@ class HardeningSpec extends SparkSpec {
     assert(out(2L) === ((9L, 1.0)))
     assert(out(3L) === ((9L, 1.0)))
   }
+
+  test("ndcgAtK degenerate truths yield null ndcg, never NaN or Infinity") {
+    val run = Seq(("a", 1), ("b", 2)).toDF("id", "rnk")
+    // All-zero gains: dcg = idcg = 0, ndcg must be null (0/0 is NaN).
+    val zeros = Seq(("a", 0.0), ("b", 0.0)).toDF("id", "gain")
+    val z = Similarity.ndcgAtK(run, zeros, "id", k = 2).collect()(0)
+    assert(z.getDouble(0) === 0.0 && z.getDouble(1) === 0.0)
+    assert(z.isNullAt(2), "0/0 must surface as null, not NaN")
+    // Empty truth: run rows score 0 (absent-entry rule), the ideal side
+    // has nothing to sum -> idcg and ndcg null.
+    val empty = Seq.empty[(String, Double)].toDF("id", "gain")
+    val e = Similarity.ndcgAtK(run, empty, "id", k = 2).collect()(0)
+    assert(e.getDouble(0) === 0.0)
+    assert(e.isNullAt(1) && e.isNullAt(2))
+  }
+
+  test("cdcChunks: empty and short docs still tile exactly") {
+    val docs = Seq((1L, ""), (2L, "short"), (3L, "x" * 100))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.cdcChunks(docs, "doc_id", "text")
+    val byDoc = out.groupBy($"doc_id")
+      .agg(sum($"len").as("covered"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!byDoc.contains(1L), "empty text yields no chunks")
+    assert(byDoc(2L) === ((5L, 1L)), "sub-k text is one whole-doc chunk")
+    assert(byDoc(3L)._1 === 100L, "chunks tile the full doc")
+  }
+
+  test("containmentPairs drops candidates whose doc has no shingle set") {
+    // doc 2 has fewer tokens than the shingle width -> no set -> the
+    // candidate involving it vanishes (inner join), rather than scoring
+    // against an empty array as containment 0/0.
+    val docs = Seq((1L, "a b c d e"), (2L, "xy")).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    assert(Dedup.containmentPairs(docs, "doc_id", "text", cand).count() === 0)
+  }
 }
