@@ -216,7 +216,21 @@ object SimBench {
     val bqMatch = bqTop.join(cosTop, Seq("query_id", "vec_id")).count()
     val bqRecall = bqMatch.toDouble / math.max(1L, bqRerankRows)
 
-    println(s"""{"metric":"findsim_1024x475_qps","value":$qps,"unit":"qps","extra":{"findsim_1m_x64_sec":$bigSec,"hits_small":$hits,"hits_1m":$bigHits,"ivf_1m_build_sec":$buildSec,"ivf_1m_topk_sec":$ivfSec,"ivf_1m_topk_semijoin_sec":$ivfSemiSec,"brute_1m_topk_sec":$bruteSec,"ivf_rows":$ivfRows,"brute_rows":$bruteRows,"ivfpq_1m_build_sec":$pqBuildSec,"ivfpq_1m_topk_sec":$pqSec,"ivfpq_recall_at10":$pqRecall,"ivfpq_rerank_1m_sec":$rrSec,"ivfpq_rerank_recall_at10":$rrRecall,"bq_hamming_1m_sec":$bqSec,"bq_rows":$bqRows,"bq_rerank_1m_sec":$bqRerankSec,"bq_rerank_recall_at10":$bqRecall,"lsh_allpairs_1m_sec":$lshSec,"lsh_pairs":$lshCount,"lsh_planted_found":$plantedFound,"semdedup_1m_sec":$semSec,"semdedup_pairs":$semCount,"semdedup_planted_found":$semPlantedFound}}""")
+    // D4 prototypicality prune at 1M: one broadcast-centroid cosine scan
+    // plus a per-cell rank window over the coarse index — the diversity
+    // prune that follows SemDeDup. Reported: wall time, drop count, and
+    // the core-vs-periphery mean-cosine separation (must be positive).
+    val t6 = System.nanoTime()
+    val pr = graft.ops.Similarity.prototypicalityPrune(big, "id", "vec",
+        epsilon = 0.2, numCells = 64, iterations = 1)
+      .agg(sum(when(col("dropped"), 1L).otherwise(0L)),
+        avg(when(col("dropped"), col("proto"))),
+        avg(when(!col("dropped"), col("proto")))).head()
+    val pruneSec = (System.nanoTime() - t6) / 1e9
+    val pruneDropped = pr.getLong(0)
+    val pruneSep = pr.getDouble(1) - pr.getDouble(2)
+
+    println(s"""{"metric":"findsim_1024x475_qps","value":$qps,"unit":"qps","extra":{"findsim_1m_x64_sec":$bigSec,"hits_small":$hits,"hits_1m":$bigHits,"ivf_1m_build_sec":$buildSec,"ivf_1m_topk_sec":$ivfSec,"ivf_1m_topk_semijoin_sec":$ivfSemiSec,"brute_1m_topk_sec":$bruteSec,"ivf_rows":$ivfRows,"brute_rows":$bruteRows,"ivfpq_1m_build_sec":$pqBuildSec,"ivfpq_1m_topk_sec":$pqSec,"ivfpq_recall_at10":$pqRecall,"ivfpq_rerank_1m_sec":$rrSec,"ivfpq_rerank_recall_at10":$rrRecall,"bq_hamming_1m_sec":$bqSec,"bq_rows":$bqRows,"bq_rerank_1m_sec":$bqRerankSec,"bq_rerank_recall_at10":$bqRecall,"lsh_allpairs_1m_sec":$lshSec,"lsh_pairs":$lshCount,"lsh_planted_found":$plantedFound,"semdedup_1m_sec":$semSec,"semdedup_pairs":$semCount,"semdedup_planted_found":$semPlantedFound,"d4_prune_1m_sec":$pruneSec,"d4_dropped":$pruneDropped,"d4_core_minus_periphery":$pruneSep}}""")
     spark.stop()
   }
 }

@@ -40,7 +40,19 @@ class QueriesSpec extends SparkSpec {
     "q15_asof_join" -> 192L,
     "q20_asof_custom" -> 192L, // must equal q15: same semantics, custom exec
     "t01_langid" -> 500L,
-    "s01_dataset_split" -> 3L)
+    "s01_dataset_split" -> 3L,
+    // Round-5 second-session additions (deterministic sf0.001 results).
+    "d11_containment" -> 27L,
+    "d12_span_scrub" -> 500L,
+    "d13_cluster_sizes" -> 3L,
+    "q43_funnel" -> 1L,
+    "q44_anomaly" -> 184L,
+    "s09_curriculum" -> 30L,
+    "s10_uncertainty_sample" -> 20L,
+    "t20_tfidf_terms" -> 100L,
+    "t22_cdc_chunks" -> 2830L,
+    "t23_bpe_fertility" -> 20L,
+    "v22_nprobe_sweep" -> 3L)
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
