@@ -302,6 +302,45 @@ object SeriesQueries {
         |FROM scored
         |WHERE abs(z) > 2.5
         |ORDER BY hour_epoch_s, event_type
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Cohort retention: users grouped by first-seen week; for each
+      // (cohort, weeks-since) cell, how many distinct users were active —
+      // the classic retention triangle. All integer week arithmetic on
+      // event-time nanos, so the cell counts are engine-exact. Two keyed
+      // aggregates: per-user first week (|users| rows), then the
+      // (user, week) distinct activity joined user-keyed against it —
+      // the join side is |users|-bounded and AQE-broadcastable at scale.
+      "q45_cohorts",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val weekNs = 7L * 24 * 3600 * 1000000000L
+        val ev = t.events.select(col("user_id"),
+          expr(s"ts div $weekNs").as("wk"))
+        val activity = ev.distinct()
+        val firstWk = ev.groupBy(col("user_id"))
+          .agg(min(col("wk")).as("cohort_wk"))
+        activity.join(firstWk, Seq("user_id"))
+          .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .select((col("cohort_wk") * 7 * 24 * 3600).as("cohort_epoch_s"),
+            col("week_offset"), col("n_users"))
+          .orderBy(col("cohort_epoch_s"), col("week_offset"))
+      },
+      Some("""
+        |WITH ev AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(epoch_ns(ts) // 604800000000000 AS BIGINT) AS wk
+        |  FROM events
+        |),
+        |first AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id)
+        |SELECT cohort_wk * 604800 AS cohort_epoch_s,
+        |       wk - cohort_wk AS week_offset,
+        |       count(DISTINCT e.user_id) AS n_users
+        |FROM ev e JOIN first USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2
         |""".stripMargin.trim))
   )
 }

@@ -303,6 +303,64 @@ object TextQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Column profiling (the ANALYZE TABLE / data-quality manifest shape):
+      // per-column row/null/distinct counts and value bounds over the fact
+      // table, unpivoted to one row per column. One pass over the scan;
+      // the multi-column exact count(distinct) plans as Spark's standard
+      // Expand + partial-aggregate (each distinct column shuffles its own
+      // stream — at 100 TB a profiler swaps in approx_count_distinct,
+      // a01's measured-accuracy pattern). Bounds are exact column values,
+      // so both engines agree bit-for-bit.
+      "p04_profile",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+          "l_tax")
+        val agg = t.lineitem.agg(
+          count(lit(1)).as("n_rows"),
+          cols.flatMap(c => Seq(
+            count(col(c)).as(s"nn_$c"),
+            countDistinct(col(c)).as(s"nd_$c"),
+            min(col(c)).cast("double").as(s"mn_$c"),
+            max(col(c)).cast("double").as(s"mx_$c"))): _*)
+        val rows = cols.map(c => agg.select(
+          lit(c).as("column"), col("n_rows"),
+          (col("n_rows") - col(s"nn_$c")).as("n_null"),
+          col(s"nd_$c").as("n_distinct"),
+          round(col(s"mn_$c"), 6).as("min_v"),
+          round(col(s"mx_$c"), 6).as("max_v")))
+        rows.reduce(_ unionByName _).orderBy(col("column"))
+      },
+      Some("""
+        |WITH a AS (
+        |  SELECT count(*) AS n_rows,
+        |         count(l_quantity) AS nn_q, count(DISTINCT l_quantity) AS nd_q,
+        |         round(CAST(min(l_quantity) AS DOUBLE), 6) AS mn_q,
+        |         round(CAST(max(l_quantity) AS DOUBLE), 6) AS mx_q,
+        |         count(l_extendedprice) AS nn_e,
+        |         count(DISTINCT l_extendedprice) AS nd_e,
+        |         round(CAST(min(l_extendedprice) AS DOUBLE), 6) AS mn_e,
+        |         round(CAST(max(l_extendedprice) AS DOUBLE), 6) AS mx_e,
+        |         count(l_discount) AS nn_d, count(DISTINCT l_discount) AS nd_d,
+        |         round(CAST(min(l_discount) AS DOUBLE), 6) AS mn_d,
+        |         round(CAST(max(l_discount) AS DOUBLE), 6) AS mx_d,
+        |         count(l_tax) AS nn_t, count(DISTINCT l_tax) AS nd_t,
+        |         round(CAST(min(l_tax) AS DOUBLE), 6) AS mn_t,
+        |         round(CAST(max(l_tax) AS DOUBLE), 6) AS mx_t
+        |  FROM lineitem
+        |)
+        |SELECT 'l_discount' AS "column", n_rows, n_rows - nn_d AS n_null,
+        |       nd_d AS n_distinct, mn_d AS min_v, mx_d AS max_v FROM a
+        |UNION ALL
+        |SELECT 'l_extendedprice', n_rows, n_rows - nn_e, nd_e, mn_e, mx_e FROM a
+        |UNION ALL
+        |SELECT 'l_quantity', n_rows, n_rows - nn_q, nd_q, mn_q, mx_q FROM a
+        |UNION ALL
+        |SELECT 'l_tax', n_rows, n_rows - nn_t, nd_t, mn_t, mx_t FROM a
+        |ORDER BY "column"
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Sequence packing: documents packed into 4096-token bins per
       // source, deterministic id order. Output: per-bin document counts
       // and token totals for the first bins of each source.
