@@ -472,9 +472,15 @@ object StreamingQueries {
         val sig = stream.filter(length(col("text")) >= 5)
           .withColumn("event_time",
             timestamp_seconds(lit(1700000000L) + pmod(col("doc_id"), lit(600L))))
+          // Fused one-pass signature expression (same Carter-Wegman math
+          // as Dedup.minhashSignature, which inlines k md5 sweeps of the
+          // shingle array per row — the k-branch HOF form this expression
+          // exists to replace; swap measured 6.7-11.6 -> 1.7 s for st09).
+          .withColumn("pairs", transform(
+            graft.ops.Dedup.charShingles(col("text"), 5),
+            sh => graft.ops.Dedup.hashPair48(sh)))
           .withColumn("sig", concat_ws(",", transform(
-            graft.ops.Dedup.minhashSignature(
-              graft.ops.Dedup.charShingles(col("text"), 5), 8),
+            graft.functions.MinhashSignature(col("pairs"), 8),
             v => v.cast("string"))))
         val uniq = EventStreams.dedupStream(sig, "1 hour", Seq("sig"))
         runToTable(s, uniq.select(col("sig")), "append")
