@@ -184,4 +184,36 @@ object Lake {
       .select(col(keyCol), col(valueCol), col("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current"))
   }
+
+  /** Changelog between two snapshots of a keyed table: per row,
+    * `inserted` (key only in `after`), `deleted` (only in `before`), or
+    * `updated` (key in both, any compared column differing — null-safe,
+    * so a transition to/from NULL counts and NULL == NULL does not).
+    * Unchanged rows are omitted. This is the table-diff an incremental
+    * pipeline runs between lake versions to derive a CDC feed when the
+    * upstream has none (the inverse of [[cdcUpsert]], which APPLIES one).
+    *
+    * One key-keyed full-outer join; at lake scale both sides shuffle on
+    * the key once (or co-partition for free if both snapshots were
+    * bucketed by the key at write, io08's layout).
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame, keyCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    // Presence comes from explicit marker columns, not value nullability:
+    // a present row whose compared values are ALL null must still count
+    // as present on its side.
+    val b = before.select(col(keyCol) +: lit(1).as("_b") +:
+      compareCols.map(c => col(c).as(s"b_$c")): _*)
+    val a = after.select(col(keyCol) +: lit(1).as("_a") +:
+      compareCols.map(c => col(c).as(s"a_$c")): _*)
+    val changed = compareCols
+      .map(c => !(col(s"b_$c") <=> col(s"a_$c"))).reduce(_ || _)
+    b.join(a, Seq(keyCol), "full_outer")
+      .withColumn("change_type",
+        when(col("_b").isNull, "inserted")
+          .when(col("_a").isNull, "deleted")
+          .when(changed, "updated"))
+      .filter(col("change_type").isNotNull)
+      .drop("_b", "_a")
+  }
 }

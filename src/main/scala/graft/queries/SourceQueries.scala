@@ -342,6 +342,75 @@ object SourceQueries {
         |       round(sum(CASE WHEN c_custkey % 2 = 1 THEN c_acctbal END), 2)
         |         AS bal_sum
         |FROM customer
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Snapshot changelog: two lake versions of a keyed table (v2 =
+      // deterministic deletes/updates/inserts applied to v1), both landed
+      // as parquet and diffed back into a CDC feed — the inverse of
+      // q41/st08's MERGE, for upstreams that publish snapshots instead of
+      // changes. Lake.snapshotDiff is one key-keyed full-outer join with
+      // null-safe column comparison; presence comes from marker columns
+      // so all-null rows still count as present.
+      "io10_snapshot_diff",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val out1 = ioDir("io10a", dir); val out2 = ioDir("io10b", dir)
+        val base = t.orders.select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+        base.write.mode("overwrite").parquet(out1)
+        val inserts = base.filter(col("o_orderkey") % 97 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_totalprice"), col("o_orderstatus"))
+        base.filter(col("o_orderkey") % 7 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 5 === 0,
+              col("o_totalprice") + lit(1.5d))
+              .otherwise(col("o_totalprice")))
+          .unionByName(inserts)
+          .write.mode("overwrite").parquet(out2)
+        graft.ops.Lake.snapshotDiff(s.read.parquet(out1),
+            s.read.parquet(out2), "o_orderkey",
+            Seq("o_totalprice", "o_orderstatus"))
+          .groupBy(col("change_type"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(coalesce(col("b_o_totalprice"), lit(0.0d))), 2)
+              .as("before_total"),
+            round(sum(coalesce(col("a_o_totalprice"), lit(0.0d))), 2)
+              .as("after_total"))
+          .orderBy(col("change_type"))
+      },
+      Some("""
+        |WITH base AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |),
+        |v2 AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 5 = 0
+        |              THEN o_totalprice + 1.5
+        |              ELSE o_totalprice END AS o_totalprice,
+        |         o_orderstatus
+        |  FROM base WHERE o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+        |  FROM base WHERE o_orderkey % 97 = 0
+        |),
+        |d AS (
+        |  SELECT b.o_totalprice AS bp, a.o_totalprice AS ap,
+        |         CASE WHEN b.o_orderkey IS NULL THEN 'inserted'
+        |              WHEN a.o_orderkey IS NULL THEN 'deleted'
+        |              WHEN b.o_totalprice IS DISTINCT FROM a.o_totalprice
+        |                OR b.o_orderstatus IS DISTINCT FROM a.o_orderstatus
+        |              THEN 'updated' END AS change_type
+        |  FROM base b FULL OUTER JOIN v2 a ON b.o_orderkey = a.o_orderkey
+        |)
+        |SELECT change_type, count(*) AS n,
+        |       round(sum(coalesce(bp, 0)), 2) AS before_total,
+        |       round(sum(coalesce(ap, 0)), 2) AS after_total
+        |FROM d
+        |WHERE change_type IS NOT NULL
+        |GROUP BY change_type
+        |ORDER BY change_type
         |""".stripMargin.trim))
   )
 }

@@ -847,6 +847,22 @@ class OpsSpec extends SparkSpec {
     assert(out(2).getAs[String]("scrub_md5") === md5Of("w1 w2 w3"))
   }
 
+  test("snapshotDiff classifies inserts/deletes/updates with null-safe compare") {
+    val before = Seq((1L, Some("a"), 1.0), (2L, Some("b"), 2.0),
+      (3L, None: Option[String], 3.0), (4L, Some("d"), 4.0))
+      .toDF("k", "v", "x")
+    val after = Seq((1L, Some("a"), 1.0),           // unchanged -> omitted
+      (2L, Some("B"), 2.0),                          // value change
+      (3L, Some("c"), 3.0),                          // NULL -> c is a change
+      (5L, None: Option[String], 5.0))               // new key, null value
+      .toDF("k", "v", "x")
+    val got = graft.ops.Lake.snapshotDiff(before, after, "k", Seq("v", "x"))
+      .select($"k", $"change_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(2L -> "updated", 3L -> "updated",
+      4L -> "deleted", 5L -> "inserted"))
+  }
+
   test("cdcChunks tiles each doc exactly and survives a front insertion") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .orderBy($"n_chars".desc).limit(1)
