@@ -119,6 +119,52 @@ class PropertySpec extends SparkSpec {
     assert(after < before) // planted dups exist
   }
 
+  test("containment dominates jaccard and both stay in [0,1] on generated docs") {
+    // C = |∩|/min >= |∩|/|∪| = J for any pair of non-empty sets — the law
+    // that makes containment the right near-INCLUSION measure. Checked
+    // through the full op (tokenize -> shingle -> hash -> verify) over
+    // generated word documents, all pairs in one batched job.
+    val wordGen = Gen.chooseNum(1, 12).map(i => s"w$i")
+    val docGen = Gen.chooseNum(3, 20).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val texts = Iterator.continually(docGen.sample).flatten.take(40).toSeq
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val cand = (for { a <- 0 until 40; b <- (a + 1) until 40 }
+      yield (a.toLong, b.toLong)).toDF("doc_a", "doc_b")
+    val rows = graft.ops.Dedup.containmentPairs(docs, "doc_id", "text", cand)
+      .select($"containment", $"jaccard").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (c, j) = (r.getDouble(0), r.getDouble(1))
+      assert(c >= j - 1e-12, s"containment $c must dominate jaccard $j")
+      assert(c >= 0.0 && c <= 1.0 && j >= 0.0 && j <= 1.0)
+    }
+  }
+
+  test("cdcChunks tiles generated docs exactly with in-bounds boundaries") {
+    val charGen = Gen.oneOf(('a' to 'z') ++ Seq(' ', ' '))
+    val docGen = Gen.chooseNum(0, 200).flatMap(n =>
+      Gen.listOfN(n, charGen).map(_.mkString))
+    val texts = Iterator.continually(docGen.sample).flatten.take(60).toSeq
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.cdcChunks(docs, "doc_id", "text")
+      .groupBy($"doc_id")
+      .agg(sum($"len").as("covered"), min($"start").as("first"),
+        max($"start" + $"len").as("last"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      if (t.isEmpty) assert(!got.contains(i.toLong))
+      else {
+        val (covered, first, last) = got(i.toLong)
+        assert(covered === t.length.toLong, s"doc $i tiling")
+        assert(first === 0L && last === t.length.toLong, s"doc $i bounds")
+      }
+    }
+  }
+
   test("defaultMerger over disjoint maps is order-insensitive and total") {
     val parts = (0 until 10).map(i => JObject(List(s"k$i" -> JInt(i))))
     val a = Merge.defaultMerger(parts).toOption.get.asInstanceOf[JObject].obj.toMap
