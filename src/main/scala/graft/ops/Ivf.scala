@@ -151,6 +151,29 @@ object Ivf {
     IvfIndex(assigned, centroids).persist()
   }
 
+  /** Incremental index maintenance (FAISS's `add`): route a NEW batch to
+    * the EXISTING centroids and append its rows to the cells — no
+    * re-clustering, the daily-ingest path for a served index. The batch
+    * assignment is the same fused map-only [[assignLiteral]] sweep the
+    * build uses (its per-row cost IS ingest cost); centroids are
+    * unchanged, so every prior cell assignment — and any cell-partitioned
+    * lake layout — stays valid. Quantization drift (centroids going stale
+    * as the distribution shifts) is the operator's documented trade: an
+    * operation-count or drift-metric threshold triggers a rebuild, and
+    * v23's contract (full-probe search over an extended index == brute
+    * force over the union corpus) holds REGARDLESS of how stale the
+    * centroids are — staleness costs recall at small nprobe, never
+    * correctness of the routed scan.
+    */
+  def extend(index: IvfIndex, batch: DataFrame, idCol: String,
+      vecCol: String): IvfIndex = {
+    val cents = index.centroids.orderBy(col("cell")).collect()
+      .toSeq.map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val clean = batch.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+    val assigned = assignLiteral(clean, cents, idCol, vecCol)
+    IvfIndex(index.cells.unionByName(assigned), index.centroids).persist()
+  }
+
   /** Top-k cosine neighbors for each probe row, scanning only the nprobe
     * nearest cells. Output: query_id, rnk, vec_id, sim (rounded).
     */

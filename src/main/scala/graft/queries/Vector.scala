@@ -891,6 +891,51 @@ object VectorQueries {
         |SELECT nprobe, TRUE AS mono_ok, TRUE AS full_ok
         |FROM (VALUES (1), (4), (16)) t(nprobe)
         |ORDER BY nprobe
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Incremental index maintenance: build on 90% of the corpus, add
+      // the remaining 10% via Ivf.extend (route-to-existing-centroids,
+      // no re-clustering — FAISS's `add`, the daily-ingest path of a
+      // served index). Full-probe search over the EXTENDED index must
+      // equal brute force over the UNION corpus — the contract that holds
+      // however stale the centroids are: staleness costs recall at small
+      // nprobe, never correctness of the routed scan. Oracle is v11's
+      // whole-corpus brute force.
+      "v23_ivf_extend",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val emb = t.embeddings
+        val probes = emb.orderBy(col("vec_id")).limit(20)
+        val base = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+        val batch = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+        val idx = graft.ops.Ivf.build(base, "vec_id", "embedding",
+          numCells = 16, iterations = 1)
+        val extended = graft.ops.Ivf.extend(idx, batch, "vec_id", "embedding")
+        graft.ops.Ivf.search(extended, probes, "vec_id", "embedding",
+            k = 5, nprobe = 16)
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some("""
+        |WITH probes AS (
+        |  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 20
+        |),
+        |sims AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                      CAST(q.embedding AS DOUBLE[])), 6) AS sim
+        |  FROM embeddings e, probes q
+        |  WHERE e.vec_id <> q.vec_id
+        |),
+        |ranked AS (
+        |  SELECT query_id, vec_id, sim,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, vec_id) AS rnk
+        |  FROM sims
+        |)
+        |SELECT query_id, rnk, vec_id, sim
+        |FROM ranked WHERE rnk <= 5
+        |ORDER BY query_id, rnk
         |""".stripMargin.trim))
   )
 }

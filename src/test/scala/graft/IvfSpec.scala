@@ -105,4 +105,25 @@ class IvfSpec extends SparkSpec {
     assert(routed.count() ===
       index.cells.filter(col("cell").isin(cells.map(Integer.valueOf): _*)).count())
   }
+
+  test("extend appends the batch at unchanged centroids, existing rows untouched") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    val idx = graft.ops.Ivf.build(base, "vec_id", "embedding",
+      numCells = 8, iterations = 1)
+    val ext = graft.ops.Ivf.extend(idx, batch, "vec_id", "embedding")
+    assert(ext.cells.count() === emb.count())
+    // Centroids are the SAME object relation — no re-clustering.
+    assert(ext.centroids.collect().map(_.toString).sorted.toSeq ===
+      idx.centroids.collect().map(_.toString).sorted.toSeq)
+    // Existing rows keep their cell; batch rows land at their argmax cell
+    // of the OLD centroids (re-assigning the union must change nothing).
+    val reassigned = graft.ops.Ivf.extend(
+      graft.ops.Ivf.IvfIndex(ext.cells.limit(0), idx.centroids), emb,
+      "vec_id", "embedding").cells
+    val joined = ext.cells.select(col("vec_id"), col("cell").as("c1"))
+      .join(reassigned.select(col("vec_id"), col("cell").as("c2")), "vec_id")
+    assert(joined.filter(col("c1") =!= col("c2")).count() === 0)
+  }
 }
