@@ -411,6 +411,44 @@ object SourceQueries {
         |WHERE change_type IS NOT NULL
         |GROUP BY change_type
         |ORDER BY change_type
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Malformed-record quarantine: a JSONL feed with planted broken
+      // lines (every 13th customer) read back in PERMISSIVE mode with a
+      // corrupt-record column — the ingestion posture for any external
+      // feed, where one bad line must quarantine, not kill the job, and
+      // must not silently vanish either. The check proves the good rows
+      // parse to exact values and the bad rows are all accounted for.
+      "io11_corrupt_records",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val out = ioDir("io11", dir)
+        t.customer.select(
+            when(col("c_custkey") % 13 === 0,
+              concat(lit("{broken "), col("c_custkey").cast("string")))
+              .otherwise(to_json(struct(col("c_custkey"), col("c_acctbal"),
+                col("c_mktsegment")))).as("value"))
+          .write.mode("overwrite").text(out)
+        val parsed = s.read
+          .schema("c_custkey BIGINT, c_acctbal DOUBLE, " +
+            "c_mktsegment STRING, _corrupt_record STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(out)
+        parsed.agg(
+          count(lit(1)).as("n_rows"),
+          count(col("_corrupt_record")).as("n_quarantined"),
+          count(col("c_custkey")).as("n_parsed"),
+          round(sum(col("c_acctbal")), 2).as("bal_sum"))
+      },
+      Some("""
+        |SELECT count(*) AS n_rows,
+        |       count(CASE WHEN c_custkey % 13 = 0 THEN 1 END) AS n_quarantined,
+        |       count(CASE WHEN c_custkey % 13 <> 0 THEN 1 END) AS n_parsed,
+        |       round(sum(CASE WHEN c_custkey % 13 <> 0 THEN c_acctbal END), 2)
+        |         AS bal_sum
+        |FROM customer
         |""".stripMargin.trim))
   )
 }
