@@ -522,12 +522,13 @@ object TextAnalysis {
   }
 
   def kgramHashes(text: Column, k: Int): Column =
-    // Guarded like charShingles: sequence(0, negative) DESCENDS rather
-    // than being empty, so short texts must short-circuit explicitly.
-    when(length(text) >= k,
-      transform(sequence(lit(0), length(text) - k),
-        i => Dedup.hash60(0, text.substr(i + lit(1), lit(k)))))
-      .otherwise(array().cast("array<long>"))
+    // Fused one-pass expression (see KgramHashes60): bit-identical to the
+    // transform + hash60 HOF chain it replaced, which re-evaluated the
+    // Substring/Md5/Conv tree interpreted per position. Null text maps to
+    // an empty array (the old CaseWhen's otherwise-branch behavior), so
+    // downstream array ops stay total.
+    coalesce(graft.functions.KgramHashes60(text, k),
+      array().cast("array<long>"))
 
   /** Content-defined chunking (the FastCDC/rsync family, Xia et al., ATC
     * '16): cut a document wherever the rolling k-gram hash ≡ 0 mod

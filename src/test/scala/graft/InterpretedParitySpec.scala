@@ -166,4 +166,29 @@ class InterpretedParitySpec extends SparkSpec {
       wrow(Seq(0x1L), Seq(0x1L, 0xFFL))) === 0)
     assert(HammingWords(wa, wb).eval(InternalRow(null, null)) === null)
   }
+
+  test("KgramHashes60 is bit-identical to the hash60 HOF chain it replaced") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    // Real corpus text including multibyte (zh) documents: character-based
+    // substring + UTF-8 hashing must agree with the expression chain the
+    // DuckDB oracles replay.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+      .unionByName(Seq((9001L, "短文 本测试 中文字符 与 ascii mix"),
+        (9002L, "exact"), (9003L, ""), (9004L, "abcdefgh"))
+        .toDF("doc_id", "text"))
+    val k = 8
+    val legacy = when(length($"text") >= k,
+      transform(sequence(lit(0), length($"text") - k),
+        i => graft.ops.Dedup.hash60(0, $"text".substr(i + lit(1), lit(k)))))
+      .otherwise(array().cast("array<long>"))
+    val diff = docs
+      .select($"doc_id", legacy.as("old"),
+        graft.ops.TextAnalysis.kgramHashes($"text", k).as("neo"))
+      .filter(not($"old" <=> $"neo"))
+      .count()
+    assert(diff === 0L, "fused kgram hashes drifted from the HOF form")
+  }
 }
