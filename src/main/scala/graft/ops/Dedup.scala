@@ -210,11 +210,17 @@ object Dedup {
       ngram: Int = 5,
       numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
-    val sh = Spread.ensure(docs)
+    // Fused shingle+hash front (CharGramPairs48): one string walk dedups
+    // grams and hashes each exactly once — the char-gram path produces
+    // ~len(text) set elements per doc, so the per-gram Md5/Conv HOF tree
+    // this replaces was d04's dominant cost.
+    val hp = Spread.ensure(docs)
       .select(col(idCol).as("doc_id"), col(textCol).as("txt"))
       .filter(length(col("txt")) >= ngram)
-      .select(col("doc_id"), charShingles(col("txt"), ngram).as("shingles"))
-    minhashBandPairs(sh, threshold, numHashes, bands)
+      .select(col("doc_id"),
+        graft.functions.CharGramPairs48(col("txt"), ngram).as("pairs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minhashBandPairsHashed(hp, threshold, numHashes, bands)
   }
 
   /** MinHash + LSH banding over a prepared (doc_id, shingles) relation:
@@ -233,9 +239,20 @@ object Dedup {
       shingled: DataFrame,
       threshold: Double,
       numHashes: Int,
+      bands: Int): DataFrame =
+    minhashBandPairsHashed(hashedShingles(shingled), threshold, numHashes,
+      bands)
+
+  /** The band pipeline over an already-hashed, PERSISTED (doc_id, pairs)
+    * relation — shared by the HOF-hashed word path and the fused
+    * char-gram path.
+    */
+  private def minhashBandPairsHashed(
+      hp: DataFrame,
+      threshold: Double,
+      numHashes: Int,
       bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
-    val hp = hashedShingles(shingled)
     val buckets = bandBuckets(hp, numHashes, bands)
 
     // Deliberately unhinted: AQE turns this into a broadcast join when the

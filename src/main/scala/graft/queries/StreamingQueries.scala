@@ -476,9 +476,8 @@ object StreamingQueries {
           // as Dedup.minhashSignature, which inlines k md5 sweeps of the
           // shingle array per row — the k-branch HOF form this expression
           // exists to replace; swap measured 6.7-11.6 -> 1.7 s for st09).
-          .withColumn("pairs", transform(
-            graft.ops.Dedup.charShingles(col("text"), 5),
-            sh => graft.ops.Dedup.hashPair48(sh)))
+          .withColumn("pairs",
+            graft.functions.CharGramPairs48(col("text"), 5))
           .withColumn("sig", concat_ws(",", transform(
             graft.functions.MinhashSignature(col("pairs"), 8),
             v => v.cast("string"))))

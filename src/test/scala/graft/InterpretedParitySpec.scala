@@ -191,4 +191,27 @@ class InterpretedParitySpec extends SparkSpec {
       .count()
     assert(diff === 0L, "fused kgram hashes drifted from the HOF form")
   }
+
+  test("CharGramPairs48 equals the charShingles + hashPair48 HOF form") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+      .unionByName(Seq((9001L, "短文本 with 中文 grams"), (9002L, "abc"),
+        (9003L, ""), (9004L, "aaaaaaaa")).toDF("doc_id", "text"))
+    val n = 5
+    val legacy = transform(graft.ops.Dedup.charShingles($"text", n),
+      s => graft.ops.Dedup.hashPair48(s))
+    // Compare as SETS: array_distinct order (first occurrence) and the
+    // fused expression's insertion order coincide, but the contract the
+    // consumers rely on is set equality.
+    val diff = docs
+      .select($"doc_id",
+        array_sort(legacy).as("old"),
+        array_sort(graft.functions.CharGramPairs48($"text", n)).as("neo"))
+      .filter(not($"old" <=> $"neo"))
+      .count()
+    assert(diff === 0L, "fused char-gram pairs drifted from the HOF form")
+  }
 }
