@@ -38,5 +38,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_minhash_signature(pairs, k) - k-member MinHash signature " +
           "over array<struct<h1:long,h2:long>> hashed shingles"),
       (es: Seq[Expression]) => MinhashSignature(es(0), vector.minhashK(es))))
+    e.injectFunction((FunctionIdentifier("graft_kgram_hashes60"),
+      info("graft_kgram_hashes60",
+        "graft_kgram_hashes60(text, k) - positional 60-bit hashes of every " +
+          "k-char gram (one md5 pass; feeds winnowing/CDC)"),
+      (es: Seq[Expression]) =>
+        KgramHashes60(es(0), vector.literalInt(es, 2, "graft_kgram_hashes60"))))
+    e.injectFunction((FunctionIdentifier("graft_chargram_pairs48"),
+      info("graft_chargram_pairs48",
+        "graft_chargram_pairs48(text, n) - distinct char n-gram (h1, h2) " +
+          "48-bit hash pairs (one pass; feeds MinHash banding)"),
+      (es: Seq[Expression]) =>
+        CharGramPairs48(es(0),
+          vector.literalInt(es, 2, "graft_chargram_pairs48"))))
   }
 }

@@ -95,12 +95,18 @@ object vector {
     * non-foldable expression here would read an unbound attribute).
     */
   private[graft] def minhashK(
-      es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Int = {
-    require(es.length == 2,
-      s"graft_minhash_signature(pairs, k) takes 2 arguments, got ${es.length}")
-    require(es(1).foldable,
-      "graft_minhash_signature's k must be a literal integer")
-    es(1).eval().asInstanceOf[Number].intValue()
+      es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Int =
+    literalInt(es, 2, "graft_minhash_signature")
+
+  /** Shared SQL-surface guard: argument list of exactly `arity` whose last
+    * element is a foldable integer (the expression-constructor parameter).
+    */
+  private[graft] def literalInt(
+      es: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      arity: Int, fn: String): Int = {
+    require(es.length == arity, s"$fn takes $arity arguments, got ${es.length}")
+    require(es.last.foldable, s"$fn's last argument must be a literal integer")
+    es.last.eval().asInstanceOf[Number].intValue()
   }
 
   /** Register SQL names (graft_dot, graft_cosine, ...) in this session so the
@@ -130,5 +136,9 @@ object vector {
     })
     GraftSqlInternal.registerFunction(spark, "graft_hamming",
       es => HammingWords(es(0), es(1)))
+    GraftSqlInternal.registerFunction(spark, "graft_kgram_hashes60",
+      es => KgramHashes60(es(0), literalInt(es, 2, "graft_kgram_hashes60")))
+    GraftSqlInternal.registerFunction(spark, "graft_chargram_pairs48",
+      es => CharGramPairs48(es(0), literalInt(es, 2, "graft_chargram_pairs48")))
   }
 }

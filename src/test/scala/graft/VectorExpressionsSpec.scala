@@ -97,6 +97,21 @@ class VectorExpressionsSpec extends SparkSpec {
       "SELECT graft_hamming(array(9L), array(1L)) h")
       .collect().head.getInt(0)
     assert(ham === 1)
+    // Text-hash family: the fused gram sweeps agree with the expression
+    // chains they fused (md5-derived, so spot-check against SQL md5/conv).
+    val kg = spark.sql(
+      "SELECT graft_kgram_hashes60('abcdefgh', 8) h, " +
+        "CAST(conv(substring(md5('0:abcdefgh'), 1, 15), 16, 10) AS BIGINT) e")
+      .collect().head
+    assert(kg.getSeq[Long](0) === Seq(kg.getLong(1)))
+    val cg = spark.sql(
+      "SELECT graft_chargram_pairs48('abcde', 5) p, " +
+        "CAST(conv(substring(md5('abcde'), 1, 12), 16, 10) AS BIGINT) h1, " +
+        "CAST(conv(substring(md5('abcde'), 13, 12), 16, 10) AS BIGINT) h2")
+      .collect().head
+    val pair = cg.getSeq[org.apache.spark.sql.Row](0).head
+    assert(pair.getLong(0) === cg.getLong(1))
+    assert(pair.getLong(1) === cg.getLong(2))
   }
 
   test("nd-shape access: ndGet/matrixRow/reshapeRows over a row-major 2x3") {
