@@ -169,6 +169,95 @@ object TextQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Classifier evaluation: t01's language predictor graded against the
+      // labeled corpus — confusion counts and per-class precision/recall/
+      // F1 (F1 as 2tp/(2tp+fp+fn): ONE float division from exact integer
+      // counts, so both engines agree bit-for-bit; degenerate classes
+      // yield null, not NaN). The companion of t21's NDCG on the ranking
+      // side: every learned/heuristic stage in the pipeline gets an
+      // evaluation harness, not just a score column.
+      "t24_langid_eval",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val pred = TextAnalysis.languageId(t.documents, "doc_id", "text")
+          .select(col("doc_id"), col("pred_lang"))
+        val j = t.documents.select(col("doc_id"), col("lang"))
+          .join(pred, "doc_id")
+        val per = j.groupBy(col("lang")).agg(
+          count(lit(1)).as("n_true"),
+          sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L))
+            .as("tp"))
+        val fpRel = j
+          .filter(col("pred_lang") =!= col("lang"))
+          .groupBy(col("pred_lang")).agg(count(lit(1)).as("fp"))
+        per.join(fpRel, per("lang") === fpRel("pred_lang"), "left")
+          .select(per("lang"), col("n_true"), col("tp"),
+            coalesce(col("fp"), lit(0L)).as("fp"),
+            (col("n_true") - col("tp")).as("fn"))
+          .withColumn("precision",
+            when(col("tp") + col("fp") > 0,
+              round(col("tp").cast("double") /
+                (col("tp") + col("fp")).cast("double"), 4)))
+          .withColumn("recall",
+            round(col("tp").cast("double") / col("n_true").cast("double"), 4))
+          .withColumn("f1",
+            when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+              round(lit(2.0d) * col("tp").cast("double") /
+                (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"),
+                4)))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        |WITH tok AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |hits AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein'))) AS hits_de,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','is','in')))         AS hits_en,
+        |    len(list_filter(toks, x -> x IN ('el','los','de','y','es','un','una')))         AS hits_es,
+        |    len(list_filter(toks, x -> x IN ('le','la','et','est','les','un','une')))       AS hits_fr,
+        |    len(list_filter(toks, x -> x IN ('的','是','了','在','我')))                      AS hits_zh
+        |  FROM tok
+        |),
+        |pred AS (
+        |  SELECT doc_id, lang,
+        |         CASE greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh)
+        |              WHEN hits_de THEN 'de' WHEN hits_en THEN 'en'
+        |              WHEN hits_es THEN 'es' WHEN hits_fr THEN 'fr'
+        |              ELSE 'zh' END AS pred_lang
+        |  FROM hits
+        |),
+        |per AS (
+        |  SELECT lang, count(*) AS n_true,
+        |         count(CASE WHEN pred_lang = lang THEN 1 END) AS tp
+        |  FROM pred GROUP BY lang
+        |),
+        |fpr AS (
+        |  SELECT pred_lang, count(*) AS fp
+        |  FROM pred WHERE pred_lang <> lang GROUP BY pred_lang
+        |)
+        |SELECT p.lang, p.n_true, p.tp,
+        |       coalesce(f.fp, 0) AS fp,
+        |       p.n_true - p.tp AS fn,
+        |       CASE WHEN p.tp + coalesce(f.fp, 0) > 0
+        |            THEN round(CAST(p.tp AS DOUBLE) /
+        |                       CAST(p.tp + coalesce(f.fp, 0) AS DOUBLE), 4)
+        |       END AS precision,
+        |       round(CAST(p.tp AS DOUBLE) / CAST(p.n_true AS DOUBLE), 4)
+        |         AS recall,
+        |       CASE WHEN 2 * p.tp + coalesce(f.fp, 0) + (p.n_true - p.tp) > 0
+        |            THEN round(2.0 * CAST(p.tp AS DOUBLE) /
+        |                 CAST(2 * p.tp + coalesce(f.fp, 0) + (p.n_true - p.tp)
+        |                      AS DOUBLE), 4)
+        |       END AS f1
+        |FROM per p LEFT JOIN fpr f ON p.lang = f.pred_lang
+        |ORDER BY p.lang
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Quality metrics + composite score; all ratios are exact-integer
       // divisions so both engines produce identical doubles.
       "t02_quality",
