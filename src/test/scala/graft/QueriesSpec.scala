@@ -52,7 +52,12 @@ class QueriesSpec extends SparkSpec {
     "t20_tfidf_terms" -> 100L,
     "t22_cdc_chunks" -> 2830L,
     "t23_bpe_fertility" -> 20L,
-    "v22_nprobe_sweep" -> 3L)
+    "v22_nprobe_sweep" -> 3L,
+    "io10_snapshot_diff" -> 3L,
+    "p04_profile" -> 4L,
+    "q45_cohorts" -> 5L,
+    "t24_langid_eval" -> 5L,
+    "v23_ivf_extend" -> 100L)
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
