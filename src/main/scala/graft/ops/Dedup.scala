@@ -139,28 +139,31 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       shingleN: Int = 3): DataFrame = {
-    minhashBandPairs(wordShingled(docs, idCol, textCol, shingleN),
+    minhashBandPairsHashed(wordHashedPairs(docs, idCol, textCol, shingleN),
       threshold, numHashes, bands)
   }
 
-  /** (doc_id, shingles) relation over word `shingleN`-grams.
-    *
-    * Tokenize into its own projection first: the shingling lambda
-    * references the token array three times per gram, and handing it the
-    * raw split() expression would re-split the text once per reference.
-    * The emptiness filter runs on the TOKEN count, not on the shingle
-    * array: a predicate over the shingles would be pushed below the
-    * Spread repartition into the (serial) scan stage with the whole
-    * shingle chain substituted in — re-serializing exactly the compute
-    * the repartition exists to spread. `size(toks) >= n` is equivalent
-    * (n tokens yield >= 1 distinct n-gram) and costs one split.
+  /** Fused, PERSISTED (doc_id, pairs) relation over word `shingleN`-grams
+    * (WordGramPairs48: tokenize + n-gram + dedup + one md5 per distinct
+    * gram in a single string walk — the tokenize/shingle/hash HOF chain
+    * it replaced re-evaluated interpreted expression trees per element).
+    * Docs with fewer than n tokens yield empty arrays and drop here, the
+    * old token-count guard. Persisted because signatures and both
+    * verify-join sides consume it.
     */
-  private def wordShingled(docs: DataFrame, idCol: String, textCol: String,
+  private def wordHashedPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int): DataFrame =
     Spread.ensure(docs)
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) >= shingleN)
-      .select(col("doc_id"), wordShingles(col("toks"), shingleN).as("shingles"))
+      // Guard on the CHEAP token count, not on the fused pairs array: a
+      // size(pairs) predicate would be pushed below the Spread
+      // repartition with the whole hash sweep substituted in — evaluated
+      // serially in the scan stage and again above (the wordShingled
+      // comment's trap, unchanged by the fusion). n tokens <=> >= 1
+      // distinct n-gram, so the row sets are identical.
+      .filter(size(tokens(col(textCol))) >= shingleN)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.WordGramPairs48(col(textCol), shingleN).as("pairs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Memoized [[nearDuplicatesMinhash]]: the LSH candidate pipeline is the
     * shared front of every verification tier — pair listing, corpus
@@ -317,8 +320,7 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       candidates: DataFrame, shingleN: Int = 3): DataFrame = {
-    val sets = hashSets(hashedShingles(
-      wordShingled(docs, idCol, textCol, shingleN)))
+    val sets = hashSets(wordHashedPairs(docs, idCol, textCol, shingleN))
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")),
         "doc_a")
@@ -377,8 +379,8 @@ object Dedup {
       bands: Int = 8,
       shingleN: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
-    val hpNew = hashedShingles(wordShingled(newDocs, idCol, textCol, shingleN))
-    val hpOld = hashedShingles(wordShingled(corpus, idCol, textCol, shingleN))
+    val hpNew = wordHashedPairs(newDocs, idCol, textCol, shingleN)
+    val hpOld = wordHashedPairs(corpus, idCol, textCol, shingleN)
     val candidates = bandBuckets(hpNew, numHashes, bands).as("a")
       .join(bandBuckets(hpOld, numHashes, bands).as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key"))

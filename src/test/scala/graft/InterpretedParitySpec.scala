@@ -214,4 +214,27 @@ class InterpretedParitySpec extends SparkSpec {
       .count()
     assert(diff === 0L, "fused char-gram pairs drifted from the HOF form")
   }
+
+  test("WordGramPairs48 equals the tokens + wordShingles + hashPair48 HOF form") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+      .unionByName(Seq((9001L, "  double  spaces   collapse "),
+        (9002L, "one two"), (9003L, ""), (9004L, "a b c a b c a b c"),
+        (9005L, "短 文 本 три слова here")).toDF("doc_id", "text"))
+    val n = 3
+    val toks = graft.ops.Dedup.tokens($"text")
+    val legacy = when(size(toks) >= n,
+      transform(graft.ops.Dedup.wordShingles(toks, n),
+        s => graft.ops.Dedup.hashPair48(s)))
+      .otherwise(array().cast(graft.functions.CharGramPairs48.OutType))
+    val diff = docs
+      .select($"doc_id", array_sort(legacy).as("old"),
+        array_sort(graft.functions.WordGramPairs48($"text", n)).as("neo"))
+      .filter(not($"old" <=> $"neo"))
+      .count()
+    assert(diff === 0L, "fused word-gram pairs drifted from the HOF form")
+  }
 }
