@@ -84,6 +84,36 @@ object Pca {
     graft.functions.MatVecProduct(vec, model.components, offsets)
   }
 
+  /** PCA-whitening projection: the k projection coordinates each scaled
+    * by 1/sqrt(eigenvalue + eps), so the output has (population)
+    * identity covariance — the decorrelation+rescale step embedding
+    * pipelines run before cosine retrieval or product quantization,
+    * where an anisotropic corpus otherwise lets a few dominant
+    * directions swamp the metric.
+    *
+    * Same cost shape as [[project]]: the scaling folds into the
+    * component matrix on the driver (k x d doubles — KB), so the scan is
+    * the identical map-only fused [[graft.functions.MatVecProduct]] —
+    * whitening adds ZERO distributed work over plain projection. `eps`
+    * guards near-null directions (eigenvalue ~ 0) from exploding; with
+    * the default 1e-9 a truly degenerate coordinate maps to ~0 variance
+    * rather than noise amplified by 1/sqrt(~0).
+    */
+  def whiten(vec: Column, model: Model, eps: Double = 1e-9): Column = {
+    val comps = model.components.zip(model.eigenvalues).map { case (c, e) =>
+      val s = 1.0 / math.sqrt(math.max(e, 0.0) + eps)
+      c.map(_ * s)
+    }
+    val offsets = comps.map(c =>
+      c.zip(model.mean).map { case (a, b) => a * b }.sum)
+    graft.functions.MatVecProduct(vec, comps, offsets)
+  }
+
+  /** [[whiten]] as a DataFrame transform appending `outCol`. */
+  def whitenTransform(df: DataFrame, vecCol: String, model: Model,
+      outCol: String = "white"): DataFrame =
+    df.withColumn(outCol, whiten(col(vecCol), model))
+
   /** Cyclic-Jacobi eigendecomposition of a symmetric matrix: returns
     * (eigenvalues, eigenvector matrix with eigenvectors as COLUMNS).
     * Converges quadratically; 30 sweeps is far past convergence for any

@@ -849,6 +849,68 @@ object VectorQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // PCA whitening (Pca.whiten): decorrelate-and-rescale before
+      // cosine retrieval / product quantization, where an anisotropic
+      // corpus lets a few dominant directions swamp the metric. The
+      // 1/sqrt(eigenvalue) scaling folds into the component matrix on
+      // the driver, so whitening runs as the SAME fused map-only
+      // MatVecProduct scan as e04's plain projection — zero added
+      // distributed work. Contract: the whitened coordinates have
+      // population identity covariance — every var_pop == 1 and every
+      // off-diagonal covariance == 0 within tolerance, means == 0 —
+      // checked from ONE partial+final aggregation pass (k means +
+      // k vars + k(k-1)/2 cross-moments in a single one-row agg).
+      // n_rows / total_var are the data-derived columns DuckDB
+      // recomputes independently.
+      "e07_whiten_contract",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val emb = t.embeddings
+        val k = 8
+        val model = graft.ops.Pca.fit(emb, "embedding", k)
+        val w = emb.select(
+          graft.ops.Pca.whiten(col("embedding"), model).as("w"))
+        val meanAggs = (0 until k).map(j =>
+          avg(element_at(col("w"), j + 1)).as(s"m_$j"))
+        val varAggs = (0 until k).map(j =>
+          var_pop(element_at(col("w"), j + 1)).as(s"v_$j"))
+        val crossAggs = for { a <- 0 until k; b <- a + 1 until k } yield
+          avg(element_at(col("w"), a + 1) * element_at(col("w"), b + 1))
+            .as(s"p_${a}_$b")
+        val aggs = meanAggs ++ varAggs ++ crossAggs
+        val row = w.agg(aggs.head, aggs.tail: _*).head
+        val m = (0 until k).map(j => row.getDouble(j))
+        val v = (0 until k).map(j => row.getDouble(k + j))
+        val p = row.toSeq.drop(2 * k).map(_.asInstanceOf[Double])
+        val pairs = for { a <- 0 until k; b <- a + 1 until k } yield (a, b)
+        val meanOk = m.forall(x => math.abs(x) <= 1e-6)
+        val varOk = v.forall(x => math.abs(x - 1.0) <= 1e-4)
+        val covOk = pairs.zip(p).forall { case ((a, b), pab) =>
+          math.abs(pab - m(a) * m(b)) <= 1e-4 }
+        val nRows = emb.count()
+        val totalVar = emb
+          .select(posexplode(col("embedding")).as(Seq("i", "x")))
+          .groupBy(col("i")).agg(var_pop(col("x").cast("double")).as("v"))
+          .agg(sum(col("v"))).head.getDouble(0)
+        s.range(1).select(lit(nRows).as("n_rows"),
+          round(lit(totalVar), 4).as("total_var"),
+          lit(meanOk).as("mean_ok"), lit(varOk).as("var_ok"),
+          lit(covOk).as("cov_ok"))
+      },
+      Some("""
+        |WITH el AS (
+        |  SELECT generate_subscripts(embedding, 1) AS i,
+        |         unnest(embedding) AS x
+        |  FROM embeddings
+        |),
+        |pv AS (SELECT i, var_pop(CAST(x AS DOUBLE)) AS v FROM el GROUP BY i)
+        |SELECT (SELECT count(*) FROM embeddings) AS n_rows,
+        |       round(sum(v), 4) AS total_var,
+        |       TRUE AS mean_ok, TRUE AS var_ok, TRUE AS cov_ok
+        |FROM pv
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // IVF serving diagnostic: the recall-vs-cost curve over nprobe —
       // the knob an operator turns when an ANN index misses. Routed cell
       // sets are NESTED as nprobe grows (rank by centroid cosine, cell

@@ -400,6 +400,50 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(g01) < 1e-9 && math.abs(n0 - 1.0) < 1e-9)
   }
 
+  test("Pca.whiten yields identity covariance and guards null directions") {
+    // Same planted corpus as the fit test: strong u-direction, weak
+    // v-direction, dims 0..3. Dimensions outside span(u, v) are exactly
+    // degenerate (eigenvalue 0) — the eps guard must map them to ~0
+    // rather than amplifying noise by 1/sqrt(~0).
+    val r = math.sqrt(2.0) / 2.0
+    val rows = spark.range(400).select($"id",
+      transform(sequence(lit(0), lit(3)), i =>
+        ((pmod(xxhash64($"id", lit(1)), lit(2001L)).cast("double") / 1000.5 - 1.0) *
+          when(i === 0 || i === 1, lit(3.0 * r)).otherwise(lit(0.0)) +
+         (pmod(xxhash64($"id", lit(2)), lit(2001L)).cast("double") / 1000.5 - 1.0) *
+          when(i === 2, lit(0.5 * r)).when(i === 3, lit(-0.5 * r)).otherwise(lit(0.0))
+        ).cast("float")).as("vec"))
+    val model = graft.ops.Pca.fit(rows, "vec", 4)
+    val w = rows.select(graft.ops.Pca.whiten($"vec", model).as("w"))
+    val stats = w.select(posexplode($"w").as(Seq("j", "x")))
+      .groupBy($"j").agg(avg($"x").as("m"), var_pop($"x").as("v"))
+      .orderBy($"j").collect()
+    // Informative directions (j = 0, 1): mean 0, variance 1.
+    stats.take(2).foreach { s =>
+      assert(math.abs(s.getDouble(1)) < 1e-7, s"mean ${s.getDouble(1)}")
+      assert(math.abs(s.getDouble(2) - 1.0) < 1e-4, s"var ${s.getDouble(2)}")
+    }
+    // Degenerate directions (eigenvalue ~ 0): coordinates stay ~0, never
+    // blown up by the reciprocal scaling.
+    stats.drop(2).foreach { s =>
+      assert(s.getDouble(2) < 1e-3, s"degenerate var ${s.getDouble(2)}") }
+    // Cross-covariance of the informative pair is 0 (decorrelated).
+    val cross = w.agg(
+      avg(element_at($"w", 1) * element_at($"w", 2))).head.getDouble(0)
+    assert(math.abs(cross) < 1e-4, s"cross-cov $cross")
+    // Whitening is the plain projection rescaled per coordinate.
+    val both = rows.select(
+        graft.ops.Pca.project($"vec", model).as("p"),
+        graft.ops.Pca.whiten($"vec", model).as("w"))
+      .limit(5).collect()
+    both.foreach { row =>
+      val pr = row.getSeq[Double](0); val wh = row.getSeq[Double](1)
+      model.eigenvalues.zipWithIndex.foreach { case (e, j) =>
+        val scaled = pr(j) / math.sqrt(math.max(e, 0.0) + 1e-9)
+        assert(math.abs(wh(j) - scaled) < 1e-9) }
+    }
+  }
+
   test("cdcUpsert is last-write-wins and batch-order independent") {
     val b1 = Seq((1L, 10L, 5.0, "x"), (2L, 10L, 6.0, "y")).toDF("k", "ts", "v", "s")
     val b2 = Seq((1L, 20L, 7.0, "z"),                      // newer -> wins
