@@ -38,6 +38,7 @@ object Explain {
     "io06_zorder"         -> "post-zorder scan: range predicates on either clustered column reach the parquet scan as PushedFilters",
     "t13_perplexity"      -> "token-keyed vocab count + vocab join (AQE-broadcastable) + doc-keyed mean, scalars as literals",
     "e04_pca_contract"    -> "per-dimension variance aggregation (the GramAggregator fit pass shares this partial+final shape)",
+    "e07_whiten_contract" -> "whitening as the same fused MatVecProduct scan as e04 (rescale folded into the driver-side matrix); ONE one-row moment aggregation checks identity covariance",
     "d09_span_dedup"      -> "map-side gram+md5 explode, ONE gram-keyed count shuffle, per-doc island-merge window",
     "v19_binary_hamming"  -> "fused SignPack signatures + HammingWords scoring, partial top-k aggregation before the exchange",
     "s07_nb_quality"      -> "64-row broadcast NB weight table; train and inference share the same two keyed exchanges",

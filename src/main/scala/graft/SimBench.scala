@@ -216,6 +216,46 @@ object SimBench {
     val bqMatch = bqTop.join(cosTop, Seq("query_id", "vec_id")).count()
     val bqRecall = bqMatch.toDouble / math.max(1L, bqRerankRows)
 
+    // Text-operator throughput at 1M documents (~15 tokens / ~100 chars
+    // each, deterministic hash-mixed vocabulary): the fused gram-hash
+    // sweeps ARE the ingest-scan cost of the winnowing, word-minhash and
+    // CDC families at 100 TB, so their corpus-scale rate is measured
+    // here, not inferred from the sf0.1 gate.
+    val textCorpus = spark.range(1000000L)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 15).map(i =>
+          concat(lit("w"), pmod(xxhash64(col("id"), lit(i)), lit(5000L)))): _*)
+          .as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    textCorpus.count()
+    def timeCount(df: => DataFrame): (Double, Long) = {
+      df.count() // warm
+      val t = System.nanoTime()
+      val n = df.count()
+      ((System.nanoTime() - t) / 1e9, n)
+    }
+    // Stage hs/fps as named columns AND use explode_outer: nesting the
+    // derived array re-derives its chain per lambda element, and the
+    // non-outer generator's inferred size()>0 filter is pushed below the
+    // projections with the whole chain substituted (measured here at 1M:
+    // nested+explode 149.7 s, staged+explode 113.7 s, staged+outer 13.3 s
+    // — the library's fingerprintsCached uses this exact shape).
+    val (winnowSec, winnowRows) = timeCount(
+      textCorpus.select(col("doc_id"),
+          graft.ops.TextAnalysis.kgramHashes(col("text"), 8).as("hs"))
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.winnow(col("hs"), 4).as("fps"))
+        .select(col("doc_id"), explode_outer(col("fps")).as("fp"))
+        .filter(col("fp").isNotNull))
+    val (wordSigSec, wordSigRows) = timeCount(
+      textCorpus.select(col("doc_id"),
+          graft.functions.MinhashSignature(
+            graft.functions.WordGramPairs48(col("text"), 3), 32).as("sig"))
+        .filter(size(col("sig")) > 0))
+    val (cdcSec, cdcRows) = timeCount(
+      graft.ops.TextAnalysis.cdcChunks(textCorpus, "doc_id", "text"))
+
     // D4 prototypicality prune at 1M: one broadcast-centroid cosine scan
     // plus a per-cell rank window over the coarse index — the diversity
     // prune that follows SemDeDup. Reported: wall time, drop count, and
@@ -230,7 +270,7 @@ object SimBench {
     val pruneDropped = pr.getLong(0)
     val pruneSep = pr.getDouble(1) - pr.getDouble(2)
 
-    println(s"""{"metric":"findsim_1024x475_qps","value":$qps,"unit":"qps","extra":{"findsim_1m_x64_sec":$bigSec,"hits_small":$hits,"hits_1m":$bigHits,"ivf_1m_build_sec":$buildSec,"ivf_1m_topk_sec":$ivfSec,"ivf_1m_topk_semijoin_sec":$ivfSemiSec,"brute_1m_topk_sec":$bruteSec,"ivf_rows":$ivfRows,"brute_rows":$bruteRows,"ivfpq_1m_build_sec":$pqBuildSec,"ivfpq_1m_topk_sec":$pqSec,"ivfpq_recall_at10":$pqRecall,"ivfpq_rerank_1m_sec":$rrSec,"ivfpq_rerank_recall_at10":$rrRecall,"bq_hamming_1m_sec":$bqSec,"bq_rows":$bqRows,"bq_rerank_1m_sec":$bqRerankSec,"bq_rerank_recall_at10":$bqRecall,"lsh_allpairs_1m_sec":$lshSec,"lsh_pairs":$lshCount,"lsh_planted_found":$plantedFound,"semdedup_1m_sec":$semSec,"semdedup_pairs":$semCount,"semdedup_planted_found":$semPlantedFound,"d4_prune_1m_sec":$pruneSec,"d4_dropped":$pruneDropped,"d4_core_minus_periphery":$pruneSep}}""")
+    println(s"""{"metric":"findsim_1024x475_qps","value":$qps,"unit":"qps","extra":{"findsim_1m_x64_sec":$bigSec,"hits_small":$hits,"hits_1m":$bigHits,"ivf_1m_build_sec":$buildSec,"ivf_1m_topk_sec":$ivfSec,"ivf_1m_topk_semijoin_sec":$ivfSemiSec,"brute_1m_topk_sec":$bruteSec,"ivf_rows":$ivfRows,"brute_rows":$bruteRows,"ivfpq_1m_build_sec":$pqBuildSec,"ivfpq_1m_topk_sec":$pqSec,"ivfpq_recall_at10":$pqRecall,"ivfpq_rerank_1m_sec":$rrSec,"ivfpq_rerank_recall_at10":$rrRecall,"bq_hamming_1m_sec":$bqSec,"bq_rows":$bqRows,"bq_rerank_1m_sec":$bqRerankSec,"bq_rerank_recall_at10":$bqRecall,"lsh_allpairs_1m_sec":$lshSec,"lsh_pairs":$lshCount,"lsh_planted_found":$plantedFound,"semdedup_1m_sec":$semSec,"semdedup_pairs":$semCount,"semdedup_planted_found":$semPlantedFound,"d4_prune_1m_sec":$pruneSec,"d4_dropped":$pruneDropped,"d4_core_minus_periphery":$pruneSep,"text_1m_winnow_sec":$winnowSec,"text_1m_winnow_rows":$winnowRows,"text_1m_wordsig_sec":$wordSigSec,"text_1m_wordsig_rows":$wordSigRows,"text_1m_cdc_sec":$cdcSec,"text_1m_cdc_rows":$cdcRows}}""")
     spark.stop()
   }
 }

@@ -28,7 +28,11 @@ object Bpe {
     * corpus-proportional pass of the whole trainer.
     */
   def wordFreqs(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(Dedup.tokens(col(textCol))).as("word"))
+    // explode_outer + null filter: the non-outer generator's inferred
+    // size()>0 pre-filter would tokenize every document twice (t22's
+    // inference trap) in the trainer's one corpus-proportional pass.
+    docs.select(explode_outer(Dedup.tokens(col(textCol))).as("word"))
+      .filter(col("word").isNotNull)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
   /** Split a word into single-character symbols. */

@@ -69,8 +69,14 @@ object Pq {
       // encode runs once per row by construction, where the
       // alias-then-element_at form re-ran it per exploded element (see
       // the expression's scaladoc for the measured 64x).
+      // explode_OUTER + null filter: the non-outer generator's inferred
+      // size()>0 filter would run the fused encode a SECOND time per row
+      // as a pre-filter (t22's inference trap) — doubling every training
+      // scan. PqTrainPairs is never empty on `clean` rows, so the outer
+      // form is semantically identical.
       val updated = clean
-        .select(explode(PqTrainPairs(col(vecCol), codebooks)).as("e"))
+        .select(explode_outer(PqTrainPairs(col(vecCol), codebooks)).as("e"))
+        .filter(col("e").isNotNull)
         .groupBy(col("e.j").as("j"), col("e.code").as("code"),
           col("e.i").as("i"))
         .agg(round(avg(col("e.x")), 6).as("mean"))

@@ -29,12 +29,22 @@ object MixQueries {
         org.apache.spark.sql.DataFrame]())
     val key = s"${docs.queryExecution.logical.semanticHash()}/$k/$w"
     perSession.computeIfAbsent(key, _ => {
+      // explode_OUTER + null filter, NOT explode: the non-outer generator
+      // triggers InferFiltersFromGenerate, whose size(..)>0 guard is
+      // pushed below these projections WITH THE WHOLE winnow+kgram CHAIN
+      // SUBSTITUTED — re-deriving the fingerprint sweep per row at the
+      // scan (t22's trap; measured 114 s vs 13 s for the staged outer
+      // form at 10^6 docs in SimBench). The length filter above already
+      // guarantees winnow emits a non-empty array, so the null-fp filter
+      // drops nothing in practice.
       val fps = Spread.ensure(docs)
         .filter(length(col("text")) >= k + w - 1)
         .select(col("doc_id"),
           TextAnalysis.kgramHashes(col("text"), k).as("hs"))
         .select(col("doc_id"),
-          explode(TextAnalysis.winnow(col("hs"), w)).as("fp"))
+          TextAnalysis.winnow(col("hs"), w).as("fps"))
+        .select(col("doc_id"), explode_outer(col("fps")).as("fp"))
+        .filter(col("fp").isNotNull)
       fps.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       fps
     })
@@ -44,6 +54,23 @@ object MixQueries {
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       java.util.concurrent.ConcurrentHashMap[String,
         org.apache.spark.sql.DataFrame]]())
+
+  /** Map-side (doc_a, doc_b) pair explosion over a postings relation's
+    * sorted `docs` lists. explode_OUTER + null filter on purpose: the
+    * non-outer generator's inferred size()>0 filter re-evaluates the
+    * whole O(df²) pair-construction chain per row as a pre-filter —
+    * doubling the hot map stage (t22's inference trap; postings lists
+    * are never empty here, df >= 2 by construction, so the outer form
+    * changes nothing semantically).
+    */
+  private def postingsPairs(postings: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    postings
+      .select(explode_outer(flatten(transform(col("docs"), (a, i) =>
+        transform(slice(col("docs"), i + lit(2), size(col("docs"))),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("p.doc_a"), col("p.doc_b"))
 
   /** Drop this session's memoized fingerprint/postings relations (see
     * [[graft.Caches]]).
@@ -217,11 +244,7 @@ object MixQueries {
         // shuffle volume stays proportional to the PAIRS at corpus scale.
         // The grouped relation is shared with t09 via postingsCached.
         val postings = postingsCached(s, t.documents, k, w, maxDf)
-        postings
-          .select(explode(flatten(transform(col("docs"), (a, i) =>
-            transform(slice(col("docs"), i + lit(2), size(col("docs"))),
-              b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-          .select(col("p.doc_a"), col("p.doc_b"))
+        postingsPairs(postings)
           .groupBy(col("doc_a"), col("doc_b"))
           .agg(count(lit(1)).as("n_shared"))
           .filter(col("n_shared") >= minShared)
@@ -270,11 +293,7 @@ object MixQueries {
         val k = 8; val w = 4; val maxDf = 20
         val postings = postingsCached(s, t.documents, k, w, maxDf)
         val srcOf = t.documents.select(col("doc_id"), col("source"))
-        val pairs = postings
-          .select(explode(flatten(transform(col("docs"), (a, i) =>
-            transform(slice(col("docs"), i + lit(2), size(col("docs"))),
-              b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-          .select(col("p.doc_a"), col("p.doc_b"))
+        val pairs = postingsPairs(postings)
           .groupBy(col("doc_a"), col("doc_b"))
           .agg(count(lit(1)).as("n_shared"))
         pairs
@@ -342,11 +361,7 @@ object MixQueries {
         val t = Tables(s, dir)
         val k = 8; val w = 4; val maxDf = 20; val minShared = 3
         val postings = postingsCached(s, t.documents, k, w, maxDf)
-        val cand = postings
-          .select(explode(flatten(transform(col("docs"), (a, i) =>
-            transform(slice(col("docs"), i + lit(2), size(col("docs"))),
-              b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-          .select(col("p.doc_a"), col("p.doc_b"))
+        val cand = postingsPairs(postings)
           .groupBy(col("doc_a"), col("doc_b"))
           .agg(count(lit(1)).as("n_shared"))
           .filter(col("n_shared") >= minShared)

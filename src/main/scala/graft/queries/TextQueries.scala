@@ -343,7 +343,10 @@ object TextQueries {
       (s, dir) => {
         val t = Tables(s, dir)
         t.documents
-          .select(explode(graft.ops.Dedup.tokens(col("text"))).as("token"))
+          // outer + null filter: avoids the inferred size()>0 pre-filter
+          // that would tokenize each document twice (t22's trap).
+          .select(explode_outer(graft.ops.Dedup.tokens(col("text"))).as("token"))
+          .filter(col("token").isNotNull)
           .groupBy(col("token"))
           .agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("token"))
