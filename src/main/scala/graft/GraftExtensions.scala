@@ -44,6 +44,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "k-char gram (one md5 pass; feeds winnowing/CDC)"),
       (es: Seq[Expression]) =>
         KgramHashes60(es(0), vector.literalInt(es, 2, "graft_kgram_hashes60"))))
+    e.injectFunction((FunctionIdentifier("graft_winnow_mins"),
+      info("graft_winnow_mins",
+        "graft_winnow_mins(hashes, w) - winnowed fingerprints: dedup'd " +
+          "w-window sliding minima of a long array (SIGMOD'03 winnowing)"),
+      (es: Seq[Expression]) =>
+        WinnowMins(es(0), vector.literalInt(es, 2, "graft_winnow_mins"))))
     e.injectFunction((FunctionIdentifier("graft_chargram_pairs48"),
       info("graft_chargram_pairs48",
         "graft_chargram_pairs48(text, n) - distinct char n-gram (h1, h2) " +

@@ -600,10 +600,14 @@ object TextAnalysis {
     * downstream.
     */
   def winnow(hs: Column, w: Int): Column =
-    when(size(hs) >= w,
-      array_distinct(transform(sequence(lit(0), size(hs) - w),
-        j => array_min(slice(hs, j + lit(1), lit(w))))))
-      .otherwise(array().cast("array<long>"))
+    // Fused one-pass expression (see WinnowMins): monotonic-deque sliding
+    // min + first-occurrence dedup, identical to the array_distinct +
+    // per-position array_min(slice) HOF chain it replaced (interpreted,
+    // one w-slice allocation per position; InterpretedParitySpec pins
+    // exact equality, order included). Null input maps to an empty array
+    // (the old when/otherwise behavior on null size).
+    coalesce(graft.functions.WinnowMins(hs, w),
+      array().cast("array<long>"))
 
   /** Per-domain unigram-distribution divergence from the corpus mixture:
     * KL(p_domain || p_corpus) = sum_t p(t|d) * ln(p(t|d) / p(t)) in nats,

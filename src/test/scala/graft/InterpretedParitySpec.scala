@@ -192,6 +192,36 @@ class InterpretedParitySpec extends SparkSpec {
     assert(diff === 0L, "fused kgram hashes drifted from the HOF form")
   }
 
+  test("WinnowMins equals the array_distinct + array_min(slice) HOF form") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    // Real corpus hash arrays plus edge shapes: shorter-than-window,
+    // exactly-window, all-equal (dedups to one), and empty.
+    val k = 8; val w = 4
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id",
+        graft.ops.TextAnalysis.kgramHashes($"text", k).as("hs"))
+      .unionByName(Seq(
+        (9001L, Seq(5L, 3L, 9L)),                    // n < w -> empty
+        (9002L, Seq(4L, 4L, 4L, 4L)),                // n == w, all equal
+        (9003L, Seq.empty[Long]),
+        (9004L, Seq(9L, 1L, 9L, 9L, 9L, 9L, 9L, 2L)) // min changes mid-run
+      ).toDF("doc_id", "hs"))
+    val legacy = when(size($"hs") >= w,
+      array_distinct(transform(sequence(lit(0), size($"hs") - w),
+        j => array_min(slice($"hs", j + lit(1), lit(w))))))
+      .otherwise(array().cast("array<long>"))
+    // Exact equality, order included: first-occurrence dedup order is
+    // part of the contract both forms share.
+    val diff = docs
+      .select($"doc_id", legacy.as("old"),
+        graft.ops.TextAnalysis.winnow($"hs", w).as("neo"))
+      .filter(not($"old" <=> $"neo"))
+      .count()
+    assert(diff === 0L, "fused winnow drifted from the HOF form")
+  }
+
   test("CharGramPairs48 equals the charShingles + hashPair48 HOF form") {
     import org.apache.spark.sql.functions._
     val spark2 = spark
