@@ -341,6 +341,54 @@ object SeriesQueries {
         |FROM ev e JOIN first USING (user_id)
         |GROUP BY 1, 2
         |ORDER BY 1, 2
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Recursive hierarchy closure (WITH RECURSIVE, Spark 4's iterative
+      // CTE operator — SPARK-24497): parts form a deterministic forest
+      // via parent = p_partkey div 10 (keys are contiguous, so every
+      // non-root's parent exists), and the closure carries (root, depth)
+      // down the tree. Execution is depth-bounded iteration — each step
+      // joins only the FRONTIER level against the parent key, so shuffle
+      // volume per step follows the level size and the step count is
+      // log10(max key) at any scale (7 levels for 10^7 parts) — the
+      // BFS-doubling shape a driver loop would hand-roll, run natively
+      // by the engine. Per-depth stats are engine-exact: integer
+      // counts + one double sum rounded at 2 (|values| <= corpus keys,
+      // summation-order drift ~1e-10 vs the cent scale).
+      "q46_hierarchy",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.part.createOrReplaceTempView("part_q46")
+        s.sql("""
+          WITH RECURSIVE anc AS (
+            SELECT p_partkey AS pk, p_partkey AS root, 0 AS depth,
+                   p_retailprice AS price
+            FROM part_q46 WHERE p_partkey < 10
+            UNION ALL
+            SELECT p.p_partkey, a.root, a.depth + 1, p.p_retailprice
+            FROM part_q46 p JOIN anc a ON p.p_partkey div 10 = a.pk
+            WHERE p.p_partkey >= 10
+          )
+          SELECT depth, count(*) AS n_nodes,
+                 count(DISTINCT root) AS n_roots,
+                 round(sum(price), 2) AS sum_price
+          FROM anc GROUP BY depth ORDER BY depth""")
+      },
+      Some("""
+        |WITH RECURSIVE anc AS (
+        |  SELECT p_partkey AS pk, p_partkey AS root, 0 AS depth,
+        |         p_retailprice AS price
+        |  FROM part WHERE p_partkey < 10
+        |  UNION ALL
+        |  SELECT p.p_partkey, a.root, a.depth + 1, p.p_retailprice
+        |  FROM part p JOIN anc a ON p.p_partkey // 10 = a.pk
+        |  WHERE p.p_partkey >= 10
+        |)
+        |SELECT depth, count(*) AS n_nodes,
+        |       count(DISTINCT root) AS n_roots,
+        |       round(sum(price), 2) AS sum_price
+        |FROM anc GROUP BY depth ORDER BY depth
         |""".stripMargin.trim))
   )
 }

@@ -58,7 +58,8 @@ class QueriesSpec extends SparkSpec {
     "q45_cohorts" -> 5L,
     "t24_langid_eval" -> 5L,
     "v23_ivf_extend" -> 100L,
-    "e07_whiten_contract" -> 1L)
+    "e07_whiten_contract" -> 1L,
+    "q46_hierarchy" -> 3L)
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
