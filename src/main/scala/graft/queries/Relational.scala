@@ -1284,5 +1284,55 @@ object Relational {
         |ORDER BY cnt DESC, tok
         |LIMIT 10
         |""".stripMargin.trim))
+  ) ++ cmsDefs
+
+  // lazy: referenced from `defs` above during object initialization.
+  private lazy val cmsDefs: Seq[QueryDef] = Seq(
+    QueryDef(
+      // Count-Min-Sketch frequency estimation (Cormode & Muthukrishnan,
+      // J.Alg '05) via Spark's built-in mergeable count_min_sketch
+      // aggregate — the fixed-size frequency summary that answers point
+      // queries over any key cardinality: depth x width counters
+      // (~ln(1/δ) x 2/ε longs) per partition, merged partial+final, the
+      // corpus never shuffles. Contract: against the exact top-20 token
+      // counts, every estimate OVER-counts (the CMS one-sided guarantee —
+      // min over d hash rows can only collide upward) and lands within
+      // ε·N of truth; n_tokens is the data-derived column DuckDB
+      // recomputes independently. Deterministic: fixed seed, fixed
+      // corpus. At 100 TB the sketch stays KB while a04's SpaceSaving
+      // keeps only its capacity — the two sketches answer different
+      // questions (point frequency vs top-k membership) from the same
+      // one-pass scan shape.
+      "a05_cms_contract",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val toks = graft.ops.TextAnalysis.tokensRelation(t.documents, "text")
+          .select(explode_outer(col("toks")).as("tok"))
+          .filter(col("tok").isNotNull)
+        val eps = 0.005
+        val skBytes = toks
+          .agg(count_min_sketch(col("tok"), lit(eps), lit(0.99), lit(42)))
+          .head.getAs[Array[Byte]](0)
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(skBytes))
+        val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("tok")).limit(20).collect()
+        val n = toks.count()
+        val ests = exact.map(r =>
+          (cms.estimateCount(r.getString(0)), r.getLong(1)))
+        val overOk = ests.forall { case (est, c) => est >= c }
+        val boundOk = ests.forall { case (est, c) => est - c <= eps * n }
+        s.range(1).select(lit(n).as("n_tokens"),
+          lit(exact.length.toLong).as("n_checked"),
+          lit(overOk).as("overcount_ok"), lit(boundOk).as("bound_ok"))
+      },
+      Some("""
+        |SELECT count(*) AS n_tokens, CAST(20 AS BIGINT) AS n_checked,
+        |       TRUE AS overcount_ok, TRUE AS bound_ok
+        |FROM (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |  FROM documents
+        |)
+        |""".stripMargin.trim))
   )
 }

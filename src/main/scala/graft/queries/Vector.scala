@@ -911,6 +911,66 @@ object VectorQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Johnson–Lindenstrauss random projection (Achlioptas '03 ±1
+      // entries): the DATA-INDEPENDENT dimensionality reduction — no fit
+      // pass, no model state, the projection matrix is derived from a
+      // seed, so at 100 TB it is one map-only MatVecProduct scan with
+      // nothing collected and nothing broadcast but k x d doubles. The
+      // complement to PCA (e04/e07): ingest-time sketching when a
+      // covariance pass is not affordable or the corpus is unbounded
+      // (streams). Contract: squared-distance preservation — over all
+      // 496 pairs of the first 32 embeddings, the projected/original
+      // distance ratio has mean ~1 and bounded spread (deterministic:
+      // fixed seed, fixed parquet; k=32 puts the JL distortion std at
+      // sqrt(2/k) = 0.25 — measured mean 0.97/1.02 and range
+      // [0.40, 1.87] across the gate scales, well inside the checked
+      // band). n_rows is the data-derived column DuckDB recomputes.
+      "v24_jl_contract",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val k = 32
+        val d = 64
+        def mix(x0: Long): Long = {
+          var x = x0 + 0x9e3779b97f4a7c15L
+          x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+          x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+          x ^ (x >>> 31)
+        }
+        val inv = 1.0 / math.sqrt(k.toDouble)
+        val mat = Array.tabulate(k, d)((r, c) =>
+          if ((mix(42L << 20 | (r * d + c).toLong) & 1L) == 0L) inv else -inv)
+        val sub = t.embeddings.filter(col("vec_id") < 32)
+          .select(col("vec_id"), col("embedding"),
+            graft.functions.MatVecProduct(col("embedding"), mat,
+              Array.fill(k)(0.0)).as("proj"))
+        def dist2(x: org.apache.spark.sql.Column,
+            y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          aggregate(zip_with(x, y,
+            (p, q) => (p.cast("double") - q.cast("double")) *
+              (p.cast("double") - q.cast("double"))),
+            lit(0.0), (acc, v) => acc + v)
+        val a = sub.select(col("vec_id").as("ida"),
+          col("embedding").as("ea"), col("proj").as("pa"))
+        val b = sub.select(col("vec_id").as("idb"),
+          col("embedding").as("eb"), col("proj").as("pb"))
+        val stats = a.join(b, col("ida") < col("idb"))
+          .select((dist2(col("pa"), col("pb")) /
+            dist2(col("ea"), col("eb"))).as("ratio"))
+          .agg(count(lit(1)).as("n_pairs_raw"), avg(col("ratio")).as("m"),
+            min(col("ratio")).as("lo"), max(col("ratio")).as("hi"))
+        val nRows = t.embeddings.count()
+        stats.select(lit(nRows).as("n_rows"),
+          col("n_pairs_raw").as("n_pairs"),
+          (col("m") >= 0.9 && col("m") <= 1.1).as("mean_ok"),
+          (col("lo") > 0.25 && col("hi") < 2.5).as("range_ok"))
+      },
+      Some("""
+        |SELECT (SELECT count(*) FROM embeddings) AS n_rows,
+        |       CAST(496 AS BIGINT) AS n_pairs,
+        |       TRUE AS mean_ok, TRUE AS range_ok
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // IVF serving diagnostic: the recall-vs-cost curve over nprobe —
       // the knob an operator turns when an ANN index misses. Routed cell
       // sets are NESTED as nprobe grows (rank by centroid cosine, cell

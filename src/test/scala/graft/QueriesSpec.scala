@@ -59,7 +59,9 @@ class QueriesSpec extends SparkSpec {
     "t24_langid_eval" -> 5L,
     "v23_ivf_extend" -> 100L,
     "e07_whiten_contract" -> 1L,
-    "q46_hierarchy" -> 3L)
+    "q46_hierarchy" -> 3L,
+    "a05_cms_contract" -> 1L,
+    "v24_jl_contract" -> 1L)
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
