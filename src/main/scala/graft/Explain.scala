@@ -49,7 +49,11 @@ object Explain {
     "t22_cdc_chunks"      -> "staged HOF projections (hs/cuts/chunks each materialized once); posexplode_outer avoids the inferred size()>0 filter that would re-derive the md5 chain below the projections",
     "d12_span_scrub"      -> "d09's gram-count shuffle + per-doc span arrays joined back id-keyed; the cut itself is one map-side HOF",
     "q44_anomaly"         -> "dense-grid window moments as integer sums; z is one float expression over exact integers",
-    "t20_tfidf_terms"     -> "one corpus-sized (source, token) count; windows + rank on the vocab-bounded relation")
+    "t20_tfidf_terms"     -> "one corpus-sized (source, token) count; windows + rank on the vocab-bounded relation",
+    "s11_weighted_sample" -> "map-only A-ES key projection into TakeOrderedAndProject (per-partition top-k, no global sort)",
+    "m05_image_dhash"     -> "one hash scan -> 4-segment pigeonhole equi-join (exact for hamming<=3), bit_count verify",
+    "t25_char_entropy"    -> "fused CharEntropy expression in the scan projection — map-only, zero shuffles",
+    "e08_semantic_decon"  -> "broadcast benchmark probes, map-only exact-cosine contamination scan; only hits reach the ranking exchange")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -50,6 +50,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "w-window sliding minima of a long array (SIGMOD'03 winnowing)"),
       (es: Seq[Expression]) =>
         WinnowMins(es(0), vector.literalInt(es, 2, "graft_winnow_mins"))))
+    e.injectFunction((FunctionIdentifier("graft_char_entropy"),
+      info("graft_char_entropy",
+        "graft_char_entropy(text) - Shannon entropy (nats) of the " +
+          "character distribution; one-pass compression-ratio proxy"),
+      (es: Seq[Expression]) => CharEntropy(es.head)))
     e.injectFunction((FunctionIdentifier("graft_chargram_pairs48"),
       info("graft_chargram_pairs48",
         "graft_chargram_pairs48(text, n) - distinct char n-gram (h1, h2) " +

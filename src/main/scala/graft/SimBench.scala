@@ -256,6 +256,47 @@ object SimBench {
     val (cdcSec, cdcRows) = timeCount(
       graft.ops.TextAnalysis.cdcChunks(textCorpus, "doc_id", "text"))
 
+    // Character-entropy quality scan at 1M docs: the fused expression
+    // keeps the char distribution inside the row, so the whole signal is
+    // ONE map-only pass — the rate here is the ingest-scan cost of the
+    // compression-proxy filter at 100 TB.
+    val (entropySec, entropyRows) = timeCount(
+      textCorpus.select(col("doc_id"),
+          graft.functions.CharEntropy(col("text")).as("h"))
+        .filter(col("h") > 0.0))
+
+    // Perceptual-hash near-dup at 1M 64-bit hashes + 1000 planted 2-bit
+    // twins: each hash shuffles exactly 4 segment rows; ~n²/2^16 random
+    // segment collisions survive to the exact bit_count verify, which
+    // kills them all. Planted twins ride the same scan via the m05
+    // explode shape (no Union for the constraint rewriter to chase).
+    val hashBase = spark.range(1000000L)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("id").as("media_id"),
+        pmod(xxhash64(col("id"), lit(1)), lit(4294967296L)).as("hi"),
+        pmod(xxhash64(col("id"), lit(2)), lit(4294967296L)).as("lo"))
+    val hOrig = struct(col("media_id"), col("hi"), col("lo"))
+    val hTwin = struct((col("media_id") + 10000000L).as("media_id"),
+      col("hi").bitwiseXOR(
+        expr("shiftleft(1L, cast(media_id % 32 as int))")).as("hi"),
+      col("lo").bitwiseXOR(
+        expr("shiftleft(1L, cast((media_id * 3 + 5) % 32 as int))")).as("lo"))
+    val hashAll = hashBase
+      .select(explode(when(col("media_id") < 1000, array(hOrig, hTwin))
+        .otherwise(array(hOrig))).as("r"))
+      .select(col("r.media_id").as("media_id"), col("r.hi").as("hi"),
+        col("r.lo").as("lo"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hashAll.count()
+    val t7 = System.nanoTime()
+    val hamPairs = graft.ops.Multimodal.hammingPairs(
+        hashAll, "media_id", "hi", "lo", maxHam = 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hamCount = hamPairs.count()
+    val hamSec = (System.nanoTime() - t7) / 1e9
+    val hamPlanted = hamPairs
+      .filter(col("id_b") === col("id_a") + 10000000L).count()
+
     // D4 prototypicality prune at 1M: one broadcast-centroid cosine scan
     // plus a per-cell rank window over the coarse index — the diversity
     // prune that follows SemDeDup. Reported: wall time, drop count, and
@@ -270,7 +311,7 @@ object SimBench {
     val pruneDropped = pr.getLong(0)
     val pruneSep = pr.getDouble(1) - pr.getDouble(2)
 
-    println(s"""{"metric":"findsim_1024x475_qps","value":$qps,"unit":"qps","extra":{"findsim_1m_x64_sec":$bigSec,"hits_small":$hits,"hits_1m":$bigHits,"ivf_1m_build_sec":$buildSec,"ivf_1m_topk_sec":$ivfSec,"ivf_1m_topk_semijoin_sec":$ivfSemiSec,"brute_1m_topk_sec":$bruteSec,"ivf_rows":$ivfRows,"brute_rows":$bruteRows,"ivfpq_1m_build_sec":$pqBuildSec,"ivfpq_1m_topk_sec":$pqSec,"ivfpq_recall_at10":$pqRecall,"ivfpq_rerank_1m_sec":$rrSec,"ivfpq_rerank_recall_at10":$rrRecall,"bq_hamming_1m_sec":$bqSec,"bq_rows":$bqRows,"bq_rerank_1m_sec":$bqRerankSec,"bq_rerank_recall_at10":$bqRecall,"lsh_allpairs_1m_sec":$lshSec,"lsh_pairs":$lshCount,"lsh_planted_found":$plantedFound,"semdedup_1m_sec":$semSec,"semdedup_pairs":$semCount,"semdedup_planted_found":$semPlantedFound,"d4_prune_1m_sec":$pruneSec,"d4_dropped":$pruneDropped,"d4_core_minus_periphery":$pruneSep,"text_1m_winnow_sec":$winnowSec,"text_1m_winnow_rows":$winnowRows,"text_1m_wordsig_sec":$wordSigSec,"text_1m_wordsig_rows":$wordSigRows,"text_1m_cdc_sec":$cdcSec,"text_1m_cdc_rows":$cdcRows}}""")
+    println(s"""{"metric":"findsim_1024x475_qps","value":$qps,"unit":"qps","extra":{"findsim_1m_x64_sec":$bigSec,"hits_small":$hits,"hits_1m":$bigHits,"ivf_1m_build_sec":$buildSec,"ivf_1m_topk_sec":$ivfSec,"ivf_1m_topk_semijoin_sec":$ivfSemiSec,"brute_1m_topk_sec":$bruteSec,"ivf_rows":$ivfRows,"brute_rows":$bruteRows,"ivfpq_1m_build_sec":$pqBuildSec,"ivfpq_1m_topk_sec":$pqSec,"ivfpq_recall_at10":$pqRecall,"ivfpq_rerank_1m_sec":$rrSec,"ivfpq_rerank_recall_at10":$rrRecall,"bq_hamming_1m_sec":$bqSec,"bq_rows":$bqRows,"bq_rerank_1m_sec":$bqRerankSec,"bq_rerank_recall_at10":$bqRecall,"lsh_allpairs_1m_sec":$lshSec,"lsh_pairs":$lshCount,"lsh_planted_found":$plantedFound,"semdedup_1m_sec":$semSec,"semdedup_pairs":$semCount,"semdedup_planted_found":$semPlantedFound,"d4_prune_1m_sec":$pruneSec,"d4_dropped":$pruneDropped,"d4_core_minus_periphery":$pruneSep,"text_1m_winnow_sec":$winnowSec,"text_1m_winnow_rows":$winnowRows,"text_1m_wordsig_sec":$wordSigSec,"text_1m_wordsig_rows":$wordSigRows,"text_1m_cdc_sec":$cdcSec,"text_1m_cdc_rows":$cdcRows,"text_1m_entropy_sec":$entropySec,"text_1m_entropy_rows":$entropyRows,"dhash_1m_pairs_sec":$hamSec,"dhash_pairs":$hamCount,"dhash_planted_found":$hamPlanted}}""")
     spark.stop()
   }
 }

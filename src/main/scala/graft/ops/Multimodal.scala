@@ -257,6 +257,109 @@ object Multimodal {
     }
   }
 
+  /** Perceptual image fingerprint — dHash (difference hash) over a 9x8
+    * box-mean gray thumbnail: bit (r, c) is set when gray(r, c+1) is
+    * strictly brighter than gray(r, c), giving 8 gradient bits per row x
+    * 8 rows = 64 bits that survive resizing, re-encoding, and brightness
+    * shifts (gradients are scale- and offset-invariant) — the standard
+    * cheap image near-dup key before a learned encoder enters the
+    * pipeline. Returned as two 32-bit halves in longs (rows 0-3 / 4-7)
+    * so downstream hamming math stays in non-negative space on any
+    * engine. None for non-images/undecodable payloads, like the
+    * decoders.
+    */
+  def dHash(payload: Array[Byte]): Option[(Long, Long)] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      Multimodal.imageIoNoDiskCache
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w <= 0 || h <= 0) return None
+      // Box-mean 9x8 gray grid (integer BT.601 luma): one pass, each
+      // pixel lands in exactly one cell.
+      val sums = new Array[Long](72)
+      val counts = new Array[Long](72)
+      var y = 0
+      while (y < h) {
+        val cy = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val cell = cy * 9 + x * 9 / w
+          val rgb = img.getRGB(x, y)
+          sums(cell) += (((rgb >> 16) & 0xff) * 299 +
+            ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val gray = Array.tabulate(72)(i =>
+        if (counts(i) == 0) 0L else sums(i) / counts(i))
+      Some(dHashBits(gray))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The gradient-bit layout shared by the real decoder path and the
+    * sha-window stub/oracle path: bit b of half `hi` (b in 0..31, rows
+    * 0-3) / `lo` (rows 4-7) is set when gray(r*9+c+1) > gray(r*9+c) for
+    * r = b div 8, c = b mod 8.
+    */
+  def dHashBits(gray: Array[Long]): (Long, Long) = {
+    require(gray.length == 72, "dHash needs a 9x8 gray grid")
+    var hi = 0L
+    var lo = 0L
+    var b = 0
+    while (b < 64) {
+      val base = (b / 8) * 9 + b % 8
+      if (gray(base + 1) > gray(base)) {
+        if (b < 32) hi |= 1L << b else lo |= 1L << (b - 32)
+      }
+      b += 1
+    }
+    (hi, lo)
+  }
+
+  /** Hamming near-dup pairs over 64-bit perceptual hashes carried as two
+    * 32-bit halves — the image twin of the SimHash text path (d03): any
+    * pair within hamming distance 3 shares at least one of the four
+    * 16-bit segments (pigeonhole), so candidates come from a segment-
+    * keyed equi-join — each hash shuffles exactly 4 rows, no cross join
+    * at any corpus size — and the exact `bit_count` verify keeps only
+    * true hits. Recall is exact (not probabilistic) for maxHam <= 3,
+    * which is why the bound is enforced; higher radii need more/wider
+    * segments, the multi-index tradeoff of Norouzi et al.'s MIH
+    * (CVPR'12).
+    */
+  def hammingPairs(df: DataFrame, idCol: String, hiCol: String,
+      loCol: String, maxHam: Int): DataFrame = {
+    require(maxHam >= 0 && maxHam <= 3,
+      "4x16-bit pigeonhole is exact only for maxHam <= 3")
+    val segs = array(
+      struct(lit(0).as("k"), col(hiCol).bitwiseAND(lit(65535L)).as("v")),
+      struct(lit(1).as("k"), shiftright(col(hiCol), 16).as("v")),
+      struct(lit(2).as("k"), col(loCol).bitwiseAND(lit(65535L)).as("v")),
+      struct(lit(3).as("k"), shiftright(col(loCol), 16).as("v")))
+    val keyed = df.select(col(idCol), col(hiCol), col(loCol),
+        explode(segs).as("seg"))
+      .select(col(idCol), col(hiCol), col(loCol),
+        col("seg.k").as("k"), col("seg.v").as("v"))
+    val a = keyed.select(col(idCol).as("id_a"), col(hiCol).as("hi_a"),
+      col(loCol).as("lo_a"), col("k"), col("v"))
+    val b = keyed.select(col(idCol).as("id_b"), col(hiCol).as("hi_b"),
+      col(loCol).as("lo_b"), col("k"), col("v"))
+    a.join(b, Seq("k", "v")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("hi_a"), col("lo_a"),
+        col("hi_b"), col("lo_b"))
+      .distinct() // a pair sharing >1 segment is one candidate, not many
+      .withColumn("ham",
+        expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)"))
+      .filter(col("ham") <= maxHam)
+      .select(col("id_a"), col("id_b"), col("ham"))
+  }
+
   /** Decode a media Dataset partition-parallel. Undecodable rows are
     * dropped (total function; no task failures from bad payloads).
     */

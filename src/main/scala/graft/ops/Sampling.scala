@@ -160,6 +160,50 @@ object Sampling {
       .withColumn("bin", expr(s"prior_tokens div $binSize"))
   }
 
+  /** Weighted sampling without replacement (Efraimidis & Spirakis, IPL
+    * 2006, algorithm A-ES): every row draws key u^(1/w) from uniform u and
+    * weight w, and the k LARGEST keys form an exact weighted sample
+    * without replacement. Here u is md5-derived — v = first 8 hex chars of
+    * md5(id ':' salt), u = (v + 0.5) / 2^32 — so u is a pure function of
+    * row identity and EXACTLY the same double on every engine (the +0.5 /
+    * power-of-two form is lossless), every run, every partitioning; no RNG
+    * stream, no partition-id dependence. Keys are compared in log space
+    * (ln(u)/w is monotone in u^(1/w); larger is better since ln(u) < 0) to
+    * avoid pow's cross-engine rounding: ln is the one non-exact op in the
+    * chain, and a selection flip would need two keys within ~1 ulp of each
+    * other at the rank-k boundary.
+    *
+    * Scale shape: a map-only key projection feeding orderBy+limit, which
+    * Spark plans as TakeOrderedAndProject — per-partition top-k with only
+    * k rows per partition reaching the driver. No global sort, no shuffle
+    * of the corpus.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String): DataFrame = {
+    val v = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":" + salt))), 1, 8), 16, 10).cast("long")
+    val u = (v.cast("double") + lit(0.5)) / lit(4294967296.0)
+    df.withColumn("wkey", log(u) / col(weightCol).cast("double"))
+      .orderBy(col("wkey").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Soft deduplication (reweight-don't-drop, the SoftDeDup idea of
+    * arXiv:2407.04752): instead of deleting duplicate clusters, every row
+    * is down-weighted by its cluster's size — weight = 1/|cluster| — so
+    * each distinct content contributes exactly one row-equivalent of
+    * training signal while the corpus keeps its (diverse) surface forms.
+    * The cluster key is any content-derived column: md5(text) for exact
+    * dedup, or the keeper id from [[graft.ops.Dedup]]'s canonicalize for
+    * near-dup clusters — both compose identically. One keyed window count
+    * over the cluster key — a single shuffle, no joins.
+    */
+  def softDedupWeights(df: DataFrame, clusterKey: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(clusterKey)
+    df.withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("soft_weight", lit(1.0) / col("cluster_size"))
+  }
+
   /** Temperature-scaled domain sampling (the multilingual/multi-domain
     * rebalancing of XLM, arXiv:1901.07291 §3.1, and mT5): domain weights
     * w_d = |d|^alpha / sum_j |j|^alpha flatten the size distribution

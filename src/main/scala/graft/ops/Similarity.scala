@@ -239,6 +239,36 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** Semantic decontamination — the embedding-space counterpart of the
+    * n-gram overlap path (t09): flag corpus rows whose embedding lands
+    * within cosine `threshold` of ANY benchmark probe, reporting the
+    * closest probe as evidence. Paraphrased benchmark leakage that shares
+    * no 13-gram with the original still sits next to it in embedding
+    * space, which is why pipelines run both tiers.
+    *
+    * Scale shape: benchmarks are small by nature, so the probe side is
+    * broadcast and the contamination scan is map-only over the corpus —
+    * one linear pass at any corpus size. Only the (tiny, threshold-
+    * filtered) hit set reaches the best-probe ranking shuffle. For very
+    * large probe sets, route probes through [[signBucketJoin]] instead —
+    * same verify step, bucket-keyed candidates.
+    */
+  def semanticDecontaminate(corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      roundTo: Int = 6): DataFrame = {
+    val p = broadcast(probes.select(col(idCol).as("probe_id"),
+      col(vecCol).as("probe_vec")))
+    val hits = Spread.ensure(corpus).crossJoin(p)
+      .withColumn("sim",
+        round(vector.cosine(col(vecCol), col("probe_vec")), roundTo))
+      .filter(col("sim") >= threshold)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("sim").desc, col("probe_id"))
+    hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("probe_id"), col("sim"))
+  }
+
   /** SemDeDup-style cluster-scoped near-dup pairs (Abbas et al. 2023,
     * arXiv:2303.09540): k-means-cluster the embeddings (the shared
     * [[Ivf]] coarse quantizer — same centroids an ANN index would use),

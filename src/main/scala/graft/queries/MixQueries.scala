@@ -905,6 +905,135 @@ object MixQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+      // the k largest md5-derived u^(1/w) keys are an exact weighted
+      // sample — here weight = n_chars, so selection probability scales
+      // with document length. The uniform u is (v + 0.5)/2^32 from the
+      // first 8 md5 hex chars — bit-identical on both engines — and keys
+      // compare in log space to dodge pow's rounding. Plans as
+      // TakeOrderedAndProject: per-partition top-k, no global sort.
+      "s11_weighted_sample",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Sampling.weightedSample(t.documents, "doc_id", "n_chars",
+            k = 20, salt = "ws42")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            round(col("wkey"), 6).as("wkey"))
+      },
+      Some("""
+        |WITH k AS (
+        |  SELECT doc_id, source, n_chars,
+        |         ln((CAST(concat('0x',
+        |               substr(md5(CAST(doc_id AS VARCHAR) || ':ws42'), 1, 8))
+        |             AS BIGINT) + 0.5) / 4294967296.0) / n_chars AS key
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, n_chars, round(key, 6) AS wkey
+        |FROM k
+        |ORDER BY key DESC, doc_id
+        |LIMIT 20
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Soft deduplication (reweight-don't-drop, arXiv:2407.04752):
+      // duplicate clusters are down-weighted by 1/|cluster| instead of
+      // deleted, so each distinct content contributes one row-equivalent
+      // of signal. The testdata has no exact duplicates, so the query
+      // PLANTS them the way an ingest sees re-crawls: the doc_id < 40
+      // slice re-enters once (cluster size 2) and the doc_id < 10 slice
+      // twice more (cluster size 4 for those). Per-source audit of rows
+      // vs clusters vs effective (weighted) volume; one window count over
+      // md5(text) — a single shuffle at any corpus size.
+      "s12_soft_dedup",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val base = t.documents
+          .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+        val corpus = base
+          .unionByName(base.filter(col("doc_id") < 40)
+            .withColumn("doc_id", col("doc_id") + 200000L))
+          .unionByName(base.filter(col("doc_id") < 10)
+            .withColumn("doc_id", col("doc_id") + 300000L))
+          .unionByName(base.filter(col("doc_id") < 10)
+            .withColumn("doc_id", col("doc_id") + 400000L))
+        Sampling.softDedupWeights(corpus, md5(col("text")))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(md5(col("text"))).as("n_clusters"),
+            round(sum(col("soft_weight")), 6).as("effective_docs"),
+            round(sum(col("n_chars") * col("soft_weight")), 4)
+              .as("effective_chars"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        |WITH corpus AS (
+        |  SELECT doc_id, text, source, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text, source, n_chars FROM documents
+        |  WHERE doc_id < 40
+        |  UNION ALL
+        |  SELECT doc_id + 300000, text, source, n_chars FROM documents
+        |  WHERE doc_id < 10
+        |  UNION ALL
+        |  SELECT doc_id + 400000, text, source, n_chars FROM documents
+        |  WHERE doc_id < 10
+        |),
+        |cl AS (
+        |  SELECT source, n_chars, md5(text) AS ckey,
+        |         count(*) OVER (PARTITION BY md5(text)) AS cluster_size
+        |  FROM corpus
+        |)
+        |SELECT source,
+        |       count(*) AS n_rows,
+        |       count(DISTINCT ckey) AS n_clusters,
+        |       round(sum(1.0 / cluster_size), 6) AS effective_docs,
+        |       round(sum(n_chars * 1.0 / cluster_size), 4) AS effective_chars
+        |FROM cl
+        |GROUP BY source
+        |ORDER BY source
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Character-distribution entropy: the one-pass compression-ratio
+      // proxy (low entropy = boilerplate / repeated-keyword spam; natural
+      // prose sits near the language's ~2.8-3.1 nat band). The fused
+      // CharEntropy expression keeps the per-row distribution inside the
+      // scan — map-only at any corpus size, versus token-level signals
+      // that need a corpus aggregate. Keep decisions compare the ROUNDED
+      // value, so they are engine-invariant by construction.
+      "t25_char_entropy",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.documents
+          .select(col("doc_id"), col("n_chars"),
+            round(graft.functions.CharEntropy(col("text")), 4)
+              .as("char_entropy"))
+          .withColumn("keep", col("char_entropy") >= 2.0)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        |WITH ch AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS c
+        |  FROM documents
+        |),
+        |freq AS (
+        |  SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c
+        |),
+        |freq2 AS (
+        |  SELECT doc_id, k, sum(k) OVER (PARTITION BY doc_id) AS n
+        |  FROM freq
+        |),
+        |ent AS (
+        |  SELECT doc_id, -sum((k * 1.0 / n) * ln(k * 1.0 / n)) AS h
+        |  FROM freq2 GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, d.n_chars, round(e.h, 4) AS char_entropy,
+        |       round(e.h, 4) >= 2.0 AS keep
+        |FROM documents d JOIN ent e USING (doc_id)
+        |ORDER BY doc_id
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Gopher quality rules (arXiv:2112.11446 Table A1): the rule battery
       // web-scale corpora run BEFORE any learned scorer — word count band,
       // mean word length band, symbol ratio, bullet/ellipsis line ratios,

@@ -1705,6 +1705,97 @@ object TextQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Perceptual image near-dup: dHash 64-bit gradient fingerprints
+      // joined by 4x16-bit segment pigeonhole (exact for hamming <= 3 —
+      // Multimodal.hammingPairs, the image twin of d03's SimHash path).
+      // As with m02, the driver-checked path derives the 9x8 gray grid
+      // from md5 windows of the payload (a decode DuckDB can replay);
+      // the REAL decoder path — ImageIO pixels -> box-mean gray ->
+      // identical dHashBits — is pinned in MultimodalSpec on rendered
+      // images. Near-dups are planted at the hash level (2 bits flipped,
+      // one per half) the way re-encoded images land within a few
+      // gradient bits of their source.
+      "m05_image_dhash",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val hashed = t.documents
+          .select(col("doc_id").as("media_id"), col("text"))
+          .withColumn("g", expr(
+            "transform(sequence(0, 71), i -> cast(conv(substring(" +
+              "md5(concat(text, ':g', cast(i as string))), 1, 2), 16, 10) " +
+              "as bigint))"))
+          .withColumn("hi", expr(
+            "aggregate(sequence(0, 31), 0L, (acc, b) -> acc + " +
+              "if(element_at(g, cast((b div 8) * 9 + (b % 8) + 2 as int)) > " +
+              "element_at(g, cast((b div 8) * 9 + (b % 8) + 1 as int)), " +
+              "shiftleft(1L, b), 0L))"))
+          .withColumn("lo", expr(
+            "aggregate(sequence(32, 63), 0L, (acc, b) -> acc + " +
+              "if(element_at(g, cast((b div 8) * 9 + (b % 8) + 2 as int)) > " +
+              "element_at(g, cast((b div 8) * 9 + (b % 8) + 1 as int)), " +
+              "shiftleft(1L, b - 32), 0L))"))
+          .select(col("media_id"), col("hi"), col("lo"))
+        // Planted rows ride the SAME scan via a map-side explode (each
+        // doc_id < 60 row emits its original and its 2-bit-flipped twin)
+        // — one pass, no second read, and no Union for the constraint
+        // rewriter to chase into the hash lambdas.
+        val orig = struct(col("media_id"), col("hi"), col("lo"))
+        val twin = struct((col("media_id") + 1000000L).as("media_id"),
+          col("hi").bitwiseXOR(
+            expr("shiftleft(1L, cast(media_id % 32 as int))")).as("hi"),
+          col("lo").bitwiseXOR(
+            expr("shiftleft(1L, cast((media_id * 7 + 3) % 32 as int))"))
+            .as("lo"))
+        val corpus = hashed
+          .select(explode(when(col("media_id") < 60, array(orig, twin))
+            .otherwise(array(orig))).as("r"))
+          .select(col("r.media_id").as("media_id"), col("r.hi").as("hi"),
+            col("r.lo").as("lo"))
+        graft.ops.Multimodal.hammingPairs(
+            corpus, "media_id", "hi", "lo", maxHam = 3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""
+        |WITH g AS (
+        |  SELECT doc_id AS media_id,
+        |         list_transform(range(0, 72), i ->
+        |           CAST(concat('0x', substr(md5(text || ':g' || i), 1, 2))
+        |                AS BIGINT)) AS g
+        |  FROM documents
+        |),
+        |h AS (
+        |  SELECT media_id,
+        |         CAST(list_sum(list_transform(range(0, 32), b ->
+        |           CASE WHEN g[(b // 8) * 9 + (b % 8) + 2] >
+        |                     g[(b // 8) * 9 + (b % 8) + 1]
+        |                THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+        |                ELSE 0 END)) AS BIGINT) AS hi,
+        |         CAST(list_sum(list_transform(range(32, 64), b ->
+        |           CASE WHEN g[(b // 8) * 9 + (b % 8) + 2] >
+        |                     g[(b // 8) * 9 + (b % 8) + 1]
+        |                THEN (CAST(1 AS BIGINT) << CAST(b - 32 AS INTEGER))
+        |                ELSE 0 END)) AS BIGINT) AS lo
+        |  FROM g
+        |),
+        |corpus AS (
+        |  SELECT media_id, hi, lo FROM h
+        |  UNION ALL
+        |  SELECT media_id + 1000000,
+        |         xor(hi, CAST(1 AS BIGINT) << CAST(media_id % 32 AS INTEGER)),
+        |         xor(lo, CAST(1 AS BIGINT)
+        |                 << CAST((media_id * 7 + 3) % 32 AS INTEGER))
+        |  FROM h WHERE media_id < 60
+        |)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |       CAST(bit_count(xor(a.hi, b.hi)) +
+        |            bit_count(xor(a.lo, b.lo)) AS INTEGER) AS ham
+        |FROM corpus a, corpus b
+        |WHERE a.media_id < b.media_id
+        |  AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+        |ORDER BY id_a, id_b
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Winnowing document fingerprints (k=8 char grams, window w=4):
       // rolling positional hashes -> window-min selection -> distinct
       // fingerprint set per doc. Two-projection shape so the hash array

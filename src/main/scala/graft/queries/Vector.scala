@@ -911,6 +911,62 @@ object VectorQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Semantic decontamination: the embedding-space tier of benchmark
+      // leak detection (t09 is the n-gram tier — paraphrased leakage
+      // shares no 13-gram but still sits next to the benchmark in
+      // embedding space). Probes = the vec_id < 30 slice standing in for
+      // a benchmark; the corpus re-ingests those probes lightly edited
+      // (first 8 dims zeroed, shifted ids) the way a contaminated crawl
+      // carries paraphrases. Exact broadcast-probe cosine — map-only
+      // over the corpus, no shuffle before the tiny hit ranking; the
+      // same verify step LSH-routed probes would feed at larger probe
+      // counts.
+      "e08_semantic_decon",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val base = t.embeddings.select(col("vec_id"), col("embedding"))
+        val probes = base.filter(col("vec_id") < 30)
+        val planted = probes
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => when(i < 8, lit(0.0f)).otherwise(x)).as("embedding"))
+        val corpus = base.filter(col("vec_id") >= 30).unionByName(planted)
+        graft.ops.Similarity.semanticDecontaminate(corpus, probes,
+            "vec_id", "embedding", threshold = 0.8)
+          .orderBy(col("vec_id"))
+      },
+      Some("""
+        |WITH probes AS (
+        |  SELECT vec_id AS probe_id, embedding AS pv
+        |  FROM embeddings WHERE vec_id < 30
+        |),
+        |corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 30
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |         list_transform(embedding,
+        |           (x, i) -> CASE WHEN i <= 8 THEN CAST(0 AS FLOAT) ELSE x END)
+        |           AS embedding
+        |  FROM embeddings WHERE vec_id < 30
+        |),
+        |hits AS (
+        |  SELECT c.vec_id, p.probe_id,
+        |         round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                      CAST(p.pv AS DOUBLE[])), 6)
+        |           AS sim
+        |  FROM corpus c, probes p
+        |  WHERE round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                     CAST(p.pv AS DOUBLE[])), 6)
+        |        >= 0.8
+        |)
+        |SELECT vec_id, probe_id, sim
+        |FROM hits
+        |QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                           ORDER BY sim DESC, probe_id) = 1
+        |ORDER BY vec_id
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Johnson–Lindenstrauss random projection (Achlioptas '03 ±1
       // entries): the DATA-INDEPENDENT dimensionality reduction — no fit
       // pass, no model state, the projection matrix is derived from a

@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.BoundReference
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.CharEntropy
+import graft.ops.{Multimodal, Sampling, Similarity}
+
+/** Round-5 late additions: weighted sampling, soft dedup, semantic
+  * decontamination, character entropy, and perceptual image hashing.
+  */
+class Round5OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---- weightedSample (Efraimidis–Spirakis A-ES) ----
+
+  test("weightedSample is k-sized, partition-invariant, and length-biased") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val k = 20
+    val one = Sampling.weightedSample(docs, "doc_id", "n_chars", k, "t1")
+      .select($"doc_id").collect().map(_.getLong(0)).toSeq
+    assert(one.size === k)
+    assert(one.distinct.size === k)
+    val again = Sampling.weightedSample(docs.repartition(7), "doc_id",
+        "n_chars", k, "t1")
+      .select($"doc_id").collect().map(_.getLong(0)).toSeq
+    assert(one === again, "selection must not depend on partitioning")
+    // Length-weighted keys overrepresent long documents: the sampled mean
+    // n_chars must exceed the corpus mean (deterministic data + salt).
+    val sampleMean = Sampling.weightedSample(docs, "doc_id", "n_chars",
+        k, "t1")
+      .agg(avg($"n_chars")).head.getDouble(0)
+    val corpusMean = docs.agg(avg($"n_chars")).head.getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
+  }
+
+  test("weightedSample with a dominating weight always selects that row") {
+    val rows = (1L to 100L).map(i => (i, if (i == 42L) 1000000L else 1L))
+      .toDF("doc_id", "w")
+    (1 to 5).foreach { s =>
+      val got = Sampling.weightedSample(rows, "doc_id", "w", 3, s"salt$s")
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(got.contains(42L),
+        s"weight 10^6 row missing from top-3 under salt$s")
+    }
+  }
+
+  // ---- softDedupWeights ----
+
+  test("softDedupWeights assigns 1/|cluster| and preserves effective mass") {
+    val docs = Seq(
+      (1L, "aaa"), (2L, "aaa"), (3L, "aaa"),
+      (4L, "bbb"), (5L, "bbb"),
+      (6L, "ccc")).toDF("doc_id", "text")
+    val w = Sampling.softDedupWeights(docs, md5($"text"))
+      .select($"doc_id", $"cluster_size", $"soft_weight")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(w(1L) === ((3L, 1.0 / 3)))
+    assert(w(4L) === ((2L, 0.5)))
+    assert(w(6L) === ((1L, 1.0)))
+    val mass = w.values.map(_._2).sum
+    assert(math.abs(mass - 3.0) < 1e-12,
+      "total soft weight must equal the distinct-cluster count")
+  }
+
+  // ---- semanticDecontaminate ----
+
+  test("semanticDecontaminate flags planted paraphrases with their source probe") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val probes = emb.filter($"vec_id" < 10)
+    val planted = probes.select(($"vec_id" + 5000L).as("vec_id"),
+      transform($"embedding",
+        (x, i) => when(i < 8, lit(0.0f)).otherwise(x)).as("embedding"))
+    val corpus = emb.filter($"vec_id" >= 10).unionByName(planted)
+    val hits = Similarity.semanticDecontaminate(corpus, probes,
+        "vec_id", "embedding", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(hits === (0L until 10L).map(i => (i + 5000L, i)),
+      "each planted copy must match exactly its source probe")
+  }
+
+  // ---- CharEntropy ----
+
+  test("CharEntropy matches closed forms and handles code points") {
+    def h(s: String): Double =
+      CharEntropy.compute(UTF8String.fromString(s))
+    assert(h("") === 0.0)
+    assert(h("aaaa") === 0.0)
+    assert(math.abs(h("ab") - math.log(2)) < 1e-12)
+    assert(math.abs(h("abcd") - math.log(4)) < 1e-12)
+    // 2-of-3 / 1-of-3 distribution; the emoji is a supplementary-plane
+    // code point (2 UTF-16 units) and must count ONCE per occurrence.
+    val p1 = 2.0 / 3; val p2 = 1.0 / 3
+    val want = -(p1 * math.log(p1) + p2 * math.log(p2))
+    assert(math.abs(h("😀😀a") - want) < 1e-12)
+  }
+
+  test("CharEntropy interpreted eval matches the codegen'd query path") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    val viaQuery = docs.select($"doc_id",
+        CharEntropy($"text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ref = BoundReference(0, StringType, nullable = true)
+    val expr = graft.functions.CharEntropy(ref)
+    docs.select($"doc_id", $"text").collect().foreach { r =>
+      val interp = expr.eval(InternalRow(UTF8String.fromString(r.getString(1))))
+        .asInstanceOf[Double]
+      assert(interp === viaQuery(r.getLong(0)),
+        s"interpreted/codegen divergence on doc ${r.getLong(0)}")
+    }
+  }
+
+  // ---- dHash + hammingPairs ----
+
+  private def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private def gradientImage(w: Int, h: Int, shift: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = math.min(255, x * 255 / w + shift)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  test("dHash survives resize and brightness; separates unrelated images") {
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val base = Multimodal.dHash(png(gradientImage(64, 48, 0))).get
+    val resized = Multimodal.dHash(png(gradientImage(128, 96, 0))).get
+    val brighter = Multimodal.dHash(png(gradientImage(64, 48, 30))).get
+    assert(ham(base, resized) <= 6,
+      s"resize moved dHash by ${ham(base, resized)} bits")
+    assert(ham(base, brighter) <= 6,
+      s"brightness shift moved dHash by ${ham(base, brighter)} bits")
+    // Unrelated content: a vertical gradient flips most row-gradient bits.
+    val vert = new java.awt.image.BufferedImage(64, 48,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 48; x <- 0 until 64) {
+      val v = ((x * 7919 + y * 104729) % 256)
+      vert.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val noise = Multimodal.dHash(png(vert)).get
+    assert(ham(base, noise) > 16,
+      s"unrelated images only ${ham(base, noise)} bits apart")
+    // Determinism: same payload, same hash.
+    assert(Multimodal.dHash(png(gradientImage(64, 48, 0))).get === base)
+  }
+
+  test("dHashBits sets exactly the strict-gradient bits") {
+    val gray = Array.tabulate(72L.toInt)(i => (i % 9).toLong) // ascending rows
+    val (hi, lo) = Multimodal.dHashBits(gray.map(_.toLong))
+    assert(hi === 0xffffffffL && lo === 0xffffffffL) // every gradient rises
+    val flat = Array.fill(72)(5L)
+    assert(Multimodal.dHashBits(flat) === ((0L, 0L))) // strict >: no bits
+  }
+
+  test("hammingPairs equals the exact cross-join result on planted flips") {
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 150L).map(i =>
+      (i, rnd.nextLong() & 0xffffffffL, rnd.nextLong() & 0xffffffffL))
+    val planted = base.take(30).map { case (i, hi, lo) =>
+      (i + 10000L, hi ^ (1L << (i % 32).toInt), lo ^ (1L << ((i * 3 + 5) % 32).toInt))
+    }
+    val all = base ++ planted
+    val df = all.toDF("media_id", "hi", "lo")
+    val got = Multimodal.hammingPairs(df, "media_id", "hi", "lo", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = (for {
+      (ia, ha, la) <- all; (ib, hb, lb) <- all if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(want.size >= 30, "planted pairs must be present in the truth set")
+    assert(got === want)
+  }
+}
