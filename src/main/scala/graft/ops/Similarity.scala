@@ -269,6 +269,45 @@ object Similarity {
       .select(col(idCol), col("probe_id"), col("sim"))
   }
 
+  /** [[semanticDecontaminate]]'s scale path for LARGE probe sets — when
+    * the benchmark suite no longer broadcasts, corpus x probes stops
+    * being an option and the contamination scan becomes a bucket join:
+    * both sides compute the wide per-band sign signatures
+    * ([[signBucketJoinWide]]'s parameterization — `bitsPerBand` tracks
+    * log2 of the larger side), candidates come from the (band,
+    * signature) equi-join of corpus buckets against probe buckets, and
+    * every candidate is verified with the same exact rounded cosine as
+    * the broadcast path. Hits are therefore a SUBSET of the exact
+    * answer by construction; recall follows e02/e03's planted-pair
+    * arithmetic (1 - (1 - p_band)^bands, = 1 for exact copies).
+    * Output schema matches [[semanticDecontaminate]].
+    */
+  def semanticDecontaminateLsh(corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      bands: Int = 16, bitsPerBand: Int = 8, dims: Int = 64,
+      seed: Long = 42L, roundTo: Int = 6): DataFrame = {
+    require(bitsPerBand <= 63, "a band signature must fit one long")
+    val tensor = Array.tabulate(bands)(b =>
+      hyperplanes(bitsPerBand, dims, seed + b))
+    def keyed(df: DataFrame, side: String): DataFrame =
+      Spread.ensure(df).select(col(idCol).as(s"${side}_id"),
+          col(vecCol).as(s"${side}_vec"),
+          graft.functions.SignBandSignatures(col(vecCol), tensor).as("sigs"))
+        .select(col(s"${side}_id"), col(s"${side}_vec"),
+          posexplode(col("sigs")).as(Seq("seg", "segval")))
+    val cand = keyed(corpus, "c").join(keyed(probes, "p"), Seq("seg", "segval"))
+      .select(col("c_id"), col("c_vec"), col("p_id"), col("p_vec"))
+      .distinct() // a pair colliding in >1 band is one candidate
+      .withColumn("sim",
+        round(vector.cosine(col("c_vec"), col("p_vec")), roundTo))
+      .filter(col("sim") >= threshold)
+    val w = Window.partitionBy(col("c_id"))
+      .orderBy(col("sim").desc, col("p_id"))
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("c_id").as(idCol), col("p_id").as("probe_id"), col("sim"))
+  }
+
   /** SemDeDup-style cluster-scoped near-dup pairs (Abbas et al. 2023,
     * arXiv:2303.09540): k-means-cluster the embeddings (the shared
     * [[Ivf]] coarse quantizer — same centroids an ANN index would use),

@@ -602,6 +602,58 @@ object StreamingQueries {
         |       round(sum(CASE WHEN s_us IS NULL THEN value END), 2)
         |         AS gap_value
         |FROM j
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Streaming ingest quality gate: the fused CharEntropy scalar (t25)
+      // and a length floor run INSIDE the stream — stateless map-only
+      // micro-batches in append mode, no watermark, no state store: the
+      // shape of a filter-at-ingest deployment where quality scoring must
+      // not add a shuffle to the hot path. The batch-equivalence contract
+      // (same per-source keep counts and mean entropy as the static
+      // table) is exactly what AvailableNow + append guarantees for a
+      // stateless transform.
+      "st12_stream_quality",
+      (s, dir) => {
+        val docsSchema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(docsSchema)
+          .option("basePath", dir).parquet(s"$dir/documents*.parquet")
+        val scored = stream
+          .withColumn("h",
+            round(graft.functions.CharEntropy(col("text")), 4))
+          .filter(col("h") >= 2.0 && length(col("text")) >= 20)
+        runToTable(s, scored.select(col("doc_id"), col("source"), col("h")),
+            "append")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"),
+            round(avg(col("h")), 4).as("mean_entropy"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        |WITH ch AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS c
+        |  FROM documents
+        |),
+        |freq AS (
+        |  SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c
+        |),
+        |freq2 AS (
+        |  SELECT doc_id, k, sum(k) OVER (PARTITION BY doc_id) AS n
+        |  FROM freq
+        |),
+        |ent AS (
+        |  SELECT doc_id, -sum((k * 1.0 / n) * ln(k * 1.0 / n)) AS h
+        |  FROM freq2 GROUP BY doc_id
+        |),
+        |kept AS (
+        |  SELECT d.source, round(e.h, 4) AS h
+        |  FROM documents d JOIN ent e USING (doc_id)
+        |  WHERE round(e.h, 4) >= 2.0 AND length(d.text) >= 20
+        |)
+        |SELECT source, count(*) AS n_kept, round(avg(h), 4) AS mean_entropy
+        |FROM kept
+        |GROUP BY source
+        |ORDER BY source
         |""".stripMargin.trim))
   )
 }

@@ -1242,6 +1242,112 @@ object TextQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Retrieval evaluation #2 — MRR and recall@10 of the 1-bit binary
+      // retriever (v19's hamming ranking) against exact-cosine relevance
+      // (threshold 0.30): the metric pair pipelines track per retriever
+      // arm next to t21's graded NDCG. Run AND truth are both exact
+      // deterministic functions of the data here (sign-bit packing +
+      // hamming, exact cosine set), so unlike the v16-v20 recall
+      // contracts every metric value is hash-checked end to end. Degenerate
+      // probes (no relevant docs) yield NULL metrics, not divide-by-zero.
+      "t26_retrieval_eval",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val emb = t.embeddings
+        val probes = emb.filter(col("vec_id") < 5)
+        val run = graft.ops.Quantize.hammingTopK(emb, probes, "vec_id",
+            "embedding", k = 10)
+          .select(col("query_id"), col("rnk"), col("vec_id"))
+        val p = broadcast(probes.select(col("vec_id").as("query_id"),
+          col("embedding").as("qv")))
+        val rel = emb.crossJoin(p)
+          .filter(col("vec_id") =!= col("query_id"))
+          .filter(round(graft.functions.vector.cosine(col("embedding"),
+            col("qv")), 6) >= 0.30)
+          .select(col("query_id"), col("vec_id"), lit(1).as("relv"))
+        val perQ = run.join(rel, Seq("query_id", "vec_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(min(when(col("relv").isNotNull, col("rnk"))).as("first_rel"),
+            count(when(col("relv").isNotNull, 1)).as("hits"))
+        val nrel = rel.groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_relevant"))
+        p.select(col("query_id")).join(nrel, Seq("query_id"), "left")
+          .na.fill(0, Seq("n_relevant"))
+          .join(perQ, Seq("query_id"), "left")
+          .select(col("query_id"), col("n_relevant"),
+            when(col("n_relevant") > 0,
+              round(col("hits").cast("double") /
+                least(lit(10L), col("n_relevant")).cast("double"), 4))
+              .as("recall_at10"),
+            when(col("n_relevant") > 0,
+              round(coalesce(lit(1.0) / col("first_rel").cast("double"),
+                lit(0.0)), 4)).as("mrr"))
+          .orderBy(col("query_id"))
+      },
+      Some("""
+        |WITH sig AS (
+        |  SELECT vec_id,
+        |         CAST(list_sum(list_transform(range(1, 33), i ->
+        |           CASE WHEN embedding[i] > 0
+        |                THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END))
+        |           AS BIGINT) AS s0,
+        |         CAST(list_sum(list_transform(range(33, 65), i ->
+        |           CASE WHEN embedding[i] > 0
+        |                THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END))
+        |           AS BIGINT) AS s1
+        |  FROM embeddings
+        |),
+        |cand AS (
+        |  SELECT p.vec_id AS query_id, c.vec_id,
+        |         bit_count(xor(p.s0, c.s0)) + bit_count(xor(p.s1, c.s1))
+        |           AS hamming
+        |  FROM sig p JOIN sig c ON c.vec_id <> p.vec_id
+        |  WHERE p.vec_id < 5
+        |),
+        |run AS (
+        |  SELECT query_id, vec_id, rnk FROM (
+        |    SELECT query_id, vec_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |                              ORDER BY hamming, vec_id) AS rnk
+        |    FROM cand
+        |  ) WHERE rnk <= 10
+        |),
+        |qv AS (
+        |  SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 5
+        |),
+        |rel AS (
+        |  SELECT q.query_id, c.vec_id
+        |  FROM embeddings c, qv q
+        |  WHERE c.vec_id <> q.query_id
+        |    AND round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                     CAST(q.qv AS DOUBLE[])), 6)
+        |        >= 0.30
+        |),
+        |nrel AS (SELECT query_id, count(*) AS n_relevant FROM rel GROUP BY query_id),
+        |j AS (
+        |  SELECT run.query_id,
+        |         min(CASE WHEN rel.vec_id IS NOT NULL THEN run.rnk END)
+        |           AS first_rel,
+        |         count(rel.vec_id) AS hits
+        |  FROM run LEFT JOIN rel
+        |    ON run.query_id = rel.query_id AND run.vec_id = rel.vec_id
+        |  GROUP BY run.query_id
+        |)
+        |SELECT q.query_id,
+        |       CAST(coalesce(n.n_relevant, 0) AS BIGINT) AS n_relevant,
+        |       CASE WHEN coalesce(n.n_relevant, 0) > 0
+        |            THEN round(CAST(j.hits AS DOUBLE)
+        |                       / least(10, n.n_relevant), 4) END AS recall_at10,
+        |       CASE WHEN coalesce(n.n_relevant, 0) > 0
+        |            THEN round(coalesce(1.0 / j.first_rel, 0.0), 4) END AS mrr
+        |FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5) q
+        |LEFT JOIN nrel n USING (query_id)
+        |LEFT JOIN j USING (query_id)
+        |ORDER BY query_id
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Character 5-gram Jaccard near-dup pairs — same machinery as d02
       // over char shingles, but MinHash(64) in 8 bands of EIGHT: char-gram
       // similarity concentrates much higher than word-gram similarity on
@@ -1718,12 +1824,24 @@ object TextQueries {
       "m05_image_dhash",
       (s, dir) => {
         val t = Tables(s, dir)
+        // 72+ gray bytes from FIVE md5 digests (16 bytes each), not 72 —
+        // the same windows-of-a-digest economy as FakeDecoder. HOF
+        // lambdas are interpreted, so the md5-call count IS the scan
+        // cost: 5/row keeps the stub decode at parquet-scan speed. The
+        // digest is bound to a lambda VARIABLE (m) of a nested
+        // transform, never to a single-use column alias: CollapseProject
+        // inlines a once-referenced alias into the consuming lambda,
+        // which would re-derive all five digests per element (measured
+        // 4.6 s inlined vs 1.0 s in this form at sf0.1 — the t22
+        // staging rule, lambda-variable flavor).
         val hashed = t.documents
           .select(col("doc_id").as("media_id"), col("text"))
           .withColumn("g", expr(
-            "transform(sequence(0, 71), i -> cast(conv(substring(" +
-              "md5(concat(text, ':g', cast(i as string))), 1, 2), 16, 10) " +
-              "as bigint))"))
+            "flatten(transform(" +
+              "transform(sequence(0, 4), j -> " +
+              "md5(concat(text, ':g', cast(j as string)))), " +
+              "m -> transform(sequence(0, 15), b -> " +
+              "cast(conv(substring(m, b * 2 + 1, 2), 16, 10) as bigint))))"))
           .withColumn("hi", expr(
             "aggregate(sequence(0, 31), 0L, (acc, b) -> acc + " +
               "if(element_at(g, cast((b div 8) * 9 + (b % 8) + 2 as int)) > " +
@@ -1756,12 +1874,19 @@ object TextQueries {
           .orderBy(col("id_a"), col("id_b"))
       },
       Some("""
-        |WITH g AS (
+        |WITH hx AS (
         |  SELECT doc_id AS media_id,
-        |         list_transform(range(0, 72), i ->
-        |           CAST(concat('0x', substr(md5(text || ':g' || i), 1, 2))
-        |                AS BIGINT)) AS g
+        |         list_transform(range(0, 5), j -> md5(text || ':g' || j))
+        |           AS hx
         |  FROM documents
+        |),
+        |g AS (
+        |  SELECT media_id,
+        |         list_transform(range(0, 72), i ->
+        |           CAST(concat('0x', substr(hx[CAST(i // 16 + 1 AS INTEGER)],
+        |                  CAST((i % 16) * 2 + 1 AS INTEGER), 2))
+        |                AS BIGINT)) AS g
+        |  FROM hx
         |),
         |h AS (
         |  SELECT media_id,

@@ -87,6 +87,24 @@ class Round5OpsSpec extends SparkSpec {
       "each planted copy must match exactly its source probe")
   }
 
+  test("semanticDecontaminateLsh equals the broadcast-exact path on planted data") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val probes = emb.filter($"vec_id" < 10)
+    val planted = probes.select(($"vec_id" + 5000L).as("vec_id"),
+      transform($"embedding",
+        (x, i) => when(i < 8, lit(0.0f)).otherwise(x)).as("embedding"))
+    val corpus = emb.filter($"vec_id" >= 10).unionByName(planted)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val exact = rows(Similarity.semanticDecontaminate(corpus, probes,
+      "vec_id", "embedding", threshold = 0.8))
+    val lsh = rows(Similarity.semanticDecontaminateLsh(corpus, probes,
+      "vec_id", "embedding", threshold = 0.8))
+    assert(lsh === exact,
+      "bucket-routed decontamination must find the planted set the exact path finds")
+  }
+
   // ---- CharEntropy ----
 
   test("CharEntropy matches closed forms and handles code points") {

@@ -418,4 +418,52 @@ class ScaleSpec extends SparkSpec {
     assert(top("d1") === "markerone")
     assert(top("d0") === "plainword")
   }
+
+  test("weightedSample selects an identical set at 10^6 rows under any partitioning") {
+    // A-ES selection must be a pure function of (id, salt, weight): the
+    // TakeOrderedAndProject merge of per-partition top-k heaps cannot
+    // depend on how rows were dealt. Weights span ~1-2 orders of
+    // magnitude, so per-partition heaps genuinely differ between layouts.
+    val n = 1000000L
+    def corpus(parts: Int) = spark.range(n).repartition(parts)
+      .select($"id".as("doc_id"),
+        (pmod(xxhash64($"id"), lit(900L)) + lit(100L)).as("w"))
+    def run(parts: Int): Seq[Long] =
+      graft.ops.Sampling.weightedSample(corpus(parts), "doc_id", "w",
+          100, "sc1")
+        .select($"doc_id").collect().map(_.getLong(0)).toSeq
+    val a = run(4)
+    assert(a.size === 100)
+    assert(a === run(97), "weighted sample drifts with partitioning")
+  }
+
+  test("hammingPairs is partition-invariant and exact at 10^5 hashes") {
+    val n = 100000L
+    def corpus(parts: Int) = {
+      val base = spark.range(n).repartition(parts)
+        .select($"id".as("media_id"),
+          pmod(xxhash64($"id", lit(1)), lit(4294967296L)).as("hi"),
+          pmod(xxhash64($"id", lit(2)), lit(4294967296L)).as("lo"))
+      val orig = struct($"media_id", $"hi", $"lo")
+      val twin = struct(($"media_id" + 1000000L).as("media_id"),
+        $"hi".bitwiseXOR(expr("shiftleft(1L, cast(media_id % 32 as int))"))
+          .as("hi"),
+        $"lo".bitwiseXOR(
+          expr("shiftleft(1L, cast((media_id * 3 + 5) % 32 as int))"))
+          .as("lo"))
+      base.select(explode(when($"media_id" < 500, array(orig, twin))
+          .otherwise(array(orig))).as("r"))
+        .select($"r.media_id".as("media_id"), $"r.hi".as("hi"),
+          $"r.lo".as("lo"))
+    }
+    def run(parts: Int): Seq[(Long, Long, Int)] =
+      graft.ops.Multimodal.hammingPairs(corpus(parts), "media_id",
+          "hi", "lo", maxHam = 3)
+        .orderBy($"id_a", $"id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val a = run(5)
+    val planted = a.filter { case (ia, ib, d) => ib == ia + 1000000L && d == 2 }
+    assert(planted.size === 500, s"${planted.size} of 500 planted twins found")
+    assert(a === run(53), "pair set drifts with partitioning")
+  }
 }
