@@ -36,6 +36,78 @@ object Lake {
     nFiles
   }
 
+  /** Minimal versioned-table layout — the poor-man's transaction log:
+    * each write lands a COMPLETE snapshot under `<table>/v=<n>` with
+    * monotonically increasing n, committed by an atomic rename from a
+    * scratch directory so readers never observe a partial version. On
+    * this layout sit the three maintenance verbs every table format
+    * grew: time travel ([[readVersion]]), changefeed ([[snapshotDiff]]
+    * over two versions), and retention ([[vacuum]]). Full-snapshot
+    * versions trade write amplification for zero log-replay machinery —
+    * the right trade for dimension-sized tables; fact tables want a real
+    * format (Delta/Iceberg), whose semantics these verbs mirror.
+    */
+  def versions(spark: SparkSession, tableDir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+      .sorted
+  }
+
+  /** Write `df` as the next version; returns the version number. The
+    * snapshot is written to a scratch sibling and renamed into place —
+    * rename is atomic on HDFS-like stores, so a concurrent reader sees
+    * either the old latest or the new one, never a torn directory.
+    */
+  def writeVersion(df: DataFrame, tableDir: String): Long = {
+    val spark = df.sparkSession
+    val next = versions(spark, tableDir).lastOption.getOrElse(0L) + 1L
+    val p = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val scratch = new org.apache.hadoop.fs.Path(p, s".tmp_v$next")
+    df.write.mode("overwrite").parquet(scratch.toString)
+    val target = new org.apache.hadoop.fs.Path(p, s"v=$next")
+    if (!fs.rename(scratch, target))
+      throw new java.io.IOException(s"commit of $target failed")
+    next
+  }
+
+  /** Read a specific version, or the latest when `version` is None.
+    * A vacuumed (or never-written) version fails fast with the version
+    * list rather than returning an empty scan.
+    */
+  def readVersion(spark: SparkSession, tableDir: String,
+      version: Option[Long] = None): DataFrame = {
+    val have = versions(spark, tableDir)
+    val v = version.getOrElse(
+      have.lastOption.getOrElse(
+        throw new java.util.NoSuchElementException(s"no versions in $tableDir")))
+    if (!have.contains(v))
+      throw new java.util.NoSuchElementException(
+        s"version $v not in $tableDir (have: ${have.mkString(",")})")
+    spark.read.parquet(s"$tableDir/v=$v")
+  }
+
+  /** Retention: delete all but the newest `keepLast` versions; returns
+    * the deleted version numbers. Deletion order is oldest-first so a
+    * crash mid-vacuum leaves a contiguous suffix of versions, keeping
+    * [[readVersion]]'s "latest" well-defined.
+    */
+  def vacuum(spark: SparkSession, tableDir: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least the latest version")
+    val p = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val doomed = versions(spark, tableDir).dropRight(keepLast)
+    doomed.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(p, s"v=$v"), true)
+    }
+    doomed
+  }
+
   /** Z-order (Morton) clustering value over two numeric columns: each
     * column is min/max-scaled to `bits` bits and the bits interleaved, so
     * rows close in BOTH dimensions get close z-values. Scaling bounds are

@@ -449,6 +449,74 @@ object SourceQueries {
         |       round(sum(CASE WHEN c_custkey % 13 <> 0 THEN c_acctbal END), 2)
         |         AS bal_sum
         |FROM customer
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Versioned table: time travel + retention (Lake.writeVersion /
+      // readVersion / vacuum — full snapshots under v=<n>, committed by
+      // atomic rename; the poor-man's transaction log whose verbs mirror
+      // Delta/Iceberg semantics). Three versions land (base, restated
+      // balances, restatement+inserts), retention keeps the last two,
+      // and the query reads BOTH surviving versions plus their changefeed
+      // (snapshotDiff) — time travel, retention, and CDC over one layout.
+      // Version counts are structural contract columns; row counts and
+      // balance sums are data-derived and recomputed by the oracle.
+      "io12_time_travel",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val tdir = ioDir("io12", dir)
+        val p = new org.apache.hadoop.fs.Path(tdir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val base = t.customer
+          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        graft.ops.Lake.writeVersion(base, tdir)
+        val v2df = base.withColumn("c_acctbal",
+          when(col("c_custkey") % 3 === 0, col("c_acctbal") + 50.0)
+            .otherwise(col("c_acctbal")))
+        graft.ops.Lake.writeVersion(v2df, tdir)
+        val v3df = v2df.unionByName(v2df.filter(col("c_custkey") % 11 === 0)
+          .select((col("c_custkey") + 20000000L).as("c_custkey"),
+            col("c_acctbal"), col("c_mktsegment")))
+        graft.ops.Lake.writeVersion(v3df, tdir)
+        val nVersions = graft.ops.Lake.versions(s, tdir).size
+        val vacuumed = graft.ops.Lake.vacuum(s, tdir, keepLast = 2)
+        val latest = graft.ops.Lake.readVersion(s, tdir)
+        val prev = graft.ops.Lake.readVersion(s, tdir, Some(2L))
+        val la = latest.agg(count(lit(1)).as("rows_latest"),
+          round(sum(col("c_acctbal")), 2).as("bal_latest"))
+        val pa = prev.agg(count(lit(1)).as("rows_prev"),
+          round(sum(col("c_acctbal")), 2).as("bal_prev"))
+        val ins = graft.ops.Lake.snapshotDiff(prev, latest, "c_custkey",
+            Seq("c_acctbal", "c_mktsegment"))
+          .filter(col("change_type") === "inserted")
+          .agg(count(lit(1)).as("n_inserted"))
+        la.crossJoin(pa).crossJoin(ins)
+          .select(lit(nVersions).as("n_versions_total"),
+            lit(vacuumed.size).as("n_vacuumed"),
+            col("rows_latest"), col("bal_latest"),
+            col("rows_prev"), col("bal_prev"), col("n_inserted"))
+      },
+      Some("""
+        |WITH v2 AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 50.0
+        |              ELSE c_acctbal END AS c_acctbal
+        |  FROM customer
+        |),
+        |v3 AS (
+        |  SELECT c_custkey, c_acctbal FROM v2
+        |  UNION ALL
+        |  SELECT c_custkey + 20000000, c_acctbal
+        |  FROM v2 WHERE c_custkey % 11 = 0
+        |)
+        |SELECT 3 AS n_versions_total,
+        |       1 AS n_vacuumed,
+        |       (SELECT count(*) FROM v3)                  AS rows_latest,
+        |       (SELECT round(sum(c_acctbal), 2) FROM v3)  AS bal_latest,
+        |       (SELECT count(*) FROM v2)                  AS rows_prev,
+        |       (SELECT round(sum(c_acctbal), 2) FROM v2)  AS bal_prev,
+        |       (SELECT count(*) FROM v3) - (SELECT count(*) FROM v2)
+        |         AS n_inserted
         |""".stripMargin.trim))
   )
 }

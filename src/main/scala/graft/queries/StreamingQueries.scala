@@ -654,6 +654,51 @@ object StreamingQueries {
         |FROM kept
         |GROUP BY source
         |ORDER BY source
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Spark 4 arbitrary-state API (EventStreams.userPeaks,
+      // transformWithState + StatefulProcessor + typed ValueState): per-
+      // user high-water-mark audit — running count, max value, and the
+      // ORDER-DEPENDENT count of record-breaking events, per-entity
+      // logic beyond any built-in aggregate. One AvailableNow batch ->
+      // one update-mode row per user (st07's contract shape); the oracle
+      // replays record detection with a preceding-rows window max in the
+      // same total (ts_us, event_id) order. Requires RocksDB state store
+      // (TWS multi-column-family layout), which runToTable provisions.
+      "st13_stream_peaks",
+      (s, dir) => {
+        import s.implicits._
+        val ev = eventStream(s, dir)
+          .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+            col("event_id"), col("value"))
+          .as[EventStreams.PeakEvent]
+        val peaks = EventStreams.userPeaks(ev).toDF()
+        runToTable(s, peaks, "update")
+          .select(col("user_id"), col("n_events"),
+            round(col("max_value"), 2).as("max_value"), col("n_records"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        |WITH e AS (
+        |  SELECT user_id, value, epoch_us(ts) AS ts_us, event_id
+        |  FROM events
+        |),
+        |pm AS (
+        |  SELECT user_id, value,
+        |         max(value) OVER (PARTITION BY user_id
+        |                          ORDER BY ts_us, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING
+        |                          AND 1 PRECEDING) AS prior_max
+        |  FROM e
+        |)
+        |SELECT user_id, count(*) AS n_events,
+        |       round(max(value), 2) AS max_value,
+        |       CAST(count(CASE WHEN prior_max IS NULL OR value > prior_max
+        |                       THEN 1 END) AS BIGINT) AS n_records
+        |FROM pm
+        |GROUP BY user_id
+        |ORDER BY user_id
         |""".stripMargin.trim))
   )
 }

@@ -170,6 +170,70 @@ object EventStreams {
       }
   }
 
+  final case class PeakEvent(user_id: Long, ts_us: Long, event_id: Long,
+      value: Double)
+  final case class PeakStats(user_id: Long, n_events: Long, max_value: Double,
+      n_records: Long)
+
+  /** Per-user high-water-mark tracker on Spark 4's arbitrary-state API
+    * (`transformWithState` + [[PeakProcessor]]) — the successor of
+    * mapGroupsWithState ([[runningUserTotals]]) with named TYPED state
+    * variables in the store. "Record-breaking event" detection (an event
+    * strictly above the user's prior maximum) is genuinely order-
+    * dependent per-entity logic no built-in aggregate expresses; rows
+    * fold in (ts_us, event_id) order within each batch, so the count is
+    * a pure function of the data stream's order, not of micro-batch
+    * boundaries (the st08 lesson) as long as batches arrive in time
+    * order — which AvailableNow over an ordered feed guarantees.
+    *
+    * Requires the RocksDB state store provider (a transformWithState
+    * constraint — the HDFS-backed store does not implement the
+    * multi-column-family layout TWS state variables need).
+    */
+  def userPeaks(events: Dataset[PeakEvent]): Dataset[PeakStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new PeakProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** The [[userPeaks]] processor: one ValueState cell per user holding
+    * (count, max, record-count), updated by folding each batch's rows in
+    * (ts_us, event_id) order. Emits the running stats every trigger
+    * (update mode); the first event is always a record (prior max is
+    * -inf), matching the oracle's `prior_max IS NULL` branch.
+    */
+  final class PeakProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, PeakEvent, PeakStats] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[PeakStats] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[PeakStats]("peaks",
+        org.apache.spark.sql.Encoders.product[PeakStats],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[PeakEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[PeakStats] = {
+      val prev = Option(state.get())
+        .getOrElse(PeakStats(key, 0L, Double.NegativeInfinity, 0L))
+      val next = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+        .foldLeft(prev) { (acc, e) =>
+          PeakStats(key,
+            acc.n_events + 1,
+            math.max(acc.max_value, e.value),
+            acc.n_records + (if (e.value > acc.max_value) 1 else 0))
+        }
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
   /** Sliding-window rates: overlapping `width` windows advancing every
     * `slide`, per event type. Each event lands in width/slide windows (the
     * Expand that Spark plans for sliding windows), then partial+final

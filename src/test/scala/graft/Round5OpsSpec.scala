@@ -136,6 +136,38 @@ class Round5OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- Lake versioned table ----
+
+  test("versioned table: write, time travel, vacuum, and fail-fast reads") {
+    import graft.ops.Lake
+    val dir = s"/root/repo/target/graft-io/lakever_${System.nanoTime()}"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      assert(Lake.versions(spark, dir) === Seq.empty)
+      assert(Lake.writeVersion(Seq((1L, "a")).toDF("k", "v"), dir) === 1L)
+      assert(Lake.writeVersion(Seq((1L, "b"), (2L, "c")).toDF("k", "v"), dir) === 2L)
+      assert(Lake.writeVersion(Seq((3L, "d")).toDF("k", "v"), dir) === 3L)
+      assert(Lake.versions(spark, dir) === Seq(1L, 2L, 3L))
+      // time travel: explicit version and latest
+      assert(Lake.readVersion(spark, dir, Some(1L)).count() === 1L)
+      assert(Lake.readVersion(spark, dir).collect().map(_.getString(1)).toSeq
+        === Seq("d"))
+      // retention keeps a contiguous SUFFIX
+      assert(Lake.vacuum(spark, dir, keepLast = 2) === Seq(1L))
+      assert(Lake.versions(spark, dir) === Seq(2L, 3L))
+      // vacuumed and unknown versions fail fast, not empty-scan
+      intercept[java.util.NoSuchElementException] {
+        Lake.readVersion(spark, dir, Some(1L))
+      }
+      intercept[java.util.NoSuchElementException] {
+        Lake.readVersion(spark, dir, Some(9L))
+      }
+      // next write continues the sequence past the vacuumed range
+      assert(Lake.writeVersion(Seq((4L, "e")).toDF("k", "v"), dir) === 4L)
+    } finally fs.delete(p, true)
+  }
+
   // ---- dHash + hammingPairs ----
 
   private def png(img: java.awt.image.BufferedImage): Array[Byte] = {
@@ -184,6 +216,34 @@ class Round5OpsSpec extends SparkSpec {
     assert(hi === 0xffffffffL && lo === 0xffffffffL) // every gradient rises
     val flat = Array.fill(72)(5L)
     assert(Multimodal.dHashBits(flat) === ((0L, 0L))) // strict >: no bits
+  }
+
+  test("edge cases: degenerate k, empty clusters, zero radius, over-vacuum") {
+    // weightedSample with k > n returns every row, still ordered by key.
+    val tiny = Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "w")
+    assert(Sampling.weightedSample(tiny, "doc_id", "w", 50, "s").count() === 2L)
+    // hammingPairs at radius 0 finds exactly the identical-hash pairs.
+    val dup = Seq((1L, 7L, 9L), (2L, 7L, 9L), (3L, 8L, 9L))
+      .toDF("media_id", "hi", "lo")
+    val same = Multimodal.hammingPairs(dup, "media_id", "hi", "lo", 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(same === Seq((1L, 2L, 0)))
+    // radius above the pigeonhole guarantee is rejected, not silently lossy.
+    intercept[IllegalArgumentException] {
+      Multimodal.hammingPairs(dup, "media_id", "hi", "lo", 4)
+    }
+    // vacuum keeping more versions than exist deletes nothing; keep < 1
+    // is rejected.
+    import graft.ops.Lake
+    val dir = s"/root/repo/target/graft-io/lakever2_${System.nanoTime()}"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      Lake.writeVersion(Seq((1L, "a")).toDF("k", "v"), dir)
+      assert(Lake.vacuum(spark, dir, keepLast = 5) === Seq.empty)
+      assert(Lake.versions(spark, dir) === Seq(1L))
+      intercept[IllegalArgumentException] { Lake.vacuum(spark, dir, 0) }
+    } finally fs.delete(p, true)
   }
 
   test("hammingPairs equals the exact cross-join result on planted flips") {

@@ -228,4 +228,37 @@ class StreamingSpec extends SparkSpec {
     val n = spark.table("file_out").agg(sum("n")).collect().head.getLong(0)
     assert(n === 1000L) // all sf0.001 events flowed through the stream
   }
+
+  test("userPeaks (transformWithState) holds typed state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.{PeakEvent, PeakStats}
+    val stream = MemoryStream[PeakEvent]
+    // transformWithState requires the RocksDB provider (multi-column-
+    // family state layout); scope it to this query.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = EventStreams.userPeaks(stream.toDS()).toDF().writeStream
+        .format("memory").queryName("peaks_out").outputMode("update").start()
+      stream.addData(PeakEvent(1L, 1000L, 1L, 5.0),
+        PeakEvent(1L, 2000L, 2L, 3.0), PeakEvent(2L, 1500L, 3L, 1.0))
+      q.processAllAvailable()
+      // Second batch: state from batch one must persist — user 1's 7.0
+      // is a record against max 5.0, user 2's 0.5 is not.
+      stream.addData(PeakEvent(1L, 3000L, 4L, 7.0),
+        PeakEvent(2L, 2500L, 5L, 0.5))
+      q.processAllAvailable(); q.stop()
+      val out = spark.table("peaks_out").as[PeakStats].collect()
+        .groupBy(_.user_id).map { case (_, rows) => rows.maxBy(_.n_events) }
+        .toSeq.sortBy(_.user_id)
+      assert(out === Seq(PeakStats(1L, 3L, 7.0, 2L), PeakStats(2L, 2L, 1.0, 1L)))
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
