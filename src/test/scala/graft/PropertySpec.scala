@@ -180,4 +180,56 @@ class PropertySpec extends SparkSpec {
       Merge.defaultMerger(parts.drop(4)).toOption.get)).toOption.get
     assert(whole === grouped)
   }
+
+  test("char entropy obeys its information-theoretic bounds") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def h(s: String): Double =
+      graft.functions.CharEntropy.compute(UTF8String.fromString(s))
+    val strGen = Gen.chooseNum(1, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(32, 126).map(_.toChar)).map(_.mkString))
+    val cases = Iterator.continually(strGen.sample).flatten.take(200).toSeq
+    cases.foreach { s =>
+      val ent = h(s)
+      val distinct = s.toSet.size
+      // 0 <= H <= ln(alphabet): equality left iff one symbol, and H is
+      // permutation-invariant (a distribution property, not an order one).
+      assert(ent >= 0.0 && ent <= math.log(distinct.toDouble) + 1e-12,
+        s"H=$ent outside [0, ln($distinct)] for ${s.take(30)}")
+      if (distinct == 1) assert(ent === 0.0)
+      assert(h(new String(s.toCharArray.reverse)) === ent,
+        "entropy must be order-invariant")
+      assert(h(s + s) - ent < 1e-12 && ent - h(s + s) < 1e-12,
+        "doubling the text leaves the distribution unchanged")
+    }
+  }
+
+  test("dHash gradient bits are invariant to brightness offset and gain") {
+    // dHash compares ADJACENT cells, so adding a constant to every gray
+    // value, or scaling all values by a positive factor, preserves every
+    // strict inequality — the formal version of 'survives brightness/
+    // contrast shifts'.
+    val gridGen = Gen.listOfN(72, Gen.chooseNum(0L, 200L)).map(_.toArray)
+    val cases = Iterator.continually(gridGen.sample).flatten.take(100).toSeq
+    cases.foreach { g =>
+      val base = graft.ops.Multimodal.dHashBits(g)
+      assert(graft.ops.Multimodal.dHashBits(g.map(_ + 17L)) === base)
+      assert(graft.ops.Multimodal.dHashBits(g.map(_ * 3L)) === base)
+    }
+  }
+
+  test("A-ES weighted-sample keys favor higher weight for a fixed uniform") {
+    // ln(u)/w is negative and increases toward 0 as w grows: for the SAME
+    // uniform draw, a heavier row always ranks at least as high — the
+    // defining monotonicity of Efraimidis–Spirakis keys.
+    val cGen = for {
+      u <- Gen.chooseNum(1e-9, 1.0 - 1e-9)
+      w1 <- Gen.chooseNum(1L, 1000000L)
+      w2 <- Gen.chooseNum(1L, 1000000L)
+    } yield (u, math.min(w1, w2), math.max(w1, w2))
+    val cases = Iterator.continually(cGen.sample).flatten.take(300).toSeq
+    cases.foreach { case (u, lo, hi) =>
+      assert(math.log(u) / hi >= math.log(u) / lo,
+        s"key not monotone in weight at u=$u, $lo vs $hi")
+    }
+  }
 }

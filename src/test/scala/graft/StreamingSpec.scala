@@ -229,6 +229,41 @@ class StreamingSpec extends SparkSpec {
     assert(n === 1000L) // all sf0.001 events flowed through the stream
   }
 
+  test("streaming dedup state survives a checkpointed restart (exactly-once sink)") {
+    // Two separate query RUNS over one checkpoint: run 1 drains file one
+    // and stops; file two arrives (carrying a duplicate key); run 2
+    // resumes from the checkpoint. The duplicate spans the restart
+    // boundary, so exactly-once output REQUIRES the dedup state to come
+    // back from the checkpoint — the recovery contract a production
+    // ingest pipeline leans on.
+    val base = s"/root/repo/target/graft-io/restart_${System.nanoTime()}"
+    val feed = s"$base/feed"; val sink = s"$base/sink"; val chk = s"$base/chk"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val batch1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      batch1.coalesce(1).write.parquet(feed)
+      def drain(): Unit = {
+        val q = spark.readStream.schema(batch1.schema).parquet(feed)
+          .dropDuplicates("k")
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", chk)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain()
+      Seq((2L, "B-DUPLICATE"), (3L, "c")).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(feed)
+      drain()
+      val out = spark.read.parquet(sink).orderBy($"k")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(out === Seq((1L, "a"), (2L, "b"), (3L, "c")),
+        "duplicate key crossing the restart must be dropped exactly once")
+    } finally fs.delete(p, true)
+  }
+
   test("userPeaks (transformWithState) holds typed state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import EventStreams.{PeakEvent, PeakStats}
