@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over relations — the operator family web-corpus
+  * curation leans on (host-level PageRank is the classic crawl-frontier /
+  * quality prior, e.g. Common Crawl's harmonic-centrality ranking). The graph
+  * here is derived FROM the relational data by one aggregation — nation-level
+  * trade edges (buyer's nation → seller's nation, weighted by lineitem
+  * count) — so the whole pipeline "fact table → graph → iterate to a
+  * fixpoint" is exercised end to end.
+  *
+  * Scale shape: the edge relation is the only corpus-sized artifact and is
+  * built by ONE partial+final aggregation over the fact join; every
+  * iteration after that touches (edges ⋈ ranks) only. Ranks are
+  * vertex-bounded. On a web graph (10⁹ vertices) the iteration join runs
+  * edges-keyed-by-src against ranks hash-partitioned on the same key — one
+  * co-partitioned shuffle per step — and the loop should checkpoint every
+  * ~5 steps to cut lineage. Here vertices are dimension-sized, so Catalyst
+  * broadcasts the rank side of each step automatically (AQE sizes it at
+  * runtime). GraphX ships Pregel, but it is RDD-based — no Tungsten, no
+  * codegen, no AQE — so the DataFrame loop is the Spark-first form.
+  *
+  * Determinism: ranks are exact rational functions of integer edge counts;
+  * only double summation order differs across engines (≤ ~1e-15 relative per
+  * step), so rounding the FINAL rank at 8 decimals hash-matches DuckDB.
+  */
+object GraphQueries {
+
+  /** Damping factor and iteration count shared by impl and oracle. */
+  private val Damping = 0.85
+  private val Iters = 5
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "g01_pagerank",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        // Edge build: one fact-fact join (lineitem ⋈ orders on the order
+        // key) with both dimension hops broadcast, then one partial+final
+        // count aggregation down to |nations|² rows.
+        val edges = t.lineitem.select("l_orderkey", "l_suppkey")
+          .join(t.orders.select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+          .agg(count(lit(1)).cast("double").as("cnt"))
+        val verts = t.nation.select(col("n_nationkey").cast("long").as("v"))
+        graft.ops.Graph.pagerank(verts, edges, Iters, Damping)
+          .join(broadcast(t.nation),
+            col("v") === col("n_nationkey").cast("long"))
+          .select(col("n_nationkey"), col("n_name"),
+            round(col("r"), 8).as("pagerank"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some(pagerankOracle)),
+
+    QueryDef(
+      "g02_triangles",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        // Undirected co-supply graph on suppliers' nations: two nations are
+        // adjacent when they co-supply enough distinct parts (edge support
+        // = number of parts both nations supply, thresholded at the global
+        // 75th percentile so the graph stays sparse AND the cutoff is
+        // data-relative — the same query is meaningful at every scale
+        // factor). Triangle counting is the standard clustering-coefficient
+        // / community-density signal.
+        //
+        // Scale shape: the canonical-pair relation (a < b) is built by one
+        // self-join of the deduplicated (part, nation) incidence relation —
+        // incidence is corpus-aggregated first, so the join is
+        // |parts|·deg² not |lineitem|². Triangles enumerate by the
+        // node-iterator join on canonical edges (a<b<c), each leg keyed on
+        // one endpoint — three broadcast-able shuffles on a vertex-bounded
+        // relation at any corpus size. The percentile threshold is exact
+        // here (|nations|²-bounded input); a web-scale edge relation would
+        // swap approx_percentile, a01's measured-accuracy trade.
+        val inc = t.lineitem.select("l_partkey", "l_suppkey")
+          .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("l_partkey").as("pk"),
+            col("s_nationkey").cast("long").as("nk"))
+          .distinct()
+        val co = inc.as("x").join(inc.as("y"), col("x.pk") === col("y.pk"))
+          .filter(col("x.nk") < col("y.nk"))
+          .groupBy(col("x.nk").as("a"), col("y.nk").as("b"))
+          .agg(count(lit(1)).as("n"))
+        val thr = co.agg(expr("percentile(n, 0.75)").as("q"))
+        val e = co.crossJoin(broadcast(thr))
+          .filter(col("n") >= col("q"))
+          .select(col("a"), col("b"))
+          .persist()
+        // Per-nation triangle participation: nation n counts once per
+        // triangle corner it sits at.
+        graft.ops.Graph.triangleCounts(e)
+          .join(broadcast(t.nation), col("v") === col("n_nationkey").cast("long"))
+          .select(col("n_nationkey"), col("n_name"), col("n_triangles"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""
+        |WITH inc AS (
+        |  SELECT DISTINCT l.l_partkey AS pk, CAST(s.s_nationkey AS BIGINT) AS nk
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |),
+        |co AS (
+        |  SELECT x.nk AS a, y.nk AS b, count(*) AS n
+        |  FROM inc x JOIN inc y ON x.pk = y.pk AND x.nk < y.nk
+        |  GROUP BY 1, 2
+        |),
+        |thr AS (SELECT quantile_cont(n, 0.75) AS q FROM co),
+        |e AS (SELECT a, b FROM co, thr WHERE co.n >= thr.q),
+        |tri AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
+        |),
+        |pernode AS (
+        |  SELECT v, count(*) AS n_triangles
+        |  FROM (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+        |        UNION ALL SELECT c FROM tri)
+        |  GROUP BY v
+        |)
+        |SELECT n.n_nationkey, n.n_name, p.n_triangles
+        |FROM pernode p JOIN nation n ON p.v = CAST(n.n_nationkey AS BIGINT)
+        |ORDER BY n.n_nationkey
+        |""".stripMargin.trim))
+  )
+
+  /** The PageRank oracle: identical math, iterations unrolled as CTEs
+    * r1..r5 (DuckDB's recursive CTEs can't re-aggregate the working table
+    * per step the way this fixpoint needs).
+    */
+  private def pagerankOracle: String = {
+    val base = s"""
+      |WITH edges AS (
+      |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+      |         CAST(count(*) AS DOUBLE) AS cnt
+      |  FROM lineitem l
+      |  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey  = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+      |  GROUP BY 1, 2
+      |),
+      |outdeg AS (SELECT src, sum(cnt) AS tot FROM edges GROUP BY src),
+      |w AS (SELECT e.src, e.dst, e.cnt / d.tot AS wt
+      |      FROM edges e JOIN outdeg d ON e.src = d.src),
+      |verts AS (SELECT n_nationkey AS v FROM nation),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+      |r0 AS (SELECT v, 1.0 / nn.n AS r FROM verts, nn)""".stripMargin
+    val steps = (0 until Iters).map { k =>
+      s"""
+      |, r${k + 1} AS (
+      |  SELECT verts.v,
+      |         ${1.0 - Damping} / nn.n + $Damping * (
+      |           COALESCE((SELECT sum(w.wt * p.r) FROM w JOIN r$k p
+      |                     ON w.src = p.v WHERE w.dst = verts.v), 0)
+      |           + (SELECT COALESCE(sum(p.r), 0) FROM r$k p
+      |              WHERE p.v NOT IN (SELECT src FROM outdeg)) / nn.n
+      |         ) AS r
+      |  FROM verts, nn)""".stripMargin
+    }.mkString
+    val tail = s"""
+      |SELECT n.n_nationkey, n.n_name, round(r$Iters.r, 8) AS pagerank
+      |FROM r$Iters JOIN nation n ON n.n_nationkey = r$Iters.v
+      |ORDER BY n.n_nationkey""".stripMargin
+    (base + steps + tail).trim
+  }
+}

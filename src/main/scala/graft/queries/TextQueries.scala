@@ -15,6 +15,15 @@ import graft.ops.{Dedup, Pca, Similarity, TextAnalysis}
   */
 object TextQueries {
 
+  /** t27's planted normalization dirt — shared verbatim by the Spark plan
+    * and the DuckDB oracle so both engines see byte-identical input.
+    * Declared BEFORE `defs`: the oracle SQL interpolates these eagerly at
+    * object init (the Spark closures only read them lazily).
+    */
+  private val PlantDecomposed = " cafe\u0301 touche\u0301"
+  private val PlantComposed = " caf\u00e9"
+  private val PlantControl = "  \t mixed  space  "
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       // Exact-dup fingerprinting: normalized md5 + group size. A map-only
@@ -2178,6 +2187,67 @@ object TextQueries {
         graft.ops.Bpe.trainTable(s, t.documents, "text", numMerges = 8)
           .orderBy(col("rank"))
       },
-      None)
+      None),
+
+    QueryDef(
+      // Unicode canonicalization + whitespace/control scrub — the
+      // normalization pass that runs BEFORE any hashing/dedup stage so
+      // byte-distinct-but-visually-identical text (composed vs decomposed
+      // accents, tab runs, stray control chars) collapses to one canonical
+      // form. Non-vacuous by construction: accent/control dirt is planted
+      // in-query on both engines (the synthetic corpus is clean ASCII), the
+      // same pattern as v06's planted doubles. doc_id%4==0 appends
+      // DECOMPOSED accents (e + U+0301), %4==1 the composed equivalents
+      // (U+00E9 — NFC-invariant, so `changed` stays false), %4==2 control +
+      // whitespace runs, %4==3 nothing. Map-only at any corpus size: the
+      // fused NfcNormalize expression (codegen, zero-alloc fast path for
+      // already-canonical rows) plus two codegen regexp_replaces in the
+      // scan projection — zero shuffles before the output sort. Both
+      // engines implement Unicode NFC (JDK Normalizer / utf8proc) and both
+      // regex engines agree on the ASCII classes used, so md5 of the
+      // cleaned text hash-matches exactly.
+      "t27_nfc_normalize",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val m = pmod(col("doc_id"), lit(4))
+        val raw = concat(col("text"),
+          when(m === 0, lit(PlantDecomposed))
+            .when(m === 1, lit(PlantComposed))
+            .when(m === 2, lit(PlantControl))
+            .otherwise(lit("")))
+        val clean = graft.functions.NfcNormalize(
+          trim(regexp_replace(regexp_replace(col("raw"),
+            "[\\x00-\\x1F\\x7F]", " "), "\\s+", " ")))
+        t.documents
+          .withColumn("raw", raw)
+          .withColumn("clean", clean)
+          .select(col("doc_id"),
+            (col("clean") =!= col("raw")).as("changed"),
+            length(col("raw")).as("n_raw"),
+            length(col("clean")).as("n_clean"),
+            md5(col("clean").cast("binary")).as("clean_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        |WITH planted AS (
+        |  SELECT doc_id,
+        |         text || CASE CAST(doc_id % 4 AS INT)
+        |           WHEN 0 THEN '$PlantDecomposed'
+        |           WHEN 1 THEN '$PlantComposed'
+        |           WHEN 2 THEN '$PlantControl'
+        |           ELSE '' END AS raw
+        |  FROM documents
+        |),
+        |cleaned AS (
+        |  SELECT doc_id, raw,
+        |         nfc_normalize(trim(regexp_replace(regexp_replace(raw,
+        |           '[\\x00-\\x1F\\x7F]', ' ', 'g'), '\\s+', ' ', 'g'))) AS clean
+        |  FROM planted
+        |)
+        |SELECT doc_id, (clean <> raw) AS changed, length(raw) AS n_raw,
+        |       length(clean) AS n_clean, md5(clean) AS clean_md5
+        |FROM cleaned ORDER BY doc_id
+        |""".stripMargin.trim))
   )
+
 }

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.BoundReference
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.NfcNormalize
+import graft.ops.Graph
+
+/** Graph analytics (PageRank, triangle counting) and Unicode NFC
+  * normalization — round-5 continuation additions.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Graph.pagerank ----
+
+  test("pagerank matches the hand-computed 2-node chain with dangling mass") {
+    // 1 → 2, vertex 2 dangling. d=0.85, two iterations, worked by hand:
+    //   r1 = (0.2875, 0.7125); r2 = (0.3778125, 0.6221875)
+    val verts = Seq(1L, 2L).toDF("v")
+    val edges = Seq((1L, 2L, 1.0)).toDF("src", "dst", "cnt")
+    val r = Graph.pagerank(verts, edges, iters = 2, damping = 0.85)
+      .orderBy($"v").collect().map(_.getDouble(1))
+    assert(math.abs(r(0) - 0.3778125) < 1e-12, s"r(1)=${r(0)}")
+    assert(math.abs(r(1) - 0.6221875) < 1e-12, s"r(2)=${r(1)}")
+  }
+
+  test("pagerank conserves total mass and favors the pure authority") {
+    // Authority DAG: every leaf links to 1 only; 1 is dangling. No cycle,
+    // so ranks converge monotonically (a cyclic graph oscillates for many
+    // iterations before the damping contracts it).
+    val verts = (1L to 5L).toDF("v")
+    val edges = (2L to 5L).map(u => (u, 1L, 1.0)).toDF("src", "dst", "cnt")
+    val rows = Graph.pagerank(verts, edges, iters = 8, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(rows.values.sum - 1.0) < 1e-9)
+    assert(rows(1L) > 2 * rows(2L),
+      s"expected the authority to dominate, got $rows")
+    assert(rows(2L) === rows(3L) && rows(3L) === rows(4L) &&
+      rows(4L) === rows(5L), "symmetric leaves must tie exactly")
+  }
+
+  test("g01 query: ranks form a distribution over all 25 nations") {
+    val df = SparkEntry.queries("g01_pagerank")(spark,
+      "/root/testdata/sf0.001")
+    val ranks = df.collect().map(_.getDouble(2))
+    assert(ranks.length === 25)
+    assert(math.abs(ranks.sum - 1.0) < 1e-6, s"sum=${ranks.sum}")
+    assert(ranks.forall(_ > 0.0))
+  }
+
+  // ---- Graph.triangleCounts ----
+
+  test("triangleCounts: K4 puts every vertex in 3 triangles; a path has none") {
+    val k4 = (for {
+      a <- 1L to 4L; b <- (a + 1) to 4L
+    } yield (a, b)).toDF("a", "b")
+    val got = Graph.triangleCounts(k4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    assert(Graph.triangleCounts(path).count() === 0)
+  }
+
+  test("g02 query: the sf0.001 co-supply graph has the pinned triangle census") {
+    val df = SparkEntry.queries("g02_triangles")(spark,
+      "/root/testdata/sf0.001")
+    val rows = df.collect()
+    // 14 edges above the 75th-percentile support at sf0.001 → 11 triangles
+    // over 7 participating nations (prototype-pinned; the DuckDB oracle
+    // re-derives it independently in the driver gate).
+    assert(rows.length === 7)
+    assert(rows.map(_.getLong(2)).sum === 33, "11 triangles x 3 corners")
+  }
+
+  // ---- NfcNormalize ----
+
+  test("NfcNormalize composes decomposed accents and is idempotent") {
+    val decomposed = " cafe\u0301 touche\u0301"
+    val composed = " caf\u00e9 touch\u00e9"
+    val out = Seq(decomposed).toDF("s")
+      .select(NfcNormalize($"s").as("n")).head.getString(0)
+    assert(out === composed)
+    val again = Seq(out).toDF("s")
+      .select(NfcNormalize($"s").as("n")).head.getString(0)
+    assert(again === out, "NFC must be idempotent")
+  }
+
+  test("NfcNormalize fast path returns the input object for canonical text") {
+    val ascii = UTF8String.fromString("plain ascii, nothing to do")
+    assert(NfcNormalize.compute(ascii) eq ascii,
+      "already-NFC input must short-circuit without allocating")
+  }
+
+  test("NfcNormalize interpreted eval matches the codegen dataframe path") {
+    val inputs = Seq(" cafe\u0301", " caf\u00e9", "",
+      "mixed e\u0301\u00e9", "s\u0323\u0307 \u1e69")
+    val expr = NfcNormalize(BoundReference(0, StringType, nullable = true))
+    val interpreted = inputs.map(s =>
+      expr.eval(InternalRow(UTF8String.fromString(s))).toString)
+    val codegen = inputs.toDF("s")
+      .select(NfcNormalize($"s")).collect().map(_.getString(0)).toSeq
+    assert(interpreted === codegen)
+    assert(expr.eval(InternalRow(null)) === null)
+  }
+}
