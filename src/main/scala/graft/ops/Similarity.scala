@@ -437,6 +437,70 @@ object Similarity {
     * scanned. Output: idCol, rrf (rounded — ranks are exact integers, so
     * the rounded sum is engine-invariant).
     */
+  /** Greedy k-center selection (Gonzalez '85 farthest-point traversal) in
+    * cosine distance — the classic diversity-maximizing coreset picker
+    * (active learning: Sener & Savarese ICLR'18; also the max-min seeding
+    * FAISS uses). Start from the min-id vector, then repeatedly take the
+    * point FARTHEST from everything chosen so far. The result 2-approximates
+    * the optimal k-center cover, and by construction every pair of selected
+    * centers is at least the final coverage radius apart — the contract the
+    * query checks.
+    *
+    * Scale shape: k scans, each map-only (fused codegen cosine against k
+    * broadcast-literal center vectors) ending in a TakeOrdered(1); driver
+    * traffic is k rows + k×d floats of literals — never the corpus. The
+    * running min-distance relation is persisted and updated by ONE new
+    * cosine per step, so total work is O(k·n·d) with no shuffle beyond the
+    * argmax reductions.
+    *
+    * Determinism / engine parity: each step's distance is rounded at 6
+    * BEFORE the min-fold and the argmax (ties broken by min id), so the
+    * greedy trajectory is the same on any engine that agrees on rounded
+    * cosines (v02/v05's proven contract).
+    */
+  def kcenterSelect(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v")).persist()
+    val seedId = base.agg(min($"id")).head.getLong(0)
+
+    def centerVec(id: Long): Column = {
+      val arr = base.filter($"id" === id).head.getSeq[Float](1).toArray
+      typedLit(arr)
+    }
+
+    // The seed's "distance to the previously chosen set" is vacuous; it is
+    // pinned to 2.0 (the cosine-distance maximum) so the sel_d sequence is
+    // non-increasing from the start and stays NULL-free for row hashing.
+    var picked = Vector[(Long, Double)]((seedId, 2.0))
+    // Running min rounded-distance to the chosen set; seeded by center 1.
+    var state = base.select($"id", $"v",
+      round(lit(1.0) - vector.cosine($"v", centerVec(seedId)), 6).as("d"))
+      .persist()
+    for (_ <- 2 to k) {
+      val next = state.filter(!$"id".isInCollection(picked.map(_._1)))
+        .orderBy($"d".desc, $"id").limit(1).head
+      val (nid, nd) = (next.getLong(0), next.getDouble(2))
+      picked = picked :+ ((nid, nd))
+      val prev = state
+      state = state.select($"id", $"v",
+        least($"d", round(lit(1.0) - vector.cosine($"v", centerVec(nid)), 6))
+          .as("d")).persist()
+      state.count() // materialize before unpersisting the parent
+      prev.unpersist()
+    }
+    // Coverage radius: the farthest any point sits from the final set.
+    val radius = state.agg(max($"d")).head.getDouble(0)
+    state.unpersist()
+    base.unpersist()
+    val sel = picked.zipWithIndex.map { case ((id, d), i) =>
+      (i + 1, id, d) }
+    sel.toDF("sel_rank", "id", "sel_d")
+      .withColumn("radius", lit(radius))
+  }
+
   def rrfFuse(lists: Seq[DataFrame], idCol: String,
       kRrf: Int = 60, roundTo: Int = 6): DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one ranked list")

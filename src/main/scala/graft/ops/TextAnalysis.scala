@@ -480,6 +480,50 @@ object TextAnalysis {
     */
   def gopherQuality(docs: DataFrame, idCol: String, textCol: String,
       minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val m = gopherMetricCols(textCol)
+    val keep = (m("n_words") >= minWords) && (m("n_words") <= maxWords) &&
+      (m("mean_word_len") >= 3.0) && (m("mean_word_len") <= 10.0) &&
+      (m("symbol_ratio") <= 0.1) && (m("bullet_line_ratio") < 0.9) &&
+      (m("ellipsis_line_ratio") < 0.3) && (m("alpha_word_ratio") >= 0.8) &&
+      (m("n_req_stopwords") >= 2)
+    docs.select(
+      col(idCol).as("doc_id"),
+      m("n_words").as("n_words"),
+      round(m("mean_word_len"), 6).as("mean_word_len"),
+      round(m("symbol_ratio"), 6).as("symbol_ratio"),
+      round(m("bullet_line_ratio"), 6).as("bullet_line_ratio"),
+      round(m("ellipsis_line_ratio"), 6).as("ellipsis_line_ratio"),
+      round(m("alpha_word_ratio"), 6).as("alpha_word_ratio"),
+      m("n_req_stopwords").as("n_req_stopwords"),
+      keep.cast("int").as("keep"))
+  }
+
+  /** First-failing-rule attribution over the Gopher battery — the pipeline
+    * debugging view: not "is this doc kept" (t16) but "which stage kills
+    * it", evaluated in the battery's fixed rule order so every rejected doc
+    * is attributed to exactly ONE stage. Map-only like the battery itself;
+    * comparisons run on the UNROUNDED ratios, identical to the keep
+    * decision, so `stage == 'kept'` iff t16's `keep == 1`.
+    */
+  def gopherFirstFail(textCol: String, minWords: Int = 50,
+      maxWords: Int = 100000, minStopwords: Int = 2): Column = {
+    val m = gopherMetricCols(textCol)
+    when(m("n_words") < minWords || m("n_words") > maxWords, "words")
+      .when(m("mean_word_len") < 3.0 || m("mean_word_len") > 10.0,
+        "word_shape")
+      .when(m("symbol_ratio") > 0.1, "symbols")
+      .when(m("bullet_line_ratio") >= 0.9 ||
+        m("ellipsis_line_ratio") >= 0.3, "layout")
+      .when(m("alpha_word_ratio") < 0.8, "alpha")
+      .when(m("n_req_stopwords") < minStopwords, "stopwords")
+      .otherwise("kept")
+  }
+
+  /** The unrounded Gopher rule metrics as named column expressions —
+    * shared by the keep decision (t16) and first-fail attribution (t28)
+    * so the two can never drift.
+    */
+  private def gopherMetricCols(textCol: String): Map[String, Column] = {
     val text = col(textCol)
     val toks = tokens(text)
     val nWords = size(toks)
@@ -505,20 +549,14 @@ object TextAnalysis {
     val required = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val nRequired = size(array_intersect(array_distinct(toks),
       array(required.map(lit): _*)))
-    val keep = (nWords >= minWords) && (nWords <= maxWords) &&
-      (meanLen >= 3.0) && (meanLen <= 10.0) &&
-      (symbolRatio <= 0.1) && (bulletRatio < 0.9) &&
-      (ellipsisLineRatio < 0.3) && (alphaRatio >= 0.8) && (nRequired >= 2)
-    docs.select(
-      col(idCol).as("doc_id"),
-      nWords.as("n_words"),
-      round(meanLen, 6).as("mean_word_len"),
-      round(symbolRatio, 6).as("symbol_ratio"),
-      round(bulletRatio, 6).as("bullet_line_ratio"),
-      round(ellipsisLineRatio, 6).as("ellipsis_line_ratio"),
-      round(alphaRatio, 6).as("alpha_word_ratio"),
-      nRequired.as("n_req_stopwords"),
-      keep.cast("int").as("keep"))
+    Map(
+      "n_words" -> nWords,
+      "mean_word_len" -> meanLen,
+      "symbol_ratio" -> symbolRatio,
+      "bullet_line_ratio" -> bulletRatio,
+      "ellipsis_line_ratio" -> ellipsisLineRatio,
+      "alpha_word_ratio" -> alphaRatio,
+      "n_req_stopwords" -> nRequired)
   }
 
   def kgramHashes(text: Column, k: Int): Column =

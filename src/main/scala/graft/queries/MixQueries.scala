@@ -1100,6 +1100,114 @@ object MixQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Filter-funnel attribution: every document attributed to the FIRST
+      // pipeline stage that rejects it (exact-dup tier, then the Gopher
+      // battery in its fixed rule order) — the "which rule is eating my
+      // data" debugging view a curation pipeline needs before anyone tunes
+      // thresholds. Battery configured for this corpus like p02 (stopword
+      // floor 1 — the stock floor of 2 exceeds the synthetic vocabulary).
+      // The dedup stage is made non-vacuous by planting a simulated
+      // re-crawl (v06/s12 pattern): every 50th doc re-enters under a new id,
+      // and the md5 window attributes exactly those copies to 'exact_dup'.
+      // Scale shape: one md5-keyed window (the d01 tier) + map-only rule
+      // metrics + one (source, stage) aggregation; the pct window runs on
+      // the |sources|x|stages|-bounded relation.
+      "t28_filter_funnel",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val corpus = t.documents.select(col("doc_id"), col("text"),
+            col("source"))
+          .unionAll(t.documents
+            .filter(pmod(col("doc_id"), lit(50)) === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+              col("source")))
+        val rn = row_number().over(
+          Window.partitionBy(md5(col("text").cast("binary")))
+            .orderBy(col("doc_id")))
+        val staged = corpus
+          .withColumn("rn", rn)
+          .withColumn("stage", when(col("rn") > 1, "exact_dup")
+            .otherwise(TextAnalysis.gopherFirstFail("text",
+              minStopwords = 1)))
+        staged.groupBy(col("source"), col("stage"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("pct", round(col("n_docs").cast("double") /
+            sum(col("n_docs")).over(Window.partitionBy(col("source"))), 6))
+          .orderBy(col("source"), col("stage"))
+      },
+      Some("""
+        |WITH corpus AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, source FROM documents
+        |  WHERE doc_id % 50 = 0
+        |),
+        |dup AS (
+        |  SELECT doc_id, text, source,
+        |         row_number() OVER (PARTITION BY md5(text)
+        |                            ORDER BY doc_id) AS rn
+        |  FROM corpus
+        |),
+        |tok AS (
+        |  SELECT doc_id, text, source, rn,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM dup
+        |),
+        |base AS (
+        |  SELECT doc_id, source, rn,
+        |         len(toks) AS n_words,
+        |         CAST(length(array_to_string(toks, '')) AS DOUBLE)
+        |           / len(toks) AS mean_word_len,
+        |         CAST(length(text) - length(replace(text, '#', ''))
+        |              + (length(text) - length(replace(text, '...', ''))) // 3
+        |              AS DOUBLE) / len(toks) AS symbol_ratio,
+        |         list_filter(string_split(text, chr(10)),
+        |                     l -> trim(l) <> '') AS lines,
+        |         CAST(len(list_filter(toks,
+        |                t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+        |           / len(toks) AS alpha_word_ratio,
+        |         len(list_intersect(list_distinct(toks),
+        |             ['the','be','to','of','and','that','have','with'])) AS n_req
+        |  FROM tok
+        |),
+        |r AS (
+        |  SELECT doc_id, source, rn, n_words, mean_word_len, symbol_ratio,
+        |         CASE WHEN len(lines) > 0
+        |              THEN CAST(len(list_filter(lines,
+        |                     l -> starts_with(l, '- ') OR starts_with(l, '* ')
+        |                          OR starts_with(l, '•'))) AS DOUBLE)
+        |                   / len(lines) ELSE 0.0 END AS bullet_line_ratio,
+        |         CASE WHEN len(lines) > 0
+        |              THEN CAST(len(list_filter(lines,
+        |                     l -> ends_with(rtrim(l), '...'))) AS DOUBLE)
+        |                   / len(lines) ELSE 0.0 END AS ellipsis_line_ratio,
+        |         alpha_word_ratio, n_req
+        |  FROM base
+        |),
+        |staged AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN rn > 1 THEN 'exact_dup'
+        |              WHEN n_words < 50 OR n_words > 100000 THEN 'words'
+        |              WHEN mean_word_len < 3.0 OR mean_word_len > 10.0
+        |                THEN 'word_shape'
+        |              WHEN symbol_ratio > 0.1 THEN 'symbols'
+        |              WHEN bullet_line_ratio >= 0.9
+        |                   OR ellipsis_line_ratio >= 0.3 THEN 'layout'
+        |              WHEN alpha_word_ratio < 0.8 THEN 'alpha'
+        |              WHEN n_req < 1 THEN 'stopwords'
+        |              ELSE 'kept' END AS stage
+        |  FROM r
+        |),
+        |agg AS (
+        |  SELECT source, stage, count(*) AS n_docs FROM staged GROUP BY 1, 2
+        |)
+        |SELECT source, stage, n_docs,
+        |       round(CAST(n_docs AS DOUBLE)
+        |             / sum(n_docs) OVER (PARTITION BY source), 6) AS pct
+        |FROM agg ORDER BY source, stage
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // CCNet-shaped pipeline composition (Wenzek et al. 2020,
       // arXiv:1911.00359): exact-dedup -> language ID -> LM-perplexity
       // terciles (head/middle/tail), each stage one of this engine's

@@ -967,6 +967,43 @@ object VectorQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Greedy k-center coreset selection (Gonzalez '85 farthest-point
+      // traversal; Sener & Savarese ICLR'18 use exactly this for
+      // diversity-maximizing active-learning batches): pick 8 maximally
+      // spread embeddings. The selection trajectory is fully deterministic
+      // (rounded-at-6 cosine distances, min-id tiebreaks), so the DuckDB
+      // oracle replays the greedy loop step for step and every column
+      // hash-matches. Contract columns: the greedy invariant — selected
+      // centers are pairwise at least the final coverage radius apart
+      // (separation >= radius, the property behind the 2-approximation) —
+      // plus the monotone non-increasing sel_d sequence the driver hashes
+      // (the seed pins sel_d = 2.0, the cosine-distance maximum).
+      // Scale: k map-only scans with broadcast-literal centers, driver
+      // traffic k rows + k*d floats (see Similarity.kcenterSelect).
+      "e09_kcenter_contract",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val sel = graft.ops.Similarity.kcenterSelect(t.embeddings,
+          "vec_id", "embedding", k = 8)
+        val vecs = t.embeddings.select(col("vec_id").cast("long").as("id"),
+          col("embedding").as("v"))
+        val a = sel.select(col("id")).join(vecs, "id")
+          .select(col("id").as("ia"), col("v").as("va"))
+        val b = sel.select(col("id")).join(vecs, "id")
+          .select(col("id").as("ib"), col("v").as("vb"))
+        val sep = a.crossJoin(b).filter(col("ia") < col("ib"))
+          .agg(min(round(lit(1.0) -
+            graft.functions.vector.cosine(col("va"), col("vb")), 6))
+            .as("separation"))
+        sel.crossJoin(broadcast(sep))
+          .select(col("sel_rank"), col("id").as("vec_id"), col("sel_d"),
+            col("radius"), col("separation"),
+            (col("separation") >= col("radius")).as("sep_ok"))
+          .orderBy(col("sel_rank"))
+      },
+      Some(kcenterOracle(8))),
+
+    QueryDef(
       // Johnson–Lindenstrauss random projection (Achlioptas '03 ±1
       // entries): the DATA-INDEPENDENT dimensionality reduction — no fit
       // pass, no model state, the projection matrix is derived from a
@@ -1116,4 +1153,57 @@ object VectorQueries {
         |ORDER BY query_id, rnk
         |""".stripMargin.trim))
   )
+
+  /** e09's oracle: the greedy farthest-point loop unrolled to k steps.
+    * MATERIALIZED CTEs are load-bearing — DuckDB inlines CTEs by default,
+    * and since step i references step i-1 twice (argmax + min-fold) the
+    * inlined plan is 2^k cosine chains.
+    */
+  private def kcenterOracle(k: Int): String = {
+    val head = """
+      |WITH emb AS (
+      |  SELECT CAST(vec_id AS BIGINT) AS id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings
+      |),
+      |c1 AS MATERIALIZED (SELECT min(id) AS id FROM emb),
+      |p1 AS (SELECT id FROM c1),
+      |s1 AS MATERIALIZED (
+      |  SELECT e.id, e.v,
+      |         round(1 - list_cosine_similarity(e.v,
+      |           (SELECT v FROM emb WHERE id = (SELECT id FROM c1))), 6) AS d
+      |  FROM emb e
+      |)""".stripMargin
+    val steps = (2 to k).map { i =>
+      s"""
+      |, c$i AS MATERIALIZED (
+      |  SELECT id, d FROM s${i - 1}
+      |  WHERE id NOT IN (SELECT id FROM p${i - 1})
+      |  ORDER BY d DESC, id LIMIT 1),
+      |p$i AS MATERIALIZED (SELECT id FROM p${i - 1}
+      |  UNION ALL SELECT id FROM c$i),
+      |s$i AS MATERIALIZED (
+      |  SELECT s.id, s.v,
+      |         least(s.d, round(1 - list_cosine_similarity(s.v,
+      |           (SELECT v FROM emb WHERE id = (SELECT id FROM c$i))), 6)) AS d
+      |  FROM s${i - 1} s
+      |)""".stripMargin
+    }.mkString
+    val selRows = ("SELECT 1 AS sel_rank, (SELECT id FROM c1) AS vec_id, " +
+      "CAST(2.0 AS DOUBLE) AS sel_d") +:
+      (2 to k).map(i => s"SELECT $i, (SELECT id FROM c$i), (SELECT d FROM c$i)")
+    val tail = s"""
+      |, sel AS (${selRows.mkString(" UNION ALL ")}),
+      |radius AS (SELECT max(d) AS r FROM s$k),
+      |sep AS (
+      |  SELECT min(round(1 - list_cosine_similarity(a.v, b.v), 6)) AS m
+      |  FROM sel sa JOIN emb a ON a.id = sa.vec_id,
+      |       sel sb JOIN emb b ON b.id = sb.vec_id
+      |  WHERE a.id < b.id
+      |)
+      |SELECT sel.sel_rank, sel.vec_id, sel.sel_d,
+      |       radius.r AS radius, sep.m AS separation,
+      |       (sep.m >= radius.r) AS sep_ok
+      |FROM sel, radius, sep ORDER BY sel.sel_rank""".stripMargin
+    (head + steps + tail).trim
+  }
 }
