@@ -34,28 +34,93 @@ object Graph {
       verts: DataFrame,
       edges: DataFrame,
       iters: Int,
-      damping: Double): DataFrame = {
-    val outdeg = edges.groupBy("src").agg(sum("cnt").as("tot"))
-    val w = edges.join(outdeg, "src")
+      damping: Double,
+      driverSolveMax: Int = 1024): DataFrame = {
+    // Persist the edge relation BEFORE it fans out: outdeg and the
+    // normalized-weight join both consume it, and without the cache the
+    // (potentially corpus-sized) upstream edge build runs once per branch.
+    val e = edges.persist()
+    val nVerts = verts.count()
+    val n = nVerts.toDouble
+
+    // Dimension-graph driver fixpoint: when |V| <= driverSolveMax the
+    // aggregated edge relation is |V|²-bounded (<= ~1M rows / ~24 MB at
+    // the default cap) — the same driver-solve trade as Pca's 64x64
+    // eigenproblem. One distributed aggregation builds the edges; the
+    // 5-50 fixpoint iterations then cost MICROSECONDS in a dense loop
+    // instead of ~4 scheduled stages each (measured 1-1.5 s/iteration of
+    // pure scheduling for a 625-edge graph). Above the cap: distributed
+    // join loop, where ranks/edges stay partitioned.
+    if (nVerts <= driverSolveMax) {
+      val spark = verts.sparkSession
+      import spark.implicits._
+      val vertIds = verts.select(col("v").cast("long")).collect()
+        .map(_.getLong(0))
+      val idx = vertIds.sorted.zipWithIndex.toMap
+      val ed = e.select(col("src").cast("long"), col("dst").cast("long"),
+        col("cnt").cast("double")).collect()
+        .map(r => (idx(r.getLong(0)), idx(r.getLong(1)), r.getDouble(2)))
+      val outTot = new Array[Double](idx.size)
+      ed.foreach { case (s, _, c) => outTot(s) += c }
+      var r = Array.fill(idx.size)(1.0 / n)
+      // Deterministic summation order: edges sorted by (dst, src) so the
+      // per-vertex fold is a pure function of the graph (the distributed
+      // path's groupBy order differs only in sub-1e-15 float tails, under
+      // any sane caller rounding).
+      val byDst = ed.sortBy(t => (t._2, t._1))
+      for (_ <- 1 to iters) {
+        val next = Array.fill(idx.size)((1.0 - damping) / n)
+        var dang = 0.0
+        var i = 0
+        while (i < r.length) {
+          if (outTot(i) == 0.0) dang += r(i); i += 1
+        }
+        byDst.foreach { case (s, d, c) =>
+          next(d) += damping * (c / outTot(s)) * r(s)
+        }
+        i = 0
+        while (i < next.length) {
+          next(i) += damping * dang / n; i += 1
+        }
+        r = next
+      }
+      val inv = idx.map(_.swap)
+      return (0 until idx.size).map(i => (inv(i), r(i))).toDF("v", "r")
+    }
+    // Dimension-graph fast path: when the vertex set is small, the edge
+    // relation is |V|²-bounded — leaving it across the session's full
+    // shuffle-partition count makes every iteration pay ~4 stages x 32
+    // near-empty tasks of pure scheduling (measured 1-1.5 s/iteration for
+    // a 625-edge graph). Coalescing the weight relation to one partition
+    // and pinning broadcast hash joins turns each step into a couple of
+    // single-task stages. A web-scale graph (large |V|) keeps the
+    // co-partitioned shuffle path: ranks won't fit in a broadcast there.
+    val small = nVerts <= 65536
+    val outdeg0 = e.groupBy("src").agg(sum("cnt").as("tot"))
+    val outdeg = if (small) broadcast(outdeg0) else outdeg0
+    val w0 = e.join(outdeg, "src")
       .select(col("src"), col("dst"), (col("cnt") / col("tot")).as("wt"))
-      .persist()
-    val n = verts.count().toDouble
+    val w = (if (small) w0.coalesce(1) else w0).persist()
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+
     var ranks = verts.select(col("v"), lit(1.0 / n).as("r"))
     for (i <- 1 to iters) {
-      // Truncate lineage every few steps: each iteration nests three joins
-      // under the previous plan, and past ~5 levels Catalyst re-analysis
+      // Truncate lineage every 6 steps: each iteration nests three joins
+      // under the previous plan, and past ~6 levels Catalyst re-analysis
       // dominates the (vertex-bounded, KB-sized) actual work. localCheckpoint
-      // keeps the blocks on the executors — no disk round-trip.
-      if (i % 4 == 0) ranks = ranks.localCheckpoint()
-      val contrib = w.join(ranks, w("src") === ranks("v"))
+      // keeps the blocks on the executors — no disk round-trip. The eager
+      // materialization re-runs the uncheckpointed prefix, so short loops
+      // (<= 6 steps) come out ahead running unbroken.
+      if (i % 6 == 0) ranks = ranks.localCheckpoint()
+      val contrib = w.join(hinted(ranks), w("src") === col("v"))
         .groupBy(col("dst")).agg(sum(col("wt") * col("r")).as("m"))
       val dangling = ranks
-        .join(outdeg.select(col("src")), ranks("v") === col("src"),
+        .join(hinted(outdeg0.select(col("src"))), ranks("v") === col("src"),
           "left_anti")
         .agg(coalesce(sum("r"), lit(0.0)).as("dm"))
       ranks = verts
         .crossJoin(broadcast(dangling))
-        .join(contrib, verts("v") === contrib("dst"), "left")
+        .join(hinted(contrib), verts("v") === contrib("dst"), "left")
         .select(verts("v"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("m"), lit(0.0)) + col("dm") / lit(n))).as("r"))

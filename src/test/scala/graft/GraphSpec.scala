@@ -20,12 +20,44 @@ class GraphSpec extends SparkSpec {
   test("pagerank matches the hand-computed 2-node chain with dangling mass") {
     // 1 → 2, vertex 2 dangling. d=0.85, two iterations, worked by hand:
     //   r1 = (0.2875, 0.7125); r2 = (0.3778125, 0.6221875)
+    // Both execution paths must reproduce it: the driver fixpoint
+    // (default for small graphs) and the distributed join loop (forced
+    // with driverSolveMax = 0).
     val verts = Seq(1L, 2L).toDF("v")
     val edges = Seq((1L, 2L, 1.0)).toDF("src", "dst", "cnt")
-    val r = Graph.pagerank(verts, edges, iters = 2, damping = 0.85)
-      .orderBy($"v").collect().map(_.getDouble(1))
-    assert(math.abs(r(0) - 0.3778125) < 1e-12, s"r(1)=${r(0)}")
-    assert(math.abs(r(1) - 0.6221875) < 1e-12, s"r(2)=${r(1)}")
+    for (cap <- Seq(1024, 0)) {
+      val r = Graph.pagerank(verts, edges, iters = 2, damping = 0.85,
+          driverSolveMax = cap)
+        .orderBy($"v").collect().map(_.getDouble(1))
+      assert(math.abs(r(0) - 0.3778125) < 1e-12, s"cap=$cap r(1)=${r(0)}")
+      assert(math.abs(r(1) - 0.6221875) < 1e-12, s"cap=$cap r(2)=${r(1)}")
+    }
+  }
+
+  test("driver fixpoint and distributed loop agree on the trade graph") {
+    val q = SparkEntry.queries("g01_pagerank")
+    val a = q(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    // Re-run the op with the driver path disabled over the same edges.
+    val t = graft.queries.Tables(spark, "/root/testdata/sf0.001")
+    val edges = t.lineitem.select("l_orderkey", "l_suppkey")
+      .join(t.orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(t.supplier.select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val verts = t.nation.select(col("n_nationkey").cast("long").as("v"))
+    val b = Graph.pagerank(verts, edges, iters = 5, damping = 0.85,
+        driverSolveMax = 0)
+      .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+    assert(a.keySet === b.keySet)
+    // g01 rounds at 8 decimals, so agreement is bounded by that rounding.
+    a.foreach { case (k, v) =>
+      assert(math.abs(v - b(k)) < 1e-7, s"nation $k: driver $v vs dist ${b(k)}")
+    }
   }
 
   test("pagerank conserves total mass and favors the pure authority") {
