@@ -80,24 +80,10 @@ object GraphQueries {
         // relation at any corpus size. The percentile threshold is exact
         // here (|nations|²-bounded input); a web-scale edge relation would
         // swap approx_percentile, a01's measured-accuracy trade.
-        val inc = t.lineitem.select("l_partkey", "l_suppkey")
-          .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
-            col("l_suppkey") === col("s_suppkey"))
-          .select(col("l_partkey").as("pk"),
-            col("s_nationkey").cast("long").as("nk"))
-          .distinct()
-        val co = inc.as("x").join(inc.as("y"), col("x.pk") === col("y.pk"))
-          .filter(col("x.nk") < col("y.nk"))
-          .groupBy(col("x.nk").as("a"), col("y.nk").as("b"))
-          .agg(count(lit(1)).as("n"))
-        val thr = co.agg(expr("percentile(n, 0.75)").as("q"))
-        val e = co.crossJoin(broadcast(thr))
-          .filter(col("n") >= col("q"))
-          .select(col("a"), col("b"))
-          .persist()
+        //
         // Per-nation triangle participation: nation n counts once per
         // triangle corner it sits at.
-        graft.ops.Graph.triangleCounts(e)
+        graft.ops.Graph.triangleCounts(coSupplyEdges(t))
           .join(broadcast(t.nation), col("v") === col("n_nationkey").cast("long"))
           .select(col("n_nationkey"), col("n_name"), col("n_triangles"))
           .orderBy(col("n_nationkey"))
@@ -129,8 +115,99 @@ object GraphQueries {
         |SELECT n.n_nationkey, n.n_name, p.n_triangles
         |FROM pernode p JOIN nation n ON p.v = CAST(n.n_nationkey AS BIGINT)
         |ORDER BY n.n_nationkey
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Connected components of the co-supply graph — the same min-label
+      // propagation machinery that canonicalizes near-dup clusters (d05),
+      // exercised as a first-class graph operator: every nation labeled
+      // with its component representative (min member id) + component
+      // size; isolated nations are singleton components of themselves.
+      // Scale shape: Dedup.canonicalize is the certified path — driver
+      // union-find below its threshold, checkpointed distributed min-label
+      // loop above it; the size window runs on the vertex-bounded labeled
+      // relation. Oracle replays the closure as a recursive CTE.
+      "g03_components",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val pairs = coSupplyEdges(t)
+          .select(col("a").as("doc_a"), col("b").as("doc_b"))
+        val comp = graft.ops.Dedup.canonicalize(pairs)
+        val verts = t.nation.select(col("n_nationkey").cast("long").as("v"),
+          col("n_name"))
+        verts.join(comp, verts("v") === comp("doc_id"), "left")
+          .select(col("v"), col("n_name"),
+            coalesce(col("keeper_id"), col("v")).as("component"))
+          .withColumn("component_size",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("component"))))
+          .select(col("v").cast("int").as("n_nationkey"), col("n_name"),
+            col("component"), col("component_size"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""
+        |WITH RECURSIVE
+        |inc AS (
+        |  SELECT DISTINCT l.l_partkey AS pk, CAST(s.s_nationkey AS BIGINT) AS nk
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |),
+        |co AS (
+        |  SELECT x.nk AS a, y.nk AS b, count(*) AS n
+        |  FROM inc x JOIN inc y ON x.pk = y.pk AND x.nk < y.nk
+        |  GROUP BY 1, 2
+        |),
+        |thr AS (SELECT quantile_cont(n, 0.75) AS q FROM co),
+        |e AS (SELECT a, b FROM co, thr WHERE co.n >= thr.q),
+        |edges AS (
+        |  SELECT a AS src, b AS dst FROM e
+        |  UNION
+        |  SELECT b AS src, a AS dst FROM e
+        |),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, x.dst FROM reach r JOIN edges x ON r.dst = x.src
+        |),
+        |labels AS (
+        |  SELECT src AS v, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src
+        |),
+        |labeled AS (
+        |  SELECT CAST(n.n_nationkey AS BIGINT) AS v, n.n_name,
+        |         coalesce(l.component, CAST(n.n_nationkey AS BIGINT))
+        |           AS component
+        |  FROM nation n LEFT JOIN labels l
+        |    ON l.v = CAST(n.n_nationkey AS BIGINT)
+        |)
+        |SELECT CAST(v AS INT) AS n_nationkey, n_name, component,
+        |       count(*) OVER (PARTITION BY component) AS component_size
+        |FROM labeled ORDER BY n_nationkey
         |""".stripMargin.trim))
   )
+
+  /** g02/g03's shared co-supply edge relation: nations adjacent when they
+    * co-supply enough distinct parts, thresholded at the global 75th
+    * percentile of pair support so the cutoff is data-relative. Canonical
+    * orientation (a < b), persisted — the triangle join reads it three
+    * times and the component loop iterates over it.
+    */
+  private def coSupplyEdges(t: Tables): DataFrame = {
+    val inc = t.lineitem.select("l_partkey", "l_suppkey")
+      .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey").as("pk"),
+        col("s_nationkey").cast("long").as("nk"))
+      .distinct()
+    val co = inc.as("x").join(inc.as("y"), col("x.pk") === col("y.pk"))
+      .filter(col("x.nk") < col("y.nk"))
+      .groupBy(col("x.nk").as("a"), col("y.nk").as("b"))
+      .agg(count(lit(1)).as("n"))
+    val thr = co.agg(expr("percentile(n, 0.75)").as("q"))
+    co.crossJoin(broadcast(thr))
+      .filter(col("n") >= col("q"))
+      .select(col("a"), col("b"))
+      .persist()
+  }
 
   /** The PageRank oracle: identical math, iterations unrolled as CTEs
     * r1..r5 (DuckDB's recursive CTEs can't re-aggregate the working table

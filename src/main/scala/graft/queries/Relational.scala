@@ -1333,6 +1333,82 @@ object Relational {
         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
         |  FROM documents
         |)
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Ordered-set aggregates in deterministic, engine-portable form:
+      // mode (most frequent value), discrete median (an actual element,
+      // not an interpolation), and ordered listagg. The built-ins are
+      // deliberately NOT used — Spark's `mode()` and DuckDB's `mode()`
+      // both leave tie order unspecified — so each is derived from
+      // windows/sorts with explicit tiebreaks (count desc, value asc; the
+      // lower-median rank ceil(n/2); sorted-distinct join order).
+      // Scale: mode = two keyed shuffles on a cardinality-bounded count
+      // relation; the exact median window sorts each group once (a 100 TB
+      // profile swaps approx_percentile, a01's measured-accuracy pattern);
+      // listagg collapses to the flag alphabet per group.
+      "q47_ordered_set",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val li = t.lineitem
+        val counts = li.groupBy(col("l_linestatus"), col("l_returnflag"))
+          .agg(count(lit(1)).as("c"))
+        val md = counts
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("l_linestatus"))
+              .orderBy(col("c").desc, col("l_returnflag"))))
+          .filter(col("rk") === 1)
+          .select(col("l_linestatus"),
+            col("l_returnflag").as("mode_returnflag"))
+        val pos = li.select(col("l_linestatus"), col("l_quantity"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("l_linestatus")).orderBy(col("l_quantity"))))
+          .withColumn("cnt", count(lit(1)).over(
+            Window.partitionBy(col("l_linestatus"))))
+        val med = pos
+          .filter(col("rn") === ceil(col("cnt") / 2.0).cast("long"))
+          .select(col("l_linestatus"), col("l_quantity").as("median_qty"))
+        val fl = li.groupBy(col("l_linestatus"))
+          .agg(array_join(array_sort(collect_set(col("l_returnflag"))), ",")
+            .as("flags"), count(lit(1)).as("n_rows"))
+        fl.join(md, "l_linestatus").join(med, "l_linestatus")
+          .select(col("l_linestatus"), col("mode_returnflag"),
+            col("median_qty"), col("flags"), col("n_rows"))
+          .orderBy(col("l_linestatus"))
+      },
+      Some("""
+        |WITH counts AS (
+        |  SELECT l_linestatus, l_returnflag, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2
+        |),
+        |md AS (
+        |  SELECT l_linestatus, l_returnflag AS mode_returnflag
+        |  FROM counts
+        |  QUALIFY row_number() OVER (PARTITION BY l_linestatus
+        |                             ORDER BY c DESC, l_returnflag) = 1
+        |),
+        |pos AS (
+        |  SELECT l_linestatus, l_quantity,
+        |         row_number() OVER (PARTITION BY l_linestatus
+        |                            ORDER BY l_quantity) AS rn,
+        |         count(*) OVER (PARTITION BY l_linestatus) AS cnt
+        |  FROM lineitem
+        |),
+        |med AS (
+        |  SELECT l_linestatus, l_quantity AS median_qty
+        |  FROM pos WHERE rn = CAST(ceil(cnt / 2.0) AS BIGINT)
+        |),
+        |fl AS (
+        |  SELECT l_linestatus,
+        |         string_agg(DISTINCT l_returnflag, ','
+        |                    ORDER BY l_returnflag) AS flags,
+        |         count(*) AS n_rows
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT f.l_linestatus, m.mode_returnflag, d.median_qty, f.flags,
+        |       f.n_rows
+        |FROM fl f JOIN md m USING (l_linestatus) JOIN med d USING (l_linestatus)
+        |ORDER BY f.l_linestatus
         |""".stripMargin.trim))
   )
 }
