@@ -55,6 +55,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_char_entropy(text) - Shannon entropy (nats) of the " +
           "character distribution; one-pass compression-ratio proxy"),
       (es: Seq[Expression]) => CharEntropy(es.head)))
+    e.injectFunction((FunctionIdentifier("graft_nfc"),
+      info("graft_nfc",
+        "graft_nfc(text) - Unicode NFC canonical composition; " +
+          "allocation-free fast path for already-canonical input"),
+      (es: Seq[Expression]) => NfcNormalize(es.head)))
     e.injectFunction((FunctionIdentifier("graft_chargram_pairs48"),
       info("graft_chargram_pairs48",
         "graft_chargram_pairs48(text, n) - distinct char n-gram (h1, h2) " +

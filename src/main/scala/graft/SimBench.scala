@@ -311,7 +311,47 @@ object SimBench {
     val pruneDropped = pr.getLong(0)
     val pruneSep = pr.getDouble(1) - pr.getDouble(2)
 
-    println(s"""{"metric":"findsim_1024x475_qps","value":$qps,"unit":"qps","extra":{"findsim_1m_x64_sec":$bigSec,"hits_small":$hits,"hits_1m":$bigHits,"ivf_1m_build_sec":$buildSec,"ivf_1m_topk_sec":$ivfSec,"ivf_1m_topk_semijoin_sec":$ivfSemiSec,"brute_1m_topk_sec":$bruteSec,"ivf_rows":$ivfRows,"brute_rows":$bruteRows,"ivfpq_1m_build_sec":$pqBuildSec,"ivfpq_1m_topk_sec":$pqSec,"ivfpq_recall_at10":$pqRecall,"ivfpq_rerank_1m_sec":$rrSec,"ivfpq_rerank_recall_at10":$rrRecall,"bq_hamming_1m_sec":$bqSec,"bq_rows":$bqRows,"bq_rerank_1m_sec":$bqRerankSec,"bq_rerank_recall_at10":$bqRecall,"lsh_allpairs_1m_sec":$lshSec,"lsh_pairs":$lshCount,"lsh_planted_found":$plantedFound,"semdedup_1m_sec":$semSec,"semdedup_pairs":$semCount,"semdedup_planted_found":$semPlantedFound,"d4_prune_1m_sec":$pruneSec,"d4_dropped":$pruneDropped,"d4_core_minus_periphery":$pruneSep,"text_1m_winnow_sec":$winnowSec,"text_1m_winnow_rows":$winnowRows,"text_1m_wordsig_sec":$wordSigSec,"text_1m_wordsig_rows":$wordSigRows,"text_1m_cdc_sec":$cdcSec,"text_1m_cdc_rows":$cdcRows,"text_1m_entropy_sec":$entropySec,"text_1m_entropy_rows":$entropyRows,"dhash_1m_pairs_sec":$hamSec,"dhash_pairs":$hamCount,"dhash_planted_found":$hamPlanted}}""")
+    // NFC normalization scan at 1M docs, accent/control dirt planted on
+    // half the rows (t27's shape): the canonicalization pass is map-only;
+    // its corpus rate here is the added ingest cost of running it before
+    // every hash-based dedup tier.
+    val (nfcSec, nfcRows) = timeCount(
+      textCorpus.select(col("doc_id"),
+          graft.functions.NfcNormalize(
+            trim(regexp_replace(regexp_replace(
+              concat(col("text"),
+                when(pmod(col("doc_id"), lit(4)) === 0,
+                  lit(" cafe\u0301 touche\u0301"))
+                  .when(pmod(col("doc_id"), lit(4)) === 2,
+                    lit("  \t mixed  space  "))
+                  .otherwise(lit(""))),
+              "[\\x00-\\x1F\\x7F]", " "), "\\s+", " "))).as("clean"))
+        .filter(length(col("clean")) > 0))
+
+    // Distributed PageRank at 100k vertices x 2M edges — |V| far above
+    // driverSolveMax, so this measures the co-partitioned join loop (5
+    // iterations) the engine would run on a web-scale graph. Mass
+    // conservation doubles as the correctness check.
+    val gVerts = spark.range(100000L).select(col("id").as("v"))
+    val gEdges = spark.range(2000000L)
+      .select(pmod(xxhash64(col("id"), lit(1)), lit(100000L)).as("src"),
+        pmod(xxhash64(col("id"), lit(2)), lit(100000L)).as("dst"),
+        lit(1.0).as("cnt"))
+    val tg = System.nanoTime()
+    val prMass = graft.ops.Graph.pagerank(gVerts, gEdges, 5, 0.85)
+      .agg(sum(col("r"))).head.getDouble(0)
+    val prSec = (System.nanoTime() - tg) / 1e9
+
+    // Greedy k-center over the 1M-vector corpus: k map-only scans with
+    // broadcast-literal centers + TakeOrdered(1) argmax reductions — the
+    // per-pick cost is one brute-force pass, which is exactly what the
+    // 2-approximation buys (FAISS's max-min seeding pays the same).
+    val tk = System.nanoTime()
+    val kc = graft.ops.Similarity.kcenterSelect(big, "id", "vec", 5)
+      .agg(max(col("radius"))).head.getDouble(0)
+    val kcSec = (System.nanoTime() - tk) / 1e9
+
+    println(s"""{"metric":"findsim_1024x475_qps","value":$qps,"unit":"qps","extra":{"findsim_1m_x64_sec":$bigSec,"hits_small":$hits,"hits_1m":$bigHits,"ivf_1m_build_sec":$buildSec,"ivf_1m_topk_sec":$ivfSec,"ivf_1m_topk_semijoin_sec":$ivfSemiSec,"brute_1m_topk_sec":$bruteSec,"ivf_rows":$ivfRows,"brute_rows":$bruteRows,"ivfpq_1m_build_sec":$pqBuildSec,"ivfpq_1m_topk_sec":$pqSec,"ivfpq_recall_at10":$pqRecall,"ivfpq_rerank_1m_sec":$rrSec,"ivfpq_rerank_recall_at10":$rrRecall,"bq_hamming_1m_sec":$bqSec,"bq_rows":$bqRows,"bq_rerank_1m_sec":$bqRerankSec,"bq_rerank_recall_at10":$bqRecall,"lsh_allpairs_1m_sec":$lshSec,"lsh_pairs":$lshCount,"lsh_planted_found":$plantedFound,"semdedup_1m_sec":$semSec,"semdedup_pairs":$semCount,"semdedup_planted_found":$semPlantedFound,"d4_prune_1m_sec":$pruneSec,"d4_dropped":$pruneDropped,"d4_core_minus_periphery":$pruneSep,"text_1m_winnow_sec":$winnowSec,"text_1m_winnow_rows":$winnowRows,"text_1m_wordsig_sec":$wordSigSec,"text_1m_wordsig_rows":$wordSigRows,"text_1m_cdc_sec":$cdcSec,"text_1m_cdc_rows":$cdcRows,"text_1m_entropy_sec":$entropySec,"text_1m_entropy_rows":$entropyRows,"dhash_1m_pairs_sec":$hamSec,"dhash_pairs":$hamCount,"dhash_planted_found":$hamPlanted,"nfc_1m_sec":$nfcSec,"nfc_1m_rows":$nfcRows,"pagerank_100kx2m_sec":$prSec,"pagerank_mass":$prMass,"kcenter_1m_k5_sec":$kcSec,"kcenter_1m_radius":$kc}}""")
     spark.stop()
   }
 }

@@ -87,31 +87,30 @@ object Graph {
       val inv = idx.map(_.swap)
       return (0 until idx.size).map(i => (inv(i), r(i))).toDF("v", "r")
     }
-    // Dimension-graph fast path: when the vertex set is small, the edge
-    // relation is |V|²-bounded — leaving it across the session's full
-    // shuffle-partition count makes every iteration pay ~4 stages x 32
-    // near-empty tasks of pure scheduling (measured 1-1.5 s/iteration for
-    // a 625-edge graph). Coalescing the weight relation to one partition
-    // and pinning broadcast hash joins turns each step into a couple of
-    // single-task stages. A web-scale graph (large |V|) keeps the
-    // co-partitioned shuffle path: ranks won't fit in a broadcast there.
-    val small = nVerts <= 65536
+    // Two knobs above the driver-solve cap, both keyed on |V|:
+    //  - broadcastable (<= ~1M vertices, tens of MB of rank state): pin
+    //    broadcast hash joins for every vertex-bounded side, so the edge
+    //    relation is NEVER shuffled — each iteration is one map-side BHJ
+    //    over the cached weights plus one dst-keyed aggregation exchange.
+    //    A web-scale graph (10^9 vertices) exceeds any broadcast: it falls
+    //    through to co-partitioned shuffle joins, the classic
+    //    PageRank-on-Spark shape.
+    //  - tiny (<= 4096 vertices, reachable only with a raised
+    //    driverSolveMax): additionally coalesce the |V|²-bounded weight
+    //    relation to one partition — near-empty 32-task stages otherwise
+    //    dominate (measured 1-1.5 s/iteration for a 625-edge graph).
+    val broadcastable = nVerts <= (1L << 20)
+    val tiny = nVerts <= 4096
     val outdeg0 = e.groupBy("src").agg(sum("cnt").as("tot"))
-    val outdeg = if (small) broadcast(outdeg0) else outdeg0
+    val outdeg = if (broadcastable) broadcast(outdeg0) else outdeg0
     val w0 = e.join(outdeg, "src")
       .select(col("src"), col("dst"), (col("cnt") / col("tot")).as("wt"))
-    val w = (if (small) w0.coalesce(1) else w0).persist()
-    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val w = (if (tiny) w0.coalesce(1) else w0).persist()
+    def hinted(df: DataFrame): DataFrame =
+      if (broadcastable) broadcast(df) else df
 
     var ranks = verts.select(col("v"), lit(1.0 / n).as("r"))
-    for (i <- 1 to iters) {
-      // Truncate lineage every 6 steps: each iteration nests three joins
-      // under the previous plan, and past ~6 levels Catalyst re-analysis
-      // dominates the (vertex-bounded, KB-sized) actual work. localCheckpoint
-      // keeps the blocks on the executors — no disk round-trip. The eager
-      // materialization re-runs the uncheckpointed prefix, so short loops
-      // (<= 6 steps) come out ahead running unbroken.
-      if (i % 6 == 0) ranks = ranks.localCheckpoint()
+    for (_ <- 1 to iters) {
       val contrib = w.join(hinted(ranks), w("src") === col("v"))
         .groupBy(col("dst")).agg(sum(col("wt") * col("r")).as("m"))
       val dangling = ranks
@@ -124,6 +123,14 @@ object Graph {
         .select(verts("v"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("m"), lit(0.0)) + col("dm") / lit(n))).as("r"))
+      // Materialize EVERY step: ranks is consumed twice next iteration
+      // (contribution join + dangling-mass aggregate), so an unmaterialized
+      // lineage doubles per step — measured 45 s for 5 iterations at
+      // 100k x 2M edges vs ~7 s materialized. The vertex-bounded relation
+      // is KB-MB; localCheckpoint keeps the blocks executor-local. On a
+      // cluster needing executor-loss tolerance, swap in `checkpoint` with
+      // a durable checkpoint dir every few steps.
+      ranks = ranks.localCheckpoint()
     }
     ranks
   }

@@ -667,6 +667,56 @@ object TextQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Raw-media lake ingest through Spark's binaryFile source — the
+      // actual on-ramp for image/audio files into the binary-column
+      // pipeline (m01-m05 operate after this step). Reads the committed
+      // image fixtures, audits (bytes, content hash) AND runs the REAL
+      // ImageIoDecoder on each payload; the oracle re-reads the same
+      // files with DuckDB's read_blob and pins the true decoded
+      // dimensions as literals (9x9 checker, 32x16 gradients — the same
+      // ground truth MultimodalSpec asserts), so a decode regression
+      // breaks the hash match. Content hash goes through lower(hex()) on
+      // both engines because this DuckDB's md5 is VARCHAR-only.
+      // Scale: binaryFile lists and reads files in parallel; everything
+      // after is map-only per payload (mapPartitions decode).
+      "m06_binary_ingest",
+      (s, dir) => {
+        import s.implicits._
+        val files = s.read.format("binaryFile")
+          .load("/root/repo/src/test/resources/fixtures/*")
+          .select(regexp_extract(col("path"), "[^/]+$", 0).as("file"),
+            col("length").cast("long").as("n_bytes"),
+            md5(lower(hex(col("content")))).as("content_md5"),
+            col("content"))
+        val decoder = new graft.ops.Multimodal.ImageIoDecoder(grid = 2)
+        files.as[(String, Long, String, Array[Byte])].map {
+          case (f, n, m, bytes) =>
+            val d = decoder.decode(
+              graft.ops.Multimodal.MediaItem(0L, "image", bytes, f))
+            (f, n, m, d.map(_.width).getOrElse(-1),
+              d.map(_.height).getOrElse(-1),
+              d.map(_.channels).getOrElse(-1))
+        }.toDF("file", "n_bytes", "content_md5", "width", "height",
+            "channels")
+          .orderBy(col("file"))
+      },
+      Some("""
+        |WITH f AS (
+        |  SELECT regexp_extract(filename, '[^/]+$') AS file,
+        |         CAST(size AS BIGINT) AS n_bytes,
+        |         md5(lower(hex(content))) AS content_md5
+        |  FROM read_blob('/root/repo/src/test/resources/fixtures/*')
+        |),
+        |exp(file, width, height, channels) AS (VALUES
+        |  ('checker_9x9.png',    CAST(9  AS INT), CAST(9  AS INT), CAST(3 AS INT)),
+        |  ('gradient_32x16.jpg', CAST(32 AS INT), CAST(16 AS INT), CAST(3 AS INT)),
+        |  ('gradient_32x16.png', CAST(32 AS INT), CAST(16 AS INT), CAST(3 AS INT)))
+        |SELECT f.file, f.n_bytes, f.content_md5, e.width, e.height, e.channels
+        |FROM f JOIN exp e USING (file)
+        |ORDER BY f.file
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Embedding-cosine near-dup pairs (exact baseline; the scale path is
       // Similarity.signBucketJoin, exercised in tests/bench).
       "e01_embed_neardup",
