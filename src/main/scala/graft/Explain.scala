@@ -53,7 +53,11 @@ object Explain {
     "s11_weighted_sample" -> "map-only A-ES key projection into TakeOrderedAndProject (per-partition top-k, no global sort)",
     "m05_image_dhash"     -> "one hash scan -> 4-segment pigeonhole equi-join (exact for hamming<=3), bit_count verify",
     "t25_char_entropy"    -> "fused CharEntropy expression in the scan projection — map-only, zero shuffles",
-    "e08_semantic_decon"  -> "broadcast benchmark probes, map-only exact-cosine contamination scan; only hits reach the ranking exchange")
+    "e08_semantic_decon"  -> "broadcast benchmark probes, map-only exact-cosine contamination scan; only hits reach the ranking exchange",
+    "g02_triangles"       -> "corpus-aggregated incidence -> vertex-bounded canonical edges; node-iterator triangle joins each keyed on one endpoint",
+    "t27_nfc_normalize"   -> "fused NfcNormalize + two codegen regexp_replaces in the scan projection — map-only before the output sort",
+    "t28_filter_funnel"   -> "one md5 dedup window + map-only Gopher metrics; (source, stage) aggregate with the pct window on the bounded relation",
+    "q47_ordered_set"     -> "mode/median/listagg as windows with explicit tiebreaks — keyed exchanges on cardinality-bounded relations")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -151,6 +151,32 @@ object Ivf {
     IvfIndex(assigned, centroids).persist()
   }
 
+  /** Persist an index to a lake directory: cells parquet PARTITIONED BY
+    * cell — the durable twin of `IvfIndex.persist()`'s clustered cache.
+    * A reloaded `search` prunes non-routed cells at FILE level (partition
+    * directories skip at listing), which is exactly the serving layout a
+    * 100 TB deployment wants: the index survives restarts, and routing
+    * cost is proportional to nprobe cells' files, not the corpus.
+    */
+  def save(index: IvfIndex, path: String): Unit = {
+    index.cells.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/cells")
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Reload a [[save]]d index. Column order is restored (partitionBy moves
+    * `cell` to a partition column) and the cell id re-cast to int so the
+    * loaded index is drop-in for [[search]]/[[extend]].
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String): IvfIndex = {
+    val cells = spark.read.parquet(s"$path/cells")
+      .select(col(idCol), col(vecCol), col("cell").cast("int").as("cell"))
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .select(col("cell").cast("int").as("cell"), col("centroid"))
+    IvfIndex(cells, centroids).persist()
+  }
+
   /** Incremental index maintenance (FAISS's `add`): route a NEW batch to
     * the EXISTING centroids and append its rows to the cells — no
     * re-clustering, the daily-ingest path for a served index. The batch

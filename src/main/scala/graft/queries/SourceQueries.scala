@@ -517,6 +517,53 @@ object SourceQueries {
         |       (SELECT round(sum(c_acctbal), 2) FROM v2)  AS bal_prev,
         |       (SELECT count(*) FROM v3) - (SELECT count(*) FROM v2)
         |         AS n_inserted
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // ANN index persistence: build the IVF index, SAVE it to the lake
+      // (cells parquet partitioned by cell — file-level pruning replaces
+      // the clustered cache's batch-stat pruning), LOAD it back, and run
+      // the full-probe search off the loaded index. Full probe == brute
+      // force (v11's guarantee), so the oracle is the exact ranking —
+      // meaning the whole save/load round trip (float vectors, cell
+      // routing, column order) is hash-checked. This is the serving
+      // restart path: the index outlives the session and a reader prunes
+      // non-routed cells at directory listing.
+      "io13_index_persist",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val out = ioDir("io13", dir)
+        val emb = t.embeddings
+        val probes = emb.filter(col("vec_id") >= 100 && col("vec_id") < 115)
+        val built = graft.ops.Ivf.build(emb, "vec_id", "embedding",
+          numCells = 16, iterations = 1)
+        graft.ops.Ivf.save(built, out)
+        val loaded = graft.ops.Ivf.load(s, out, "vec_id", "embedding")
+        graft.ops.Ivf.search(loaded, probes, "vec_id", "embedding",
+            k = 5, nprobe = 16)
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some("""
+        |WITH probes AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id >= 100 AND vec_id < 115
+        |),
+        |sims AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                      CAST(q.embedding AS DOUBLE[])), 6) AS sim
+        |  FROM embeddings e, probes q
+        |  WHERE e.vec_id <> q.vec_id
+        |),
+        |ranked AS (
+        |  SELECT query_id, vec_id, sim,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, vec_id) AS rnk
+        |  FROM sims
+        |)
+        |SELECT query_id, rnk, vec_id, sim
+        |FROM ranked WHERE rnk <= 5
+        |ORDER BY query_id, rnk
         |""".stripMargin.trim))
   )
 }

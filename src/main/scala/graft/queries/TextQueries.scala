@@ -404,6 +404,48 @@ object TextQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Stratified k-fold assignment (cross-validation splits): every doc
+      // lands in exactly one of 5 folds by the same content-hash bucket
+      // machinery as s01 — so folds are disjoint and exhaustive BY
+      // CONSTRUCTION, engine/run/partition-invariant, and stable as the
+      // corpus grows (a doc never migrates folds when other docs arrive).
+      // Output pins per-fold balance (count, chars, per-source spread);
+      // the pct column makes any skew in the hash visible. Map-only
+      // assignment + one keyed aggregate at any corpus size.
+      "s13_kfold",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.documents
+          .withColumn("fold", graft.ops.Sampling.hashBucket(col("doc_id"), 5))
+          .groupBy(col("fold"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            countDistinct(col("source")).as("n_sources"),
+            min(col("doc_id")).as("min_id"))
+          .withColumn("pct", round(col("n_docs").cast("double") /
+            sum(col("n_docs")).over(Window.partitionBy()), 6))
+          .orderBy(col("fold"))
+      },
+      Some("""
+        |WITH assigned AS (
+        |  SELECT doc_id, n_chars, source,
+        |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |           % 5 AS fold
+        |  FROM documents
+        |),
+        |agg AS (
+        |  SELECT fold, count(*) AS n_docs,
+        |         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |         count(DISTINCT source) AS n_sources,
+        |         min(doc_id) AS min_id
+        |  FROM assigned GROUP BY fold
+        |)
+        |SELECT fold, n_docs, total_chars, n_sources, min_id,
+        |       round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS pct
+        |FROM agg ORDER BY fold
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Column profiling (the ANALYZE TABLE / data-quality manifest shape):
       // per-column row/null/distinct counts and value bounds over the fact
       // table, unpivoted to one row per column. One pass over the scan;

@@ -126,4 +126,25 @@ class IvfSpec extends SparkSpec {
       .join(reassigned.select(col("vec_id"), col("cell").as("c2")), "vec_id")
     assert(joined.filter(col("c1") =!= col("c2")).count() === 0)
   }
+
+  test("save/load round-trips the index: identical search, extendable") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = graft.ops.Ivf.build(emb, "vec_id", "embedding",
+      numCells = 8, iterations = 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_saveload").toString
+    graft.ops.Ivf.save(idx, dir)
+    val loaded = graft.ops.Ivf.load(spark, dir, "vec_id", "embedding")
+    assert(loaded.cells.count() === idx.cells.count())
+    val probes = emb.filter(col("vec_id") < 5)
+    val a = graft.ops.Ivf.search(idx, probes, "vec_id", "embedding", 5, 4)
+      .collect().map(_.toString).sorted.toSeq
+    val b = graft.ops.Ivf.search(loaded, probes, "vec_id", "embedding", 5, 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === b, "loaded-index search must equal in-memory search")
+    // The loaded index accepts incremental batches like the original.
+    val more = emb.select((col("vec_id") + 100000L).as("vec_id"),
+      col("embedding"))
+    val ext = graft.ops.Ivf.extend(loaded, more, "vec_id", "embedding")
+    assert(ext.cells.count() === 2 * emb.count())
+  }
 }
