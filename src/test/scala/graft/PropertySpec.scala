@@ -232,4 +232,41 @@ class PropertySpec extends SparkSpec {
         s"key not monotone in weight at u=$u, $lo vs $hi")
     }
   }
+
+  test("pagerank (driver fixpoint) conserves mass on generated digraphs") {
+    // Σr = 1 is the invariant every PageRank variant must keep — it is
+    // what the dangling-mass redistribution exists for. Generated graphs
+    // deliberately include dangling vertices and isolated vertices.
+    val gGen = for {
+      n <- Gen.chooseNum(2, 12)
+      m <- Gen.chooseNum(0, 20)
+      es <- Gen.listOfN(m, for {
+        s <- Gen.chooseNum(0L, (n - 1).toLong)
+        d <- Gen.chooseNum(0L, (n - 1).toLong)
+      } yield (s, d, 1.0))
+    } yield (n, es)
+    val cases = Iterator.continually(gGen.sample).flatten.take(8).toSeq
+    cases.foreach { case (n, es) =>
+      val verts = (0L until n.toLong).toDF("v")
+      val edges = es.toDF("src", "dst", "cnt")
+      val mass = graft.ops.Graph.pagerank(verts, edges, iters = 4,
+        damping = 0.85).agg(sum($"r")).head.getDouble(0)
+      assert(math.abs(mass - 1.0) < 1e-9,
+        s"mass $mass on n=$n edges=${es.size}")
+    }
+  }
+
+  test("triangleCounts on K_n gives every vertex C(n-1,2) triangles") {
+    for (n <- Seq(3, 5, 6)) {
+      val kn = (for {
+        a <- 1L to n.toLong; b <- (a + 1) to n.toLong
+      } yield (a, b)).toDF("a", "b")
+      val expected = (n - 1).toLong * (n - 2) / 2
+      val got = graft.ops.Graph.triangleCounts(kn).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size === n)
+      assert(got.values.forall(_ === expected),
+        s"K$n per-vertex triangles $got != $expected")
+    }
+  }
 }
