@@ -564,6 +564,53 @@ object SourceQueries {
         |SELECT query_id, rnk, vec_id, sim
         |FROM ranked WHERE rnk <= 5
         |ORDER BY query_id, rnk
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Dynamic partition overwrite — the BACKFILL path: restate one day
+      // of a day-partitioned lake table without touching the others.
+      // `partitionOverwriteMode=dynamic` replaces ONLY the partitions the
+      // incoming frame contains (static mode would wipe the whole table —
+      // the classic backfill footgun). The check re-reads the WHOLE table
+      // after the restatement: the earliest day carries doubled values,
+      // every other day is byte-identical, and n_days proves nothing
+      // vanished. The oracle reconstructs the same restatement
+      // arithmetically.
+      "io14_dynamic_overwrite",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val out = ioDir("io14", dir)
+        val ev = t.events
+          .select(expr("ts div 86400000000000").as("day"),
+            col("event_type"), col("value"))
+        ev.repartition(col("day"))
+          .write.mode("overwrite").partitionBy("day").parquet(out)
+        val d0 = ev.agg(min(col("day"))).head.getLong(0)
+        ev.filter(col("day") === d0)
+          .withColumn("value", col("value") * 2)
+          .repartition(col("day"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("day").parquet(out)
+        s.read.parquet(out)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 2).as("sum_value"),
+            countDistinct(col("day")).as("n_days"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        |WITH ev AS (
+        |  SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+        |         event_type, value
+        |  FROM events
+        |),
+        |d0 AS (SELECT min(day) AS m FROM ev)
+        |SELECT event_type, count(*) AS n,
+        |       round(sum(CASE WHEN day = (SELECT m FROM d0)
+        |                      THEN value * 2 ELSE value END), 2) AS sum_value,
+        |       count(DISTINCT day) AS n_days
+        |FROM ev GROUP BY event_type ORDER BY event_type
         |""".stripMargin.trim))
   )
 }
