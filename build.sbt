@@ -31,7 +31,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // that mid-suite queries measured GC schedule, not plan cost. The box
   // has 128 GiB; 24g leaves ample room for the driver-side oracle stack.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+) ++
+  // Optional scratch relocation (A/B harness knob): streaming temp
+  // checkpoints and Spark local dirs live under java.io.tmpdir; pointing
+  // it at a tmpfs (e.g. /dev/shm/graft-tmp) isolates inherent state-store
+  // cost from checkpoint-file IO scheduling. Local measurement only — a
+  // cluster deployment checkpoints to durable storage.
+  sys.env.get("SPARK_GRAFT_TMPDIR").toSeq.map(d => s"-Djava.io.tmpdir=$d")
 
 // Forward stdin to forked `run` mains (the graft.Cli REPL reads it).
 run / connectInput := true

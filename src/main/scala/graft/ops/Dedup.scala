@@ -644,6 +644,59 @@ object Dedup {
       .agg(min(col("pos")).as("s"), max(col("e")).as("en"))
   }
 
+  /** Per-document n-gram NOVELTY — the memorization-risk complement to
+    * [[duplicatedSpans]]: instead of marking what repeats, score how much
+    * of each document is corpus-UNIQUE. A doc whose k-token grams all
+    * appear in other docs is pure boilerplate/recrawl material; a doc of
+    * mostly singleton grams contributes genuinely new text to a training
+    * mix (the signal Lee et al., arXiv:2107.06499 §6 use to show models
+    * memorize the repeated tail). Per doc: distinct k-gram count, how
+    * many of those occur in NO other document (doc-frequency 1), and
+    * their ratio as `novelty` (null for docs shorter than k tokens).
+    *
+    * Scale shape: within-doc repeats are deduped MAP-SIDE
+    * (`array_distinct` on the per-doc gram array) so the explode emits
+    * one row per distinct (doc, gram); doc-frequency is then a plain
+    * count — ONE gram-keyed shuffle (partial-aggregated, 128-bit md5
+    * keys); the join back rides the same gram partitioning and the
+    * per-doc fold is one more keyed aggregate. Linear in corpus tokens,
+    * nothing pairwise at any scale.
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), size(col("toks")).as("n_tokens"), col("toks"))
+    val gramArr = when(col("n_tokens") >= k,
+      array_distinct(transform(sequence(lit(0), col("n_tokens") - k),
+        i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))))
+      .otherwise(array().cast("array<string>"))
+    // explode_outer + null filter: the non-outer generator's inferred
+    // size()>0 pre-filter would re-tokenize every document (the t22
+    // inference trap). Persisted: the gram relation has TWO consumers
+    // (doc-frequency count + the join back), and an unmaterialized plan
+    // would re-run the tokenize+md5+explode chain per consumer — the
+    // multi-consumer recompute rule (BENCH_NOTES, simhash/t12/loop
+    // carriers). Internal persist, reclaimed by the family-boundary
+    // `Caches.reset` like the hashed-shingle relations.
+    val docGrams = base.select(col(idCol), explode_outer(gramArr).as("gram_key"))
+      .filter(col("gram_key").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docFreq = docGrams.groupBy(col("gram_key"))
+      .agg(count(lit(1)).as("df"))
+    val perDoc = docGrams.join(docFreq, Seq("gram_key"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("novel_grams"))
+    base.select(col(idCol), col("n_tokens").cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(null).cast("double"))
+          .otherwise(round(col("novel_grams").cast("double") /
+            col("n_grams").cast("double"), 6)).as("novelty"))
+  }
+
   /** Span REMOVAL — the "act" to [[duplicatedSpans]]'s "detect": every
     * token inside a duplicated span is cut and the document re-joined
     * from the survivors (the scrub policy of Lee et al. §4.1 applied to

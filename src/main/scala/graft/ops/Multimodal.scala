@@ -360,6 +360,65 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("ham"))
   }
 
+  /** Energy-based voice-activity segments over a decoded clip's RMS
+    * envelope (the feature array [[AudioWavDecoder]] and [[FakeDecoder]]
+    * both emit): contiguous runs of windows at-or-above `threshold` are
+    * speech/activity segments, below is silence — the standard
+    * silence-trim / segmentation pass a speech-data pipeline runs before
+    * transcription or an acoustic encoder. One row per segment with
+    * window bounds [win_start, win_end) plus exact-integer millisecond
+    * bounds (window w of n spans [duration*w/n, duration*(w+1)/n) — same
+    * floor arithmetic on every engine).
+    *
+    * Map-only: the island scan is a local pass over the fixed-size
+    * envelope inside flatMap, so segmentation adds ZERO shuffles to a
+    * decode pass at any corpus size.
+    */
+  def energySegments(decoded: Dataset[DecodedMedia], threshold: Float): DataFrame = {
+    import decoded.sparkSession.implicits._
+    decoded.flatMap { d =>
+      val n = d.feature.length
+      segmentBounds(d.feature, threshold).zipWithIndex.map {
+        case ((s, e), idx) =>
+          (d.media_id, idx, s, e,
+            d.duration_ms * s / n, d.duration_ms * e / n)
+      }
+    }.toDF("media_id", "seg_idx", "win_start", "win_end",
+      "start_ms", "end_ms")
+  }
+
+  /** Per-clip VAD summary — segment count, active windows, longest run,
+    * active milliseconds — folded inside the same map as the island scan:
+    * the whole audit is one shuffle-free pass over the decoded Dataset.
+    */
+  def vadSummary(decoded: Dataset[DecodedMedia], threshold: Float): DataFrame = {
+    import decoded.sparkSession.implicits._
+    decoded.map { d =>
+      val segs = segmentBounds(d.feature, threshold)
+      val active = segs.map(s => s._2 - s._1).sum
+      val longest = if (segs.isEmpty) 0 else segs.map(s => s._2 - s._1).max
+      val n = math.max(d.feature.length, 1)
+      (d.media_id, d.duration_ms, segs.length.toLong, active.toLong,
+        longest.toLong, d.duration_ms * active / n)
+    }.toDF("media_id", "duration_ms", "n_segments", "active_windows",
+      "longest_run", "active_ms")
+  }
+
+  /** Maximal [start, end) runs of envelope values >= threshold. */
+  private def segmentBounds(envelope: Array[Float], threshold: Float)
+      : List[(Int, Int)] = {
+    val out = List.newBuilder[(Int, Int)]
+    var start = -1
+    var i = 0
+    while (i < envelope.length) {
+      if (envelope(i) >= threshold) { if (start < 0) start = i }
+      else if (start >= 0) { out += ((start, i)); start = -1 }
+      i += 1
+    }
+    if (start >= 0) out += ((start, envelope.length))
+    out.result()
+  }
+
   /** Decode a media Dataset partition-parallel. Undecodable rows are
     * dropped (total function; no task failures from bad payloads).
     */

@@ -17,10 +17,16 @@ import org.apache.spark.sql.types._
   * group
   *  - `Backward` (default): the right row with the greatest
   *    `rightOn <= leftOn` (DuckDB `ASOF LEFT JOIN` semantics);
-  *  - `Forward`: the right row with the smallest `rightOn >= leftOn`.
+  *  - `Forward`: the right row with the smallest `rightOn >= leftOn`;
+  *  - `Nearest`: whichever of those two candidates has the smaller
+  *    `|rightOn - leftOn|`, ties to the backward side (pandas
+  *    `merge_asof(direction='nearest')` semantics). Requires an integral
+  *    on-column — distance needs subtraction, unlike the pure
+  *    order-comparisons of the directional modes.
   * An optional `tolerance` (in the on-column's own integral units) bounds
   * the match distance: backward requires `leftOn - rightOn <= tolerance`,
-  * forward `rightOn - leftOn <= tolerance`. Left rows without a match get
+  * forward `rightOn - leftOn <= tolerance`, nearest
+  * `|rightOn - leftOn| <= tolerance`. Left rows without a match get
   * nulls (left-outer as-of).
   *
   * Physical execution is a single forward merge pass: both sides are
@@ -39,6 +45,7 @@ sealed trait AsOfDirection
 object AsOfDirection {
   case object Backward extends AsOfDirection
   case object Forward extends AsOfDirection
+  case object Nearest extends AsOfDirection
 }
 
 final case class AsOfJoinPlan(
@@ -121,8 +128,11 @@ final case class AsOfJoinExec(
     val rO = rightOn
     val dir = direction
     val tol = tolerance
-    if (tol.isDefined) onAsLong(onType) // fail fast on unsupported types
-    val readOn = if (tol.isDefined) onAsLong(onType) else null
+    // Nearest needs the on-value as a number (distance = subtraction),
+    // tolerance likewise; fail fast on unsupported types before tasks run.
+    val needOn = tol.isDefined || dir == AsOfDirection.Nearest
+    if (needOn) onAsLong(onType)
+    val readOn = if (needOn) onAsLong(onType) else null
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lByProj = UnsafeProjection.create(lB, leftOutput)
@@ -149,6 +159,7 @@ final case class AsOfJoinExec(
           dir match {
             case AsOfDirection.Backward => l - r <= tol.get
             case AsOfDirection.Forward  => r - l <= tol.get
+            case AsOfDirection.Nearest  => math.abs(r - l) <= tol.get
           }
         }
 
@@ -221,6 +232,57 @@ final case class AsOfJoinExec(
                     byOrd.compare(rByProj(r), lByKey) == 0 &&
                       withinTol(lOnKey, rOnProj(r))
                   }) rBuf.head
+                else nullRight
+              resultProj(joined(l, m))
+            }
+          }
+
+        case AsOfDirection.Nearest =>
+          // Backward's scan leaves the last at-or-before row copied aside
+          // and the first strictly-after row as the (unconsumed) buffer
+          // head — exactly the two nearest candidates. Pick the closer by
+          // integral distance, ties to backward; the same single forward
+          // merge pass, still O(left + right) with one buffered row.
+          new Iterator[InternalRow] {
+            private var matchRow: InternalRow = _
+            private var matchBy: UnsafeRow = _
+            private var matchOn: UnsafeRow = _
+
+            override def hasNext: Boolean = lIter.hasNext
+
+            override def next(): InternalRow = {
+              val l = lIter.next()
+              val lByKey = lByProj(l)
+              val lOnKey = lOnProj(l)
+              var scanning = true
+              while (scanning && rBuf.hasNext) {
+                val r = rBuf.head
+                val cmpBy = byOrd.compare(rByProj(r), lByKey)
+                if (cmpBy < 0) {
+                  rBuf.next()
+                } else if (cmpBy == 0 && onOrd.compare(rOnProj(r), lOnKey) <= 0) {
+                  matchRow = r.copy()
+                  matchBy = rByProj(r).copy()
+                  matchOn = rOnProj(r).copy()
+                  rBuf.next()
+                } else {
+                  scanning = false
+                }
+              }
+              val lv = readOn(lOnKey)
+              val dBack =
+                if (matchRow != null && byOrd.compare(matchBy, lByKey) == 0)
+                  lv - readOn(matchOn)
+                else Long.MaxValue
+              val dFwd =
+                if (rBuf.hasNext &&
+                    byOrd.compare(rByProj(rBuf.head), lByKey) == 0)
+                  readOn(rOnProj(rBuf.head)) - lv
+                else Long.MaxValue
+              val limit = tol.getOrElse(Long.MaxValue - 1)
+              val m =
+                if (dBack <= dFwd && dBack <= limit) matchRow
+                else if (dFwd < dBack && dFwd <= limit) rBuf.head
                 else nullRight
               resultProj(joined(l, m))
             }

@@ -1806,6 +1806,52 @@ object MixQueries {
         |       c.avg_ppl, c.avg_quality
         |FROM card c JOIN tl t USING (source)
         |ORDER BY c.source
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Per-document n-gram novelty (memorization-risk scoring): the
+      // fraction of each doc's distinct 8-token grams that occur in NO
+      // other document — d09's span-dedup machinery turned from "what
+      // repeats" into "how much is new". Within-doc repeats dedup
+      // map-side (array_distinct), so the corpus pays one gram-keyed
+      // count shuffle + one doc-keyed fold; linear at any scale, nothing
+      // pairwise (Dedup.ngramNovelty).
+      "t29_ngram_novelty",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Dedup.ngramNovelty(t.documents, "doc_id", "text", k = 8)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        |WITH tok AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |base AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM tok),
+        |dg AS (
+        |  SELECT DISTINCT doc_id, gram_key FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(greatest(n_tokens - 7, 0)),
+        |             i -> md5(array_to_string(toks[i+1:i+8], ' '))))
+        |             AS gram_key
+        |    FROM base)
+        |),
+        |df AS (SELECT gram_key, count(*) AS df FROM dg GROUP BY 1),
+        |per AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |         CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS novel_grams
+        |  FROM dg JOIN df USING (gram_key) GROUP BY 1
+        |)
+        |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+        |       coalesce(p.n_grams, 0) AS n_grams,
+        |       coalesce(p.novel_grams, 0) AS novel_grams,
+        |       CASE WHEN coalesce(p.n_grams, 0) = 0 THEN NULL
+        |            ELSE round(CAST(p.novel_grams AS DOUBLE) / p.n_grams, 6)
+        |            END AS novelty
+        |FROM base b LEFT JOIN per p USING (doc_id)
+        |ORDER BY b.doc_id
         |""".stripMargin.trim))
   )
 }

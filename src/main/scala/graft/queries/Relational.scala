@@ -1409,6 +1409,58 @@ object Relational {
         |       f.n_rows
         |FROM fl f JOIN md m USING (l_linestatus) JOIN med d USING (l_linestatus)
         |ORDER BY f.l_linestatus
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Nearest-direction as-of join (pandas merge_asof
+      // direction='nearest'): each signup attaches its temporally CLOSEST
+      // purchase by the same user — before or after, ties to the earlier
+      // side — via the custom merge-join operator (plans/AsOfJoin.scala,
+      // AsOfDirection.Nearest). Same single forward merge pass as
+      // backward/forward: both candidates fall out of one buffered
+      // pointer, O(left+right) per co-partition, no windowed union or
+      // range join at any scale. DuckDB has no nearest ASOF, so the
+      // oracle ranks candidates per signup by (distance, backward-first)
+      // — quadratic per user, fine at oracle scale only.
+      "q48_nearest_asof",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val ev = t.events.withColumn("tsu", expr("ts div 1000"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("tsu"), col("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("tsu").as("p_tsu"))
+        graft.plans.AsOf.join(signups, purchases, "user_id", "p_user",
+            "tsu", "p_tsu", direction = graft.plans.AsOfDirection.Nearest)
+          .filter(col("p_tsu").isNotNull)
+          .select(col("event_id"), col("user_id"),
+            col("tsu").as("signup_us"),
+            col("p_tsu").as("nearest_purchase_us"),
+            abs(col("p_tsu") - col("tsu")).as("gap_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        |WITH s AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, event_id
+        |  FROM events WHERE event_type = 'signup'
+        |),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu
+        |  FROM events WHERE event_type = 'purchase'
+        |),
+        |cand AS (
+        |  SELECT s.event_id, s.user_id, s.tsu AS signup_us,
+        |         p.tsu AS nearest_purchase_us,
+        |         abs(p.tsu - s.tsu) AS gap_us,
+        |         row_number() OVER (
+        |           PARTITION BY s.event_id
+        |           ORDER BY abs(p.tsu - s.tsu),
+        |                    CASE WHEN p.tsu <= s.tsu THEN 0 ELSE 1 END) AS rn
+        |  FROM s JOIN p USING (user_id)
+        |)
+        |SELECT event_id, user_id, signup_us, nearest_purchase_us, gap_us
+        |FROM cand WHERE rn = 1
+        |ORDER BY event_id
         |""".stripMargin.trim))
   )
 }

@@ -611,6 +611,50 @@ object SourceQueries {
         |                      THEN value * 2 ELSE value END), 2) AS sum_value,
         |       count(DISTINCT day) AS n_days
         |FROM ev GROUP BY event_type ORDER BY event_type
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Persisted sketch store — incremental distinct-count analytics:
+      // one HLL sketch PER (event_type, day) lands on the lake (a few KB
+      // per row), and the global per-type distinct-user estimate comes
+      // from reading back and UNIONING the sketches — never from
+      // rescanning history. This is the 100 TB shape for "daily uniques,
+      // all-time uniques": each new day appends its sketch rows and
+      // every re-aggregation touches |days| x |types| KB-sized rows, not
+      // the event log. The round trip (binary sketch column through
+      // parquet) is what the query proves; the within-5% contract vs the
+      // exact in-query distinct is a03's measured-accuracy pattern
+      // (datasketches HLL at default lgK=12 is ~0.8% RSE).
+      "io15_sketch_store",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val out = ioDir("io15", dir)
+        val ev = t.events.select(
+          expr("ts div 86400000000000").as("day"),
+          col("event_type"), col("user_id"))
+        ev.groupBy(col("event_type"), col("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+          .write.mode("overwrite").parquet(out)
+        val est = s.read.parquet(out)
+          .groupBy(col("event_type"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
+            count(lit(1)).as("n_sketches"))
+        ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+          .join(est, "event_type")
+          .select(col("event_type"), col("n_exact"), col("n_sketches"),
+            (abs(col("est") - col("n_exact")) <=
+              col("n_exact").cast("double") * 0.05).as("sketch_ok"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        |SELECT event_type,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |       CAST(count(DISTINCT CAST(epoch_ns(ts) // 86400000000000
+        |                                AS BIGINT)) AS BIGINT) AS n_sketches,
+        |       TRUE AS sketch_ok
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type
         |""".stripMargin.trim))
   )
 }

@@ -1638,6 +1638,89 @@ object TextQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Energy-based voice-activity detection over the decoded RMS
+      // envelope: contiguous windows at-or-above threshold merge into
+      // activity segments; per clip the audit reports segment count,
+      // active windows, longest run, and exact-integer active
+      // milliseconds — the silence-trim pass of a speech pipeline. The
+      // island scan folds INSIDE the decode map (Multimodal.vadSummary),
+      // so the whole query is one shuffle-free pass at any corpus size.
+      // The decoder is the sha256-window stub; the oracle replays its
+      // envelope arithmetic (window i active iff digest window i mod
+      // 1000 >= 500 — 0.5 in [0,1) thousandths, compared in exact
+      // integers) and the same island merge in SQL. The REAL
+      // AudioWavDecoder path through the identical segmentBounds scan is
+      // pinned in MultimodalSpec on synthesized tone/silence WAVs.
+      "m07_audio_vad",
+      (s, dir) => {
+        import s.implicits._
+        val t = Tables(s, dir)
+        val media = t.documents.select(
+          col("doc_id").as("media_id"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+          col("text").cast("binary").as("payload"),
+          col("source"))
+          .filter(col("kind") === "audio")
+          .as[graft.ops.Multimodal.MediaItem]
+        val decoded = graft.ops.Multimodal.decodeAll(media,
+          new graft.ops.Multimodal.FakeDecoder(16))
+        graft.ops.Multimodal.vadSummary(decoded, threshold = 0.5f)
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        |WITH med0 AS (
+        |  SELECT doc_id AS media_id, sha256(text) AS hx
+        |  FROM documents
+        |  WHERE CAST(doc_id % 3 AS INTEGER) = 1
+        |    AND octet_length(CAST(text AS BLOB)) > 0
+        |),
+        |med AS (
+        |  SELECT media_id, hx,
+        |         1000 + CAST(concat('0x', substr(hx, 13, 6)) AS BIGINT) % 60000
+        |           AS duration_ms
+        |  FROM med0
+        |),
+        |win AS (
+        |  SELECT media_id, CAST(t.i AS INTEGER) AS i,
+        |         CASE WHEN CAST(concat('0x', substr(hx, 25 + 2 * t.i, 6))
+        |                    AS BIGINT) % 1000 >= 500
+        |              THEN 1 ELSE 0 END AS active
+        |  FROM med, range(16) t(i)
+        |),
+        |seg AS (
+        |  SELECT media_id, i, active,
+        |         CASE WHEN active = 1 AND coalesce(lag(active) OVER (
+        |                PARTITION BY media_id ORDER BY i), 0) = 0
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM win
+        |),
+        |seg2 AS (
+        |  SELECT media_id, i, active,
+        |         sum(brk) OVER (PARTITION BY media_id ORDER BY i
+        |                        ROWS UNBOUNDED PRECEDING) AS seg_id
+        |  FROM seg
+        |),
+        |runs AS (
+        |  SELECT media_id, seg_id, count(*) AS run_len
+        |  FROM seg2 WHERE active = 1 GROUP BY 1, 2
+        |),
+        |agg AS (
+        |  SELECT media_id, CAST(count(*) AS BIGINT) AS n_segments,
+        |         CAST(sum(run_len) AS BIGINT) AS active_windows,
+        |         CAST(max(run_len) AS BIGINT) AS longest_run
+        |  FROM runs GROUP BY 1
+        |)
+        |SELECT m.media_id, m.duration_ms,
+        |       coalesce(a.n_segments, 0) AS n_segments,
+        |       coalesce(a.active_windows, 0) AS active_windows,
+        |       coalesce(a.longest_run, 0) AS longest_run,
+        |       m.duration_ms * coalesce(a.active_windows, 0) // 16 AS active_ms
+        |FROM med m LEFT JOIN agg a USING (media_id)
+        |ORDER BY m.media_id
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // End-to-end corpus dedup: MinHash near-dup pairs -> connected-
       // component canonicalization (union-find / iterative min-label
       // propagation) -> keep each cluster's min-id doc. The oracle replays

@@ -155,6 +155,62 @@ class AsOfJoinSpec extends SparkSpec {
     assert(custom === ref)
   }
 
+  test("nearest direction picks the closer side, ties to backward") {
+    val probes = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (1L, 30L, "p3"),
+      (2L, 50L, "p4")).toDF("uid", "t", "tag")
+    val quotes = Seq((1L, 8L, "q8"), (1L, 14L, "q14"), (1L, 26L, "q26"),
+      (3L, 50L, "qx")).toDF("uid2", "t2", "qtag")
+    val out = AsOf.join(probes, quotes, "uid", "uid2", "t", "t2",
+        direction = graft.plans.AsOfDirection.Nearest)
+      .select($"tag", $"qtag").orderBy($"tag")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // p1@10: q8 (d=2) beats q14 (d=4); p2@20: q14 (d=6) TIES q26 (d=6)
+    // -> backward wins; p3@30: q26 (d=4) is the only candidate side;
+    // p4 (uid 2): no quotes -> null.
+    assert(out === Seq(("p1", "q8"), ("p2", "q14"), ("p3", "q26"),
+      ("p4", null)))
+  }
+
+  test("nearest tolerance bounds |distance|; candidates shared across probes") {
+    val probes = Seq((1L, 100L, "p1"), (1L, 101L, "p2"), (1L, 140L, "p3"))
+      .toDF("uid", "t", "tag")
+    val quotes = Seq((1L, 103L, "q103")).toDF("uid2", "t2", "qtag")
+    val out = AsOf.join(probes, quotes, "uid", "uid2", "t", "t2",
+        direction = graft.plans.AsOfDirection.Nearest, tolerance = Some(5L))
+      .select($"tag", $"qtag").orderBy($"tag")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // p1 (d=3) and p2 (d=2) both match the one future quote without
+    // consuming it; p3 (d=37) exceeds tol 5.
+    assert(out === Seq(("p1", "q103"), ("p2", "q103"), ("p3", null)))
+  }
+
+  test("randomized nearest agrees with a brute-force reference") {
+    val rnd = new scala.util.Random(11)
+    val probes = (1 to 400).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong))
+      .zipWithIndex.map { case ((u, t), i) => (u, t, i.toLong) }
+      .toDF("uid", "t", "pid")
+    val quotes = (1 to 300).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong))
+      .zipWithIndex.map { case ((u, t), i) => (u, t, i.toLong + 10000) }
+      .toDF("uid2", "t2", "qid")
+    val custom = AsOf.join(probes, quotes, "uid", "uid2", "t", "t2",
+        direction = graft.plans.AsOfDirection.Nearest)
+      .select($"pid", $"t2").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // Reference: per probe, the quote time minimizing |t2 - t|, ties to
+    // the at-or-before side. Compare matched TIMES (several quotes can
+    // share one time; any of them is the same t2 value).
+    val q = quotes.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val ref = probes.collect().map { r =>
+      val (u, t, pid) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val cands = q.filter(_._1 == u).map(_._2)
+      pid -> (if (cands.isEmpty) -1L
+      else cands.minBy(t2 => (math.abs(t2 - t), if (t2 <= t) 0 else 1)))
+    }.toMap
+    assert(custom === ref)
+  }
+
   test("empty build side yields all-null matches; empty probe side is empty") {
     val probes = Seq((1L, 10L)).toDF("uid", "t")
     val empty = Seq.empty[(Long, Long)].toDF("uid2", "t2")

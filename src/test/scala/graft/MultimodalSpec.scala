@@ -177,6 +177,49 @@ class MultimodalSpec extends SparkSpec {
     b.feature.foreach(v => assert(v > 0.95f, v)) // full-scale square
   }
 
+  test("energySegments finds the planted tone bursts through a REAL decode") {
+    import Multimodal.AudioWavDecoder
+    val rate = 8000f
+    // 4 s clip over a 16-window envelope (250 ms per window):
+    // tone [0,1)s -> windows 0-3, silence [1,2)s, tone [2,3)s -> windows
+    // 8-11, silence [3,4)s. Amplitude 0.8 -> RMS ~ 0.57 >= 0.3.
+    val bursty = wavBytes(rate, 16, 1, 32000) { i =>
+      val sec = i / 8000
+      if (sec == 0 || sec == 2) 0.8 * math.sin(2 * math.Pi * 440 * i / rate)
+      else 0.0
+    }
+    val ds = spark.createDataset(Seq(MediaItem(1, "audio", bursty, "s")))
+    val decoded = Multimodal.decodeAll(ds, new AudioWavDecoder(16))
+    val segs = Multimodal.energySegments(decoded, threshold = 0.3f)
+      .collect().sortBy(r => r.getInt(1))
+      .map(r => (r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5)))
+    // Two segments at the planted windows; ms bounds are the exact
+    // integer window edges of the 4000 ms clip.
+    assert(segs.toSeq === Seq((0, 4, 0L, 1000L), (8, 12, 2000L, 3000L)))
+    val sum = Multimodal.vadSummary(decoded, threshold = 0.3f).collect()
+    assert(sum.length === 1)
+    val r = sum.head
+    // (n_segments, active_windows, longest_run, active_ms)
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ===
+      ((2L, 8L, 4L, 2000L)))
+  }
+
+  test("vadSummary edge cases: all-active, all-silent, empty envelope") {
+    import Multimodal.DecodedMedia
+    val decoded = spark.createDataset(Seq(
+      DecodedMedia(1, "audio", 0, 0, 1600, 1, Array.fill(16)(0.9f)),
+      DecodedMedia(2, "audio", 0, 0, 1600, 1, Array.fill(16)(0.1f)),
+      DecodedMedia(3, "audio", 0, 0, 1600, 1, Array.empty[Float])))
+    val out = Multimodal.vadSummary(decoded, threshold = 0.5f)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 16L, 16L, 1600L), // one wall-to-wall segment
+      (2L, 0L, 0L, 0L, 0L),      // nothing above threshold
+      (3L, 0L, 0L, 0L, 0L)))     // degenerate envelope, no div-by-zero
+  }
+
   test("AudioWavDecoder matches FakeDecoder's schema through decodeAll") {
     import Multimodal.AudioWavDecoder
     val clip = wavBytes(16000f, 16, 1, 1600)(i => 0.25 * math.sin(i / 10.0))

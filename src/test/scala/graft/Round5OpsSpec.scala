@@ -265,4 +265,36 @@ class Round5OpsSpec extends SparkSpec {
     assert(want.size >= 30, "planted pairs must be present in the truth set")
     assert(got === want)
   }
+
+  // ---- ngramNovelty (memorization-risk scoring) ----
+
+  test("ngramNovelty scores corpus-unique grams per doc, hand-checked") {
+    val docs = Seq(
+      (1L, "a b c"),   // 2-grams: "a b" (shared with doc 2), "b c"
+      (2L, "a b x"),   // "a b", "b x"
+      (3L, "z z"),     // "z z" — corpus-unique
+      (4L, "q"),       // shorter than k: no grams, null novelty
+      (5L, "m m m")    // "m m" twice WITHIN the doc -> one distinct gram,
+    ).toDF("doc_id", "text") // still novel (df counts docs, not positions)
+    val out = graft.ops.Dedup.ngramNovelty(docs, "doc_id", "text", k = 2)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 1L, 1L, 1.0),
+      (4L, 0L, 0L, -1.0), (5L, 1L, 1L, 1.0)))
+  }
+
+  test("ngramNovelty is partition-invariant and bounded in [0, 1]") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val a = graft.ops.Dedup.ngramNovelty(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    val b = graft.ops.Dedup.ngramNovelty(docs.repartition(7), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(a === b)
+    val bad = graft.ops.Dedup.ngramNovelty(docs, "doc_id", "text")
+      .filter(col("novelty") < 0 || col("novelty") > 1 ||
+        col("novel_grams") > col("n_grams")).count()
+    assert(bad === 0L)
+  }
 }
