@@ -200,6 +200,65 @@ object Dedup {
   private[graft] def invalidate(spark: org.apache.spark.sql.SparkSession): Unit =
     Option(pairCache.get(spark)).foreach(_.clear())
 
+  /** LSH banding-parameter sweep — the tuning curve for
+    * [[nearDuplicatesMinhash]]: for each band count `b` over the SAME
+    * `numHashes`-member signature (rows per band r = numHashes/b), report
+    * candidate pairs generated, pairs surviving the exact Jaccard verify
+    * at `threshold`, and their ratio (precision). The s-curve
+    * P(candidate) = 1-(1-j^r)^b (Leskovec/Rajaraman/Ullman, MMDS ch. 3)
+    * says more/narrower bands buy recall at the price of candidate
+    * volume; this sweep measures that trade on the actual corpus — the
+    * query one runs BEFORE committing band parameters to a 100 TB dedup
+    * pass, exactly as v22's nprobe sweep tunes the IVF index.
+    *
+    * Because bands slice the signature contiguously, a pair matching an
+    * r-row band also matches both r/2-row halves — so candidate (and
+    * verified) sets NEST as bands double: counts are provably
+    * nondecreasing in `b`, which the spec asserts.
+    *
+    * Cost: the expensive fronts are shared — ONE persisted hashed-gram
+    * relation feeds every configuration's signature projection and the
+    * verify joins; per configuration the sweep pays one bucket self-join
+    * over (doc_id, band, key) rows plus a verify join proportional to
+    * its own candidates. Each candidate relation is persisted (consumed
+    * by both the count and the verify), mirroring what a production
+    * sweep would checkpoint.
+    */
+  def lshBandingSweep(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int = 32,
+      bandsSeq: Seq[Int] = Seq(4, 8, 16),
+      shingleN: Int = 3): DataFrame = {
+    require(bandsSeq.nonEmpty && bandsSeq.forall(b => numHashes % b == 0),
+      "every band count must divide numHashes")
+    val hp = wordHashedPairs(docs, idCol, textCol, shingleN)
+    val sets = hashSets(hp)
+    bandsSeq.map { b =>
+      val buckets = bandBuckets(hp, numHashes, b)
+      val candidates = buckets.as("a")
+        .join(buckets.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nCand = candidates.agg(count(lit(1)).as("n_candidates"))
+      val nVer = verifyJaccard(candidates, sets, sets, "doc_a", "doc_b",
+        threshold).agg(count(lit(1)).as("n_verified"))
+      nCand.crossJoin(nVer)
+        .select(lit(b).as("bands"), lit(numHashes / b).as("rows_per_band"),
+          col("n_candidates"), col("n_verified"),
+          // "precision" is a reserved word in ANSI/DuckDB — keep the
+          // column oracle-portable.
+          when(col("n_candidates") === 0, lit(null).cast("double"))
+            .otherwise(round(col("n_verified").cast("double") /
+              col("n_candidates").cast("double"), 4)).as("verify_precision"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Near-duplicate pairs by CHARACTER n-gram Jaccard, same MinHash+LSH
     * machinery as [[nearDuplicatesMinhash]] over [[charShingles]]. The
     * finer shingles catch near-dups that word shingling misses (small

@@ -143,6 +143,34 @@ object Sampling {
       .filter(col("pr") >= lo && col("pr") <= hi)
   }
 
+  /** Histogram equalization across bands — resample so every band of a
+    * skewed distribution (length, quality score, domain) contributes the
+    * SAME number of documents: keep the m = min-band-count docs per band,
+    * chosen by deterministic content-hash rank (md5(id:salt), id
+    * tiebreak — [[deterministicSample]]'s rule), i.e. the largest subset
+    * of the corpus whose band histogram is exactly uniform. The
+    * distribution-matching pass a curation pipeline runs when a length
+    * or quality skew would otherwise dominate training batches.
+    *
+    * Scale shape: one band-keyed window rank + a bands-bounded count
+    * aggregate broadcast back — no driver scalars, no second corpus
+    * scan beyond the cheap count. Membership is a pure function of
+    * (id, salt, band sizes): partition- and engine-invariant.
+    */
+  def flattenBands(df: DataFrame, idCol: String, bandCol: String,
+      salt: String): DataFrame = {
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(bandCol))
+      .orderBy(md5(concat(col(idCol).cast("string"), lit(s":$salt"))),
+        col(idCol))
+    val m = df.groupBy(col(bandCol)).agg(count(lit(1)).as("band_n"))
+      .agg(min(col("band_n")).as("m_keep"))
+    df.withColumn("rk", row_number().over(rankW))
+      .crossJoin(broadcast(m))
+      .filter(col("rk") <= col("m_keep"))
+      .drop("rk", "m_keep")
+  }
+
   /** Greedy sequence packing for training batches: documents are laid out
     * in deterministic `idCol` order within each `partCol` group and
     * assigned to the bin their running token offset falls into

@@ -1809,6 +1809,138 @@ object MixQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Distribution matching (histogram equalization): resample the
+      // corpus so every length band contributes the SAME doc count — the
+      // largest uniform-histogram subset, members picked per band by
+      // deterministic content-hash rank (Sampling.flattenBands). The
+      // kept_id_sum column pins EXACT membership cross-engine, not just
+      // counts, so tiebreak drift can never hide. One band-keyed window
+      // + a bands-bounded broadcast at any corpus size.
+      "s14_distribution_match",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val banded = t.documents.withColumn("band",
+          least(expr("n_chars div 200"), lit(3)).cast("int"))
+        val kept = Sampling.flattenBands(banded, "doc_id", "band", "s14")
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
+        banded.groupBy(col("band")).agg(count(lit(1)).as("n_docs"))
+          .join(kept, Seq("band"))
+          .select(col("band"), col("n_docs"), col("n_kept"),
+            col("kept_id_sum"),
+            round(col("n_kept").cast("double") / col("n_docs").cast("double"),
+              4).as("kept_frac"))
+          .orderBy(col("band"))
+      },
+      Some("""
+        |WITH banded AS (
+        |  SELECT doc_id,
+        |         CAST(least(n_chars // 200, 3) AS INTEGER) AS band
+        |  FROM documents
+        |),
+        |sized AS (SELECT band, count(*) AS n_docs FROM banded GROUP BY 1),
+        |m AS (SELECT min(n_docs) AS m_keep FROM sized),
+        |ranked AS (
+        |  SELECT doc_id, band,
+        |         row_number() OVER (
+        |           PARTITION BY band
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':s14'), doc_id)
+        |           AS rk
+        |  FROM banded
+        |),
+        |kept AS (
+        |  SELECT band, CAST(count(*) AS BIGINT) AS n_kept,
+        |         CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+        |  FROM ranked WHERE rk <= (SELECT m_keep FROM m)
+        |  GROUP BY 1
+        |)
+        |SELECT s.band, CAST(s.n_docs AS BIGINT) AS n_docs, k.n_kept,
+        |       k.kept_id_sum,
+        |       round(CAST(k.n_kept AS DOUBLE) / s.n_docs, 4) AS kept_frac
+        |FROM sized s JOIN kept k USING (band)
+        |ORDER BY s.band
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // LSH banding tuning curve (MMDS ch. 3 s-curve measured on the
+      // actual corpus): candidate volume, verified near-dup pairs, and
+      // precision for band counts 4/8/16 over the SAME 32-hash MinHash
+      // signature — the pre-flight query that prices recall-vs-volume
+      // before a corpus-scale dedup commits its parameters (v22's nprobe
+      // sweep for dedup). Contiguous band slicing makes the candidate
+      // sets NEST as bands double (matching an r-row band implies
+      // matching both r/2 halves), so counts are provably nondecreasing.
+      // One persisted hashed-gram relation feeds every configuration;
+      // the oracle replays all three bandings from d02's CTE machinery.
+      "d14_lsh_tune",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Dedup.lshBandingSweep(t.documents, "doc_id", "text",
+            threshold = 0.5, numHashes = 32, bandsSeq = Seq(4, 8, 16))
+          .orderBy(col("bands"))
+      },
+      Some("""
+        |WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) >= 3
+        |              THEN list_distinct(list_transform(range(len(toks) - 2),
+        |                     i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+        |              ELSE [] END AS shingles
+        |  FROM tok
+        |),
+        |ex AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT)  AS h1,
+        |         CAST(concat('0x', substr(md5(s), 13, 12)) AS BIGINT) AS h2
+        |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0)
+        |),
+        |hashed AS (
+        |  SELECT doc_id, j, min((h1 + j * h2) % 2147483647) AS sigv
+        |  FROM ex, range(32) t(j)
+        |  GROUP BY doc_id, j
+        |),
+        |sigs AS (SELECT doc_id, list(sigv ORDER BY j) AS sig FROM hashed GROUP BY doc_id),
+        |cfg AS (SELECT nb FROM (VALUES (4), (8), (16)) t(nb)),
+        |bands AS (
+        |  SELECT c.nb, s.doc_id, t.b,
+        |         array_to_string(
+        |           s.sig[CAST(t.b AS INTEGER) * (32 // c.nb) + 1 :
+        |                 CAST(t.b AS INTEGER) * (32 // c.nb) + (32 // c.nb)],
+        |           ',') AS key
+        |  FROM sigs s CROSS JOIN cfg c CROSS JOIN range(16) t(b)
+        |  WHERE t.b < c.nb
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.nb, a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.nb = b.nb AND a.b = b.b AND a.key = b.key
+        |   AND a.doc_id < b.doc_id
+        |),
+        |hsets AS (SELECT doc_id, list(h1) AS hs FROM ex GROUP BY doc_id),
+        |ver AS (
+        |  SELECT c.nb, count(*) AS n_candidates,
+        |         sum(CASE WHEN round(len(list_intersect(sa.hs, sb.hs)) * 1.0
+        |                   / len(list_distinct(sa.hs || sb.hs)), 6) >= 0.5
+        |                  THEN 1 ELSE 0 END) AS n_verified
+        |  FROM cand c
+        |  JOIN hsets sa ON sa.doc_id = c.doc_a
+        |  JOIN hsets sb ON sb.doc_id = c.doc_b
+        |  GROUP BY c.nb
+        |)
+        |SELECT nb AS bands, CAST(32 // nb AS INTEGER) AS rows_per_band,
+        |       CAST(n_candidates AS BIGINT) AS n_candidates,
+        |       CAST(n_verified AS BIGINT) AS n_verified,
+        |       CASE WHEN n_candidates = 0 THEN NULL
+        |            ELSE round(n_verified * 1.0 / n_candidates, 4)
+        |            END AS verify_precision
+        |FROM ver ORDER BY bands
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Per-document n-gram novelty (memorization-risk scoring): the
       // fraction of each doc's distinct 8-token grams that occur in NO
       // other document — d09's span-dedup machinery turned from "what

@@ -1151,6 +1151,80 @@ object VectorQueries {
         |SELECT query_id, rnk, vec_id, sim
         |FROM ranked WHERE rnk <= 5
         |ORDER BY query_id, rnk
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Matryoshka-style prefix-dimension retrieval eval (Kusupati et al.,
+      // arXiv:2205.13147): rank by cosine over only the FIRST d dims —
+      // the 8x/4x/2x storage-and-FLOPs serving cut MRL-trained embedders
+      // enable — and measure recall@10 against the full-dim ranking. The
+      // query one runs before truncating a 100 TB embedding store. Each
+      // arm is the map-only broadcast-probe scan (10 probes x corpus,
+      // prefix slice inside the codegen'd cosine); ranking is by ROUNDED
+      // sim + vec_id tiebreak on both engines so order never drifts. The
+      // d=64 row is the built-in sanity check (recall 1.0 by identity);
+      // avg_recall is exact integer hits/100 — deterministic, not a
+      // tolerance contract.
+      "v25_matryoshka",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val emb = t.embeddings
+        val probes = broadcast(emb.orderBy(col("vec_id")).limit(10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+        def topk(d: Int) = {
+          val sims = emb.crossJoin(probes)
+            .filter(col("vec_id") =!= col("qid"))
+            .select(col("qid"), col("vec_id"),
+              round(cosineSub(col("embedding"), col("qv"), d), 6).as("sim"))
+          val w = Window.partitionBy(col("qid"))
+            .orderBy(col("sim").desc, col("vec_id"))
+          sims.withColumn("rnk", row_number().over(w))
+            .filter(col("rnk") <= 10)
+            .select(col("qid"), col("vec_id"))
+        }
+        val full = topk(64)
+          .select(col("qid").as("fq"), col("vec_id").as("fv"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Seq(8, 16, 32, 64).map { d =>
+          topk(d)
+            .join(full, col("qid") === col("fq") &&
+              col("vec_id") === col("fv"), "left")
+            .agg(count(col("fv")).as("hits"), count(lit(1)).as("n_ret"))
+            .select(lit(d).as("prefix_dim"),
+              round(col("hits").cast("double") /
+                col("n_ret").cast("double"), 4).as("avg_recall"))
+        }.reduce(_ unionByName _)
+          .orderBy(col("prefix_dim"))
+      },
+      Some("""
+        |WITH probes AS (
+        |  SELECT vec_id AS qid, embedding AS qv
+        |  FROM embeddings ORDER BY vec_id LIMIT 10
+        |),
+        |cfg AS (SELECT d FROM (VALUES (8), (16), (32), (64)) t(d)),
+        |sims AS (
+        |  SELECT c.d, q.qid, e.vec_id,
+        |         round(list_cosine_similarity(
+        |           CAST(e.embedding[1:c.d] AS DOUBLE[]),
+        |           CAST(q.qv[1:c.d] AS DOUBLE[])), 6) AS sim
+        |  FROM embeddings e, probes q, cfg c
+        |  WHERE e.vec_id <> q.qid
+        |),
+        |ranked AS (
+        |  SELECT d, qid, vec_id,
+        |         row_number() OVER (PARTITION BY d, qid
+        |                            ORDER BY sim DESC, vec_id) AS rnk
+        |  FROM sims
+        |),
+        |top AS (SELECT d, qid, vec_id FROM ranked WHERE rnk <= 10),
+        |full_top AS (SELECT qid, vec_id FROM top WHERE d = 64)
+        |SELECT t.d AS prefix_dim,
+        |       round(CAST(count(f.vec_id) AS DOUBLE) / count(*), 4)
+        |         AS avg_recall
+        |FROM top t
+        |LEFT JOIN full_top f ON f.qid = t.qid AND f.vec_id = t.vec_id
+        |GROUP BY t.d
+        |ORDER BY prefix_dim
         |""".stripMargin.trim))
   )
 

@@ -266,6 +266,56 @@ class Round5OpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  // ---- lshBandingSweep (dedup tuning curve) ----
+
+  test("lshBandingSweep nests: candidates/verified nondecreasing in bands") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.ops.Dedup.lshBandingSweep(docs, "doc_id", "text",
+        threshold = 0.5)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq === Seq(4, 8, 16))
+    // Contiguous band slicing: matching an r-row band implies matching
+    // both r/2-row halves, so each config's candidate set contains the
+    // previous one's — counts must be monotone.
+    assert(out.sliding(2).forall { case Array(a, b) =>
+      b._2 >= a._2 && b._3 >= a._3 })
+    // The b=8 row IS the production configuration: its verified count
+    // must equal the d02 pair relation exactly.
+    val d02 = graft.ops.Dedup.nearDuplicatesMinhash(docs, "doc_id", "text",
+      threshold = 0.5).count()
+    assert(out.find(_._1 == 8).get._3 === d02)
+  }
+
+  // ---- flattenBands (distribution matching) ----
+
+  test("flattenBands yields an exactly uniform band histogram") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("band", least(expr("n_chars div 200"), lit(3)).cast("int"))
+    val before = docs.groupBy($"band").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val m = before.values.min
+    val after = graft.ops.Sampling.flattenBands(docs, "doc_id", "band", "t")
+      .groupBy($"band").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(after.keySet === before.keySet)
+    assert(after.values.toSet === Set(m),
+      s"every band must keep exactly the min count $m: $after")
+    // Partition invariance: membership is a pure function of (id, salt).
+    val a = graft.ops.Sampling.flattenBands(docs, "doc_id", "band", "t")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val b = graft.ops.Sampling.flattenBands(docs.repartition(7), "doc_id",
+        "band", "t")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    // A different salt picks a different (same-sized) subset: the rank
+    // key is really salted, not an id sort in disguise.
+    val c = graft.ops.Sampling.flattenBands(docs, "doc_id", "band", "u")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(c.size === a.size)
+    assert(c !== a)
+  }
+
   // ---- ngramNovelty (memorization-risk scoring) ----
 
   test("ngramNovelty scores corpus-unique grams per doc, hand-checked") {
