@@ -57,7 +57,13 @@ object Explain {
     "g02_triangles"       -> "corpus-aggregated incidence -> vertex-bounded canonical edges; node-iterator triangle joins each keyed on one endpoint",
     "t27_nfc_normalize"   -> "fused NfcNormalize + two codegen regexp_replaces in the scan projection — map-only before the output sort",
     "t28_filter_funnel"   -> "one md5 dedup window + map-only Gopher metrics; (source, stage) aggregate with the pct window on the bounded relation",
-    "q47_ordered_set"     -> "mode/median/listagg as windows with explicit tiebreaks — keyed exchanges on cardinality-bounded relations")
+    "q47_ordered_set"     -> "mode/median/listagg as windows with explicit tiebreaks — keyed exchanges on cardinality-bounded relations",
+    "q48_nearest_asof"    -> "custom AsOfJoinExec in Nearest mode: both candidates from ONE co-partitioned merge pass",
+    "t29_ngram_novelty"   -> "persisted distinct-gram relation; ONE gram-keyed count shuffle + join riding the same partitioning",
+    "m07_audio_vad"       -> "island scan folded inside the decode mapPartitions — zero shuffles before the output sort",
+    "io15_sketch_store"   -> "per-(type, day) HLL sketches through a parquet binary round trip; re-aggregation touches KB-sized sketch rows only",
+    "v25_matryoshka"      -> "four broadcast-probe prefix-cosine scans sharing one persisted full-dim ranking",
+    "s14_distribution_match" -> "one band-keyed window rank + bands-bounded min-count broadcast back")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -351,7 +351,49 @@ object SimBench {
       .agg(max(col("radius"))).head.getDouble(0)
     val kcSec = (System.nanoTime() - tk) / 1e9
 
-    println(s"""{"metric":"findsim_1024x475_qps","value":$qps,"unit":"qps","extra":{"findsim_1m_x64_sec":$bigSec,"hits_small":$hits,"hits_1m":$bigHits,"ivf_1m_build_sec":$buildSec,"ivf_1m_topk_sec":$ivfSec,"ivf_1m_topk_semijoin_sec":$ivfSemiSec,"brute_1m_topk_sec":$bruteSec,"ivf_rows":$ivfRows,"brute_rows":$bruteRows,"ivfpq_1m_build_sec":$pqBuildSec,"ivfpq_1m_topk_sec":$pqSec,"ivfpq_recall_at10":$pqRecall,"ivfpq_rerank_1m_sec":$rrSec,"ivfpq_rerank_recall_at10":$rrRecall,"bq_hamming_1m_sec":$bqSec,"bq_rows":$bqRows,"bq_rerank_1m_sec":$bqRerankSec,"bq_rerank_recall_at10":$bqRecall,"lsh_allpairs_1m_sec":$lshSec,"lsh_pairs":$lshCount,"lsh_planted_found":$plantedFound,"semdedup_1m_sec":$semSec,"semdedup_pairs":$semCount,"semdedup_planted_found":$semPlantedFound,"d4_prune_1m_sec":$pruneSec,"d4_dropped":$pruneDropped,"d4_core_minus_periphery":$pruneSep,"text_1m_winnow_sec":$winnowSec,"text_1m_winnow_rows":$winnowRows,"text_1m_wordsig_sec":$wordSigSec,"text_1m_wordsig_rows":$wordSigRows,"text_1m_cdc_sec":$cdcSec,"text_1m_cdc_rows":$cdcRows,"text_1m_entropy_sec":$entropySec,"text_1m_entropy_rows":$entropyRows,"dhash_1m_pairs_sec":$hamSec,"dhash_pairs":$hamCount,"dhash_planted_found":$hamPlanted,"nfc_1m_sec":$nfcSec,"nfc_1m_rows":$nfcRows,"pagerank_100kx2m_sec":$prSec,"pagerank_mass":$prMass,"kcenter_1m_k5_sec":$kcSec,"kcenter_1m_radius":$kc}}""")
+    // n-gram novelty at 1M docs (t29's shape): one gram-keyed count
+    // shuffle over the distinct-gram relation + the join back. The
+    // hash-mixed corpus is near-unique, so novelty ~ 1 — the measured
+    // quantity is the corpus-scale cost of the memorization audit.
+    val tn = System.nanoTime()
+    val novMean = graft.ops.Dedup.ngramNovelty(textCorpus, "doc_id", "text",
+        k = 8)
+      .agg(avg(col("novelty"))).head.getDouble(0)
+    val novSec = (System.nanoTime() - tn) / 1e9
+
+    // Nearest as-of at 1M probes x 5M quotes over 100k keys: the single
+    // co-partitioned merge pass (O(left+right) per partition, one
+    // buffered row) that replaces a windowed union at any scale. Match
+    // count doubles as the correctness signal (every probe key exists on
+    // the quote side by construction, so all 1M rows must match).
+    val probesBig = spark.range(1000000L)
+      .select(pmod(xxhash64(col("id"), lit(7)), lit(100000L)).as("uid"),
+        pmod(xxhash64(col("id"), lit(8)), lit(1000000000L)).as("t"),
+        col("id").as("pid"))
+    val quotesBig = spark.range(5000000L)
+      .select(pmod(xxhash64(col("id"), lit(9)), lit(100000L)).as("uid2"),
+        pmod(xxhash64(col("id"), lit(10)), lit(1000000000L)).as("t2"),
+        col("id").as("qid"))
+    graft.plans.AsOf.join(probesBig, quotesBig, "uid", "uid2", "t", "t2",
+      direction = graft.plans.AsOfDirection.Nearest).count() // warm
+    val ta = System.nanoTime()
+    val asofMatched = graft.plans.AsOf.join(probesBig, quotesBig,
+        "uid", "uid2", "t", "t2",
+        direction = graft.plans.AsOfDirection.Nearest)
+      .filter(col("t2").isNotNull).count()
+    val asofSec = (System.nanoTime() - ta) / 1e9
+
+    // Distribution flattening at 1M docs over 4 skewed bands: one
+    // band-keyed window rank + a 4-row broadcast — the histogram-
+    // equalization pass at corpus scale.
+    val bandedBig = textCorpus.withColumn("band",
+      least(expr("doc_id % 7"), lit(3)).cast("int"))
+    val tf = System.nanoTime()
+    val flatKept = graft.ops.Sampling.flattenBands(bandedBig, "doc_id",
+      "band", "sb").count()
+    val flatSec = (System.nanoTime() - tf) / 1e9
+
+    println(s"""{"metric":"findsim_1024x475_qps","value":$qps,"unit":"qps","extra":{"findsim_1m_x64_sec":$bigSec,"hits_small":$hits,"hits_1m":$bigHits,"ivf_1m_build_sec":$buildSec,"ivf_1m_topk_sec":$ivfSec,"ivf_1m_topk_semijoin_sec":$ivfSemiSec,"brute_1m_topk_sec":$bruteSec,"ivf_rows":$ivfRows,"brute_rows":$bruteRows,"ivfpq_1m_build_sec":$pqBuildSec,"ivfpq_1m_topk_sec":$pqSec,"ivfpq_recall_at10":$pqRecall,"ivfpq_rerank_1m_sec":$rrSec,"ivfpq_rerank_recall_at10":$rrRecall,"bq_hamming_1m_sec":$bqSec,"bq_rows":$bqRows,"bq_rerank_1m_sec":$bqRerankSec,"bq_rerank_recall_at10":$bqRecall,"lsh_allpairs_1m_sec":$lshSec,"lsh_pairs":$lshCount,"lsh_planted_found":$plantedFound,"semdedup_1m_sec":$semSec,"semdedup_pairs":$semCount,"semdedup_planted_found":$semPlantedFound,"d4_prune_1m_sec":$pruneSec,"d4_dropped":$pruneDropped,"d4_core_minus_periphery":$pruneSep,"text_1m_winnow_sec":$winnowSec,"text_1m_winnow_rows":$winnowRows,"text_1m_wordsig_sec":$wordSigSec,"text_1m_wordsig_rows":$wordSigRows,"text_1m_cdc_sec":$cdcSec,"text_1m_cdc_rows":$cdcRows,"text_1m_entropy_sec":$entropySec,"text_1m_entropy_rows":$entropyRows,"dhash_1m_pairs_sec":$hamSec,"dhash_pairs":$hamCount,"dhash_planted_found":$hamPlanted,"nfc_1m_sec":$nfcSec,"nfc_1m_rows":$nfcRows,"pagerank_100kx2m_sec":$prSec,"pagerank_mass":$prMass,"kcenter_1m_k5_sec":$kcSec,"kcenter_1m_radius":$kc,"novelty_1m_sec":$novSec,"novelty_1m_mean":$novMean,"asof_nearest_1mx5m_sec":$asofSec,"asof_nearest_matched":$asofMatched,"flatten_1m_sec":$flatSec,"flatten_1m_kept":$flatKept}}""")
     spark.stop()
   }
 }
