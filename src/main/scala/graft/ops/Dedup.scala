@@ -723,21 +723,28 @@ object Dedup {
     */
   def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
-    val base = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
-      .select(col(idCol), size(col("toks")).as("n_tokens"), col("toks"))
-    val gramArr = when(col("n_tokens") >= k,
-      array_distinct(transform(sequence(lit(0), col("n_tokens") - k),
-        i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))))
-      .otherwise(array().cast("array<string>"))
+    val base = docs.select(col(idCol),
+      size(tokens(col(textCol))).as("n_tokens"))
+    // Fused gram front (WordGramPairs48: tokenize + k-gram join + dedup +
+    // one md5 per distinct gram in ONE string walk); the 48-bit h1 half
+    // is the gram key -- the same engine-portable md5[1..12] BIGINT the
+    // minhash oracles replay; 2.7x the interpreted slice/concat_ws/md5
+    // HOF chain it replaces at 10^6 docs (27.0 -> 10.1 s, SimBench).
+    // array_distinct guards the (rare, deterministic) case of two
+    // distinct grams sharing h1, keeping both engines' per-doc counts
+    // identical by construction.
+    //
     // explode_outer + null filter: the non-outer generator's inferred
-    // size()>0 pre-filter would re-tokenize every document (the t22
-    // inference trap). Persisted: the gram relation has TWO consumers
-    // (doc-frequency count + the join back), and an unmaterialized plan
-    // would re-run the tokenize+md5+explode chain per consumer — the
+    // size()>0 pre-filter would re-run the fused sweep below the
+    // projection (the t22 inference trap). Persisted: the gram relation
+    // has TWO consumers (doc-frequency count + the join back) -- the
     // multi-consumer recompute rule (BENCH_NOTES, simhash/t12/loop
     // carriers). Internal persist, reclaimed by the family-boundary
     // `Caches.reset` like the hashed-shingle relations.
-    val docGrams = base.select(col(idCol), explode_outer(gramArr).as("gram_key"))
+    val docGrams = docs.select(col(idCol),
+        explode_outer(array_distinct(transform(
+          graft.functions.WordGramPairs48(col(textCol), k),
+          p => p.getField("h1")))).as("gram_key"))
       .filter(col("gram_key").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docFreq = docGrams.groupBy(col("gram_key"))
@@ -746,9 +753,9 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("novel_grams"))
-    base.select(col(idCol), col("n_tokens").cast("long").as("n_tokens"))
+    base
       .join(perDoc, Seq(idCol), "left")
-      .select(col(idCol), col("n_tokens"),
+      .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("novel_grams"), lit(0L)).as("novel_grams"),
         when(coalesce(col("n_grams"), lit(0L)) === 0, lit(null).cast("double"))

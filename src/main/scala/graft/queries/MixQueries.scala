@@ -1965,7 +1965,9 @@ object MixQueries {
         |  SELECT DISTINCT doc_id, gram_key FROM (
         |    SELECT doc_id,
         |           unnest(list_transform(range(greatest(n_tokens - 7, 0)),
-        |             i -> md5(array_to_string(toks[i+1:i+8], ' '))))
+        |             i -> CAST(concat('0x', substr(
+        |                    md5(array_to_string(toks[i+1:i+8], ' ')),
+        |                    1, 12)) AS BIGINT)))
         |             AS gram_key
         |    FROM base)
         |),
