@@ -699,6 +699,41 @@ object StreamingQueries {
         |FROM pm
         |GROUP BY user_id
         |ORDER BY user_id
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Streaming cardinality: per-type distinct users tracked as an HLL
+      // SKETCH in keyed state (EventStreams.streamingUniques) — KB of
+      // state per key on an unbounded stream, where a per-key user set
+      // would grow without bound. Sketch updates are order-independent,
+      // so the streamed estimate equals the batch sketch bit-for-bit
+      // (pinned in StreamingSpec); here the driver-checkable contract is
+      // a03's within-5% band against the exact batch distinct, computed
+      // in the same query from the same parquet.
+      "st14_stream_uniques",
+      (s, dir) => {
+        import s.implicits._
+        val ev = eventStream(s, dir)
+          .select(col("event_type"), col("user_id"))
+          .as[EventStreams.TypedEvent]
+        val est = EventStreams.streamingUniques(ev).toDF()
+        val streamed = runToTable(s, est, "update")
+        val exact = Tables(s, dir).events
+          .groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        exact.join(streamed, Seq("event_type"))
+          .select(col("event_type"), col("n_exact"),
+            (abs(col("est_uniques") - col("n_exact")) <=
+              col("n_exact").cast("double") * 0.05).as("sketch_ok"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        |SELECT event_type,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |       TRUE AS sketch_ok
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type
         |""".stripMargin.trim))
   )
 }

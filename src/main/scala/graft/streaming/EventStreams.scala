@@ -234,6 +234,64 @@ object EventStreams {
     }
   }
 
+  final case class TypedEvent(event_type: String, user_id: Long)
+  final case class TypeCardinality(event_type: String, est_uniques: Long)
+
+  /** Streaming cardinality — per-key distinct-user estimates with an HLL
+    * SKETCH as the keyed state (Apache DataSketches, the same library
+    * behind Spark's `hll_sketch_agg`): a running "how many distinct users
+    * per event type" over an unbounded stream costs KB of state per key
+    * instead of a per-key set that grows with the user universe. Sketch
+    * updates commute and are order-independent (state depends only on
+    * the per-bucket maxima of the hashed item SET), so the estimate is a
+    * pure function of the items seen — micro-batch boundaries cannot
+    * shift it, and the final streamed estimate EQUALS the batch
+    * `hll_sketch_estimate(hll_sketch_agg(...))` bit-for-bit (same lgK=12
+    * / HLL_8 / long-update parameters; StreamingSpec pins the equality
+    * across a two-batch MemoryStream).
+    *
+    * Requires RocksDB state store (transformWithState), like
+    * [[userPeaks]].
+    */
+  def streamingUniques(events: Dataset[TypedEvent]): Dataset[TypeCardinality] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .transformWithState(new SketchProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** The [[streamingUniques]] processor: one binary ValueState cell per
+    * key holding the serialized updatable HLL sketch; each batch heapifies,
+    * updates, re-serializes, and emits the running estimate (update mode).
+    */
+  final class SketchProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, TypedEvent, TypeCardinality] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[Array[Byte]] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[Array[Byte]]("hll",
+        org.apache.spark.sql.Encoders.BINARY,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[TypedEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TypeCardinality] = {
+      import org.apache.datasketches.hll.{HllSketch, TgtHllType}
+      val sketch = Option(state.get()) match {
+        case Some(bytes) => HllSketch.heapify(bytes)
+        case None => new HllSketch(12, TgtHllType.HLL_8)
+      }
+      rows.foreach(e => sketch.update(e.user_id))
+      state.update(sketch.toUpdatableByteArray)
+      Iterator.single(TypeCardinality(key, Math.round(sketch.getEstimate)))
+    }
+  }
+
   /** Sliding-window rates: overlapping `width` windows advancing every
     * `slide`, per event type. Each event lands in width/slide windows (the
     * Expand that Spark plans for sliding windows), then partial+final

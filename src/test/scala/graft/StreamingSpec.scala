@@ -296,4 +296,48 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streamingUniques sketch state equals the batch sketch bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.{TypeCardinality, TypedEvent}
+    val stream = MemoryStream[TypedEvent]
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = EventStreams.streamingUniques(stream.toDS()).toDF().writeStream
+        .format("memory").queryName("uniques_out").outputMode("update").start()
+      // Two batches with overlapping users: the sketch must survive the
+      // batch boundary (user 1 and 2 re-seen in batch two add nothing).
+      val batch1 = (1L to 600L).map(u => TypedEvent("click", u)) :+
+        TypedEvent("view", 1L)
+      val batch2 = (401L to 1000L).map(u => TypedEvent("click", u)) :+
+        TypedEvent("view", 2L)
+      stream.addData(batch1: _*)
+      q.processAllAvailable()
+      stream.addData(batch2: _*)
+      q.processAllAvailable(); q.stop()
+      val streamed = spark.table("uniques_out").as[TypeCardinality].collect()
+        .groupBy(_.event_type)
+        .map { case (_, rows) => rows.maxBy(_.est_uniques) }
+        .map(r => r.event_type -> r.est_uniques).toMap
+      // Batch reference: Spark's own sketch aggregate over the SAME item
+      // multiset — same lgK/HLL_8/long-update parameters, so the
+      // estimates must agree exactly, not just within tolerance.
+      val batch = (batch1 ++ batch2).toDS()
+        .groupBy($"event_type")
+        .agg(hll_sketch_estimate(hll_sketch_agg($"user_id")).as("est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed === batch)
+      assert(streamed("view") === 2L) // tiny key is exact
+      assert(math.abs(streamed("click") - 1000L) <= 50L, // ~0.8% RSE at lgK 12
+        s"click estimate ${streamed("click")} far from 1000")
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
