@@ -1461,6 +1461,52 @@ object Relational {
         |SELECT event_id, user_id, signup_us, nearest_purchase_us, gap_us
         |FROM cand WHERE rn = 1
         |ORDER BY event_id
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // NOT IN under three-valued logic — the null-aware anti join. ANSI:
+      // `x NOT IN (S)` is UNKNOWN (→ filtered) for EVERY unmatched x the
+      // moment S contains one NULL, so the planted-null variant must
+      // return 0 rows while the null-free variant returns the real
+      // anti-join count. Spark plans the null-aware case as a
+      // NullAwareAntiJoin (broadcast) rather than the plain left-anti
+      // hash join q11 gets — the one anti-join shape whose semantics a
+      // naive rewrite silently corrupts; both variants run in one query
+      // so the driver hash pins both truth tables.
+      "q50_not_in_nulls",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        t.supplier.createOrReplaceTempView("supplier_q50")
+        t.customer.createOrReplaceTempView("customer_q50")
+        s.sql("""
+          SELECT 'null_free' AS variant, count(*) AS n_rows
+          FROM supplier_q50
+          WHERE s_nationkey NOT IN
+            (SELECT c_nationkey FROM customer_q50
+             WHERE c_mktsegment = 'BUILDING')
+          UNION ALL
+          SELECT 'with_null' AS variant, count(*) AS n_rows
+          FROM supplier_q50
+          WHERE s_nationkey NOT IN
+            (SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_nationkey END
+             FROM customer_q50
+             WHERE c_mktsegment = 'BUILDING')
+          ORDER BY variant""")
+      },
+      Some("""
+        |SELECT 'null_free' AS variant, count(*) AS n_rows
+        |FROM supplier
+        |WHERE s_nationkey NOT IN
+        |  (SELECT c_nationkey FROM customer
+        |   WHERE c_mktsegment = 'BUILDING')
+        |UNION ALL
+        |SELECT 'with_null' AS variant, count(*) AS n_rows
+        |FROM supplier
+        |WHERE s_nationkey NOT IN
+        |  (SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_nationkey END
+        |   FROM customer
+        |   WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY variant
         |""".stripMargin.trim))
   )
 }

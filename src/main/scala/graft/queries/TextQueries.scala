@@ -1926,6 +1926,77 @@ object TextQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Cross-video shared-frame dedup — the video twin of d09's span
+      // dedup: sample 8 frames per video (deterministic payload slices —
+      // a real decoder swaps in behind the same (media_id, frame_idx,
+      // bytes) shape), fingerprint each with sha256, and pair videos
+      // sharing >= 4 of 8 frame fingerprints via a fingerprint-keyed
+      // equi-join — linear in total frames, nothing pairwise (each
+      // fingerprint bucket joins only its own occupants, the d07
+      // postings shape). Fingerprints dedup per video map-side, so
+      // n_shared counts distinct shared frames. Re-uploads are planted
+      // in-query (every 10th video duplicated under id+100000 — v06's
+      // non-vacuous pattern); every planted pair shares ALL its distinct
+      // frames and must surface.
+      "m08_frame_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val t = Tables(s, dir)
+        val vids = t.documents
+          .filter(col("doc_id") % 3 === 2)
+          .select(col("doc_id").as("media_id"), lit("video").as("kind"),
+            col("text").cast("binary").as("payload"), col("source"))
+        val reuploads = vids.filter(col("media_id") % 10 === 2)
+          .withColumn("media_id", col("media_id") + 100000L)
+        val media = vids.unionByName(reuploads)
+          .as[graft.ops.Multimodal.MediaItem]
+        val prints = graft.ops.Multimodal.sampleFrames(media, n = 8)
+          .select(col("media_id"), sha2(col("frame_payload"), 256).as("fp"))
+          .distinct()
+        val a = prints.select(col("media_id").as("media_a"), col("fp"))
+        val b = prints.select(col("media_id").as("media_b"), col("fp"))
+        a.join(b, Seq("fp"))
+          .filter(col("media_a") < col("media_b"))
+          .groupBy(col("media_a"), col("media_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 4)
+          .orderBy(col("media_a"), col("media_b"))
+      },
+      Some("""
+        |WITH vids0 AS (
+        |  -- DuckDB's substring cannot slice BLOBs; the corpus is pure
+        |  -- ASCII (octet_length == length for every doc), so VARCHAR
+        |  -- slicing is byte slicing and sha256(varchar) hashes the same
+        |  -- bytes Spark's binary path does.
+        |  SELECT doc_id AS media_id, text AS payload
+        |  FROM documents WHERE doc_id % 3 = 2
+        |),
+        |vids AS (
+        |  SELECT media_id, payload FROM vids0
+        |  UNION ALL
+        |  SELECT media_id + 100000, payload FROM vids0 WHERE media_id % 10 = 2
+        |),
+        |frames AS (
+        |  SELECT DISTINCT media_id,
+        |         sha256(substring(payload,
+        |           (length(payload) * i) // 8 + 1,
+        |           least((length(payload) * i) // 8
+        |                   + greatest(length(payload) // 8, 1),
+        |                 length(payload))
+        |             - (length(payload) * i) // 8)) AS fp
+        |  FROM vids, range(8) t(i)
+        |  WHERE length(payload) > 0
+        |)
+        |SELECT a.media_id AS media_a, b.media_id AS media_b,
+        |       CAST(count(*) AS BIGINT) AS n_shared
+        |FROM frames a JOIN frames b
+        |  ON a.fp = b.fp AND a.media_id < b.media_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 4
+        |ORDER BY media_a, media_b
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Multimodal resize plumbing: decoded media fitted into a 256-box
       // preserving aspect ratio (floor integer math — engine-exact), with
       // the 16-dim stub feature mean-pooled to 8 (two pooled lanes
