@@ -67,5 +67,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) =>
         CharGramPairs48(es(0),
           vector.literalInt(es, 2, "graft_chargram_pairs48"))))
+    e.injectFunction((FunctionIdentifier("graft_wordgram_pairs48"),
+      info("graft_wordgram_pairs48",
+        "graft_wordgram_pairs48(text, n) - distinct word n-gram (h1, h2) " +
+          "48-bit hash pairs (one string walk; feeds word-MinHash banding " +
+          "and the n-gram novelty audit)"),
+      (es: Seq[Expression]) =>
+        WordGramPairs48(es(0),
+          vector.literalInt(es, 2, "graft_wordgram_pairs48"))))
   }
 }

@@ -112,6 +112,13 @@ class VectorExpressionsSpec extends SparkSpec {
     val pair = cg.getSeq[org.apache.spark.sql.Row](0).head
     assert(pair.getLong(0) === cg.getLong(1))
     assert(pair.getLong(1) === cg.getLong(2))
+    // Word-gram variant: one 2-gram over two tokens, space-joined.
+    val wg = spark.sql(
+      "SELECT graft_wordgram_pairs48('ab cd', 2) p, " +
+        "CAST(conv(substring(md5('ab cd'), 1, 12), 16, 10) AS BIGINT) h1")
+      .collect().head
+    val wpair = wg.getSeq[org.apache.spark.sql.Row](0)
+    assert(wpair.length === 1 && wpair.head.getLong(0) === wg.getLong(1))
   }
 
   test("nd-shape access: ndGet/matrixRow/reshapeRows over a row-major 2x3") {
