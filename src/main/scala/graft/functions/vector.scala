@@ -140,5 +140,7 @@ object vector {
       es => KgramHashes60(es(0), literalInt(es, 2, "graft_kgram_hashes60")))
     GraftSqlInternal.registerFunction(spark, "graft_chargram_pairs48",
       es => CharGramPairs48(es(0), literalInt(es, 2, "graft_chargram_pairs48")))
+    GraftSqlInternal.registerFunction(spark, "graft_wordgram_pairs48",
+      es => WordGramPairs48(es(0), literalInt(es, 2, "graft_wordgram_pairs48")))
   }
 }

@@ -1507,6 +1507,61 @@ object Relational {
         |   FROM customer
         |   WHERE c_mktsegment = 'BUILDING')
         |ORDER BY variant
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Sweep-line interval concurrency: max simultaneously OPEN order
+      // lines per supplier over the [orderdate, shipdate] windows.
+      // The classic +1/-1 event trick — each interval becomes two points,
+      // one running sum per supplier gives the concurrency profile, max
+      // of it the answer. At any scale this is ONE keyed window over
+      // 2x|rows| points — no interval self-join (which q16's range join
+      // would cost quadratically within overlap clusters). Receipts sort
+      // before same-instant ships (delta ascending), so a shipment
+      // ending exactly when another starts does not inflate the peak;
+      // the per-supplier max is invariant to ordering among equal
+      // (t, delta) rows, keeping both engines' window folds agreeable.
+      // (n_shipments counts interval opens = order lines.)
+      "q51_concurrency",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val li = t.lineitem
+          .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey"), col("o_orderdate"), col("l_shipdate"))
+        val pts = li.select(col("l_suppkey"),
+            unix_micros(col("o_orderdate")).as("t"), lit(1).as("delta"))
+          .unionByName(li.select(col("l_suppkey"),
+            unix_micros(col("l_shipdate")).as("t"), lit(-1).as("delta")))
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("t"), col("delta"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        pts.withColumn("run", sum(col("delta")).over(w))
+          .groupBy(col("l_suppkey"))
+          .agg(max(col("run")).as("max_concurrent"),
+            sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_shipments"))
+          .orderBy(col("l_suppkey"))
+      },
+      Some("""
+        |WITH li AS (
+        |  SELECT l_suppkey, o_orderdate, l_shipdate
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |),
+        |pts AS (
+        |  SELECT l_suppkey, epoch_us(o_orderdate) AS t, 1 AS delta FROM li
+        |  UNION ALL
+        |  SELECT l_suppkey, epoch_us(l_shipdate) AS t, -1 AS delta FROM li
+        |),
+        |run AS (
+        |  SELECT l_suppkey, delta,
+        |         sum(delta) OVER (PARTITION BY l_suppkey ORDER BY t, delta
+        |                          ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM pts
+        |)
+        |SELECT l_suppkey, CAST(max(run) AS BIGINT) AS max_concurrent,
+        |       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_shipments
+        |FROM run GROUP BY 1 ORDER BY 1
         |""".stripMargin.trim))
   )
 }

@@ -734,6 +734,40 @@ object StreamingQueries {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Streaming temporal (as-of) join — Flink's temporal-table join,
+      // inexpressible with Spark's stream-stream interval joins: each
+      // purchase enriched with the SAME user's latest signup at-or-before
+      // its event time, via ONE keyed stream and a single-long ValueState
+      // per user (EventStreams.streamAsOfEnrich). O(keys) state forever —
+      // no watermark-bounded buffer of the dimension side — and the
+      // output IS the batch backward as-of join, which the DuckDB ASOF
+      // JOIN oracle replays directly (q15's semantics through streaming
+      // state).
+      "st15_stream_asof",
+      (s, dir) => {
+        import s.implicits._
+        val ev = eventStream(s, dir)
+          .filter(col("event_type").isin("signup", "purchase"))
+          .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+            col("event_id"), col("event_type"))
+          .as[EventStreams.EnrichEvent]
+        val enriched = EventStreams.streamAsOfEnrich(ev).toDF()
+        runToTable(s, enriched, "append")
+          .select(col("event_id"), col("user_id"), col("purchase_us"),
+            col("signup_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        |SELECT p.event_id, p.user_id,
+        |       epoch_us(p.ts) AS purchase_us,
+        |       epoch_us(s.ts) AS signup_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND s.ts <= p.ts
+        |ORDER BY p.event_id
         |""".stripMargin.trim))
   )
 }

@@ -292,6 +292,71 @@ object EventStreams {
     }
   }
 
+  final case class EnrichEvent(user_id: Long, ts_us: Long, event_id: Long,
+      event_type: String)
+  final case class EnrichedPurchase(event_id: Long, user_id: Long,
+      purchase_us: Long, signup_us: Long)
+
+  /** Streaming temporal (as-of) join — Flink's temporal-table join, which
+    * Spark's stream-stream joins cannot express (they are interval
+    * equi-joins, not "most recent version at event time"): each purchase
+    * is enriched with the SAME user's latest signup at-or-before its
+    * timestamp. Both event kinds ride ONE keyed stream; per user the
+    * state is a single long (latest signup ts) — O(keys) state forever,
+    * no watermark-bounded buffer of the dimension side. Rows fold in
+    * (ts_us, kind, event_id) order with signups applied BEFORE equal-ts
+    * purchases, so equality matches like the batch backward as-of
+    * (q15's ASOF `s.ts <= p.ts`); with time-ordered batches (AvailableNow
+    * over an ordered feed) the output is exactly the batch as-of join.
+    * Purchases with no prior signup emit nothing, mirroring the batch
+    * query's `isNotNull` filter.
+    */
+  def streamAsOfEnrich(events: Dataset[EnrichEvent]): Dataset[EnrichedPurchase] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new AsOfEnrichProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** The [[streamAsOfEnrich]] processor: one long ValueState per user —
+    * the latest signup timestamp — updated and read in event-time order.
+    */
+  final class AsOfEnrichProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EnrichEvent, EnrichedPurchase] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[Long]("latest_signup",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[EnrichEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[EnrichedPurchase] = {
+      // exists(), not a null check: absent primitive state unboxes to 0,
+      // which is a valid timestamp.
+      var latest = if (state.exists()) state.get() else Long.MinValue
+      val out = Seq.newBuilder[EnrichedPurchase]
+      // Signups sort before purchases at the same timestamp: backward
+      // as-of includes equality.
+      rows.toSeq
+        .sortBy(e => (e.ts_us, if (e.event_type == "signup") 0 else 1,
+          e.event_id))
+        .foreach { e =>
+          if (e.event_type == "signup") latest = math.max(latest, e.ts_us)
+          else if (latest != Long.MinValue)
+            out += EnrichedPurchase(e.event_id, key, e.ts_us, latest)
+        }
+      if (latest != Long.MinValue) state.update(latest)
+      out.result().iterator
+    }
+  }
+
   /** Sliding-window rates: overlapping `width` windows advancing every
     * `slide`, per event type. Each event lands in width/slide windows (the
     * Expand that Spark plans for sliding windows), then partial+final
