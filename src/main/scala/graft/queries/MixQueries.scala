@@ -1809,6 +1809,60 @@ object MixQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Temporal (leakage-safe) split: train on the past, evaluate on the
+      // future — the ONLY valid split for time-dependent data, where the
+      // hash-bucket splits (s01/s13) would leak future information into
+      // training. The cutoff is the 80th-percentile DAY by rank over the
+      // distinct-day relation (exact integer rank math, no approx
+      // percentile), so membership is a pure function of the data's day
+      // set. The global rank window runs on the |days|-bounded relation,
+      // never the events; train max_day < eval min_day by construction —
+      // the hash pins the boundary.
+      "s15_temporal_split",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val ev = t.events.select(
+          expr("ts div 86400000000000").as("day"))
+        val days = ev.groupBy(col("day")).agg(count(lit(1)).as("n_ev"))
+        val ranked = days
+          .withColumn("rk", row_number().over(Window.orderBy(col("day"))))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy(lit(1))))
+          .withColumn("split",
+            when(col("rk") <= expr("(8 * n) div 10"), "train")
+              .otherwise("eval"))
+        ev.join(ranked.select(col("day"), col("split")), Seq("day"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("day")).as("n_days"),
+            min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+          .orderBy(col("split"))
+      },
+      Some("""
+        |WITH ev AS (
+        |  SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day
+        |  FROM events
+        |),
+        |days AS (SELECT day FROM ev GROUP BY 1),
+        |ranked AS (
+        |  SELECT day, row_number() OVER (ORDER BY day) AS rk,
+        |         count(*) OVER () AS n
+        |  FROM days
+        |),
+        |lab AS (
+        |  SELECT day,
+        |         CASE WHEN rk <= (8 * n) // 10 THEN 'train' ELSE 'eval'
+        |              END AS split
+        |  FROM ranked
+        |)
+        |SELECT l.split, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(DISTINCT e.day) AS BIGINT) AS n_days,
+        |       min(e.day) AS min_day, max(e.day) AS max_day
+        |FROM ev e JOIN lab l USING (day)
+        |GROUP BY 1 ORDER BY 1
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Distribution matching (histogram equalization): resample the
       // corpus so every length band contributes the SAME doc count — the
       // largest uniform-histogram subset, members picked per band by

@@ -297,6 +297,100 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamAsOfEnrich carries the latest dimension version across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.{EnrichEvent, EnrichedPurchase}
+    val stream = MemoryStream[EnrichEvent]
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = EventStreams.streamAsOfEnrich(stream.toDS()).toDF().writeStream
+        .format("memory").queryName("asof_out").outputMode("append").start()
+      // Batch 1: user 1 signs up at 100 and purchases at 150 and at 100
+      // (equality matches); user 2 purchases with NO signup -> no emit.
+      stream.addData(
+        EnrichEvent(1L, 100L, 10L, "signup"),
+        EnrichEvent(1L, 100L, 11L, "purchase"),
+        EnrichEvent(1L, 150L, 12L, "purchase"),
+        EnrichEvent(2L, 130L, 13L, "purchase"))
+      q.processAllAvailable()
+      // Batch 2: the signup state must SURVIVE the batch boundary (user
+      // 1's purchase at 300 sees ts 100); a newer signup at 400 then
+      // versions it for the purchase at 450; user 2 signs up and buys.
+      stream.addData(
+        EnrichEvent(1L, 300L, 20L, "purchase"),
+        EnrichEvent(1L, 400L, 21L, "signup"),
+        EnrichEvent(1L, 450L, 22L, "purchase"),
+        EnrichEvent(2L, 500L, 23L, "signup"),
+        EnrichEvent(2L, 600L, 24L, "purchase"))
+      q.processAllAvailable(); q.stop()
+      val out = spark.table("asof_out").as[EnrichedPurchase].collect()
+        .sortBy(_.event_id)
+        .map(e => (e.event_id, e.user_id, e.purchase_us, e.signup_us)).toSeq
+      assert(out === Seq(
+        (11L, 1L, 100L, 100L), (12L, 1L, 150L, 100L),
+        (20L, 1L, 300L, 100L), (22L, 1L, 450L, 400L),
+        (24L, 2L, 600L, 500L)))
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("streamingUniques sketch state survives a checkpointed restart") {
+    import EventStreams.TypedEvent
+    // Two query RUNS over one checkpoint (the dedup-restart pattern, but
+    // for transformWithState): the sketch built in run 1 must come back
+    // from RocksDB in run 2, or the final estimate undercounts.
+    val base = s"/root/repo/target/graft-io/sketch_restart_${System.nanoTime()}"
+    val feed = s"$base/feed"; val chk = s"$base/chk"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batch1 = (1L to 400L).map(u => TypedEvent("click", u))
+      batch1.toDS().toDF().coalesce(1).write.parquet(feed)
+      def drain(name: String): Unit = {
+        val in = spark.readStream
+          .schema(batch1.toDS().toDF().schema).parquet(feed)
+          .as[TypedEvent]
+        val q = EventStreams.streamingUniques(in).toDF().writeStream
+          .format("memory").queryName(name)
+          .option("checkpointLocation", chk)
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain("sk_run1")
+      val batch2 = (201L to 700L).map(u => TypedEvent("click", u))
+      batch2.toDS().toDF().coalesce(1).write.mode("append").parquet(feed)
+      drain("sk_run2")
+      val streamed = spark.table("sk_run2")
+        .collect().map(r => r.getLong(1)).max
+      val batch = (batch1 ++ batch2).toDS()
+        .agg(hll_sketch_estimate(hll_sketch_agg($"user_id")))
+        .head.getLong(0)
+      // 700 distinct users total; run 2 alone saw only 500 — equality
+      // with the full-multiset batch sketch proves the state restored.
+      assert(streamed === batch)
+      assert(math.abs(streamed - 700L) <= 35L)
+    } finally {
+      fs.delete(p, true)
+      before match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streamingUniques sketch state equals the batch sketch bit-for-bit") {
     implicit val sqlCtx = spark.sqlContext
     import EventStreams.{TypeCardinality, TypedEvent}
