@@ -383,6 +383,16 @@ object SimBench {
       .filter(col("t2").isNotNull).count()
     val asofSec = (System.nanoTime() - ta) / 1e9
 
+    // Distribution flattening at 1M docs over 4 skewed bands: one
+    // band-keyed window rank + a 4-row broadcast — the histogram-
+    // equalization pass at corpus scale.
+    val bandedBig = textCorpus.withColumn("band",
+      least(expr("doc_id % 7"), lit(3)).cast("int"))
+    val tf = System.nanoTime()
+    val flatKept = graft.ops.Sampling.flattenBands(bandedBig, "doc_id",
+      "band", "sb").count()
+    val flatSec = (System.nanoTime() - tf) / 1e9
+
     // LSH banding s-curve at 1M+1000 docs — the d14 tuning curve
     // certified with planted signal at scale: 1000 near-dup copies with
     // 2 of 15 tokens changed (trigram Jaccard 9/17 ~ 0.53, just above
@@ -397,23 +407,18 @@ object SimBench {
             pmod(xxhash64(col("id"), lit(i)), lit(5000L)))): _*).as("text"))
     val sweepCorpus = textCorpus.unionByName(editCorpus)
     val sweepFound = Seq(4, 8, 16).map { b =>
-      val t = System.nanoTime()
-      val found = graft.ops.Dedup.nearDuplicatesMinhash(sweepCorpus,
+      def run() = graft.ops.Dedup.nearDuplicatesMinhash(sweepCorpus,
           "doc_id", "text", threshold = 0.5, numHashes = 32, bands = b)
         .filter(col("doc_b") === col("doc_a") + 20000000L).count()
+      run() // warm: the shared hashed-gram persist materializes on the
+            // first config's first run; warming each config keeps the
+            // three timings comparable (bucket join + verify only)
+      val t = System.nanoTime()
+      val found = run()
       (b, found, (System.nanoTime() - t) / 1e9)
     }
     val Seq(sw4, sw8, sw16) = sweepFound
 
-    // Distribution flattening at 1M docs over 4 skewed bands: one
-    // band-keyed window rank + a 4-row broadcast — the histogram-
-    // equalization pass at corpus scale.
-    val bandedBig = textCorpus.withColumn("band",
-      least(expr("doc_id % 7"), lit(3)).cast("int"))
-    val tf = System.nanoTime()
-    val flatKept = graft.ops.Sampling.flattenBands(bandedBig, "doc_id",
-      "band", "sb").count()
-    val flatSec = (System.nanoTime() - tf) / 1e9
 
     println(s"""{"metric":"findsim_1024x475_qps","value":$qps,"unit":"qps","extra":{"findsim_1m_x64_sec":$bigSec,"hits_small":$hits,"hits_1m":$bigHits,"ivf_1m_build_sec":$buildSec,"ivf_1m_topk_sec":$ivfSec,"ivf_1m_topk_semijoin_sec":$ivfSemiSec,"brute_1m_topk_sec":$bruteSec,"ivf_rows":$ivfRows,"brute_rows":$bruteRows,"ivfpq_1m_build_sec":$pqBuildSec,"ivfpq_1m_topk_sec":$pqSec,"ivfpq_recall_at10":$pqRecall,"ivfpq_rerank_1m_sec":$rrSec,"ivfpq_rerank_recall_at10":$rrRecall,"bq_hamming_1m_sec":$bqSec,"bq_rows":$bqRows,"bq_rerank_1m_sec":$bqRerankSec,"bq_rerank_recall_at10":$bqRecall,"lsh_allpairs_1m_sec":$lshSec,"lsh_pairs":$lshCount,"lsh_planted_found":$plantedFound,"semdedup_1m_sec":$semSec,"semdedup_pairs":$semCount,"semdedup_planted_found":$semPlantedFound,"d4_prune_1m_sec":$pruneSec,"d4_dropped":$pruneDropped,"d4_core_minus_periphery":$pruneSep,"text_1m_winnow_sec":$winnowSec,"text_1m_winnow_rows":$winnowRows,"text_1m_wordsig_sec":$wordSigSec,"text_1m_wordsig_rows":$wordSigRows,"text_1m_cdc_sec":$cdcSec,"text_1m_cdc_rows":$cdcRows,"text_1m_entropy_sec":$entropySec,"text_1m_entropy_rows":$entropyRows,"dhash_1m_pairs_sec":$hamSec,"dhash_pairs":$hamCount,"dhash_planted_found":$hamPlanted,"nfc_1m_sec":$nfcSec,"nfc_1m_rows":$nfcRows,"pagerank_100kx2m_sec":$prSec,"pagerank_mass":$prMass,"kcenter_1m_k5_sec":$kcSec,"kcenter_1m_radius":$kc,"novelty_1m_sec":$novSec,"novelty_1m_mean":$novMean,"asof_nearest_1mx5m_sec":$asofSec,"asof_nearest_matched":$asofMatched,"flatten_1m_sec":$flatSec,"flatten_1m_kept":$flatKept,"lshsweep_b4_found":${sw4._2},"lshsweep_b4_sec":${sw4._3},"lshsweep_b8_found":${sw8._2},"lshsweep_b8_sec":${sw8._3},"lshsweep_b16_found":${sw16._2},"lshsweep_b16_sec":${sw16._3}}}""")
     spark.stop()

@@ -114,7 +114,8 @@ final case class AsOfJoinExec(
     case IntegerType | DateType => r => r.getInt(0).toLong
     case other =>
       throw new IllegalArgumentException(
-        s"as-of tolerance unsupported for on-column type ${other.catalogString}")
+        "as-of tolerance and the Nearest direction require an integral " +
+          s"on-column; got ${other.catalogString}")
   }
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -159,7 +160,8 @@ final case class AsOfJoinExec(
           dir match {
             case AsOfDirection.Backward => l - r <= tol.get
             case AsOfDirection.Forward  => r - l <= tol.get
-            case AsOfDirection.Nearest  => math.abs(r - l) <= tol.get
+            case AsOfDirection.Nearest => throw new IllegalStateException(
+              "Nearest applies tolerance inline via its distance limit")
           }
         }
 
@@ -261,30 +263,46 @@ final case class AsOfJoinExec(
                 if (cmpBy < 0) {
                   rBuf.next()
                 } else if (cmpBy == 0 && onOrd.compare(rOnProj(r), lOnKey) <= 0) {
-                  matchRow = r.copy()
-                  matchBy = rByProj(r).copy()
-                  matchOn = rOnProj(r).copy()
+                  // A null on-value sorts first and would read as 0 in the
+                  // distance math (out-competing real candidates), so it
+                  // is consumed but never a candidate — distance to an
+                  // unknown time is undefined.
+                  if (!rOnProj(r).isNullAt(0)) {
+                    matchRow = r.copy()
+                    matchBy = rByProj(r).copy()
+                    matchOn = rOnProj(r).copy()
+                  }
                   rBuf.next()
                 } else {
                   scanning = false
                 }
               }
-              val lv = readOn(lOnKey)
-              val dBack =
-                if (matchRow != null && byOrd.compare(matchBy, lByKey) == 0)
-                  lv - readOn(matchOn)
-                else Long.MaxValue
-              val dFwd =
-                if (rBuf.hasNext &&
-                    byOrd.compare(rByProj(rBuf.head), lByKey) == 0)
-                  readOn(rOnProj(rBuf.head)) - lv
-                else Long.MaxValue
-              val limit = tol.getOrElse(Long.MaxValue - 1)
-              val m =
-                if (dBack <= dFwd && dBack <= limit) matchRow
-                else if (dFwd < dBack && dFwd <= limit) rBuf.head
-                else nullRight
-              resultProj(joined(l, m))
+              // A left row with a null on-value has no defined distance to
+              // either side: left-outer nulls, like the directional modes'
+              // tolerance math would effectively produce.
+              if (lOnKey.isNullAt(0)) {
+                resultProj(joined(l, nullRight))
+              } else {
+                val lv = readOn(lOnKey)
+                val dBack =
+                  if (matchRow != null && byOrd.compare(matchBy, lByKey) == 0)
+                    lv - readOn(matchOn)
+                  else Long.MaxValue
+                val dFwd =
+                  if (rBuf.hasNext && {
+                      val r = rBuf.head
+                      byOrd.compare(rByProj(r), lByKey) == 0 &&
+                        !rOnProj(r).isNullAt(0)
+                    })
+                    readOn(rOnProj(rBuf.head)) - lv
+                  else Long.MaxValue
+                val limit = tol.getOrElse(Long.MaxValue - 1)
+                val m =
+                  if (dBack <= dFwd && dBack <= limit) matchRow
+                  else if (dFwd < dBack && dFwd <= limit) rBuf.head
+                  else nullRight
+                resultProj(joined(l, m))
+              }
             }
           }
       }

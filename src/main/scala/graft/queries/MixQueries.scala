@@ -1823,7 +1823,7 @@ object MixQueries {
         val t = Tables(s, dir)
         val ev = t.events.select(
           expr("ts div 86400000000000").as("day"))
-        val days = ev.groupBy(col("day")).agg(count(lit(1)).as("n_ev"))
+        val days = ev.select(col("day")).distinct()
         val ranked = days
           .withColumn("rk", row_number().over(Window.orderBy(col("day"))))
           .withColumn("n", count(lit(1)).over(

@@ -705,11 +705,11 @@ object StreamingQueries {
       // Streaming cardinality: per-type distinct users tracked as an HLL
       // SKETCH in keyed state (EventStreams.streamingUniques) — KB of
       // state per key on an unbounded stream, where a per-key user set
-      // would grow without bound. Sketch updates are order-independent,
-      // so the streamed estimate equals the batch sketch bit-for-bit
-      // (pinned in StreamingSpec); here the driver-checkable contract is
-      // a03's within-5% band against the exact batch distinct, computed
-      // in the same query from the same parquet.
+      // would grow without bound. Sketch registers are order-independent
+      // (estimates exact in coupon modes, within-RSE past HLL promotion
+      // — pinned in StreamingSpec); here the driver-checkable contract
+      // is a03's within-5% band against the exact batch distinct,
+      // computed in the same query from the same parquet.
       "st14_stream_uniques",
       (s, dir) => {
         import s.implicits._

@@ -1182,9 +1182,13 @@ object VectorQueries {
             .filter(col("rnk") <= 10)
             .select(col("qid"), col("vec_id"))
         }
-        val full = topk(64)
-          .select(col("qid").as("fq"), col("vec_id").as("fv"))
+        // Persist the UNRENAMED full-dim ranking: the d=64 arm's bare
+        // topk(64) subtree then matches this cache entry (a rename
+        // Project on top of the persist would make the arm re-run the
+        // whole corpus scan — CacheManager keys on the exact plan).
+        val base64 = topk(64)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val full = base64.select(col("qid").as("fq"), col("vec_id").as("fv"))
         Seq(8, 16, 32, 64).map { d =>
           topk(d)
             .join(full, col("qid") === col("fq") &&

@@ -243,12 +243,14 @@ object EventStreams {
     * per event type" over an unbounded stream costs KB of state per key
     * instead of a per-key set that grows with the user universe. Sketch
     * updates commute and are order-independent (state depends only on
-    * the per-bucket maxima of the hashed item SET), so the estimate is a
-    * pure function of the items seen — micro-batch boundaries cannot
-    * shift it, and the final streamed estimate EQUALS the batch
-    * `hll_sketch_estimate(hll_sketch_agg(...))` bit-for-bit (same lgK=12
-    * / HLL_8 / long-update parameters; StreamingSpec pins the equality
-    * across a two-batch MemoryStream).
+    * the per-bucket maxima of the hashed item SET), so the registers are
+    * a pure function of the items seen — micro-batch boundaries cannot
+    * shift them. Estimates are EXACT while the sketch is in its coupon
+    * modes (small keys); past HLL promotion the sequential (HIP) and
+    * merged (composite) estimator paths differ within the sketch's RSE
+    * (~1.6% at lgK 12), so agreement with the batch
+    * `hll_sketch_agg(...)` is asserted within that band, not
+    * bit-for-bit (StreamingSpec, incl. across a checkpointed restart).
     *
     * Requires RocksDB state store (transformWithState), like
     * [[userPeaks]].
@@ -349,7 +351,14 @@ object EventStreams {
           e.event_id))
         .foreach { e =>
           if (e.event_type == "signup") latest = math.max(latest, e.ts_us)
-          else if (latest != Long.MinValue)
+          // latest <= ts guard: state carries the max signup ts across
+          // ALL prior batches, so if the feed ever violates the ordered-
+          // batch contract a purchase must not attach a FUTURE signup
+          // (as-of means at-or-before). Under-attachment from such a
+          // feed (signup arriving after its purchase already emitted)
+          // is inherent to any online as-of — the ordered-feed contract
+          // in the scaladoc is what rules it out.
+          else if (latest != Long.MinValue && latest <= e.ts_us)
             out += EnrichedPurchase(e.event_id, key, e.ts_us, latest)
         }
       if (latest != Long.MinValue) state.update(latest)

@@ -184,6 +184,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out === Seq(("p1", "q103"), ("p2", "q103"), ("p3", null)))
   }
 
+  test("nearest ignores null on-values on either side") {
+    val probes = Seq((1L, Some(10L), "p1"), (1L, None, "p2"))
+      .toDF("uid", "t", "tag")
+    // A null right on-value sorts first and would read as distance
+    // lv - 0 in the merge; it must never out-compete the real quote.
+    val quotes = Seq((1L, None: Option[Long], "qnull"), (1L, Some(100L), "q100"))
+      .toDF("uid2", "t2", "qtag")
+    val out = AsOf.join(probes, quotes, "uid", "uid2", "t", "t2",
+        direction = graft.plans.AsOfDirection.Nearest)
+      .select($"tag", $"qtag").orderBy($"tag")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // p1@10 -> q100 (the only candidate with a defined distance);
+    // p2 (null on) -> no defined distance -> null match.
+    assert(out === Seq(("p1", "q100"), ("p2", null)))
+  }
+
   test("randomized nearest agrees with a brute-force reference") {
     val rnd = new scala.util.Random(11)
     val probes = (1 to 400).map(_ =>

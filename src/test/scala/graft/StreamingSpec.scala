@@ -357,31 +357,40 @@ class StreamingSpec extends SparkSpec {
     try {
       val batch1 = (1L to 400L).map(u => TypedEvent("click", u))
       batch1.toDS().toDF().coalesce(1).write.parquet(feed)
-      def drain(name: String): Unit = {
+      val sink = s"$base/sink"
+      // The memory sink refuses checkpoint recovery; a foreachBatch
+      // parquet landing supports it and appends each batch's running
+      // estimates (the final one is the max — HIP estimates are
+      // monotone in added items).
+      def drain(): Unit = {
         val in = spark.readStream
           .schema(batch1.toDS().toDF().schema).parquet(feed)
           .as[TypedEvent]
         val q = EventStreams.streamingUniques(in).toDF().writeStream
-          .format("memory").queryName(name)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.write.mode("append").parquet(sink)
+          }
           .option("checkpointLocation", chk)
           .outputMode("update")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
       }
-      drain("sk_run1")
+      drain()
       val batch2 = (201L to 700L).map(u => TypedEvent("click", u))
       batch2.toDS().toDF().coalesce(1).write.mode("append").parquet(feed)
-      drain("sk_run2")
-      val streamed = spark.table("sk_run2")
+      drain()
+      val streamed = spark.read.parquet(sink)
         .collect().map(r => r.getLong(1)).max
-      val batch = (batch1 ++ batch2).toDS()
-        .agg(hll_sketch_estimate(hll_sketch_agg($"user_id")))
-        .head.getLong(0)
-      // 700 distinct users total; run 2 alone saw only 500 — equality
-      // with the full-multiset batch sketch proves the state restored.
-      assert(streamed === batch)
-      assert(math.abs(streamed - 700L) <= 35L)
+      // 700 distinct users total; run 2 alone saw only 500 distinct —
+      // an estimate near 700 (within ~3 sigma of the lgK-12 RSE) proves
+      // the sketch state came back from the checkpoint. Exact equality
+      // with a batch sketch is not asserted (estimator-path difference,
+      // see the bit-for-bit test above).
+      assert(math.abs(streamed - 700L) <= 35L,
+        s"restarted estimate $streamed far from 700 — state not restored?")
+      assert(streamed > 550L,
+        s"estimate $streamed looks like run 2 alone — state lost")
     } finally {
       fs.delete(p, true)
       before match {
@@ -391,7 +400,7 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
-  test("streamingUniques sketch state equals the batch sketch bit-for-bit") {
+  test("streamingUniques estimates agree with the batch sketch within RSE") {
     implicit val sqlCtx = spark.sqlContext
     import EventStreams.{TypeCardinality, TypedEvent}
     val stream = MemoryStream[TypedEvent]
@@ -417,16 +426,22 @@ class StreamingSpec extends SparkSpec {
         .map { case (_, rows) => rows.maxBy(_.est_uniques) }
         .map(r => r.event_type -> r.est_uniques).toMap
       // Batch reference: Spark's own sketch aggregate over the SAME item
-      // multiset — same lgK/HLL_8/long-update parameters, so the
-      // estimates must agree exactly, not just within tolerance.
+      // multiset and parameters (lgK 12 / HLL_8 / long updates). Exact
+      // equality is NOT asserted for the large key: Spark's aggregate
+      // MERGES per-partition sketches (composite estimator) while the
+      // processor updates ONE sketch sequentially (HIP estimator), and
+      // past the coupon->HLL promotion those paths differ by design —
+      // both sit within the sketch's RSE (~1.6% at lgK 12).
       val batch = (batch1 ++ batch2).toDS()
         .groupBy($"event_type")
         .agg(hll_sketch_estimate(hll_sketch_agg($"user_id")).as("est"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      assert(streamed === batch)
-      assert(streamed("view") === 2L) // tiny key is exact
-      assert(math.abs(streamed("click") - 1000L) <= 50L, // ~0.8% RSE at lgK 12
+      assert(streamed("view") === 2L) // coupon-mode keys are EXACT counts
+      assert(batch("view") === 2L)
+      assert(math.abs(streamed("click") - 1000L) <= 50L, // ~3 sigma at lgK 12
         s"click estimate ${streamed("click")} far from 1000")
+      assert(math.abs(streamed("click") - batch("click")) <= 30L,
+        s"stream ${streamed("click")} vs batch ${batch("click")} diverged")
     } finally {
       before match {
         case Some(v) => spark.conf.set(key, v)
