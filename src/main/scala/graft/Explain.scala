@@ -63,7 +63,9 @@ object Explain {
     "m07_audio_vad"       -> "island scan folded inside the decode mapPartitions — zero shuffles before the output sort",
     "io15_sketch_store"   -> "per-(type, day) HLL sketches through a parquet binary round trip; re-aggregation touches KB-sized sketch rows only",
     "v25_matryoshka"      -> "four broadcast-probe prefix-cosine scans sharing one persisted full-dim ranking",
-    "s14_distribution_match" -> "one band-keyed window rank + bands-bounded min-count broadcast back")
+    "s14_distribution_match" -> "one band-keyed window rank + bands-bounded min-count broadcast back",
+    "t30_line_dedup"      -> "persisted line explode; ONE line-hash doc-frequency count whose filtered (boilerplate-only) output broadcasts back, then ONE doc-keyed reassembly",
+    "s16_split_leakage"   -> "id-derived split labels on the shared minhash pair relation — zero joins beyond the d02 candidate pipeline itself")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

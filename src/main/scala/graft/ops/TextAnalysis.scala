@@ -723,4 +723,87 @@ object TextAnalysis {
       .filter(col("rk") <= topK)
       .select(col("domain"), col("rk"), col("token"), col("score"))
   }
+
+  /** Line-level boilerplate dedup (the CCNet per-paragraph pass, Wenzek et
+    * al. 2020 §3.1, and the C4 "three-sentence dedup" cousin): a line that
+    * occurs in at least `minDocs` DISTINCT documents is boilerplate
+    * (headers, footers, cookie banners, nav chrome) and is removed from
+    * every document; document-unique content is untouched. This is the
+    * dedup tier BELOW document granularity — d01/d02 drop whole near-dup
+    * docs, this strips the shared furniture inside otherwise-unique docs.
+    *
+    * Returns one row per document: `doc_id`, `n_lines`, `n_removed`, and
+    * `clean_text` (surviving lines rejoined in original order).
+    *
+    * Scale shape, per 100 TB pass: explode lines map-side; ONE line-hash
+    * keyed count (partial-aggregated — header lines collapse to one row
+    * per partition before the exchange) produces the boilerplate set,
+    * which is tiny BY DEFINITION (only lines repeated across >= minDocs
+    * docs survive the filter) so the flag-back join broadcasts under AQE;
+    * then ONE doc-keyed shuffle reassembles. The exploded line relation is
+    * persisted because both the frequency pass and the reassembly consume
+    * it — the multi-consumer rule applied at birth. Lines are joined by
+    * md5 hash, not text, so the exchange carries 32-hex keys instead of
+    * whole paragraphs.
+    */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Long): DataFrame = {
+    val lines = Spread.ensure(docs)
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+      .withColumn("lh", md5(col("line")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val boiler = lines
+      .groupBy(col("lh"))
+      .agg(countDistinct(col("doc_id")).as("line_docs"))
+      .filter(col("line_docs") >= minDocs)
+      .select(col("lh"), lit(true).as("boiler"))
+    lines
+      .join(boiler, Seq("lh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_removed"),
+        concat_ws("\n",
+          transform(
+            array_sort(collect_list(when(col("boiler").isNull,
+              struct(col("line_no").as("line_no"), col("line").as("line"))))),
+            x => x.getField("line"))).as("clean_text"))
+  }
+
+  /** Per-domain vocabulary-growth statistics — the Heaps'-law diagnostic a
+    * corpus audit runs before tokenizer training or mixing: total token
+    * count N, distinct type count V, hapax legomena (types seen once),
+    * type-token ratio V/N, hapax share, and the Heaps exponent estimate
+    * beta = ln V / ln N (V ~ K*N^beta). Low TTR / low hapax share flags
+    * templated or looping text (the t08 repetition signal at corpus
+    * grain); an out-of-family beta flags a domain whose vocabulary grows
+    * unlike the rest (OCR noise mints unbounded types, logs mint none).
+    *
+    * Scale shape: ONE (domain, token)-keyed count off the shared
+    * [[tokensRelation]] — Zipf-bounded output, partial-aggregated — then a
+    * per-domain fold over that vocab-sized relation. The corpus shuffles
+    * once. Ratios are exact-integer divisions rounded at 6 (identical
+    * IEEE doubles cross-engine); beta holds two `ln` calls, so it rounds
+    * at 4 like t19's KL terms to absorb libm last-bit drift.
+    */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+      domainCol: String): DataFrame = {
+    val toks = tokensRelation(docs, textCol)
+    val tc = toks
+      .select(col(domainCol).as("domain"), explode(col("toks")).as("token"))
+      .groupBy(col("domain"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    tc.groupBy(col("domain"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+        round(count(lit(1)).cast("double") / sum(col("c")), 6).as("ttr"),
+        round(sum(when(col("c") === 1, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("hapax_ratio"),
+        round(log(count(lit(1)).cast("double")) /
+          log(sum(col("c")).cast("double")), 4).as("heaps_beta"))
+      .orderBy(col("domain"))
+  }
 }

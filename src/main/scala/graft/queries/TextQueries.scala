@@ -2493,6 +2493,180 @@ object TextQueries {
         |SELECT doc_id, (clean <> raw) AS changed, length(raw) AS n_raw,
         |       length(clean) AS n_clean, md5(clean) AS clean_md5
         |FROM cleaned ORDER BY doc_id
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // CCNet line-level boilerplate removal (Wenzek et al. 2020 §3.1):
+      // a line occurring in >= 20 distinct docs is chrome and is stripped
+      // from every doc; unique content survives. The corpus has no
+      // newlines, so the dirt is planted in-query (v06's pattern) on BOTH
+      // engines: a per-source subscribe header (~25 docs/source at
+      // sf0.01), a global "all rights reserved" footer on even ids, and a
+      // doc-unique "ref <id>" line that must NOT be removed. Exactly the
+      // header+footer lines go (n_removed ties to the planting arithmetic)
+      // and clean_md5 pins the surviving text byte-for-byte.
+      "t30_line_dedup",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val lined = t.documents.select(col("doc_id"),
+          concat(
+            lit("subscribe to the "), col("source"), lit(" newsletter\n"),
+            col("text"),
+            when(col("doc_id") % 2 === 0, lit("\nall rights reserved"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              concat(lit("\nref "), col("doc_id").cast("string")))
+              .otherwise(lit(""))).as("text2"))
+        TextAnalysis.lineDedup(lined, "doc_id", "text2", minDocs = 20)
+          .select(col("doc_id"), col("n_lines"), col("n_removed"),
+            md5(col("clean_text").cast("binary")).as("clean_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        |WITH lined AS (
+        |  SELECT doc_id,
+        |         concat('subscribe to the ', source, ' newsletter') || chr(10) || text
+        |         || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'all rights reserved' ELSE '' END
+        |         || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'ref ' || CAST(doc_id AS VARCHAR) ELSE '' END
+        |         AS text2
+        |  FROM documents
+        |),
+        |ls AS (SELECT doc_id, string_split(text2, chr(10)) AS arr FROM lined),
+        |lines AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(len(arr)),
+        |           i -> {'line_no': CAST(i AS INTEGER), 'line': arr[CAST(i + 1 AS INTEGER)]}),
+        |           recursive := true)
+        |  FROM ls
+        |),
+        |freq AS (
+        |  SELECT md5(line) AS lh, count(DISTINCT doc_id) AS line_docs
+        |  FROM lines GROUP BY 1
+        |),
+        |flags AS (
+        |  SELECT l.doc_id, l.line_no, l.line, f.line_docs >= 20 AS boiler
+        |  FROM lines l JOIN freq f ON md5(l.line) = f.lh
+        |)
+        |SELECT doc_id, count(*) AS n_lines,
+        |       CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |       md5(coalesce(string_agg(CASE WHEN NOT boiler THEN line END,
+        |                               chr(10) ORDER BY line_no), '')) AS clean_md5
+        |FROM flags GROUP BY doc_id
+        |ORDER BY doc_id
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Vocabulary-growth audit (Heaps' law): per-source token/type/hapax
+      // counts, type-token ratio, and the Heaps exponent ln V / ln N —
+      // the pre-tokenizer-training diagnostic for templated text (low
+      // hapax share) or vocabulary-minting noise (high beta). One
+      // (source, token) keyed count off the shared tokenized relation;
+      // everything downstream is vocab-sized.
+      "t31_vocab_growth",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        TextAnalysis.vocabGrowth(t.documents, "doc_id", "text", "source")
+      },
+      Some("""
+        |WITH tok AS (
+        |  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |  FROM documents
+        |),
+        |tc AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2)
+        |SELECT source AS domain,
+        |       CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       count(*) AS n_types,
+        |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |       round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr,
+        |       round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS hapax_ratio,
+        |       round(ln(CAST(count(*) AS DOUBLE)) / ln(CAST(sum(c) AS DOUBLE)), 4) AS heaps_beta
+        |FROM tc GROUP BY source ORDER BY domain
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Split-leakage audit: near-dup pairs (the d02 MinHash+LSH relation,
+      // shared via the pair cache) classified by which train/val/test
+      // sides their endpoints hash into (s01's content-hash split). A
+      // test^train near-dup is evaluation contamination the n-gram decon
+      // tier (t09) exists to prevent — this query MEASURES the leak a
+      // given split + dedup configuration leaves behind. Split labels
+      // derive from ids (no join); the pair relation is the only
+      // distributed work and is already persisted for d02/d05/s12.
+      "s16_split_leakage",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        Dedup.nearDuplicatesMinhashCached(t.documents, "doc_id", "text",
+            threshold = 0.5, numHashes = 32, bands = 8, shingleN = 3)
+          .withColumn("split_a", graft.ops.Sampling.splitLabel(col("doc_a"), 90, 5))
+          .withColumn("split_b", graft.ops.Sampling.splitLabel(col("doc_b"), 90, 5))
+          .withColumn("split_lo", least(col("split_a"), col("split_b")))
+          .withColumn("split_hi", greatest(col("split_a"), col("split_b")))
+          .groupBy(col("split_lo"), col("split_hi"))
+          .agg(count(lit(1)).as("n_pairs"),
+            round(min(col("jaccard")), 6).as("min_jaccard"),
+            round(max(col("jaccard")), 6).as("max_jaccard"))
+          .orderBy(col("split_lo"), col("split_hi"))
+      },
+      Some("""
+        |WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) >= 3
+        |              THEN list_distinct(list_transform(range(len(toks) - 2),
+        |                     i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+        |              ELSE [] END AS shingles
+        |  FROM tok
+        |),
+        |ex AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT)  AS h1,
+        |         CAST(concat('0x', substr(md5(s), 13, 12)) AS BIGINT) AS h2
+        |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0)
+        |),
+        |hashed AS (
+        |  SELECT doc_id, j, min((h1 + j * h2) % 2147483647) AS sigv
+        |  FROM ex, range(32) t(j)
+        |  GROUP BY doc_id, j
+        |),
+        |sigs AS (SELECT doc_id, list(sigv ORDER BY j) AS sig FROM hashed GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS key
+        |  FROM sigs, range(8) t(b)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+        |),
+        |hsets AS (SELECT doc_id, list(h1) AS hs FROM ex GROUP BY doc_id),
+        |verified AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |         round(len(list_intersect(sa.hs, sb.hs)) * 1.0
+        |               / len(list_distinct(sa.hs || sb.hs)), 6) AS jaccard
+        |  FROM cand c
+        |  JOIN hsets sa ON sa.doc_id = c.doc_a
+        |  JOIN hsets sb ON sb.doc_id = c.doc_b
+        |),
+        |pairs AS (SELECT * FROM verified WHERE jaccard >= 0.5),
+        |lbl AS (
+        |  SELECT jaccard,
+        |    CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_a AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
+        |         WHEN CAST(concat('0x', substr(md5(CAST(doc_a AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
+        |         ELSE 'test' END AS sa,
+        |    CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_b AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
+        |         WHEN CAST(concat('0x', substr(md5(CAST(doc_b AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
+        |         ELSE 'test' END AS sb
+        |  FROM pairs
+        |)
+        |SELECT least(sa, sb) AS split_lo, greatest(sa, sb) AS split_hi,
+        |       count(*) AS n_pairs,
+        |       round(min(jaccard), 6) AS min_jaccard,
+        |       round(max(jaccard), 6) AS max_jaccard
+        |FROM lbl GROUP BY 1, 2
+        |ORDER BY split_lo, split_hi
         |""".stripMargin.trim))
   )
 

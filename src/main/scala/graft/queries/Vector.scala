@@ -1229,6 +1229,62 @@ object VectorQueries {
         |LEFT JOIN full_top f ON f.qid = t.qid AND f.vec_id = t.vec_id
         |GROUP BY t.d
         |ORDER BY prefix_dim
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Contrastive training-pair mining: per anchor, the nearest
+      // SAME-label vector (the positive) and the 3 nearest DIFFERENT-label
+      // vectors (hard negatives — close in embedding space, wrong class;
+      // the triplet/InfoNCE batch construction of Schroff et al. 2015 /
+      // SimCLR). One broadcast-anchor scan scores the corpus map-only,
+      // then one (anchor, same)-partitioned top-k window emits <= 4 rows
+      // per anchor — at 100 TB the scan is the whole cost and the LSH/IVF
+      // routes (e02, v09) slot in as the candidate front exactly as in
+      // e08's decon.
+      "e10_hard_negatives",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val anchors = broadcast(
+          t.embeddings.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("anchor_id"),
+              col("embedding").as("a_emb"), col("label").as("a_label")))
+        val w = Window.partitionBy(col("anchor_id"), col("same"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        t.embeddings.crossJoin(anchors)
+          .filter(col("vec_id") =!= col("anchor_id"))
+          .withColumn("same", col("label") === col("a_label"))
+          .withColumn("sim",
+            round(cosine(col("embedding"), col("a_emb")), 6))
+          .withColumn("rnk", row_number().over(w))
+          .filter((col("same") && col("rnk") <= 1) ||
+            (!col("same") && col("rnk") <= 3))
+          .select(col("anchor_id"),
+            when(col("same"), "positive").otherwise("hard_negative").as("role"),
+            col("rnk"), col("vec_id"), col("sim"), col("label"))
+          .orderBy(col("anchor_id"), col("role"), col("rnk"))
+      },
+      Some("""
+        |WITH anchors AS (
+        |  SELECT vec_id AS anchor_id, embedding AS a_emb, label AS a_label
+        |  FROM embeddings WHERE vec_id < 8
+        |),
+        |sims AS (
+        |  SELECT a.anchor_id, e.vec_id, e.label,
+        |         (e.label = a.a_label) AS same,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                      CAST(a.a_emb AS DOUBLE[])), 6) AS sim
+        |  FROM embeddings e, anchors a WHERE e.vec_id <> a.anchor_id
+        |),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY anchor_id, same
+        |                               ORDER BY sim DESC, vec_id) AS rnk
+        |  FROM sims
+        |)
+        |SELECT anchor_id,
+        |       CASE WHEN same THEN 'positive' ELSE 'hard_negative' END AS role,
+        |       rnk, vec_id, sim, label
+        |FROM ranked WHERE (same AND rnk <= 1) OR (NOT same AND rnk <= 3)
+        |ORDER BY anchor_id, role, rnk
         |""".stripMargin.trim))
   )
 

@@ -347,4 +347,58 @@ class Round5OpsSpec extends SparkSpec {
         col("novel_grams") > col("n_grams")).count()
     assert(bad === 0L)
   }
+
+  // ---- lineDedup (CCNet line-level boilerplate removal) ----
+
+  test("lineDedup strips lines shared by >= minDocs docs, keeps unique lines in order") {
+    val docs = ((1L to 30L).map(i => (i, s"HEADER\nbody $i first\nbody $i second\nFOOTER")) ++
+      Seq((31L, "only unique content"), (32L, "HEADER")))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.lineDedup(docs, "doc_id", "text", minDocs = 10)
+      .orderBy($"doc_id").collect()
+    val d1 = out.find(_.getLong(0) == 1L).get
+    assert(d1.getLong(1) === 4L && d1.getLong(2) === 2L)
+    assert(d1.getString(3) === "body 1 first\nbody 1 second",
+      "surviving lines must keep original order")
+    // Doc 31: nothing shared, nothing removed.
+    val d31 = out.find(_.getLong(0) == 31L).get
+    assert(d31.getLong(2) === 0L && d31.getString(3) === "only unique content")
+    // Doc 32 is ALL boilerplate: empty survivor text, not null.
+    val d32 = out.find(_.getLong(0) == 32L).get
+    assert(d32.getLong(1) === 1L && d32.getLong(2) === 1L)
+    assert(d32.getString(3) === "")
+  }
+
+  test("lineDedup is partition-invariant and counts doc frequency, not occurrences") {
+    // One doc repeats a line 9 times; 9 occurrences in ONE doc must not
+    // reach the minDocs=3 document-frequency bar.
+    val docs = (Seq((100L, Seq.fill(9)("echo echo").mkString("\n"))) ++
+      (1L to 3L).map(i => (i, s"shared line\nbody $i")))
+      .toDF("doc_id", "text")
+    val one = graft.ops.TextAnalysis.lineDedup(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    val two = graft.ops.TextAnalysis.lineDedup(docs.repartition(7), "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    assert(one === two, "result must not depend on partitioning")
+    assert(one.find(_._1 == 100L).get._2 === 0L,
+      "within-doc repetition must not count as cross-doc boilerplate")
+    assert(one.find(_._1 == 1L).get === ((1L, 1L, "body 1")))
+  }
+
+  // ---- vocabGrowth (Heaps'-law vocabulary audit) ----
+
+  test("vocabGrowth computes exact closed-form stats per domain") {
+    val docs = Seq(
+      (1L, "a a a b", "rep"),    // N=4 V=2 hapax=1
+      (2L, "x y z", "uniq"))     // N=3 V=3 hapax=3
+      .toDF("doc_id", "text", "source")
+    val out = graft.ops.TextAnalysis.vocabGrowth(docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(out === Seq(
+      ("rep", 4L, 2L, 1L, 0.5, 0.5,
+        BigDecimal(math.log(2) / math.log(4)).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble),
+      ("uniq", 3L, 3L, 3L, 1.0, 1.0, 1.0)))
+  }
 }

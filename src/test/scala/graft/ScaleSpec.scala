@@ -466,4 +466,30 @@ class ScaleSpec extends SparkSpec {
     assert(planted.size === 500, s"${planted.size} of 500 planted twins found")
     assert(a === run(53), "pair set drifts with partitioning")
   }
+
+  test("lineDedup at 10^5 docs strips exactly the planted chrome under any partitioning") {
+    // Every doc carries a shared header; every 4th a shared footer; every
+    // doc one unique body line. The doc-frequency bar (minDocs=1000) is
+    // cleared ONLY by the planted chrome, so totals are closed-form:
+    // removed = 100k headers + 25k footers, survivors = the unique bodies.
+    def docs(parts: Int) = spark.range(100000L).repartition(parts)
+      .select($"id".as("doc_id"),
+        concat(
+          lit("COOKIE BANNER\n"),
+          concat(lit("unique body "), $"id"),
+          when($"id" % 4 === 0, lit("\nALL RIGHTS RESERVED"))
+            .otherwise(lit(""))).as("text"))
+    def summary(parts: Int): (Long, Long, Long) = {
+      val out = graft.ops.TextAnalysis.lineDedup(docs(parts), "doc_id",
+        "text", minDocs = 1000)
+      val r = out.agg(sum($"n_lines"), sum($"n_removed"),
+        count(when($"clean_text" === concat(lit("unique body "), $"doc_id"),
+          1))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val s1 = summary(7)
+    assert(s1 === ((225000L, 125000L, 100000L)),
+      s"closed-form line totals drifted: $s1")
+    assert(s1 === summary(63), "lineDedup drifts with partitioning")
+  }
 }
