@@ -52,18 +52,7 @@ case class SpaceSavingTopK(
     mutable.LinkedHashMap.empty
 
   private def offer(buf: mutable.LinkedHashMap[String, Long], key: String,
-      inc: Long): Unit = {
-    buf.get(key) match {
-      case Some(c) => buf(key) = c + inc
-      case None if buf.size < capacity => buf(key) = inc
-      case None =>
-        // SpaceSaving eviction: replace the minimum counter, inheriting
-        // its count (over-estimate, never under-estimate).
-        val (minK, minC) = buf.minBy(_._2)
-        buf.remove(minK)
-        buf(key) = minC + inc
-    }
-  }
+      inc: Long): Unit = SpaceSaving.offer(buf, key, inc, capacity)
 
   override def update(
       buf: mutable.LinkedHashMap[String, Long],
@@ -87,22 +76,11 @@ case class SpaceSavingTopK(
       new GenericArrayData(top.map(_._2).toArray[Any]))
   }
 
-  override def serialize(buf: mutable.LinkedHashMap[String, Long]): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(buf.size)
-    buf.foreach { case (key, c) => out.writeUTF(key); out.writeLong(c) }
-    out.flush()
-    bos.toByteArray
-  }
+  override def serialize(buf: mutable.LinkedHashMap[String, Long]): Array[Byte] =
+    SpaceSaving.serialize(buf)
 
-  override def deserialize(bytes: Array[Byte]): mutable.LinkedHashMap[String, Long] = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val n = in.readInt()
-    val buf = mutable.LinkedHashMap.empty[String, Long]
-    (0 until n).foreach(_ => buf(in.readUTF()) = in.readLong())
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): mutable.LinkedHashMap[String, Long] =
+    SpaceSaving.deserialize(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): SpaceSavingTopK =
     copy(mutableAggBufferOffset = newOffset)
@@ -112,6 +90,47 @@ case class SpaceSavingTopK(
 
   override protected def withNewChildInternal(newChild: Expression): SpaceSavingTopK =
     copy(child = newChild)
+}
+
+/** The SpaceSaving counter core, shared by the batch aggregate
+  * ([[SpaceSavingTopK]]) and the streaming keyed-state processor
+  * ([[graft.streaming.EventStreams.TopKProcessor]]) — same eviction rule,
+  * same wire format, so a counter map round-trips identically through an
+  * aggregation buffer or a state-store cell.
+  */
+object SpaceSaving {
+
+  /** Add `inc` to `key`, evicting the minimum counter (and inheriting its
+    * count — over-estimate, never under-estimate) when at `capacity`.
+    */
+  def offer(buf: mutable.LinkedHashMap[String, Long], key: String,
+      inc: Long, capacity: Int): Unit = {
+    buf.get(key) match {
+      case Some(c) => buf(key) = c + inc
+      case None if buf.size < capacity => buf(key) = inc
+      case None =>
+        val (minK, minC) = buf.minBy(_._2)
+        buf.remove(minK)
+        buf(key) = minC + inc
+    }
+  }
+
+  def serialize(buf: mutable.LinkedHashMap[String, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (key, c) => out.writeUTF(key); out.writeLong(c) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def deserialize(bytes: Array[Byte]): mutable.LinkedHashMap[String, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.LinkedHashMap.empty[String, Long]
+    (0 until n).foreach(_ => buf(in.readUTF()) = in.readLong())
+    buf
+  }
 }
 
 object SpaceSavingTopK {

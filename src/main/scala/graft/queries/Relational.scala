@@ -1336,6 +1336,73 @@ object Relational {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Join-size estimation from key histograms — what an optimizer (or
+      // a 100 TB pipeline author) runs BEFORE committing to a many-to-many
+      // join: 256-bucket md5 key histograms on both sides, per-bucket
+      // containment estimate ca*cb/max(da,db) (uniform-within-bucket, the
+      // System-R/Selinger form), summed in exact integer math so the
+      // result is partition-order-independent. The exact count is
+      // computed alongside as the contract (ratio within 2x); at scale
+      // one runs ONLY the histograms — two 256-row aggregates versus the
+      // join itself.
+      "a06_join_cardinality",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val a = t.events.filter(col("event_type") === "click")
+          .select(col("user_id"))
+        val b = t.events.filter(col("event_type") === "view")
+          .select(col("user_id"))
+        def hist(df: org.apache.spark.sql.DataFrame, ca: String, da: String) =
+          df.groupBy(graft.ops.Sampling.hashBucket(col("user_id"), 256).as("bk"))
+            .agg(count(lit(1)).as(ca), countDistinct(col("user_id")).as(da))
+        val est = hist(a, "ca", "da").join(hist(b, "cb", "db"), "bk")
+          .agg(sum(expr("(ca * cb) div greatest(da, db)")).as("est_join"))
+        val exact = a.groupBy(col("user_id")).agg(count(lit(1)).as("cnt_a"))
+          .join(b.groupBy(col("user_id")).agg(count(lit(1)).as("cnt_b")),
+            "user_id")
+          .agg(sum(col("cnt_a") * col("cnt_b")).as("exact_join"))
+        a.agg(count(lit(1)).as("n_left")).crossJoin(
+            b.agg(count(lit(1)).as("n_right")))
+          .crossJoin(est).crossJoin(exact)
+          .select(col("n_left"), col("n_right"), col("est_join"),
+            col("exact_join"),
+            round(col("est_join").cast("double") / col("exact_join"), 4)
+              .as("ratio"),
+            (col("est_join") <= lit(2) * col("exact_join") &&
+              lit(2) * col("est_join") >= col("exact_join")).as("within_2x"))
+      },
+      Some("""
+        |WITH a AS (SELECT user_id FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id FROM events WHERE event_type = 'view'),
+        |ha AS (
+        |  SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 256 AS bk,
+        |         count(*) AS ca, count(DISTINCT user_id) AS da
+        |  FROM a GROUP BY 1
+        |),
+        |hb AS (
+        |  SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 256 AS bk,
+        |         count(*) AS cb, count(DISTINCT user_id) AS db
+        |  FROM b GROUP BY 1
+        |),
+        |est AS (
+        |  SELECT CAST(sum((ca * cb) // greatest(da, db)) AS BIGINT) AS est_join
+        |  FROM ha JOIN hb USING (bk)
+        |),
+        |ex AS (
+        |  SELECT CAST(sum(x.cnt * y.cnt) AS BIGINT) AS exact_join
+        |  FROM (SELECT user_id, count(*) cnt FROM a GROUP BY 1) x
+        |  JOIN (SELECT user_id, count(*) cnt FROM b GROUP BY 1) y USING (user_id)
+        |)
+        |SELECT (SELECT count(*) FROM a) AS n_left,
+        |       (SELECT count(*) FROM b) AS n_right,
+        |       est.est_join, ex.exact_join,
+        |       round(CAST(est.est_join AS DOUBLE) / ex.exact_join, 4) AS ratio,
+        |       (est.est_join <= 2 * ex.exact_join
+        |        AND 2 * est.est_join >= ex.exact_join) AS within_2x
+        |FROM est, ex
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Ordered-set aggregates in deterministic, engine-portable form:
       // mode (most frequent value), discrete median (an actual element,
       // not an interpolation), and ordered listagg. The built-ins are

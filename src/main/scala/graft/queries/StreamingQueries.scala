@@ -768,6 +768,44 @@ object StreamingQueries {
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.user_id AND s.ts <= p.ts
         |ORDER BY p.event_id
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Streaming heavy hitters: per-type top-3 users by event count with
+      // a bounded SpaceSaving counter map in keyed state
+      // (EventStreams.streamingTopK — the a04 batch aggregate's algorithm
+      // and wire format in a state-store cell). O(capacity) state per key
+      // on an unbounded stream; with capacity 4096 >= the ~1500 distinct
+      // users per type the counts are EXACT, so the oracle is the plain
+      // batch count ranking (ties broken count desc then user asc — the
+      // processor sorts the same way).
+      "st16_stream_topk",
+      (s, dir) => {
+        import s.implicits._
+        val ev = eventStream(s, dir)
+          .select(col("event_type"), col("user_id"))
+          .as[EventStreams.TypedEvent]
+        val top = EventStreams.streamingTopK(ev, k = 3, capacity = 4096).toDF()
+        runToTable(s, top, "update")
+          .select(col("event_type"), col("rnk"), col("user_id"),
+            col("est_count"))
+          .orderBy(col("event_type"), col("rnk"))
+      },
+      Some("""
+        |WITH c AS (
+        |  SELECT event_type, user_id, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |),
+        |r AS (
+        |  SELECT event_type, user_id, cnt,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY cnt DESC, user_id) AS rnk
+        |  FROM c
+        |)
+        |SELECT event_type, CAST(rnk AS INTEGER) AS rnk, user_id,
+        |       cnt AS est_count
+        |FROM r WHERE rnk <= 3
+        |ORDER BY event_type, rnk
         |""".stripMargin.trim))
   )
 }

@@ -294,6 +294,66 @@ object EventStreams {
     }
   }
 
+  final case class TypeTopUser(event_type: String, rnk: Int, user_id: Long,
+      est_count: Long)
+
+  /** Streaming heavy hitters — per-key top-`k` users by event count with a
+    * bounded SpaceSaving counter map as the keyed state (the a04 batch
+    * aggregate's algorithm, [[graft.functions.SpaceSaving]], running in a
+    * state-store cell): O(capacity) state per key on an unbounded stream
+    * where an exact per-user count map grows with the user universe.
+    * Counts carry the classic SpaceSaving bound (over-estimate by at most
+    * the smallest evicted counter); with `capacity` >= the key's distinct
+    * users they are EXACT — the driver contract st16 runs under. Emission
+    * sorts (-count, numeric user) so rank ties are deterministic and
+    * engine-replayable.
+    *
+    * Requires RocksDB state store (transformWithState), like
+    * [[userPeaks]].
+    */
+  def streamingTopK(events: Dataset[TypedEvent], k: Int,
+      capacity: Int): Dataset[TypeTopUser] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .transformWithState(new TopKProcessor(k, capacity),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** The [[streamingTopK]] processor: one binary ValueState cell per key
+    * holding the serialized counter map — the SAME wire format the batch
+    * aggregate's partial buffers use, so restarts resume mid-stream
+    * counts exactly.
+    */
+  final class TopKProcessor(k: Int, capacity: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, TypedEvent, TypeTopUser] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[Array[Byte]] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[Array[Byte]]("ss",
+        org.apache.spark.sql.Encoders.BINARY,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[TypedEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TypeTopUser] = {
+      val buf = Option(state.get())
+        .map(graft.functions.SpaceSaving.deserialize)
+        .getOrElse(scala.collection.mutable.LinkedHashMap.empty[String, Long])
+      rows.foreach(e =>
+        graft.functions.SpaceSaving.offer(buf, e.user_id.toString, 1L, capacity))
+      state.update(graft.functions.SpaceSaving.serialize(buf))
+      buf.toSeq.sortBy { case (u, c) => (-c, u.toLong) }.take(k)
+        .zipWithIndex
+        .map { case ((u, c), i) => TypeTopUser(key, i + 1, u.toLong, c) }
+        .iterator
+    }
+  }
+
   final case class EnrichEvent(user_id: Long, ts_us: Long, event_id: Long,
       event_type: String)
   final case class EnrichedPurchase(event_id: Long, user_id: Long,

@@ -449,4 +449,62 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streamingTopK counter state survives a checkpointed restart exactly") {
+    import EventStreams.TypedEvent
+    // Same two-run/one-checkpoint pattern as the sketch restart, but with
+    // an EXACT contract: SpaceSaving at capacity >= distinct keys holds
+    // true counts, so the final emission must equal the whole-history
+    // ranking — run-1 counts included — or the counter map did not come
+    // back from RocksDB.
+    val base = s"/root/repo/target/graft-io/topk_restart_${System.nanoTime()}"
+    val feed = s"$base/feed"; val chk = s"$base/chk"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batch1 = Seq.fill(5)(TypedEvent("click", 1L)) ++
+        Seq.fill(3)(TypedEvent("click", 2L)) :+ TypedEvent("click", 3L)
+      batch1.toDS().toDF().coalesce(1).write.parquet(feed)
+      val sink = s"$base/sink"
+      def drain(): Unit = {
+        val in = spark.readStream
+          .schema(batch1.toDS().toDF().schema).parquet(feed)
+          .as[TypedEvent]
+        val q = EventStreams.streamingTopK(in, k = 3, capacity = 64)
+          .toDF().writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            df.withColumn("batch_id", lit(id))
+              .write.mode("append").parquet(sink)
+          }
+          .option("checkpointLocation", chk)
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain()
+      val batch2 = Seq.fill(4)(TypedEvent("click", 2L)) ++
+        Seq.fill(2)(TypedEvent("click", 4L))
+      batch2.toDS().toDF().coalesce(1).write.mode("append").parquet(feed)
+      drain()
+      val all = spark.read.parquet(sink)
+      val last = all.agg(max($"batch_id")).head.getLong(0)
+      val finalTop = all.filter($"batch_id" === last)
+        .orderBy($"rnk")
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+      // Whole history: u1=5, u2=3+4=7, u3=1, u4=2 -> top-3 exact.
+      assert(finalTop === Seq((1, 2L, 7L), (2, 1L, 5L), (3, 4L, 2L)),
+        s"final ranking $finalTop != whole-history counts — state lost?")
+    } finally {
+      fs.delete(p, true)
+      before match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
