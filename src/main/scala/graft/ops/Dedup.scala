@@ -578,6 +578,53 @@ object Dedup {
     * — every document either had no near-duplicate or is its cluster's
     * keeper (min id). The pair set and keeper choice are deterministic.
     */
+  /** Incremental cluster canonicalization — the daily-ingest successor to
+    * re-running [[canonicalize]] over the whole corpus: given the current
+    * keeper map (doc_id -> keeper_id, keeper = min member id, exactly
+    * what [[canonicalize]] emits) and the NEW near-dup pairs a batch
+    * introduced (batch-corpus from [[crossCorpusMinhashPairs]] plus
+    * batch-batch), produce the updated keeper map WITHOUT touching the
+    * corpus pair graph again.
+    *
+    * Both endpoints of every new pair are lifted into keeper space
+    * (keeper-keyed left joins; an endpoint absent from the map is its own
+    * label), the lifted graph — O(batch pairs), NOT O(corpus) — is
+    * canonicalized, and the resulting root remap is applied back: old
+    * clusters merge when a new doc bridges them, and min-of-mins keeps
+    * the keeper = min-member invariant, so the output EQUALS a full
+    * recanonicalization over the union graph (the d16 oracle checks that
+    * equality cross-engine). Returns the full updated map: every
+    * previously-mapped doc plus every new-pair endpoint.
+    */
+  def extendCanonical(keepers: DataFrame, newPairs: DataFrame): DataFrame = {
+    val k = keepers.select(col("doc_id").as("kd"), col("keeper_id").as("kk"))
+    val lifted = newPairs
+      .join(k, newPairs("doc_a") === col("kd"), "left")
+      .select(coalesce(col("kk"), newPairs("doc_a")).as("la"),
+        newPairs("doc_b"))
+      .join(k, col("doc_b") === col("kd"), "left")
+      .select(col("la"), coalesce(col("kk"), col("doc_b")).as("lb"))
+      .filter(col("la") =!= col("lb"))
+      .select(least(col("la"), col("lb")).as("doc_a"),
+        greatest(col("la"), col("lb")).as("doc_b"))
+      .distinct()
+    val remap = canonicalize(lifted)
+      .select(col("doc_id").as("lbl"), col("keeper_id").as("root"))
+    val remapped = keepers
+      .join(remap, keepers("keeper_id") === col("lbl"), "left")
+      .select(keepers("doc_id"),
+        coalesce(col("root"), keepers("keeper_id")).as("keeper_id"))
+    val newDocs = newPairs.select(col("doc_a").as("doc_id"))
+      .union(newPairs.select(col("doc_b")))
+      .distinct()
+      .join(keepers.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val newMap = newDocs
+      .join(remap, newDocs("doc_id") === col("lbl"), "left")
+      .select(newDocs("doc_id"),
+        coalesce(col("root"), newDocs("doc_id")).as("keeper_id"))
+    remapped.unionByName(newMap)
+  }
+
   def dedupCorpus(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8): DataFrame = {

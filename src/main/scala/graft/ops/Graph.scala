@@ -135,6 +135,59 @@ object Graph {
     ranks
   }
 
+  /** Deterministic fixed-iteration label propagation (community
+    * detection; Raghavan et al. 2007, synchronous variant): every vertex
+    * starts as its own label; each of `iters` steps relabels every vertex
+    * to the neighbor label with the greatest total incoming edge weight,
+    * ties broken by the SMALLEST label. Free-running asynchronous LPA is
+    * run-order-dependent (the paper's known nondeterminism); pinning
+    * synchronous updates + a fixed iteration count + the min-label tie
+    * rule makes the output a pure function of the graph — replayable by
+    * another engine step for step, which is what the g05 oracle does.
+    *
+    * `edges`: (src, dst, w) DIRECTED messages — pass both directions for
+    * an undirected graph. Keep `w` integral: label picks then compare
+    * exact integers and the argmax is engine-portable (float weights
+    * would make near-ties summation-order-dependent).
+    *
+    * Scale shape, per step: one (dst-keyed) join of the edge relation
+    * against the KB-per-vertex label state, one (vertex, label) partial-
+    * aggregated count, one per-vertex top-1 window — the PageRank loop's
+    * cost profile, with the same localCheckpoint per step to keep lineage
+    * flat. State is one long per vertex at any graph size.
+    */
+  def labelPropagation(verts: DataFrame, edges: DataFrame,
+      iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nVerts = verts.count()
+    val broadcastable = nVerts <= (1L << 20)
+    // Dimension-sized graphs (pagerank's `tiny` rule): run each round's
+    // vertex-bounded relations on ONE partition — near-empty 32-task
+    // window/checkpoint stages otherwise dominate the loop (measured
+    // ~1 s/round for a 25-vertex graph).
+    val tiny = nVerts <= 4096
+    val e0 = edges.select(col("src"), col("dst"), col("w"))
+    val e = (if (tiny) e0.coalesce(1) else e0).persist()
+    def hinted(df: DataFrame): DataFrame =
+      if (broadcastable) broadcast(df) else df
+    var labels = verts.select(col("v"), col("v").as("l"))
+    labels = if (tiny) labels.coalesce(1) else labels
+    for (_ <- 1 to iters) {
+      val msgs = e.join(hinted(labels), e("dst") === labels("v"))
+        .groupBy(e("src").as("mv"), col("l").as("nl"))
+        .agg(sum(col("w")).as("ws"))
+      val pick = msgs
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("mv")).orderBy(col("ws").desc, col("nl"))))
+        .filter(col("rk") === 1)
+        .select(col("mv"), col("nl"))
+      labels = labels.join(hinted(pick), labels("v") === col("mv"), "left")
+        .select(labels("v"), coalesce(col("nl"), col("l")).as("l"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** Per-vertex triangle participation counts over canonical undirected
     * edges (a < b required — the node-iterator invariant). Returns
     * (v, n_triangles) for every vertex in ≥1 triangle.

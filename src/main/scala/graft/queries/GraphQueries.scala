@@ -32,6 +32,12 @@ object GraphQueries {
   private val Damping = 0.85
   private val Iters = 5
 
+  /** g05's iteration count. Declared BEFORE `defs`: the oracle SQL is
+    * built eagerly at object init (TextQueries' PlantDecomposed rule), so
+    * a later-val reference would interpolate the uninitialized 0.
+    */
+  private val LpaIters = 3
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "g01_pagerank",
@@ -83,7 +89,7 @@ object GraphQueries {
         //
         // Per-nation triangle participation: nation n counts once per
         // triangle corner it sits at.
-        graft.ops.Graph.triangleCounts(coSupplyEdges(t))
+        graft.ops.Graph.triangleCounts(coSupplyEdges(t).select(col("a"), col("b")))
           .join(broadcast(t.nation), col("v") === col("n_nationkey").cast("long"))
           .select(col("n_nationkey"), col("n_name"), col("n_triangles"))
           .orderBy(col("n_nationkey"))
@@ -251,14 +257,99 @@ object GraphQueries {
         |)
         |SELECT v, min(depth) AS hops, count(*) AS n_walks
         |FROM walk GROUP BY v ORDER BY v
-        |""".stripMargin.trim))
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Community detection: deterministic fixed-iteration label
+      // propagation (Raghavan et al. 2007, SYNCHRONOUS variant — the
+      // asynchronous original is run-order-dependent; pinning sync
+      // updates + 3 iterations + the min-label tie rule makes the result
+      // a pure function of the graph) over the WEIGHTED co-supply graph.
+      // Weights are exact distinct-part counts, so the per-vertex argmax
+      // compares integers and the oracle replays every step verbatim
+      // (three unrolled stages — LPA is not monotone, so no recursive
+      // CTE).
+      "g05_communities",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val e = coSupplyEdges(t)
+        val und = e.select(col("a").as("src"), col("b").as("dst"), col("n").as("w"))
+          .unionByName(
+            e.select(col("b").as("src"), col("a").as("dst"), col("n").as("w")))
+        val verts = t.nation.select(col("n_nationkey").cast("long").as("v"))
+        val lab = graft.ops.Graph.labelPropagation(verts, und, LpaIters)
+        t.nation.select(col("n_nationkey"), col("n_name"))
+          .join(lab, col("n_nationkey").cast("long") === lab("v"))
+          .select(col("n_nationkey"), col("n_name"),
+            col("l").as("community"))
+          .withColumn("community_size",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("community"))))
+          .orderBy(col("n_nationkey"))
+      },
+      Some(lpaOracle(LpaIters)))
   )
 
-  /** g02/g03's shared co-supply edge relation: nations adjacent when they
-    * co-supply enough distinct parts, thresholded at the global 75th
+  /** The g05 oracle: the weighted co-supply edges (g03's chain keeping
+    * the support count as the weight), then [[LpaIters]] label-propagation
+    * steps unrolled as CTE stages — each stage is the same
+    * (sum-weight desc, label asc) argmax the Spark loop runs.
+    */
+  private def lpaOracle(iters: Int): String = {
+    val base = """
+      |WITH inc AS (
+      |  SELECT DISTINCT l.l_partkey AS pk, CAST(s.s_nationkey AS BIGINT) AS nk
+      |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |),
+      |co AS (
+      |  SELECT x.nk AS a, y.nk AS b, count(*) AS n
+      |  FROM inc x JOIN inc y ON x.pk = y.pk AND x.nk < y.nk
+      |  GROUP BY 1, 2
+      |),
+      |thr AS (SELECT quantile_cont(n, 0.75) AS q FROM co),
+      |e AS (SELECT a, b, n FROM co, thr WHERE co.n >= thr.q),
+      |edges AS (
+      |  SELECT a AS src, b AS dst, n AS w FROM e
+      |  UNION ALL
+      |  SELECT b AS src, a AS dst, n AS w FROM e
+      |),
+      |lab0 AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS v,
+      |         CAST(n_nationkey AS BIGINT) AS l
+      |  FROM nation)""".stripMargin
+    val steps = (0 until iters).map { k =>
+      s"""
+      |, m${k + 1} AS (
+      |  SELECT e.src AS v, p.l AS nl, sum(e.w) AS ws
+      |  FROM edges e JOIN lab$k p ON p.v = e.dst
+      |  GROUP BY 1, 2
+      |),
+      |p${k + 1} AS (
+      |  SELECT v, nl FROM (
+      |    SELECT v, nl, row_number() OVER (PARTITION BY v
+      |                                     ORDER BY ws DESC, nl) AS rk
+      |    FROM m${k + 1}) WHERE rk = 1
+      |),
+      |lab${k + 1} AS (
+      |  SELECT l0.v, coalesce(p.nl, l0.l) AS l
+      |  FROM lab$k l0 LEFT JOIN p${k + 1} p ON p.v = l0.v)""".stripMargin
+    }.mkString
+    val tail = s"""
+      |SELECT n.n_nationkey, n.n_name, lab$iters.l AS community,
+      |       count(*) OVER (PARTITION BY lab$iters.l) AS community_size
+      |FROM lab$iters JOIN nation n ON CAST(n.n_nationkey AS BIGINT) = lab$iters.v
+      |ORDER BY n.n_nationkey""".stripMargin
+    (base + steps + tail).trim
+  }
+
+  /** g02/g03/g05's shared co-supply edge relation: nations adjacent when
+    * they co-supply enough distinct parts, thresholded at the global 75th
     * percentile of pair support so the cutoff is data-relative. Canonical
-    * orientation (a < b), persisted — the triangle join reads it three
-    * times and the component loop iterates over it.
+    * orientation (a < b) with the support count kept as the weight (g05
+    * consumes it; g02/g03 project it away). ONE persisted plan for all
+    * consumers — the family shares the in-memory relation through the
+    * cache manager's plan match, so only the first g-query pays the
+    * fact-scale build.
     */
   private def coSupplyEdges(t: Tables): DataFrame = {
     val inc = t.lineitem.select("l_partkey", "l_suppkey")
@@ -274,7 +365,7 @@ object GraphQueries {
     val thr = co.agg(expr("percentile(n, 0.75)").as("q"))
     co.crossJoin(broadcast(thr))
       .filter(col("n") >= col("q"))
-      .select(col("a"), col("b"))
+      .select(col("a"), col("b"), col("n"))
       .persist()
   }
 

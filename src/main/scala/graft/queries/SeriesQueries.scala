@@ -445,6 +445,49 @@ object SeriesQueries {
         |FROM days d JOIN ev e ON e.day BETWEEN d.day - 2 AND d.day
         |GROUP BY d.day
         |ORDER BY d.day
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // First-order Markov transition matrix over per-user event
+      // sequences — the session-flow model behind next-action prediction
+      // and funnel-drop diagnosis: P(next_type | type) with exact counts.
+      // One lead() window per user (ONE user-keyed exchange at any log
+      // size) then a |types|^2-bounded aggregate; probabilities divide
+      // exact integers and round at 6. Ordering ties pin on
+      // (microsecond ts, event_id) — the µs truncation rule both engines
+      // share (TESTDATA gotcha: DuckDB reads ns parquet as µs).
+      "q52_transitions",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tsu"), col("event_id"))
+        val seq = t.events
+          .select(col("user_id"), expr("ts div 1000").as("tsu"),
+            col("event_id"), col("event_type"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+        seq.groupBy(col("event_type"), col("next_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p", round(col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy(col("event_type"))), 6))
+          .orderBy(col("event_type"), col("next_type"))
+      },
+      Some("""
+        |WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS next_type
+        |  FROM events
+        |),
+        |c AS (
+        |  SELECT event_type, next_type, count(*) AS n
+        |  FROM seq WHERE next_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |)
+        |SELECT event_type, next_type, n,
+        |       round(n * 1.0 / sum(n) OVER (PARTITION BY event_type), 6) AS p
+        |FROM c
+        |ORDER BY event_type, next_type
         |""".stripMargin.trim))
   )
 }

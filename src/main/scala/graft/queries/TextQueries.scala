@@ -2667,6 +2667,102 @@ object TextQueries {
         |       round(max(jaccard), 6) AS max_jaccard
         |FROM lbl GROUP BY 1, 2
         |ORDER BY split_lo, split_hi
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Incremental cluster canonicalization (d08's daily-ingest shape
+      // carried through to the KEEPER MAP): the 20% "new batch" updates
+      // the corpus's existing keeper map via Dedup.extendCanonical —
+      // new pairs lifted into keeper space, the batch-sized lifted graph
+      // canonicalized, roots remapped back — never re-touching the
+      // corpus pair graph. The oracle computes the FULL transitive
+      // closure over ALL pairs (recursive CTE), so the hash match IS the
+      // proof that incremental == full recanonicalization.
+      "d16_incremental_canonical",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        // MinHash signatures are PER-DOC, so the corpus-only and new-pair
+        // fronts are exactly endpoint-filters of the shared full pair
+        // relation (the d02/d05/s12 persisted cache) — the query pays only
+        // the keeper-map algebra. A production ingest swaps in
+        // crossCorpusMinhashPairs (d08) as the batch front; the pair SETS
+        // are identical either way, which is what makes the swap safe.
+        def isNew(c: org.apache.spark.sql.Column) =
+          graft.ops.Sampling.hashBucket(c, 100) < 20
+        val pairs = Dedup.nearDuplicatesMinhashCached(t.documents,
+            "doc_id", "text",
+            threshold = 0.5, numHashes = 32, bands = 8, shingleN = 3)
+          .select(col("doc_a"), col("doc_b"))
+        val base = Dedup.canonicalize(
+          pairs.filter(!isNew(col("doc_a")) && !isNew(col("doc_b"))))
+        val newP = pairs.filter(isNew(col("doc_a")) || isNew(col("doc_b")))
+        Dedup.extendCanonical(base, newP)
+          .withColumn("is_new", isNew(col("doc_id")))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        |WITH RECURSIVE
+        |tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) >= 3
+        |              THEN list_distinct(list_transform(range(len(toks) - 2),
+        |                     i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+        |              ELSE [] END AS shingles
+        |  FROM tok
+        |),
+        |ex AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT)  AS h1,
+        |         CAST(concat('0x', substr(md5(s), 13, 12)) AS BIGINT) AS h2
+        |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0)
+        |),
+        |hashed AS (
+        |  SELECT doc_id, j, min((h1 + j * h2) % 2147483647) AS sigv
+        |  FROM ex, range(32) t(j)
+        |  GROUP BY doc_id, j
+        |),
+        |sigs AS (SELECT doc_id, list(sigv ORDER BY j) AS sig FROM hashed GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS key
+        |  FROM sigs, range(8) t(b)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+        |),
+        |hsets AS (SELECT doc_id, list(h1) AS hs FROM ex GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM cand c
+        |  JOIN hsets sa ON sa.doc_id = c.doc_a
+        |  JOIN hsets sb ON sb.doc_id = c.doc_b
+        |  WHERE len(list_intersect(sa.hs, sb.hs)) * 1.0
+        |        / len(list_distinct(sa.hs || sb.hs)) >= 0.5
+        |),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION
+        |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+        |),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |),
+        |labels AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS keeper_id
+        |  FROM reach GROUP BY src
+        |)
+        |SELECT doc_id, keeper_id,
+        |       (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |          % 100 < 20) AS is_new
+        |FROM labels
+        |ORDER BY doc_id
         |""".stripMargin.trim))
   )
 

@@ -128,6 +128,29 @@ class GraphSpec extends SparkSpec {
       "already-NFC input must short-circuit without allocating")
   }
 
+  test("labelPropagation finds two planted cliques across a weak bridge") {
+    import graft.ops.Graph
+    // Two 4-cliques {0..3} and {10..13} with weight-3 internal edges,
+    // joined by ONE weight-1 bridge (3, 10): after 3 synchronous rounds
+    // every vertex must carry its clique's minimum label, and the bridge
+    // must NOT merge the communities (internal weight dominates the
+    // argmax). Deterministic by construction — exact integer weights +
+    // min-label ties.
+    val cliqueA = for (a <- 0L to 3L; b <- 0L to 3L if a != b) yield (a, b, 3L)
+    val cliqueB = for (a <- 10L to 13L; b <- 10L to 13L if a != b) yield (a, b, 3L)
+    val bridge = Seq((3L, 10L, 1L), (10L, 3L, 1L))
+    val edges = (cliqueA ++ cliqueB ++ bridge).toDF("src", "dst", "w")
+    val verts = ((0L to 3L) ++ (10L to 13L) :+ 99L).toDF("v")
+    def run(parts: Int): Map[Long, Long] =
+      Graph.labelPropagation(verts, edges.repartition(parts), iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run(3)
+    (0L to 3L).foreach(v => assert(got(v) === 0L, s"vertex $v not in community 0"))
+    (10L to 13L).foreach(v => assert(got(v) === 10L, s"vertex $v not in community 10"))
+    assert(got(99L) === 99L, "isolated vertex must keep its own label")
+    assert(got === run(7), "labels drift with partitioning")
+  }
+
   test("NfcNormalize interpreted eval matches the codegen dataframe path") {
     val inputs = Seq(" cafe\u0301", " caf\u00e9", "",
       "mixed e\u0301\u00e9", "s\u0323\u0307 \u1e69")

@@ -113,6 +113,27 @@ class OpsSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("extendCanonical merges bridged clusters and equals full recanonicalization") {
+    // Existing clusters {1,2}, {5,6}, singleton {9}; the batch joins a
+    // cluster (100-2), BRIDGES {5,6} and {9} through new doc 101, merges
+    // two old clusters directly (2-5), and adds a batch-only pair
+    // (200-201). The incremental result must equal canonicalizing the
+    // union graph from scratch.
+    val keepers = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L), (9L, 9L))
+      .toDF("doc_id", "keeper_id")
+    val newPairs = Seq((100L, 2L), (101L, 6L), (101L, 9L), (200L, 201L),
+      (2L, 5L)).toDF("doc_a", "doc_b")
+    val got = Dedup.extendCanonical(keepers, newPairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.canonicalize(
+        Seq((1L, 2L), (5L, 6L)).toDF("doc_a", "doc_b").unionByName(newPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === full, s"incremental $got != full $full")
+    assert(got(101L) === 1L && got(6L) === 1L && got(9L) === 1L,
+      "bridge through the new doc must merge {5,6} and {9} into 1's component")
+    assert(got(200L) === 200L && got(201L) === 200L)
+  }
+
   test("distributed canonicalize path matches the local union-find path") {
     // localThreshold = 0 forces the iterative min-label loop; both paths
     // must produce identical components and keepers.
