@@ -65,7 +65,9 @@ object Explain {
     "v25_matryoshka"      -> "four broadcast-probe prefix-cosine scans sharing one persisted full-dim ranking",
     "s14_distribution_match" -> "one band-keyed window rank + bands-bounded min-count broadcast back",
     "t30_line_dedup"      -> "persisted line explode; ONE line-hash doc-frequency count whose filtered (boilerplate-only) output broadcasts back, then ONE doc-keyed reassembly",
-    "s16_split_leakage"   -> "id-derived split labels on the shared minhash pair relation — zero joins beyond the d02 candidate pipeline itself")
+    "s16_split_leakage"   -> "id-derived split labels on the shared minhash pair relation — zero joins beyond the d02 candidate pipeline itself",
+    "a06_join_cardinality" -> "two 256-row key histograms + integer-summed containment estimate — the join never runs on the estimate path",
+    "q52_transitions"     -> "one lead() window (ONE user-keyed exchange) into a |types|^2-bounded aggregate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
