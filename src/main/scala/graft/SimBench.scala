@@ -435,7 +435,31 @@ object SimBench {
       .agg(sum(col("n_removed"))).head.getLong(0)
     val lineSec = (System.nanoTime() - tl) / 1e9
 
-    println(s"""{"metric":"findsim_1024x475_qps","value":$qps,"unit":"qps","extra":{"findsim_1m_x64_sec":$bigSec,"hits_small":$hits,"hits_1m":$bigHits,"ivf_1m_build_sec":$buildSec,"ivf_1m_topk_sec":$ivfSec,"ivf_1m_topk_semijoin_sec":$ivfSemiSec,"brute_1m_topk_sec":$bruteSec,"ivf_rows":$ivfRows,"brute_rows":$bruteRows,"ivfpq_1m_build_sec":$pqBuildSec,"ivfpq_1m_topk_sec":$pqSec,"ivfpq_recall_at10":$pqRecall,"ivfpq_rerank_1m_sec":$rrSec,"ivfpq_rerank_recall_at10":$rrRecall,"bq_hamming_1m_sec":$bqSec,"bq_rows":$bqRows,"bq_rerank_1m_sec":$bqRerankSec,"bq_rerank_recall_at10":$bqRecall,"lsh_allpairs_1m_sec":$lshSec,"lsh_pairs":$lshCount,"lsh_planted_found":$plantedFound,"semdedup_1m_sec":$semSec,"semdedup_pairs":$semCount,"semdedup_planted_found":$semPlantedFound,"d4_prune_1m_sec":$pruneSec,"d4_dropped":$pruneDropped,"d4_core_minus_periphery":$pruneSep,"text_1m_winnow_sec":$winnowSec,"text_1m_winnow_rows":$winnowRows,"text_1m_wordsig_sec":$wordSigSec,"text_1m_wordsig_rows":$wordSigRows,"text_1m_cdc_sec":$cdcSec,"text_1m_cdc_rows":$cdcRows,"text_1m_entropy_sec":$entropySec,"text_1m_entropy_rows":$entropyRows,"dhash_1m_pairs_sec":$hamSec,"dhash_pairs":$hamCount,"dhash_planted_found":$hamPlanted,"nfc_1m_sec":$nfcSec,"nfc_1m_rows":$nfcRows,"pagerank_100kx2m_sec":$prSec,"pagerank_mass":$prMass,"kcenter_1m_k5_sec":$kcSec,"kcenter_1m_radius":$kc,"novelty_1m_sec":$novSec,"novelty_1m_mean":$novMean,"asof_nearest_1mx5m_sec":$asofSec,"asof_nearest_matched":$asofMatched,"flatten_1m_sec":$flatSec,"flatten_1m_kept":$flatKept,"lshsweep_b4_found":${sw4._2},"lshsweep_b4_sec":${sw4._3},"lshsweep_b8_found":${sw8._2},"lshsweep_b8_sec":${sw8._3},"lshsweep_b16_found":${sw16._2},"lshsweep_b16_sec":${sw16._3},"linededup_1m_sec":$lineSec,"linededup_1m_removed":$lineRemoved}}""")
+    // Label propagation at 1M vertices / ~9.2M directed edges: 100k
+    // disjoint 10-cliques (intra weight 3) chained by weight-1 bridges.
+    // After 3 synchronous rounds every vertex must carry its clique's
+    // minimum label and no bridge may merge cliques — a closed-form
+    // correctness check on the distributed join loop at volume.
+    val lpaVerts = spark.range(1000000L).select(col("id").as("v"))
+    val cliqueEdges = spark.range(1000000L).select(col("id").as("src"))
+      .crossJoin(spark.range(10L).select(col("id").as("off")))
+      .select(col("src"),
+        ((col("src") - pmod(col("src"), lit(10L))) + col("off")).as("dst"),
+        lit(3L).as("w"))
+      .filter(col("src") =!= col("dst"))
+    val bridgeEdges = spark.range(99999L)
+      .select((col("id") * 10 + 9).as("src"), ((col("id") + 1) * 10).as("dst"),
+        lit(1L).as("w"))
+    val lpaEdges = cliqueEdges
+      .unionByName(bridgeEdges)
+      .unionByName(bridgeEdges.select(col("dst").as("src"),
+        col("src").as("dst"), col("w")))
+    val tlp = System.nanoTime()
+    val lpaBad = graft.ops.Graph.labelPropagation(lpaVerts, lpaEdges, 3)
+      .filter(col("l") =!= col("v") - pmod(col("v"), lit(10L))).count()
+    val lpaSec = (System.nanoTime() - tlp) / 1e9
+
+    println(s"""{"metric":"findsim_1024x475_qps","value":$qps,"unit":"qps","extra":{"findsim_1m_x64_sec":$bigSec,"hits_small":$hits,"hits_1m":$bigHits,"ivf_1m_build_sec":$buildSec,"ivf_1m_topk_sec":$ivfSec,"ivf_1m_topk_semijoin_sec":$ivfSemiSec,"brute_1m_topk_sec":$bruteSec,"ivf_rows":$ivfRows,"brute_rows":$bruteRows,"ivfpq_1m_build_sec":$pqBuildSec,"ivfpq_1m_topk_sec":$pqSec,"ivfpq_recall_at10":$pqRecall,"ivfpq_rerank_1m_sec":$rrSec,"ivfpq_rerank_recall_at10":$rrRecall,"bq_hamming_1m_sec":$bqSec,"bq_rows":$bqRows,"bq_rerank_1m_sec":$bqRerankSec,"bq_rerank_recall_at10":$bqRecall,"lsh_allpairs_1m_sec":$lshSec,"lsh_pairs":$lshCount,"lsh_planted_found":$plantedFound,"semdedup_1m_sec":$semSec,"semdedup_pairs":$semCount,"semdedup_planted_found":$semPlantedFound,"d4_prune_1m_sec":$pruneSec,"d4_dropped":$pruneDropped,"d4_core_minus_periphery":$pruneSep,"text_1m_winnow_sec":$winnowSec,"text_1m_winnow_rows":$winnowRows,"text_1m_wordsig_sec":$wordSigSec,"text_1m_wordsig_rows":$wordSigRows,"text_1m_cdc_sec":$cdcSec,"text_1m_cdc_rows":$cdcRows,"text_1m_entropy_sec":$entropySec,"text_1m_entropy_rows":$entropyRows,"dhash_1m_pairs_sec":$hamSec,"dhash_pairs":$hamCount,"dhash_planted_found":$hamPlanted,"nfc_1m_sec":$nfcSec,"nfc_1m_rows":$nfcRows,"pagerank_100kx2m_sec":$prSec,"pagerank_mass":$prMass,"kcenter_1m_k5_sec":$kcSec,"kcenter_1m_radius":$kc,"novelty_1m_sec":$novSec,"novelty_1m_mean":$novMean,"asof_nearest_1mx5m_sec":$asofSec,"asof_nearest_matched":$asofMatched,"flatten_1m_sec":$flatSec,"flatten_1m_kept":$flatKept,"lshsweep_b4_found":${sw4._2},"lshsweep_b4_sec":${sw4._3},"lshsweep_b8_found":${sw8._2},"lshsweep_b8_sec":${sw8._3},"lshsweep_b16_found":${sw16._2},"lshsweep_b16_sec":${sw16._3},"linededup_1m_sec":$lineSec,"linededup_1m_removed":$lineRemoved,"lpa_1m_sec":$lpaSec,"lpa_1m_mislabeled":$lpaBad}}""")
     spark.stop()
   }
 }

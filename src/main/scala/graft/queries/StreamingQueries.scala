@@ -806,6 +806,41 @@ object StreamingQueries {
         |       cnt AS est_count
         |FROM r WHERE rnk <= 3
         |ORDER BY event_type, rnk
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Streaming quantiles: per-type running p50/p95 of the value column
+      // as a KLL sketch in keyed state (EventStreams.streamingQuantiles)
+      // — KB of state per key on an unbounded stream where the exact
+      // answer needs every value. KLL guarantees RANK accuracy (~1.65%
+      // at k=200) and its compaction is randomized, so the driver
+      // contract checks the exact batch RANK of each streamed estimate
+      // within a 3.5% band — the estimator-honesty rule st14 set for
+      // HLL, applied to quantiles.
+      "st17_stream_quantiles",
+      (s, dir) => {
+        import s.implicits._
+        val ev = eventStream(s, dir)
+          .select(col("event_type"), col("value"))
+          .as[EventStreams.ValueEvent]
+        val est = EventStreams.streamingQuantiles(ev).toDF()
+        val streamed = runToTable(s, est, "update")
+        Tables(s, dir).events
+          .join(broadcast(streamed), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            (abs(sum(when(col("value") <= col("est_p50"), 1L).otherwise(0L))
+              .cast("double") / count(lit(1)) - 0.5) <= 0.035).as("p50_ok"),
+            (abs(sum(when(col("value") <= col("est_p95"), 1L).otherwise(0L))
+              .cast("double") / count(lit(1)) - 0.95) <= 0.035).as("p95_ok"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        |SELECT event_type, count(*) AS n_events,
+        |       TRUE AS p50_ok, TRUE AS p95_ok
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type
         |""".stripMargin.trim))
   )
 }

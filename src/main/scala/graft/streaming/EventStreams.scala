@@ -294,6 +294,66 @@ object EventStreams {
     }
   }
 
+  final case class TypeQuantiles(event_type: String, est_p50: Double,
+      est_p95: Double)
+
+  /** Streaming quantiles — per-key p50/p95 of the value column tracked as
+    * a KLL floats sketch in keyed state (Apache DataSketches, the
+    * mergeable-quantiles successor to GK): a running percentile over an
+    * unbounded stream costs ~KB of state per key where an exact answer
+    * needs every value. KLL's guarantee is on RANK, not value (~1.65%
+    * normalized rank error at the default k=200, two-sided 99%), and its
+    * compaction coin-flips make byte-level state run-dependent — so the
+    * st17 contract checks the RANK of each estimate against the exact
+    * batch distribution within a 3.5% band, never bit equality (the same
+    * estimator-honesty rule as st14's HLL RSE band).
+    *
+    * Requires RocksDB state store (transformWithState), like
+    * [[userPeaks]].
+    */
+  def streamingQuantiles(events: Dataset[ValueEvent]): Dataset[TypeQuantiles] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .transformWithState(new QuantileProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  final case class ValueEvent(event_type: String, value: Double)
+
+  /** The [[streamingQuantiles]] processor: one binary ValueState cell per
+    * key holding the serialized KLL sketch; each batch heapifies, updates,
+    * re-serializes, and emits the running p50/p95.
+    */
+  final class QuantileProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, ValueEvent, TypeQuantiles] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[Array[Byte]] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[Array[Byte]]("kll",
+        org.apache.spark.sql.Encoders.BINARY,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[ValueEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TypeQuantiles] = {
+      import org.apache.datasketches.kll.KllFloatsSketch
+      import org.apache.datasketches.memory.Memory
+      val sketch = Option(state.get()) match {
+        case Some(bytes) => KllFloatsSketch.heapify(Memory.wrap(bytes))
+        case None => KllFloatsSketch.newHeapInstance()
+      }
+      rows.foreach(e => sketch.update(e.value.toFloat))
+      state.update(sketch.toByteArray)
+      Iterator.single(TypeQuantiles(key,
+        sketch.getQuantile(0.5).toDouble, sketch.getQuantile(0.95).toDouble))
+    }
+  }
+
   final case class TypeTopUser(event_type: String, rnk: Int, user_id: Long,
       est_count: Long)
 

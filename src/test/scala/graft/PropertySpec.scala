@@ -107,6 +107,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("extendCanonical equals full recanonicalization on random split graphs") {
+    // The d16 invariant as a property: split a random edge set into a
+    // "corpus" prefix and a "batch" suffix, canonicalize the prefix,
+    // extend with the suffix — the result must equal canonicalizing the
+    // whole graph, for every random draw (bridges, merges, and new
+    // singleton clusters all occur across draws).
+    val rng = new scala.util.Random(11)
+    (0 until 3).foreach { round =>
+      val n = 30
+      val edges = Seq.fill(25)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val (corpusE, batchE) = edges.splitAt(edges.size / 2)
+      if (corpusE.nonEmpty && batchE.nonEmpty) {
+        val base = graft.ops.Dedup.canonicalize(corpusE.toDF("doc_a", "doc_b"))
+        val got = graft.ops.Dedup.extendCanonical(base,
+            batchE.toDF("doc_a", "doc_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val full = graft.ops.Dedup.canonicalize(edges.toDF("doc_a", "doc_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === full, s"round=$round corpus=$corpusE batch=$batchE")
+      }
+    }
+  }
+
   test("dedupCorpus keeps exactly one doc per near-dup cluster") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val before = docs.count()

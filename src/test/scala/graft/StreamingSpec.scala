@@ -450,6 +450,62 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamingQuantiles sketch state survives a checkpointed restart") {
+    import EventStreams.ValueEvent
+    // Disjoint value ranges per run make state loss visible: run 1 feeds
+    // 0..999, run 2 feeds 1000..1999. The whole-history median is ~1000;
+    // a run-2-only sketch would sit near 1500, far outside the KLL rank
+    // band around the true median.
+    val base = s"/root/repo/target/graft-io/kll_restart_${System.nanoTime()}"
+    val feed = s"$base/feed"; val chk = s"$base/chk"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batch1 = (0 until 1000).map(i => ValueEvent("click", i.toDouble))
+      batch1.toDS().toDF().coalesce(1).write.parquet(feed)
+      val sink = s"$base/sink"
+      def drain(): Unit = {
+        val in = spark.readStream
+          .schema(batch1.toDS().toDF().schema).parquet(feed)
+          .as[ValueEvent]
+        val q = EventStreams.streamingQuantiles(in).toDF().writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            df.withColumn("batch_id", lit(id))
+              .write.mode("append").parquet(sink)
+          }
+          .option("checkpointLocation", chk)
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain()
+      val batch2 = (1000 until 2000).map(i => ValueEvent("click", i.toDouble))
+      batch2.toDS().toDF().coalesce(1).write.mode("append").parquet(feed)
+      drain()
+      val all = spark.read.parquet(sink)
+      val last = all.agg(max($"batch_id")).head.getLong(0)
+      val r = all.filter($"batch_id" === last).head()
+      val (p50, p95) = (r.getDouble(1), r.getDouble(2))
+      // 2000 values 0..1999: true p50 = ~1000, p95 = ~1900. KLL rank
+      // error at k=200 is ~1.65% => ~±33 value units on this uniform
+      // range; 70 gives ~2x margin for the randomized compaction.
+      assert(math.abs(p50 - 1000.0) <= 70.0,
+        s"restarted p50 $p50 far from 1000 — state not restored?")
+      assert(math.abs(p95 - 1900.0) <= 70.0, s"p95 $p95 far from 1900")
+    } finally {
+      fs.delete(p, true)
+      before match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streamingTopK counter state survives a checkpointed restart exactly") {
     import EventStreams.TypedEvent
     // Same two-run/one-checkpoint pattern as the sketch restart, but with
