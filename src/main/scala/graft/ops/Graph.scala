@@ -151,10 +151,11 @@ object Graph {
     * would make near-ties summation-order-dependent).
     *
     * Scale shape, per step: one (dst-keyed) join of the edge relation
-    * against the KB-per-vertex label state, one (vertex, label) partial-
-    * aggregated count, one per-vertex top-1 window — the PageRank loop's
-    * cost profile, with the same localCheckpoint per step to keep lineage
-    * flat. State is one long per vertex at any graph size.
+    * against the label state — one (v, l) long pair per vertex, ~16
+    * bytes, at any graph size — one (vertex, label) partial-aggregated
+    * count, one per-vertex top-1 window: the PageRank loop's cost
+    * profile, with the same localCheckpoint per step to keep lineage
+    * flat.
     */
   def labelPropagation(verts: DataFrame, edges: DataFrame,
       iters: Int): DataFrame = {

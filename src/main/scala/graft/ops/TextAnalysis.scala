@@ -735,9 +735,13 @@ object TextAnalysis {
     * Returns one row per document: `doc_id`, `n_lines`, `n_removed`, and
     * `clean_text` (surviving lines rejoined in original order).
     *
-    * Scale shape, per 100 TB pass: explode lines map-side; ONE line-hash
-    * keyed count (partial-aggregated — header lines collapse to one row
-    * per partition before the exchange) produces the boilerplate set,
+    * Scale shape, per 100 TB pass: explode lines map-side; ONE
+    * doc-frequency count whose partial stage groups on (line-hash,
+    * doc_id) — within-doc repeats collapse map-side, and the exchange
+    * carries one row per distinct (line, doc) incidence, i.e. it is
+    * bounded by the corpus's total line count (a header in 10^9 docs
+    * ships 10^9 rows once, not once per occurrence). The count produces
+    * the boilerplate set,
     * which is tiny BY DEFINITION (only lines repeated across >= minDocs
     * docs survive the filter) so the flag-back join broadcasts under AQE;
     * then ONE doc-keyed shuffle reassembles. The exploded line relation is
@@ -787,7 +791,7 @@ object TextAnalysis {
     * IEEE doubles cross-engine); beta holds two `ln` calls, so it rounds
     * at 4 like t19's KL terms to absorb libm last-bit drift.
     */
-  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+  def vocabGrowth(docs: DataFrame, textCol: String,
       domainCol: String): DataFrame = {
     val toks = tokensRelation(docs, textCol)
     val tc = toks

@@ -2565,7 +2565,7 @@ object TextQueries {
       "t31_vocab_growth",
       (s, dir) => {
         val t = Tables(s, dir)
-        TextAnalysis.vocabGrowth(t.documents, "doc_id", "text", "source")
+        TextAnalysis.vocabGrowth(t.documents, "text", "source")
       },
       Some("""
         |WITH tok AS (

@@ -392,7 +392,7 @@ class Round5OpsSpec extends SparkSpec {
       (1L, "a a a b", "rep"),    // N=4 V=2 hapax=1
       (2L, "x y z", "uniq"))     // N=3 V=3 hapax=3
       .toDF("doc_id", "text", "source")
-    val out = graft.ops.TextAnalysis.vocabGrowth(docs, "doc_id", "text", "source")
+    val out = graft.ops.TextAnalysis.vocabGrowth(docs, "text", "source")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
     assert(out === Seq(
