@@ -67,7 +67,12 @@ object Explain {
     "t30_line_dedup"      -> "persisted line explode; ONE line-hash doc-frequency count whose filtered (boilerplate-only) output broadcasts back, then ONE doc-keyed reassembly",
     "s16_split_leakage"   -> "id-derived split labels on the shared minhash pair relation — zero joins beyond the d02 candidate pipeline itself",
     "a06_join_cardinality" -> "two 256-row key histograms + integer-summed containment estimate — the join never runs on the estimate path",
-    "q52_transitions"     -> "one lead() window (ONE user-keyed exchange) into a |types|^2-bounded aggregate")
+    "q52_transitions"     -> "one lead() window (ONE user-keyed exchange) into a |types|^2-bounded aggregate",
+    "g06_kcore"           -> "per-round degree-within-alive joins on the vertex-bounded alive set; all-integer peel cascade",
+    "q53_decay"           -> "one-row max broadcast back in; map-side decay expression into ONE user-keyed partial+final aggregation",
+    "e11_embed_audit"     -> "map-side magnitude + finiteness fold into a single global partial+final aggregate",
+    "d17_entity_resolution" -> "block-keyed candidate self-join (sum-over-blocks quadratic, never corpus^2) + in-block levenshtein match + canonicalize",
+    "a07_theta_overlap"   -> "ONE corpus scan -> |types|-row theta sketch relation; pairwise set expressions on KB summaries")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

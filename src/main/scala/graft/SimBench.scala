@@ -459,7 +459,23 @@ object SimBench {
       .filter(col("l") =!= col("v") - pmod(col("v"), lit(10L))).count()
     val lpaSec = (System.nanoTime() - tlp) / 1e9
 
-    println(s"""{"metric":"findsim_1024x475_qps","value":$qps,"unit":"qps","extra":{"findsim_1m_x64_sec":$bigSec,"hits_small":$hits,"hits_1m":$bigHits,"ivf_1m_build_sec":$buildSec,"ivf_1m_topk_sec":$ivfSec,"ivf_1m_topk_semijoin_sec":$ivfSemiSec,"brute_1m_topk_sec":$bruteSec,"ivf_rows":$ivfRows,"brute_rows":$bruteRows,"ivfpq_1m_build_sec":$pqBuildSec,"ivfpq_1m_topk_sec":$pqSec,"ivfpq_recall_at10":$pqRecall,"ivfpq_rerank_1m_sec":$rrSec,"ivfpq_rerank_recall_at10":$rrRecall,"bq_hamming_1m_sec":$bqSec,"bq_rows":$bqRows,"bq_rerank_1m_sec":$bqRerankSec,"bq_rerank_recall_at10":$bqRecall,"lsh_allpairs_1m_sec":$lshSec,"lsh_pairs":$lshCount,"lsh_planted_found":$plantedFound,"semdedup_1m_sec":$semSec,"semdedup_pairs":$semCount,"semdedup_planted_found":$semPlantedFound,"d4_prune_1m_sec":$pruneSec,"d4_dropped":$pruneDropped,"d4_core_minus_periphery":$pruneSep,"text_1m_winnow_sec":$winnowSec,"text_1m_winnow_rows":$winnowRows,"text_1m_wordsig_sec":$wordSigSec,"text_1m_wordsig_rows":$wordSigRows,"text_1m_cdc_sec":$cdcSec,"text_1m_cdc_rows":$cdcRows,"text_1m_entropy_sec":$entropySec,"text_1m_entropy_rows":$entropyRows,"dhash_1m_pairs_sec":$hamSec,"dhash_pairs":$hamCount,"dhash_planted_found":$hamPlanted,"nfc_1m_sec":$nfcSec,"nfc_1m_rows":$nfcRows,"pagerank_100kx2m_sec":$prSec,"pagerank_mass":$prMass,"kcenter_1m_k5_sec":$kcSec,"kcenter_1m_radius":$kc,"novelty_1m_sec":$novSec,"novelty_1m_mean":$novMean,"asof_nearest_1mx5m_sec":$asofSec,"asof_nearest_matched":$asofMatched,"flatten_1m_sec":$flatSec,"flatten_1m_kept":$flatKept,"lshsweep_b4_found":${sw4._2},"lshsweep_b4_sec":${sw4._3},"lshsweep_b8_found":${sw8._2},"lshsweep_b8_sec":${sw8._3},"lshsweep_b16_found":${sw16._2},"lshsweep_b16_sec":${sw16._3},"linededup_1m_sec":$lineSec,"linededup_1m_removed":$lineRemoved,"lpa_1m_sec":$lpaSec,"lpa_1m_mislabeled":$lpaBad}}""")
+    // k-core peeling on the same 1M-vertex graph, k=10: clique-interior
+    // vertices have degree 9 and fall in round 1 (800,002 of them); the
+    // 2x99,999 bridge endpoints have degree 10, survive round 1, then
+    // drop to degree <= 2 within the survivor set and fall in round 2 —
+    // a two-round closed-form cascade that checks the synchronous peel
+    // semantics (not just the fixpoint) at volume.
+    val tkc = System.nanoTime()
+    val kcRes = graft.ops.Graph.kcore(lpaVerts,
+      lpaEdges.select(col("src"), col("dst")), k = 10, rounds = 2).persist()
+    val kcPeel1 = kcRes.filter(col("peel_round") === 1).count()
+    val kcPeel2 = kcRes.filter(col("peel_round") === 2).count()
+    val kcCore = kcRes.filter(col("in_core")).count()
+    val kcoreSec = (System.nanoTime() - tkc) / 1e9
+    val kcoreOk = kcPeel1 == 800002L && kcPeel2 == 199998L && kcCore == 0L
+    kcRes.unpersist()
+
+    println(s"""{"metric":"findsim_1024x475_qps","value":$qps,"unit":"qps","extra":{"findsim_1m_x64_sec":$bigSec,"hits_small":$hits,"hits_1m":$bigHits,"ivf_1m_build_sec":$buildSec,"ivf_1m_topk_sec":$ivfSec,"ivf_1m_topk_semijoin_sec":$ivfSemiSec,"brute_1m_topk_sec":$bruteSec,"ivf_rows":$ivfRows,"brute_rows":$bruteRows,"ivfpq_1m_build_sec":$pqBuildSec,"ivfpq_1m_topk_sec":$pqSec,"ivfpq_recall_at10":$pqRecall,"ivfpq_rerank_1m_sec":$rrSec,"ivfpq_rerank_recall_at10":$rrRecall,"bq_hamming_1m_sec":$bqSec,"bq_rows":$bqRows,"bq_rerank_1m_sec":$bqRerankSec,"bq_rerank_recall_at10":$bqRecall,"lsh_allpairs_1m_sec":$lshSec,"lsh_pairs":$lshCount,"lsh_planted_found":$plantedFound,"semdedup_1m_sec":$semSec,"semdedup_pairs":$semCount,"semdedup_planted_found":$semPlantedFound,"d4_prune_1m_sec":$pruneSec,"d4_dropped":$pruneDropped,"d4_core_minus_periphery":$pruneSep,"text_1m_winnow_sec":$winnowSec,"text_1m_winnow_rows":$winnowRows,"text_1m_wordsig_sec":$wordSigSec,"text_1m_wordsig_rows":$wordSigRows,"text_1m_cdc_sec":$cdcSec,"text_1m_cdc_rows":$cdcRows,"text_1m_entropy_sec":$entropySec,"text_1m_entropy_rows":$entropyRows,"dhash_1m_pairs_sec":$hamSec,"dhash_pairs":$hamCount,"dhash_planted_found":$hamPlanted,"nfc_1m_sec":$nfcSec,"nfc_1m_rows":$nfcRows,"pagerank_100kx2m_sec":$prSec,"pagerank_mass":$prMass,"kcenter_1m_k5_sec":$kcSec,"kcenter_1m_radius":$kc,"novelty_1m_sec":$novSec,"novelty_1m_mean":$novMean,"asof_nearest_1mx5m_sec":$asofSec,"asof_nearest_matched":$asofMatched,"flatten_1m_sec":$flatSec,"flatten_1m_kept":$flatKept,"lshsweep_b4_found":${sw4._2},"lshsweep_b4_sec":${sw4._3},"lshsweep_b8_found":${sw8._2},"lshsweep_b8_sec":${sw8._3},"lshsweep_b16_found":${sw16._2},"lshsweep_b16_sec":${sw16._3},"linededup_1m_sec":$lineSec,"linededup_1m_removed":$lineRemoved,"lpa_1m_sec":$lpaSec,"lpa_1m_mislabeled":$lpaBad,"kcore_1m_sec":$kcoreSec,"kcore_1m_closed_form_ok":$kcoreOk}}""")
     spark.stop()
   }
 }

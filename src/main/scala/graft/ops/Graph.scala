@@ -189,6 +189,67 @@ object Graph {
     labels
   }
 
+  /** Fixed-round k-core peeling (Seidman 1983 degeneracy cores; the
+    * spam/link-farm density signal on web graphs, and the "dense cluster
+    * of near-identical hosts" prior a crawl-curation pipeline uses).
+    * Synchronous variant: each round computes every still-alive vertex's
+    * degree WITHIN the alive subgraph and removes all vertices below `k`
+    * at once — the free-running peel is removal-order-dependent in its
+    * intermediate states, while the synchronous one is a pure function
+    * of the graph at every round, so another engine can replay it stage
+    * by stage (the g06 oracle does exactly that). The surviving set
+    * converges to the true k-core once a round removes nothing; `rounds`
+    * bounds the iteration count the way LPA's fixed T does, and the
+    * returned `peel_round` (0 = survived all rounds, r = first round the
+    * vertex fell below k) is the coreness-ordering diagnostic.
+    *
+    * `verts`: (v). `edges`: (src, dst) directed BOTH ways for an
+    * undirected graph, deduplicated — degree = alive-neighbor count.
+    * Returns (v, in_core, core_deg, peel_round) where core_deg is the
+    * vertex's degree within the FINAL surviving subgraph (0 outside it).
+    *
+    * Scale shape, per round: one dst-keyed join of the edge relation
+    * against the alive set (vertex-bounded — broadcast under the same
+    * |V| <= 2^20 rule as LPA/PageRank), one src-side alive semi-join,
+    * one partial-aggregated degree count, one vertex-bounded peel-state
+    * update; localCheckpoint per round keeps lineage flat. All exact
+    * integer arithmetic — no float drift anywhere.
+    */
+  def kcore(verts: DataFrame, edges: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    val nVerts = verts.count()
+    val broadcastable = nVerts <= (1L << 20)
+    val tiny = nVerts <= 4096
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = (if (tiny) e0.coalesce(1) else e0).persist()
+    def hinted(df: DataFrame): DataFrame =
+      if (broadcastable) broadcast(df) else df
+    // peel = 0 while alive; set to the round number when the vertex drops.
+    var state = verts.select(col("v"), lit(0).as("peel"))
+    state = if (tiny) state.coalesce(1) else state
+    def degOver(alive: DataFrame): DataFrame =
+      e.join(hinted(alive.select(col("v").as("dv"))), e("dst") === col("dv"))
+        .join(hinted(alive.select(col("v").as("sv"))), e("src") === col("sv"))
+        .groupBy(e("src").as("v")).agg(count(lit(1)).as("deg"))
+    for (r <- 1 to rounds) {
+      val alive = state.filter(col("peel") === 0).select(col("v"))
+      val surv = degOver(alive).filter(col("deg") >= k)
+        .select(col("v").as("sv"))
+      state = state.join(hinted(surv), state("v") === col("sv"), "left")
+        .select(state("v"),
+          when(col("peel") =!= 0, col("peel"))
+            .when(col("sv").isNull, lit(r))
+            .otherwise(lit(0)).as("peel"))
+        .localCheckpoint()
+    }
+    val core = state.filter(col("peel") === 0).select(col("v"))
+    state.join(degOver(core).withColumnRenamed("v", "cv"),
+        state("v") === col("cv"), "left")
+      .select(state("v"), (col("peel") === 0).as("in_core"),
+        coalesce(col("deg"), lit(0L)).as("core_deg"),
+        col("peel").as("peel_round"))
+  }
+
   /** Per-vertex triangle participation counts over canonical undirected
     * edges (a < b required — the node-iterator invariant). Returns
     * (v, n_triangles) for every vertex in ≥1 triangle.

@@ -513,4 +513,35 @@ object Similarity {
       .reduce(_ + _)
     joined.select(col(idCol), round(total, roundTo).as("rrf"))
   }
+
+  /** Embedding-corpus QA audit (e11): the gate run before building ANN
+    * structures over a new embedding drop. One map-side scan (magnitude
+    * + a per-row finiteness fold) into ONE global aggregate — at any
+    * corpus size the exchange carries one partial-agg row per partition.
+    * Flags: ragged dims (min/max differ), zero vectors
+    * (cosine-undefined), non-finite elements (a NaN poisons every dot
+    * product downstream), exact duplicate vectors, and the norm envelope
+    * (collapsed/exploding norms = encoder regression). Norm stats round
+    * at `roundTo`; all counts exact.
+    */
+  def embedAudit(vecs: DataFrame, embCol: String,
+      roundTo: Int = 6): DataFrame = {
+    val scanned = vecs.select(
+      col(embCol).as("embedding"),
+      size(col(embCol)).as("dims"),
+      graft.functions.vector.magnitude(col(embCol)).as("nrm"),
+      exists(col(embCol), x =>
+        isnan(x) || abs(x) === lit(Float.PositiveInfinity))
+        .as("nonfinite"))
+    scanned.agg(
+      count(lit(1)).as("n_vecs"),
+      min(col("dims")).as("dims_min"),
+      max(col("dims")).as("dims_max"),
+      sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+      sum(when(col("nonfinite"), 1L).otherwise(0L)).as("n_nonfinite"),
+      (count(lit(1)) - countDistinct(col("embedding"))).as("n_exact_dups"),
+      round(min(col("nrm")), roundTo).as("norm_min"),
+      round(avg(col("nrm")), roundTo).as("norm_mean"),
+      round(max(col("nrm")), roundTo).as("norm_max"))
+  }
 }

@@ -38,6 +38,10 @@ object GraphQueries {
     */
   private val LpaIters = 3
 
+  /** g06's peel threshold and round bound (same eager-init rule). */
+  private val KcoreK = 9
+  private val KcoreRounds = 3
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "g01_pagerank",
@@ -287,7 +291,32 @@ object GraphQueries {
               .partitionBy(col("community"))))
           .orderBy(col("n_nationkey"))
       },
-      Some(lpaOracle(LpaIters)))
+      Some(lpaOracle(LpaIters))),
+
+    QueryDef(
+      // k-core peeling (Seidman degeneracy cores) over the co-supply
+      // graph: which nations sit in the densely-interconnected supply
+      // core, which peel off, and at which synchronous round. k=9 keeps
+      // the 12-nation core at sf0.01 (data-relative: the 75th-percentile
+      // edge threshold makes the graph density comparable across scale
+      // factors); `rounds`=3 bounds the fixed-T contract and the oracle
+      // replays every stage — degree-within-alive + filter — as CTEs.
+      // All integer arithmetic: the hash match is exact by construction.
+      "g06_kcore",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val e = coSupplyEdges(t)
+        val und = e.select(col("a").as("src"), col("b").as("dst"))
+          .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+        val verts = t.nation.select(col("n_nationkey").cast("long").as("v"))
+        val core = graft.ops.Graph.kcore(verts, und, KcoreK, KcoreRounds)
+        t.nation.select(col("n_nationkey"), col("n_name"))
+          .join(core, col("n_nationkey").cast("long") === core("v"))
+          .select(col("n_nationkey"), col("n_name"), col("in_core"),
+            col("core_deg"), col("peel_round"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some(kcoreOracle(KcoreK, KcoreRounds)))
   )
 
   /** The g05 oracle: the weighted co-supply edges (g03's chain keeping
@@ -338,6 +367,70 @@ object GraphQueries {
       |SELECT n.n_nationkey, n.n_name, lab$iters.l AS community,
       |       count(*) OVER (PARTITION BY lab$iters.l) AS community_size
       |FROM lab$iters JOIN nation n ON CAST(n.n_nationkey AS BIGINT) = lab$iters.v
+      |ORDER BY n.n_nationkey""".stripMargin
+    (base + steps + tail).trim
+  }
+
+  /** The g06 oracle: the co-supply edges both ways, alive0 = all
+    * nations, then `rounds` synchronous peel stages unrolled as CTEs —
+    * each stage recomputes degree WITHIN the alive set and drops
+    * everything below `k`, exactly the stages [[graft.ops.Graph.kcore]]
+    * runs — plus a final degree pass over the surviving core and a
+    * first-dropped-round classification.
+    */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val base = """
+      |WITH inc AS (
+      |  SELECT DISTINCT l.l_partkey AS pk, CAST(s.s_nationkey AS BIGINT) AS nk
+      |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |),
+      |co AS (
+      |  SELECT x.nk AS a, y.nk AS b, count(*) AS n
+      |  FROM inc x JOIN inc y ON x.pk = y.pk AND x.nk < y.nk
+      |  GROUP BY 1, 2
+      |),
+      |thr AS (SELECT quantile_cont(n, 0.75) AS q FROM co),
+      |e AS (SELECT a, b FROM co, thr WHERE co.n >= thr.q),
+      |edges AS (
+      |  SELECT a AS src, b AS dst FROM e
+      |  UNION ALL
+      |  SELECT b AS src, a AS dst FROM e
+      |),
+      |alive0 AS (SELECT CAST(n_nationkey AS BIGINT) AS v FROM nation)""".stripMargin
+    val steps = (0 until rounds).map { r =>
+      s"""
+      |, deg${r + 1} AS (
+      |  SELECT e.src AS v, count(*) AS d FROM edges e
+      |  JOIN alive$r x ON e.src = x.v
+      |  JOIN alive$r y ON e.dst = y.v
+      |  GROUP BY 1
+      |),
+      |alive${r + 1} AS (SELECT v FROM deg${r + 1} WHERE d >= $k)""".stripMargin
+    }.mkString
+    val peelCases = (1 until rounds)
+      .map(r => s"WHEN a$r.v IS NULL THEN $r").mkString(" ")
+    val peelJoins = (1 to rounds)
+      .map(r => s"LEFT JOIN alive$r a$r ON a$r.v = a0.v").mkString("\n      |  ")
+    val tail = s"""
+      |, coredeg AS (
+      |  SELECT e.src AS v, count(*) AS d FROM edges e
+      |  JOIN alive$rounds x ON e.src = x.v
+      |  JOIN alive$rounds y ON e.dst = y.v
+      |  GROUP BY 1
+      |),
+      |peel AS (
+      |  SELECT a0.v,
+      |         CASE WHEN a$rounds.v IS NOT NULL THEN 0
+      |              $peelCases
+      |              ELSE $rounds END AS pr
+      |  FROM alive0 a0
+      |  $peelJoins
+      |)
+      |SELECT n.n_nationkey, n.n_name, (p.pr = 0) AS in_core,
+      |       coalesce(c.d, 0) AS core_deg, CAST(p.pr AS INT) AS peel_round
+      |FROM nation n
+      |JOIN peel p ON p.v = CAST(n.n_nationkey AS BIGINT)
+      |LEFT JOIN coredeg c ON c.v = p.v
       |ORDER BY n.n_nationkey""".stripMargin
     (base + steps + tail).trim
   }

@@ -1629,6 +1629,50 @@ object Relational {
         |       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_shipments
         |FROM run GROUP BY 1 ORDER BY 1
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Theta-sketch audience overlap: distinct-user INTERSECTION between
+      // every pair of event types from KB-sized sketches — the set
+      // expression HLL cannot answer (HLL unions only; theta sketches
+      // union/intersect/difference over the same summaries). One corpus
+      // scan builds a |types|-row sketch relation (partial+final union
+      // merge, order-independent by construction — a theta sketch is a
+      // pure function of the input SET); the pairwise fold then runs on
+      // that bounded relation, never re-touching the corpus. With
+      // nominalEntries 4096 >= the ~150 distinct users/type the sketches
+      // stay in exact mode (theta=1), so every estimate — and every
+      // intersection — is EXACTLY the true count and the oracle is the
+      // plain distinct-pair join (st16's exact-at-capacity rule for set
+      // sketches). At 100 TB the same query reads ~1%-RSE estimates from
+      // the same KB sketches; the exact oracle join is what it replaces.
+      "a07_theta_overlap",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val sk = t.events.groupBy(col("event_type"))
+          .agg(graft.functions.ThetaSketch.sketch(col("user_id")).as("sk"),
+            countDistinct(col("user_id")).as("n_users"))
+        val inter = udf((a: Array[Byte], b: Array[Byte]) =>
+          math.round(graft.functions.ThetaSketch.intersectEstimate(a, b)))
+        sk.as("x").join(sk.as("y"),
+            col("x.event_type") < col("y.event_type"))
+          .select(col("x.event_type").as("type_a"),
+            col("y.event_type").as("type_b"),
+            col("x.n_users").as("n_a"), col("y.n_users").as("n_b"),
+            inter(col("x.sk"), col("y.sk")).as("shared_users"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some("""
+        |WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |n AS (SELECT event_type, count(*) AS nu FROM tu GROUP BY 1)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |       na.nu AS n_a, nb.nu AS n_b, count(*) AS shared_users
+        |FROM tu a
+        |JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |JOIN n na ON na.event_type = a.event_type
+        |JOIN n nb ON nb.event_type = b.event_type
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY 1, 2
         |""".stripMargin.trim))
   )
 }

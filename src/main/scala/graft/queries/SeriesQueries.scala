@@ -488,6 +488,97 @@ object SeriesQueries {
         |       round(n * 1.0 / sum(n) OVER (PARTITION BY event_type), 6) AS p
         |FROM c
         |ORDER BY event_type, next_type
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Exponentially time-decayed engagement score per user — the
+      // feature-store recency aggregate (half-life weighting is the
+      // standard freshness prior for ranking/recommendation features):
+      // score = sum(value * 2^(-age/half_life)) with a 7-day half-life,
+      // age measured from the corpus max event time. Map-only decay with
+      // the one-row max broadcast back in (no driver round-trip), then
+      // ONE user-keyed partial+final aggregation — at any log size the
+      // exchange carries users, not events. The decay constant ln2/7 is
+      // pinned as the same decimal literal in both engines (libm ln(2)
+      // would be engine-local); exp drifts <= 1 ulp per term, so the
+      // per-user sum rounds at 4 (t19's rule).
+      "q53_decay",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val lambdaPerDay = 0.09902102579427789 // ln(2)/7, pinned literal
+        val mx = t.events.agg(max(expr("ts div 1000")).as("m"))
+        t.events
+          .select(col("user_id"), expr("ts div 1000").as("tsu"), col("value"))
+          .crossJoin(broadcast(mx))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value") * exp(lit(-lambdaPerDay) *
+              ((col("m") - col("tsu")).cast("double") / lit(86400000000.0)))),
+              4).as("score"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        |WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |       round(sum(value * exp(-0.09902102579427789 *
+        |         CAST(mx.m - epoch_us(ts) AS DOUBLE) / 86400000000.0)), 4)
+        |         AS score
+        |FROM events, mx
+        |GROUP BY user_id
+        |ORDER BY user_id
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Cohort retention matrix — the week-0/1/2/3 "do users come back"
+      // grid product analytics reads first (q45's cohort machinery
+      // widened from a single aggregate to the offset matrix): users
+      // cohorted by FIRST active epoch-week, a cell counts cohort
+      // members active `offset` weeks later. Exact distinct counts;
+      // retention divides exact integers and rounds at 6; the µs
+      // truncation rule pins week boundaries cross-engine. Scale shape:
+      // the (user, week) activity relation is ONE distinct aggregation
+      // off the log; the cohort map is user-bounded; the matrix is
+      // |weeks| x 4 rows.
+      "q54_retention",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val act = t.events
+          .select(col("user_id"),
+            expr("(ts div 1000) div 3600000000").as("wk"))
+          .distinct()
+        val cohort = act.groupBy(col("user_id")).agg(min(col("wk")).as("cwk"))
+        val coSize = cohort.groupBy(col("cwk"))
+          .agg(count(lit(1)).as("n_cohort"))
+        act.join(cohort, "user_id")
+          .withColumn("offset", col("wk") - col("cwk"))
+          .filter(col("offset") <= 3)
+          .groupBy(col("cwk"), col("offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .join(coSize, "cwk")
+          .select(col("cwk").as("cohort_hour"), col("offset"),
+            col("n_active"), col("n_cohort"),
+            round(col("n_active").cast("double") / col("n_cohort"), 6)
+              .as("retention"))
+          .orderBy(col("cohort_hour"), col("offset"))
+      },
+      Some("""
+        |WITH act AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS wk
+        |  FROM events
+        |),
+        |cohort AS (SELECT user_id, min(wk) AS cwk FROM act GROUP BY user_id),
+        |cs AS (SELECT cwk, count(*) AS n_cohort FROM cohort GROUP BY cwk),
+        |cells AS (
+        |  SELECT c.cwk, a.wk - c.cwk AS "offset",
+        |         count(DISTINCT a.user_id) AS n_active
+        |  FROM act a JOIN cohort c ON a.user_id = c.user_id
+        |  WHERE a.wk - c.cwk <= 3
+        |  GROUP BY 1, 2
+        |)
+        |SELECT cells.cwk AS cohort_hour, "offset", n_active, n_cohort,
+        |       round(CAST(n_active AS DOUBLE) / n_cohort, 6) AS retention
+        |FROM cells JOIN cs ON cs.cwk = cells.cwk
+        |ORDER BY cohort_hour, "offset"
         |""".stripMargin.trim))
   )
 }

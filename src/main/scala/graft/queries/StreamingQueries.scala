@@ -841,6 +841,63 @@ object StreamingQueries {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Streaming drift monitor: per-hour Population Stability Index of
+      // the event-type distribution against the whole-history mixture —
+      // the live "did the traffic shape change this window" alarm a
+      // serving/ingest pipeline keeps on its dashboards. The streaming
+      // piece is the watermarked hourly window count in APPEND mode
+      // (st01's closed-window shape and sentinel — no new state type, so
+      // no new restart spec); PSI folds over the CLOSED windows
+      // batch-side, on an hours x types-bounded relation. Terms sum over
+      // OBSERVED types only (t19's observed-support convention — a type
+      // absent from an hour contributes 0, avoiding the ln(0) pole that
+      // epsilon-smoothing would make engine-specific); counts are exact
+      // integers, the single ln rounds at 4 (t19's libm rule).
+      "st18_stream_drift",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val scratch = sentinelEventsDir(s, dir, 120 * MinuteNs)
+        val stream = EventStreams.withEventTime(
+          s.readStream.schema(EventStreams.rawSchema).parquet(scratch))
+        val counts = runToTable(s, EventStreams.hourlyStats(stream), "append")
+          .filter(col("event_type") =!= "sentinel")
+          .select(unix_timestamp(col("hour_start")).as("hour_epoch_s"),
+            col("event_type"), col("n"))
+        val j = counts
+          .withColumn("nh",
+            sum("n").over(Window.partitionBy("hour_epoch_s")).cast("double"))
+          .withColumn("nt",
+            sum("n").over(Window.partitionBy("event_type")).cast("double"))
+          .withColumn("ntot",
+            sum("n").over(Window.partitionBy()).cast("double"))
+        j.groupBy(col("hour_epoch_s"))
+          .agg(sum(col("n")).as("n_events"),
+            round(sum((col("n") / col("nh") - col("nt") / col("ntot")) *
+              log((col("n") / col("nh")) / (col("nt") / col("ntot")))), 4)
+              .as("psi"))
+          .orderBy(col("hour_epoch_s"))
+      },
+      Some("""
+        |WITH c AS (
+        |  SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) * 3600
+        |           AS hour_epoch_s,
+        |         event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |),
+        |j AS (
+        |  SELECT hour_epoch_s, CAST(n AS DOUBLE) AS n,
+        |         CAST(sum(n) OVER (PARTITION BY hour_epoch_s) AS DOUBLE) AS nh,
+        |         CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) AS nt,
+        |         CAST(sum(n) OVER () AS DOUBLE) AS ntot
+        |  FROM c
+        |)
+        |SELECT hour_epoch_s, CAST(sum(n) AS BIGINT) AS n_events,
+        |       round(sum((n / nh - nt / ntot) * ln((n / nh) / (nt / ntot))), 4)
+        |         AS psi
+        |FROM j GROUP BY hour_epoch_s ORDER BY hour_epoch_s
         |""".stripMargin.trim))
   )
 }

@@ -2763,6 +2763,107 @@ object TextQueries {
         |          % 100 < 20) AS is_new
         |FROM labels
         |ORDER BY doc_id
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Entity resolution / record linkage (the Fellegi-Sunter
+      // block-match-cluster-survive pipeline): dirty variants are planted
+      // in-query on BOTH engines (t30's planting rule) — a typo copy
+      // ('Suplier#', id+1000) for every 7th supplier and a spacing copy
+      // ('Supplier #', id+2000) for every 21st — then resolved back:
+      // BLOCK on (nation, last-3-of-name) so candidate pairs are
+      // per-block not corpus², MATCH within blocks at levenshtein <= 2
+      // (d06's engine-parity function), CLUSTER matches via the same
+      // transitive canonicalization the dedup family certifies, SURVIVE
+      // by min-id keeper whose name becomes the entity's canonical name.
+      // Expected arithmetic at sf0.01: 100 entities — 5 triples
+      // (%21 == 0), 10 doubles (%7 but not %21), 85 singletons — and the
+      // oracle replays plant + block + match + closure + survivorship.
+      //
+      // Scale shape: blocking is the whole story at 100 TB — candidates
+      // are sum-over-blocks(|block|²), not corpus², so block-key design
+      // (here: nation x name-suffix) bounds the quadratic term exactly
+      // like LSH bands bound d02's. The match predicate runs only inside
+      // blocks; clustering touches matched pairs only.
+      "d17_entity_resolution",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val sup = t.supplier
+        def base(df: org.apache.spark.sql.DataFrame) = df.select(
+          col("s_suppkey").as("id"), col("s_name").as("name"),
+          col("s_nationkey"))
+        val v1 = sup.filter(col("s_suppkey") % 7 === 0).select(
+          (col("s_suppkey") + 1000).as("id"),
+          expr("replace(s_name, 'Supplier#', 'Suplier#')").as("name"),
+          col("s_nationkey"))
+        val v2 = sup.filter(col("s_suppkey") % 21 === 0).select(
+          (col("s_suppkey") + 2000).as("id"),
+          expr("replace(s_name, 'Supplier#', 'Supplier #')").as("name"),
+          col("s_nationkey"))
+        val recs = base(sup).unionByName(v1).unionByName(v2)
+          .withColumn("blk", concat(col("s_nationkey").cast("string"),
+            lit("|"), expr("right(name, 3)")))
+          .persist()
+        val pairs = recs.as("a").join(recs.as("b"),
+            col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+          .filter(levenshtein(col("a.name"), col("b.name")) <= 2)
+          .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+        val canon = Dedup.canonicalize(pairs)
+        recs.join(canon, recs("id") === canon("doc_id"), "left")
+          .select(col("id"), col("name"),
+            coalesce(col("keeper_id"), col("id")).as("entity_id"))
+          .groupBy(col("entity_id"))
+          .agg(count(lit(1)).as("n_members"),
+            array_join(transform(array_sort(collect_list(col("id"))),
+              x => x.cast("string")), ",").as("member_ids"),
+            max(when(col("id") === col("entity_id"), col("name")))
+              .as("canonical_name"))
+          .orderBy(col("entity_id"))
+      },
+      Some("""
+        |WITH RECURSIVE
+        |recs AS (
+        |  SELECT s_suppkey AS id, s_name AS name, s_nationkey FROM supplier
+        |  UNION ALL
+        |  SELECT s_suppkey + 1000, replace(s_name, 'Supplier#', 'Suplier#'),
+        |         s_nationkey
+        |  FROM supplier WHERE s_suppkey % 7 = 0
+        |  UNION ALL
+        |  SELECT s_suppkey + 2000, replace(s_name, 'Supplier#', 'Supplier #'),
+        |         s_nationkey
+        |  FROM supplier WHERE s_suppkey % 21 = 0
+        |),
+        |blocked AS (
+        |  SELECT *, CAST(s_nationkey AS VARCHAR) || '|' || right(name, 3) AS blk
+        |  FROM recs
+        |),
+        |pairs AS (
+        |  SELECT a.id AS ia, b.id AS ib
+        |  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE levenshtein(a.name, b.name) <= 2
+        |),
+        |edges AS (
+        |  SELECT ia AS src, ib AS dst FROM pairs
+        |  UNION
+        |  SELECT ib AS src, ia AS dst FROM pairs
+        |),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |),
+        |labels AS (
+        |  SELECT src AS id, least(src, min(dst)) AS entity_id
+        |  FROM reach GROUP BY src
+        |),
+        |labeled AS (
+        |  SELECT r.id, r.name, coalesce(l.entity_id, r.id) AS entity_id
+        |  FROM recs r LEFT JOIN labels l ON l.id = r.id
+        |)
+        |SELECT entity_id, count(*) AS n_members,
+        |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS member_ids,
+        |       max(CASE WHEN id = entity_id THEN name END) AS canonical_name
+        |FROM labeled GROUP BY entity_id ORDER BY entity_id
         |""".stripMargin.trim))
   )
 

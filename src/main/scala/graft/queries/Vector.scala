@@ -1285,6 +1285,44 @@ object VectorQueries {
         |       rnk, vec_id, sim, label
         |FROM ranked WHERE (same AND rnk <= 1) OR (NOT same AND rnk <= 3)
         |ORDER BY anchor_id, role, rnk
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Embedding-corpus QA audit — the gate an indexing pipeline runs
+      // BEFORE building ANN structures over a new embedding drop: ragged
+      // dimensions, zero vectors (cosine-undefined), non-finite elements
+      // (NaN poisons every dot product downstream), exact byte-dup
+      // vectors (re-embedded content), and the norm envelope (a
+      // collapsed or exploding norm distribution is the classic sign of
+      // an encoder regression). ONE map-side scan — magnitude and the
+      // finiteness fold are per-row expressions — feeding a single
+      // global aggregate; at 100 TB the exchange carries one partial-agg
+      // row per partition. Norm stats round at 6 (v03's magnitude rule);
+      // counts are exact integers.
+      "e11_embed_audit",
+      (s, dir) =>
+        graft.ops.Similarity.embedAudit(Tables(s, dir).embeddings,
+          "embedding"),
+      Some("""
+        |WITH scanned AS (
+        |  SELECT vec_id, embedding, len(embedding) AS dims,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                               CAST(embedding AS DOUBLE[]))) AS nrm,
+        |         list_bool_or(list_transform(embedding,
+        |           x -> isnan(x) OR isinf(x))) AS nonfinite
+        |  FROM embeddings
+        |)
+        |SELECT count(*) AS n_vecs,
+        |       min(dims) AS dims_min, max(dims) AS dims_max,
+        |       CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_zero,
+        |       CAST(sum(CASE WHEN nonfinite THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_nonfinite,
+        |       count(*) - count(DISTINCT embedding) AS n_exact_dups,
+        |       round(min(nrm), 6) AS norm_min,
+        |       round(avg(nrm), 6) AS norm_mean,
+        |       round(max(nrm), 6) AS norm_max
+        |FROM scanned
         |""".stripMargin.trim))
   )
 

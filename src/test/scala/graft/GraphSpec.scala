@@ -151,6 +151,48 @@ class GraphSpec extends SparkSpec {
     assert(got === run(7), "labels drift with partitioning")
   }
 
+  // ---- Graph.kcore ----
+
+  /** Both directions of an undirected edge list. */
+  private def und(pairs: Seq[(Long, Long)]) =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+
+  test("kcore peels a path in cascading rounds") {
+    // Path 1-2-3-4-5 with k=2: endpoints (deg 1) fall in round 1, then
+    // 2 and 4 (deg now 1) in round 2, then 3 in round 3 — empty core.
+    // The synchronous contract pins WHICH round each vertex drops.
+    val verts = (1L to 5L).toDF("v")
+    val edges = und(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    val got = Graph.kcore(verts, edges, k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(got(1L) === ((false, 0L, 1)))
+    assert(got(5L) === ((false, 0L, 1)))
+    assert(got(2L) === ((false, 0L, 2)))
+    assert(got(4L) === ((false, 0L, 2)))
+    assert(got(3L) === ((false, 0L, 3)))
+  }
+
+  test("kcore keeps a clique, drops pendants and isolates, and is partition-invariant") {
+    // K4 clique {1,2,3,4} + pendant 5 hanging off 1 + isolate 9.
+    // k=3: pendant (deg 1) and isolate (deg 0) drop in round 1; the
+    // clique survives with within-core degree 3 — NOT 4 for vertex 1,
+    // because core_deg counts only surviving neighbors.
+    val verts = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("v")
+    val cl = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val edges = und(cl ++ Seq((1L, 5L)))
+    def run(parts: Int) =
+      Graph.kcore(verts.repartition(parts), edges.repartition(parts),
+          k = 3, rounds = 3)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getBoolean(1), r.getLong(2), r.getInt(3)))).toMap
+    val got = run(3)
+    (1L to 4L).foreach(v => assert(got(v) === ((true, 3L, 0)), s"v=$v"))
+    assert(got(5L) === ((false, 0L, 1)))
+    assert(got(9L) === ((false, 0L, 1)))
+    assert(got === run(7), "kcore drifts with partitioning")
+  }
+
   test("NfcNormalize interpreted eval matches the codegen dataframe path") {
     val inputs = Seq(" cafe\u0301", " caf\u00e9", "",
       "mixed e\u0301\u00e9", "s\u0323\u0307 \u1e69")

@@ -176,4 +176,15 @@ class HardeningSpec extends SparkSpec {
     val cand = Seq((1L, 2L)).toDF("doc_a", "doc_b")
     assert(Dedup.containmentPairs(docs, "doc_id", "text", cand).count() === 0)
   }
+
+  test("ThetaSketchAgg skips nulls and an all-null group yields an empty sketch") {
+    import graft.functions.ThetaSketch
+    val df = Seq(Some(1L), None, Some(2L), None, Some(1L)).toDF("k")
+    val sk = df.agg(ThetaSketch.sketch(col("k"))).head().getAs[Array[Byte]](0)
+    assert(ThetaSketch.estimate(sk) === 2.0, "nulls must not be counted")
+    val empty = df.filter(col("k").isNull)
+      .agg(ThetaSketch.sketch(col("k"))).head().getAs[Array[Byte]](0)
+    assert(ThetaSketch.estimate(empty) === 0.0, "empty sketch estimates 0")
+    assert(ThetaSketch.intersectEstimate(sk, empty) === 0.0)
+  }
 }

@@ -401,4 +401,64 @@ class Round5OpsSpec extends SparkSpec {
           BigDecimal.RoundingMode.HALF_UP).toDouble),
       ("uniq", 3L, 3L, 3L, 1.0, 1.0, 1.0)))
   }
+
+  // ---- embedAudit (pre-index embedding QA gate) ----
+
+  test("embedAudit flags zero, NaN, Inf, ragged, and duplicate vectors") {
+    val vecs = Seq(
+      (1L, Array(3f, 4f)),                        // norm 5
+      (2L, Array(3f, 4f)),                        // exact dup of 1
+      (3L, Array(0f, 0f)),                        // zero vector
+      (4L, Array(Float.NaN, 1f)),                 // NaN element
+      (5L, Array(Float.PositiveInfinity, 0f)),    // Inf element
+      (6L, Array(1f, 0f, 0f)))                    // ragged (3 dims)
+      .toDF("vec_id", "embedding")
+    val r = Similarity.embedAudit(vecs, "embedding").head()
+    assert(r.getLong(0) === 6L, "n_vecs")
+    assert((r.getInt(1), r.getInt(2)) === ((2, 3)), "dims envelope")
+    assert(r.getLong(3) === 1L, "n_zero")
+    assert(r.getLong(4) === 2L, "n_nonfinite counts NaN and Inf")
+    assert(r.getLong(5) === 1L, "one exact duplicate pair collapses to 1")
+    assert(r.getDouble(6) === 0.0, "norm_min is the zero vector")
+    // Spark (and DuckDB) order NaN above +Inf, so the NaN-norm row wins
+    // the max — the audit surfaces the poisoned value, not hides it.
+    assert(r.getDouble(8).isNaN, "norm_max surfaces the NaN norm")
+  }
+
+  // ---- ThetaSketch (set-expression sketches) ----
+
+  test("theta sketches are exact below capacity and intersect/diff correctly") {
+    import graft.functions.ThetaSketch
+    // Two overlapping key sets: A = [0, 600), B = [400, 1000).
+    // |A|=600, |B|=600, |A∩B|=200, |A\B|=400, |A∪B|=1000 — all below
+    // nominalEntries=4096, so every estimate must be EXACT.
+    val df = spark.range(1000).selectExpr(
+      "id", "CASE WHEN id < 600 THEN 'a' ELSE 'x' END AS ga",
+      "CASE WHEN id >= 400 THEN 'b' ELSE 'x' END AS gb")
+    val skA = df.filter(col("ga") === "a")
+      .repartition(7).agg(ThetaSketch.sketch(col("id")))
+      .head().getAs[Array[Byte]](0)
+    val skB = df.filter(col("gb") === "b")
+      .repartition(3).agg(ThetaSketch.sketch(col("id")))
+      .head().getAs[Array[Byte]](0)
+    assert(ThetaSketch.estimate(skA) === 600.0)
+    assert(ThetaSketch.estimate(skB) === 600.0)
+    assert(ThetaSketch.intersectEstimate(skA, skB) === 200.0)
+    assert(ThetaSketch.aNotBEstimate(skA, skB) === 400.0)
+    assert(ThetaSketch.unionEstimate(skA, skB) === 1000.0)
+  }
+
+  test("theta sketch estimation mode stays within the RSE band at 100k keys") {
+    import graft.functions.ThetaSketch
+    // 100k distinct >> nominalEntries 4096: estimation mode. The theta
+    // RSE is ~1/sqrt(k) ≈ 1.6%; assert a generous 5% band plus
+    // partition invariance (the sketch is a pure function of the SET).
+    def sk(parts: Int) = spark.range(100000).repartition(parts)
+      .agg(graft.functions.ThetaSketch.sketch(col("id")))
+      .head().getAs[Array[Byte]](0)
+    val e = ThetaSketch.estimate(sk(5))
+    assert(math.abs(e - 100000.0) < 5000.0, s"estimate $e off by >5%")
+    assert(ThetaSketch.estimate(sk(11)) === e,
+      "sketch estimate drifts with partitioning")
+  }
 }
