@@ -177,6 +177,28 @@ object Ivf {
     IvfIndex(cells, centroids).persist()
   }
 
+  /** Filtered (hybrid) vector search: top-k among corpus rows satisfying
+    * a metadata `predicate` — the "label = X AND nearest" query every
+    * production vector store serves. This is the IN-SCAN spelling: ONE
+    * shared index, the predicate applied to the (routed) cell scan before
+    * scoring, so the shortlist is built from matching rows only. It
+    * dominates both naive spellings at scale: POST-filtering k results
+    * loses recall whenever matches are sparse (k survivors < k), and
+    * PRE-filter-then-brute rebuilds a scan per predicate. Works because
+    * the cells relation keeps every corpus column — the filter prunes
+    * inside the clustered-cache batches (or partition files) the routing
+    * already selected. Full-probe filtered search is EXACT over the
+    * filtered corpus (v11's rule); pruned nprobe trades recall for
+    * routed-cell cost exactly as unfiltered search does, with the caveat
+    * that selective predicates thin cells unevenly — size nprobe to the
+    * filtered density, not the corpus density.
+    */
+  def searchFiltered(index: IvfIndex, predicate: org.apache.spark.sql.Column,
+      probes: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int, roundTo: Int = 6): DataFrame =
+    search(IvfIndex(index.cells.filter(predicate), index.centroids),
+      probes, idCol, vecCol, k, nprobe, roundTo)
+
   /** Incremental index maintenance (FAISS's `add`): route a NEW batch to
     * the EXISTING centroids and append its rows to the cells — no
     * re-clustering, the daily-ingest path for a served index. The batch

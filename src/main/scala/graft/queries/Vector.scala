@@ -1288,6 +1288,51 @@ object VectorQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Filtered (hybrid) vector search — "nearest neighbors WHERE
+      // label = 3", the metadata-constrained ANN query every production
+      // vector store serves. In-scan filtering over ONE shared index
+      // (the same cached IVF index v09/v11 use — the cells relation
+      // keeps every corpus column, so the predicate prunes inside the
+      // routed scan before scoring), versus the two naive spellings:
+      // post-filtering top-k loses results when matches are sparse, and
+      // pre-filter-then-brute pays a full scan per predicate. Full probe
+      // makes the filtered search EXACT over the filtered corpus (v11's
+      // rule), which is what lets the brute-force oracle hash-match;
+      // pruned-nprobe recall behavior is pinned in IvfSpec.
+      "v26_filtered_ann",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val emb = t.embeddings
+        val probes = emb.orderBy(col("vec_id")).limit(10)
+        val idx = graft.ops.Ivf.buildCached(emb, "vec_id", "embedding",
+          numCells = 16, iterations = 1)
+        graft.ops.Ivf.searchFiltered(idx, col("label") === 3,
+            probes, "vec_id", "embedding", k = 5, nprobe = 16)
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some("""
+        |WITH probes AS (
+        |  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 10
+        |),
+        |sims AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                      CAST(q.embedding AS DOUBLE[])), 6) AS sim
+        |  FROM embeddings e, probes q
+        |  WHERE e.vec_id <> q.vec_id AND e.label = 3
+        |),
+        |ranked AS (
+        |  SELECT query_id, vec_id, sim,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, vec_id) AS rnk
+        |  FROM sims
+        |)
+        |SELECT query_id, rnk, vec_id, sim
+        |FROM ranked WHERE rnk <= 5
+        |ORDER BY query_id, rnk
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Embedding-corpus QA audit — the gate an indexing pipeline runs
       // BEFORE building ANN structures over a new embedding drop: ragged
       // dimensions, zero vectors (cosine-undefined), non-finite elements

@@ -147,4 +147,30 @@ class IvfSpec extends SparkSpec {
     val ext = graft.ops.Ivf.extend(loaded, more, "vec_id", "embedding")
     assert(ext.cells.count() === 2 * emb.count())
   }
+
+  test("filtered search: full probe == brute over the filtered corpus, pruned stays in-predicate") {
+    val index = Ivf.build(emb, "vec_id", "embedding", numCells = 8,
+      iterations = 1)
+    val probes = emb.filter($"vec_id" < 5)
+    val pred = $"label" === 3
+    // Full probe: exactly brute force restricted to matching rows.
+    val full = Ivf.searchFiltered(index, pred, probes, "vec_id", "embedding",
+        k = 5, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = Similarity.bruteForceTopK(emb.filter(pred), probes,
+        "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(full === brute)
+    // Every full-probe result satisfies the predicate (self-exclusion
+    // still applies even when a probe itself matches).
+    val matching = emb.filter(pred).select($"vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(full.forall(t => matching.contains(t._3)))
+    // Pruned nprobe: results are a subset of matching rows too — the
+    // predicate applies INSIDE the routed scan, not after ranking.
+    val pruned = Ivf.searchFiltered(index, pred, probes, "vec_id",
+        "embedding", k = 5, nprobe = 2)
+      .collect().map(_.getLong(2)).toSet
+    assert(pruned.subsetOf(matching))
+  }
 }
