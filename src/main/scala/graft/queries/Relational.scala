@@ -1673,6 +1673,55 @@ object Relational {
         |JOIN n nb ON nb.event_type = b.event_type
         |GROUP BY 1, 2, 3, 4
         |ORDER BY 1, 2
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // k-anonymity audit (Sweeney, IJUFKS'02) — the privacy gate a
+      // training-data release runs over quasi-identifier columns: group
+      // rows into equivalence classes on the QI tuple (here nation x
+      // market segment), then for each candidate k report how many
+      // classes and rows fall below it. A release is k-anonymous iff
+      // min class size >= k — re-identification risk concentrates in
+      // the small classes this surfaces. One class-size aggregate
+      // (partial+final, keyed shuffle on the QI tuple) feeds a
+      // broadcast-sized threshold sweep: the classes relation has at
+      // most |QI cardinality| rows whatever the corpus size, so the
+      // per-k conditional sums cost nothing at 100 TB; all outputs are
+      // exact integers.
+      "q55_k_anonymity",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val classes = t.customer
+          .groupBy(col("c_nationkey"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("class_size"))
+        val ks = s.range(1, 5).select(
+          (col("id") * col("id") * col("id")).cast("int").as("k")) // 1,8,27,64
+        classes.crossJoin(ks)
+          .groupBy(col("k"))
+          .agg(
+            sum(when(col("class_size") < col("k"), 1L).otherwise(0L))
+              .as("classes_at_risk"),
+            sum(when(col("class_size") < col("k"), col("class_size"))
+              .otherwise(0L)).as("rows_at_risk"),
+            min(col("class_size")).as("min_class_size"),
+            (min(col("class_size")) >= col("k")).as("k_anonymous"))
+          .orderBy(col("k"))
+      },
+      Some("""
+        |WITH classes AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+        |  FROM customer GROUP BY 1, 2
+        |),
+        |ks AS (SELECT CAST(i*i*i AS INT) AS k FROM range(1, 5) t(i))
+        |SELECT k,
+        |       CAST(sum(CASE WHEN class_size < k THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS classes_at_risk,
+        |       CAST(sum(CASE WHEN class_size < k THEN class_size ELSE 0 END)
+        |            AS BIGINT) AS rows_at_risk,
+        |       min(class_size) AS min_class_size,
+        |       (min(class_size) >= k) AS k_anonymous
+        |FROM classes, ks
+        |GROUP BY k ORDER BY k
         |""".stripMargin.trim))
   )
 }

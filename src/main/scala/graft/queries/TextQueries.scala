@@ -2864,6 +2864,178 @@ object TextQueries {
         |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS member_ids,
         |       max(CASE WHEN id = entity_id THEN name END) AS canonical_name
         |FROM labeled GROUP BY entity_id ORDER BY entity_id
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Quality-aware survivorship: dedup clusters usually keep the
+      // MIN-ID member (d05/d16 — cheap, deterministic, but arbitrary);
+      // a curation pipeline instead keeps the BEST member of each
+      // near-dup cluster (CCNet keeps lowest perplexity; here quality =
+      // n_chars with min-id tiebreak, both exact integers so the choice
+      // is engine-replayable). Rides the SAME cached d02/d16 pair
+      // relation and the same transitive canonicalization — the only
+      // new work is one documents join and a per-cluster argmax window
+      // over the (tiny) clustered subset. The oracle replays the full
+      // closure and re-derives the survivor independently, so a hash
+      // match proves min-id labels and quality survivors agree on the
+      // cluster PARTITION, not just on keeper choice.
+      //
+      // Scale shape: clusters are pair-graph-sized (orders of magnitude
+      // below the corpus), so the argmax window runs on the small
+      // relation; the documents join is keyed on doc_id.
+      "d18_quality_keeper",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val pairs = Dedup.nearDuplicatesMinhashCached(t.documents,
+            "doc_id", "text",
+            threshold = 0.5, numHashes = 32, bands = 8, shingleN = 3)
+          .select(col("doc_a"), col("doc_b"))
+        val labels = Dedup.canonicalize(pairs)
+          .withColumnRenamed("keeper_id", "cluster_id")
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        labels
+          .join(t.documents.select(col("doc_id"), col("n_chars")), "doc_id")
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n_members",
+            count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+          .filter(col("rk") === 1)
+          .select(col("cluster_id"), col("doc_id").as("survivor_id"),
+            col("n_chars").as("survivor_chars"), col("n_members"))
+          .orderBy(col("cluster_id"))
+      },
+      Some("""
+        |WITH RECURSIVE
+        |tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) >= 3
+        |              THEN list_distinct(list_transform(range(len(toks) - 2),
+        |                     i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+        |              ELSE [] END AS shingles
+        |  FROM tok
+        |),
+        |ex AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT)  AS h1,
+        |         CAST(concat('0x', substr(md5(s), 13, 12)) AS BIGINT) AS h2
+        |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0)
+        |),
+        |hashed AS (
+        |  SELECT doc_id, j, min((h1 + j * h2) % 2147483647) AS sigv
+        |  FROM ex, range(32) t(j)
+        |  GROUP BY doc_id, j
+        |),
+        |sigs AS (SELECT doc_id, list(sigv ORDER BY j) AS sig FROM hashed GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS key
+        |  FROM sigs, range(8) t(b)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+        |),
+        |hsets AS (SELECT doc_id, list(h1) AS hs FROM ex GROUP BY doc_id),
+        |verified AS (
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM cand c
+        |  JOIN hsets sa ON sa.doc_id = c.doc_a
+        |  JOIN hsets sb ON sb.doc_id = c.doc_b
+        |  WHERE len(list_intersect(sa.hs, sb.hs)) * 1.0
+        |        / len(list_distinct(sa.hs || sb.hs)) >= 0.5
+        |),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM verified
+        |  UNION
+        |  SELECT doc_b AS src, doc_a AS dst FROM verified
+        |),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |),
+        |labels AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |  FROM reach GROUP BY src
+        |),
+        |ranked AS (
+        |  SELECT l.cluster_id, l.doc_id, d.n_chars,
+        |         row_number() OVER (PARTITION BY l.cluster_id
+        |                            ORDER BY d.n_chars DESC, l.doc_id) AS rk,
+        |         count(*) OVER (PARTITION BY l.cluster_id) AS n_members
+        |  FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+        |)
+        |SELECT cluster_id, doc_id AS survivor_id,
+        |       n_chars AS survivor_chars, n_members
+        |FROM ranked WHERE rk = 1
+        |ORDER BY cluster_id
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Corpus diversity audit — distinct-n (Li et al., NAACL'16): the
+      // share of unigrams/bigrams that are unique, per source. The
+      // standard cheap tripwire for degenerate or templated text (and,
+      // on model-generated corpora, for mode collapse): boilerplate-
+      // heavy sources score low on distinct-2 long before perplexity
+      // moves. ONE tokenize feeds both gram sizes — unigram and bigram
+      // rows come out of a single fused transform+explode (no second
+      // pass over text; t12's multi-consumer lesson applied inside the
+      // row), then one partial+final aggregate per (source, kind).
+      //
+      // Scale shape: map-side explode (fan-out ~2x token count) into a
+      // (source, kind)-keyed exact-distinct aggregate — the distinct is
+      // the only shuffle, keyed by gram, and a 100 TB deployment swaps
+      // count(DISTINCT) for the HLL-sketch arm (a03/q49) when +-1%
+      // suffices. Ratios are exact-integer divisions rounded at 6.
+      "t32_distinct_ngrams",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val toks = Dedup.tokens(col("text"))
+        val grams = concat(
+          transform(toks, tk =>
+            struct(lit("uni").as("kind"), tk.as("gram"))),
+          transform(
+            when(size(toks) >= 2, sequence(lit(0), size(toks) - 2))
+              .otherwise(array().cast("array<int>")),
+            i => struct(lit("bi").as("kind"),
+              concat_ws(" ", element_at(toks, i + 1),
+                element_at(toks, i + 2)).as("gram"))))
+        t.documents
+          .select(col("source"), explode_outer(grams).as("g"))
+          .filter(col("g").isNotNull)
+          .select(col("source"), col("g.kind"), col("g.gram"))
+          .groupBy(col("source"), col("kind"))
+          .agg(count(lit(1)).as("total_grams"),
+            countDistinct(col("gram")).as("distinct_grams"))
+          .withColumn("distinct_ratio",
+            round(col("distinct_grams").cast("double") /
+              col("total_grams").cast("double"), 6))
+          .orderBy(col("source"), col("kind"))
+      },
+      Some("""
+        |WITH tok AS (
+        |  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |uni AS (SELECT source, 'uni' AS kind, unnest(toks) AS gram FROM tok),
+        |bi AS (
+        |  SELECT source, 'bi' AS kind,
+        |         unnest(CASE WHEN len(toks) >= 2
+        |           THEN list_transform(range(len(toks) - 1),
+        |                  i -> toks[i+1] || ' ' || toks[i+2])
+        |           ELSE [] END) AS gram
+        |  FROM tok
+        |),
+        |grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+        |SELECT source, kind, count(*) AS total_grams,
+        |       count(DISTINCT gram) AS distinct_grams,
+        |       round(CAST(count(DISTINCT gram) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 6) AS distinct_ratio
+        |FROM grams GROUP BY source, kind ORDER BY source, kind
         |""".stripMargin.trim))
   )
 

@@ -1368,6 +1368,101 @@ object VectorQueries {
         |       round(avg(nrm), 6) AS norm_mean,
         |       round(max(nrm), 6) AS norm_max
         |FROM scanned
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Bitext-style margin mining (Artetxe & Schwenk, ACL'19 §3.2 — the
+      // LASER/CCMatrix alignment criterion): score candidate pairs across
+      // two embedding pools by RATIO margin — cosine divided by the mean
+      // of the two sides' k-NN cosines — which cancels hubness: a vector
+      // "close to everything" inflates its own neighborhood mean and is
+      // discounted, where a raw-cosine threshold floods the output with
+      // its pairs. Pools here are label 0 vs label 1 (two "languages").
+      //
+      // Determinism / engine parity: cosines become exact integer
+      // micro-units BEFORE any aggregation, so the k-NN neighborhood
+      // sums are exact integer math (a top-k SUM is tie-invariant even
+      // though row_number ties are not) and the margin is ONE double
+      // division of two exact integers — bit-identical on any engine
+      // that agrees on rounded cosines (v02's proven contract).
+      //
+      // Scale shape: the candidate front here is the exact cross of two
+      // label pools, which is what makes a brute-force oracle possible;
+      // at 100 TB the LSH/IVF fronts (e02, v09) replace it exactly as in
+      // e08's decontamination, and both neighborhood means ride the SAME
+      // candidate relation — persisted once for its three consumers
+      // (kx, ky, final join), the t12 multi-consumer lesson.
+      "e12_margin_mining",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val k = 4
+        val src = t.embeddings.filter(col("label") === 0)
+          .select(col("vec_id").as("src_id"), col("embedding").as("src_emb"))
+        val tgt = t.embeddings.filter(col("label") === 1)
+          .select(col("vec_id").as("tgt_id"), col("embedding").as("tgt_emb"))
+        val pairs = src.crossJoin(tgt)
+          .select(col("src_id"), col("tgt_id"),
+            round(cosine(col("src_emb"), col("tgt_emb")) * 1e6)
+              .cast("long").as("scaled"))
+          .persist()
+        val kx = pairs
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("src_id")).orderBy(
+              col("scaled").desc, col("tgt_id"))))
+          .filter(col("rk") <= k)
+          .groupBy(col("src_id")).agg(sum(col("scaled")).as("kx"))
+        val ky = pairs
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("tgt_id")).orderBy(
+              col("scaled").desc, col("src_id"))))
+          .filter(col("rk") <= k)
+          .groupBy(col("tgt_id")).agg(sum(col("scaled")).as("ky"))
+        pairs.join(kx, "src_id").join(ky, "tgt_id")
+          .select(col("src_id"), col("tgt_id"),
+            round(col("scaled") / 1e6, 6).as("sim"),
+            round((col("scaled") * lit(2L * k)).cast("double") /
+              (col("kx") + col("ky")).cast("double"), 6).as("margin"))
+          .orderBy(col("margin").desc, col("src_id"), col("tgt_id"))
+          .limit(20)
+      },
+      Some("""
+        |WITH src AS (
+        |  SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS src_emb
+        |  FROM embeddings WHERE label = 0
+        |),
+        |tgt AS (
+        |  SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS tgt_emb
+        |  FROM embeddings WHERE label = 1
+        |),
+        |pairs AS (
+        |  SELECT src_id, tgt_id,
+        |         CAST(round(list_cosine_similarity(src_emb, tgt_emb) * 1e6)
+        |              AS BIGINT) AS scaled
+        |  FROM src, tgt
+        |),
+        |kx AS (
+        |  SELECT src_id, sum(scaled) AS kx FROM (
+        |    SELECT src_id, scaled,
+        |           row_number() OVER (PARTITION BY src_id
+        |                              ORDER BY scaled DESC, tgt_id) AS rk
+        |    FROM pairs) WHERE rk <= 4 GROUP BY src_id
+        |),
+        |ky AS (
+        |  SELECT tgt_id, sum(scaled) AS ky FROM (
+        |    SELECT tgt_id, scaled,
+        |           row_number() OVER (PARTITION BY tgt_id
+        |                              ORDER BY scaled DESC, src_id) AS rk
+        |    FROM pairs) WHERE rk <= 4 GROUP BY tgt_id
+        |)
+        |SELECT p.src_id, p.tgt_id,
+        |       round(p.scaled / 1e6, 6) AS sim,
+        |       round(CAST(p.scaled * 8 AS DOUBLE)
+        |             / CAST(kx.kx + ky.ky AS DOUBLE), 6) AS margin
+        |FROM pairs p
+        |JOIN kx ON kx.src_id = p.src_id
+        |JOIN ky ON ky.tgt_id = p.tgt_id
+        |ORDER BY margin DESC, p.src_id, p.tgt_id
+        |LIMIT 20
         |""".stripMargin.trim))
   )
 
