@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, GraftSqlInternal}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlInternal}
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
@@ -34,22 +34,34 @@ object RuntimeFilter {
       probe: DataFrame, build: DataFrame,
       probeKey: String, buildKey: String,
       expectedItems: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
-    // Build the sketch with Spark's own BloomFilterAggregate (partial+final
-    // sketch merge, no row collect) and probe it with BloomFilterMightContain
-    // on a constant: the same expression pair the runtime-bloom-filter
-    // optimizer rule injects, so the pre-filter stays inside whole-stage
-    // codegen — the earlier per-row Scala UDF paid ser/de on every probe row.
+    val bf = bloomSketch(build, buildKey, expectedItems, fpp)
+    probe
+      .filter(col(probeKey).isNotNull && mightContain(bf, col(probeKey)))
+      .join(build.select(col(buildKey)).distinct(),
+        col(probeKey) === col(buildKey), "left_semi")
+  }
+
+  /** Build the Bloom sketch over `build`'s long key with Spark's own
+    * BloomFilterAggregate (partial+final sketch merge, no row collect) —
+    * the same expression the runtime-bloom-filter optimizer rule injects.
+    * The returned bytes are the broadcastable sketch.
+    */
+  def bloomSketch(build: DataFrame, buildKey: String,
+      expectedItems: Long, fpp: Double): Array[Byte] = {
     val numBits = math.max(64L,
       math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
     val sketch = GraftSqlInternal.column(
       new BloomFilterAggregate(GraftSqlInternal.expression(col(buildKey)),
         Literal(expectedItems), Literal(numBits)).toAggregateExpression())
-    val bf = build.select(sketch.as("bf")).head().getAs[Array[Byte]](0)
-    val mightContain = GraftSqlInternal.column(BloomFilterMightContain(
-      Literal(bf, BinaryType), GraftSqlInternal.expression(col(probeKey))))
-    probe
-      .filter(col(probeKey).isNotNull && mightContain)
-      .join(build.select(col(buildKey)).distinct(),
-        col(probeKey) === col(buildKey), "left_semi")
+    build.select(sketch.as("bf")).head().getAs[Array[Byte]](0)
   }
+
+  /** Codegen membership probe against a built sketch — the
+    * BloomFilterMightContain expression on a constant, so the filter
+    * stays inside whole-stage codegen (the earlier per-row Scala UDF
+    * paid ser/de on every probe row).
+    */
+  def mightContain(bf: Array[Byte], key: Column): Column =
+    GraftSqlInternal.column(BloomFilterMightContain(
+      Literal(bf, BinaryType), GraftSqlInternal.expression(key)))
 }

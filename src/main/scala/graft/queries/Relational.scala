@@ -1722,6 +1722,116 @@ object Relational {
         |       (min(class_size) >= k) AS k_anonymous
         |FROM classes, ks
         |GROUP BY k ORDER BY k
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Bloom-filter membership CONTRACT — certifies the two properties
+      // that make q37's pre-filter admissible at 100 TB: (1) NO false
+      // negatives — every probe row whose key is truly in the build set
+      // passes the sketch (drop one and the pre-filtered join is wrong,
+      // not slow); (2) bounded false positives — non-member pass rate
+      // within 3x the nominal fpp (blow this and the pre-filter stops
+      // paying for itself). The exact counts (n_probe, n_member) are
+      // oracle-checkable; the engine-specific bloom verdicts fold into
+      // booleans the oracle states as TRUE — st16's exactness-contract
+      // style for structures the second engine cannot replay. The sketch
+      // is sized from the build side's true distinct count (one scalar
+      // action — bounded driver traffic).
+      "a08_bloom_contract",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val build = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        val nKeys = build.agg(countDistinct(col("o_orderkey"))).head.getLong(0)
+        val bf = graft.ops.RuntimeFilter.bloomSketch(
+          build, "o_orderkey", expectedItems = nKeys, fpp = 0.03)
+        val probed = t.lineitem.select(col("l_orderkey"))
+          .join(build.distinct().withColumn("member", lit(true)),
+            col("l_orderkey") === col("o_orderkey"), "left")
+          .select(col("l_orderkey"),
+            coalesce(col("member"), lit(false)).as("member"),
+            graft.ops.RuntimeFilter.mightContain(bf, col("l_orderkey"))
+              .as("passes"))
+        probed.agg(
+          count(lit(1)).as("n_probe"),
+          sum(when(col("member"), 1L).otherwise(0L)).as("n_member"),
+          (sum(when(col("member") && !col("passes"), 1L).otherwise(0L)) === 0L)
+            .as("no_false_negatives"),
+          (sum(when(!col("member") && col("passes"), 1L).otherwise(0L))
+            .cast("double") /
+            sum(when(!col("member"), 1L).otherwise(0L)).cast("double")
+            <= 0.09).as("fpp_bounded"))
+      },
+      Some("""
+        |WITH build AS (
+        |  SELECT DISTINCT o_orderkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |)
+        |SELECT count(*) AS n_probe,
+        |       CAST(sum(CASE WHEN b.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_member,
+        |       TRUE AS no_false_negatives,
+        |       TRUE AS fpp_bounded
+        |FROM lineitem l LEFT JOIN build b ON b.o_orderkey = l.l_orderkey
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Engine-portable table checksums — the migration/backup integrity
+      // audit this whole repo's oracle gate is built on, packaged as a
+      // query: each table folds to (row count, order-independent SUM and
+      // XOR of a 40-bit md5 of the canonical row encoding). Two lakes
+      // agree on content iff the fingerprints match, whatever the
+      // engine, partitioning, or row order — SUM and XOR are commutative
+      // and the 40-bit hashes keep the int64 sum exact far past 10^9
+      // rows. Timestamps encode as exact epoch-micro integers (never
+      // engine-formatted strings); float columns are deliberately
+      // excluded from the canonical encoding (cross-engine float
+      // FORMATTING is not contractual — float VALUES are covered by the
+      // v10/v15 quantization checksums). Map-only scan + one-row
+      // aggregate per table: the cheapest possible full-content audit.
+      "q56_table_checksum",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        def h(enc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          conv(substring(md5(enc), 1, 10), 16, 10).cast("long")
+        def fp(df: org.apache.spark.sql.DataFrame, name: String,
+            enc: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+          df.select(h(enc).as("h")).agg(
+            lit(name).as("tbl"), count(lit(1)).as("n_rows"),
+            sum(col("h")).as("checksum_sum"),
+            expr("bit_xor(h)").as("checksum_xor"))
+        fp(t.orders, "orders",
+            concat_ws("|", col("o_orderkey"), col("o_custkey"),
+              col("o_orderstatus"), unix_micros(col("o_orderdate")),
+              col("o_orderpriority")))
+          .unionByName(fp(t.customer, "customer",
+            concat_ws("|", col("c_custkey"), col("c_name"),
+              col("c_nationkey"), col("c_mktsegment"))))
+          .select(col("tbl"), col("n_rows"), col("checksum_sum"),
+            col("checksum_xor"))
+          .orderBy(col("tbl"))
+      },
+      Some("""
+        |WITH o AS (
+        |  SELECT CAST(concat('0x', substr(md5(concat_ws('|', o_orderkey,
+        |           o_custkey, o_orderstatus, epoch_us(o_orderdate),
+        |           o_orderpriority)), 1, 10)) AS BIGINT) AS h
+        |  FROM orders
+        |),
+        |c AS (
+        |  SELECT CAST(concat('0x', substr(md5(concat_ws('|', c_custkey,
+        |           c_name, c_nationkey, c_mktsegment)), 1, 10)) AS BIGINT) AS h
+        |  FROM customer
+        |)
+        |SELECT * FROM (
+        |  SELECT 'customer' AS tbl, count(*) AS n_rows,
+        |         CAST(sum(h) AS BIGINT) AS checksum_sum,
+        |         bit_xor(h) AS checksum_xor
+        |  FROM c
+        |  UNION ALL
+        |  SELECT 'orders', count(*), CAST(sum(h) AS BIGINT), bit_xor(h)
+        |  FROM o
+        |) ORDER BY tbl
         |""".stripMargin.trim))
   )
 }

@@ -898,6 +898,55 @@ object StreamingQueries {
         |       round(sum((n / nh - nt / ntot) * ln((n / nh) / (nt / ntot))), 4)
         |         AS psi
         |FROM j GROUP BY hour_epoch_s ORDER BY hour_epoch_s
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Streaming per-user 3-sigma anomaly flagging — the live outlier
+      // alarm over a metric stream. Keyed state is THREE exact longs
+      // (n, Σv, Σv²) per user; the 3σ test is cross-multiplied into
+      // pure int64 arithmetic ((n·v−s)² > 9·(n·q−s²)), so the stream's
+      // verdicts equal the batch window computation bit-for-bit — the
+      // oracle replays it as ROWS UNBOUNDED PRECEDING..1 PRECEDING
+      // window sums over the same milli-unit integers. Values scale to
+      // millis (not micros) so Σv² stays far inside int64 at every SF
+      // (headroom math in the EventStreams scaladoc). Restart behavior
+      // is pinned in StreamingSpec on disjoint-ts batches.
+      "st19_stream_zscore",
+      (s, dir) => {
+        import s.implicits._
+        val ev = eventStream(s, dir)
+          .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+            col("event_id"),
+            round(col("value") * 1000).cast("long").as("v"))
+          .as[EventStreams.ZEvent]
+        val anomalies = EventStreams.streamingZScores(ev, minPrior = 10)
+        runToTable(s, anomalies.toDF(), "append")
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+            round(col("v") / 1000.0, 3).as("value"), col("n_prior"))
+          .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+      },
+      Some("""
+        |WITH ev AS (
+        |  SELECT event_id, epoch_ns(ts) // 1000 AS ts_us, user_id,
+        |         CAST(round(value * 1000) AS BIGINT) AS v
+        |  FROM events
+        |),
+        |w AS (
+        |  SELECT user_id, ts_us, event_id, v,
+        |         count(*) OVER win AS n_prior,
+        |         sum(v)   OVER win AS s_prior,
+        |         sum(v*v) OVER win AS q_prior
+        |  FROM ev
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT user_id, ts_us, event_id,
+        |       round(v / 1000.0, 3) AS value, n_prior
+        |FROM w
+        |WHERE n_prior >= 10
+        |  AND (n_prior*v - s_prior) * (n_prior*v - s_prior)
+        |      > 9 * (n_prior*q_prior - s_prior*s_prior)
+        |ORDER BY user_id, ts_us, event_id
         |""".stripMargin.trim))
   )
 }

@@ -2994,16 +2994,22 @@ object TextQueries {
       "t32_distinct_ngrams",
       (s, dir) => {
         val t = Tables(s, dir)
-        val toks = Dedup.tokens(col("text"))
-        val grams = concat(
-          transform(toks, tk =>
-            struct(lit("uni").as("kind"), tk.as("gram"))),
-          transform(
-            when(size(toks) >= 2, sequence(lit(0), size(toks) - 2))
-              .otherwise(array().cast("array<int>")),
-            i => struct(lit("bi").as("kind"),
-              concat_ws(" ", element_at(toks, i + 1),
-                element_at(toks, i + 2)).as("gram"))))
+        // The tokenize chain is bound to a lambda VARIABLE (m05's
+        // CollapseProject rule): referenced directly, the single-use
+        // `toks` alias would be inlined into the bigram lambda and
+        // re-tokenize the document per element_at — the O(len²) form
+        // this fused pass exists to avoid.
+        val grams = flatten(transform(
+          array(Dedup.tokens(col("text"))), tks =>
+            concat(
+              transform(tks, tk =>
+                struct(lit("uni").as("kind"), tk.as("gram"))),
+              transform(
+                when(size(tks) >= 2, sequence(lit(0), size(tks) - 2))
+                  .otherwise(array().cast("array<int>")),
+                i => struct(lit("bi").as("kind"),
+                  concat_ws(" ", element_at(tks, i + 1),
+                    element_at(tks, i + 2)).as("gram"))))))
         t.documents
           .select(col("source"), explode_outer(grams).as("g"))
           .filter(col("g").isNotNull)
@@ -3036,6 +3042,78 @@ object TextQueries {
         |       round(CAST(count(DISTINCT gram) AS DOUBLE)
         |             / CAST(count(*) AS DOUBLE), 6) AS distinct_ratio
         |FROM grams GROUP BY source, kind ORDER BY source, kind
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Code-vs-prose detection — the router a mixed web crawl runs
+      // before language-specific pipelines (code to the code filters and
+      // dedupers, prose to the NL quality stack). Signal: density of
+      // structural code marks ({}()[];=) per character — integer
+      // cross-multiplied (marks·1000 ≥ 15·chars, i.e. 1.5%) so the
+      // verdict is engine-exact. The natural corpus carries no code, so
+      // code docs are PLANTED in-query on both engines (t30/d17's
+      // planting rule): every 50th doc gains a generated snippet twin
+      // under its source+'+code'; the classifier must route exactly the
+      // planted set. Map-only scan, one keyed aggregate; the mark count
+      // is ONE regexp_replace per doc (a class both Java regex and RE2
+      // parse identically).
+      "t33_code_detect",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val snippet = concat(
+          lit("int v"), col("doc_id").cast("string"),
+          lit(" = "), col("doc_id").cast("string"),
+          lit("; { x["), col("doc_id").cast("string"),
+          lit("] += 1; } "))
+        val planted = t.documents.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            repeat(snippet, 5).as("text"),
+            concat(col("source"), lit("+code")).as("source"))
+        val all = t.documents.select(col("doc_id"), col("text"), col("source"))
+          .unionByName(planted)
+        all
+          .withColumn("chars", length(col("text")))
+          .withColumn("marks", col("chars") -
+            length(regexp_replace(col("text"), "[{}();=\\[\\]]", "")))
+          .withColumn("is_code",
+            col("marks") * 1000L >= col("chars") * 15L)
+          .groupBy(col("source"), col("is_code"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("marks")).as("total_marks"),
+            sum(col("chars")).as("total_chars"),
+            round(sum(col("marks")).cast("double") * 1000.0 /
+              sum(col("chars")).cast("double"), 6).as("mark_permille"))
+          .orderBy(col("source"), col("is_code"))
+      },
+      Some("""
+        |WITH planted AS (
+        |  SELECT repeat('int v' || doc_id || ' = ' || doc_id ||
+        |                '; { x[' || doc_id || '] += 1; } ', 5) AS text,
+        |         doc_id + 100000 AS doc_id,
+        |         source || '+code' AS source
+        |  FROM documents WHERE doc_id % 50 = 0
+        |),
+        |all_docs AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, text, source FROM planted
+        |),
+        |scored AS (
+        |  SELECT source,
+        |         length(text) AS chars,
+        |         length(text) - length(regexp_replace(text,
+        |           '[{}();=\[\]]', '', 'g')) AS marks
+        |  FROM all_docs
+        |)
+        |SELECT source, (marks * 1000 >= chars * 15) AS is_code,
+        |       count(*) AS n_docs,
+        |       CAST(sum(marks) AS BIGINT) AS total_marks,
+        |       CAST(sum(chars) AS BIGINT) AS total_chars,
+        |       round(CAST(sum(marks) AS DOUBLE) * 1000.0
+        |             / CAST(sum(chars) AS DOUBLE), 6) AS mark_permille
+        |FROM scored
+        |GROUP BY source, (marks * 1000 >= chars * 15)
+        |ORDER BY source, is_code
         |""".stripMargin.trim))
   )
 

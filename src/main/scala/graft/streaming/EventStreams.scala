@@ -486,6 +486,74 @@ object EventStreams {
     }
   }
 
+  final case class ZEvent(user_id: Long, ts_us: Long, event_id: Long,
+      v: Long)
+  final case class ZAnomaly(user_id: Long, ts_us: Long, event_id: Long,
+      v: Long, n_prior: Long)
+
+  /** Streaming per-key z-score anomaly detection: each event is judged
+    * against the SAME user's running mean/variance over all PRIOR events
+    * (Welford-style, but carried as exact integer (n, Σv, Σv²) so batch
+    * and stream agree bit-for-bit). An event is anomalous when its
+    * milli-unit value deviates more than 3σ with at least `minPrior`
+    * history: (n·v − s)² > 9·(n·q − s²) — the 3σ test cross-multiplied
+    * into pure int64 arithmetic, no division, no float fold order.
+    *
+    * State is THREE longs per key forever (no per-event buffer); rows
+    * fold in (ts_us, event_id) order within a batch, so with
+    * time-ordered batches (AvailableNow, or an ordered feed across
+    * restarts) the output is exactly the batch windowed computation —
+    * the st19 driver contract and the StreamingSpec restart test.
+    *
+    * Integer headroom: v ≤ ~5.6·10⁵ milli-units here; (n·v)² stays in
+    * int64 to n ≈ 10⁶ events/key. A deployment with hotter keys drops
+    * to centi-unit scaling or periodically rebases (n, s, q) to a
+    * decayed window — the flag is scale-free, so rebasing only changes
+    * the history the test sees.
+    */
+  def streamingZScores(events: Dataset[ZEvent],
+      minPrior: Int = 10): Dataset[ZAnomaly] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new ZScoreProcessor(minPrior),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  final case class ZState(n: Long, s: Long, q: Long)
+
+  /** The [[streamingZScores]] processor: exact integer moment state. */
+  final class ZScoreProcessor(minPrior: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, ZEvent, ZAnomaly] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[ZState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[ZState]("moments",
+        org.apache.spark.sql.Encoders.product[ZState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[ZEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[ZAnomaly] = {
+      var st = Option(state.get()).getOrElse(ZState(0L, 0L, 0L))
+      val out = Seq.newBuilder[ZAnomaly]
+      rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        if (st.n >= minPrior) {
+          val dev = st.n * e.v - st.s
+          if (dev * dev > 9L * (st.n * st.q - st.s * st.s))
+            out += ZAnomaly(key, e.ts_us, e.event_id, e.v, st.n)
+        }
+        st = ZState(st.n + 1L, st.s + e.v, st.q + e.v * e.v)
+      }
+      state.update(st)
+      out.result().iterator
+    }
+  }
+
   /** Sliding-window rates: overlapping `width` windows advancing every
     * `slide`, per event type. Each event lands in width/slide windows (the
     * Expand that Spark plans for sliding windows), then partial+final

@@ -563,4 +563,61 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streamingZScores moment state survives a checkpointed restart exactly") {
+    import EventStreams.ZEvent
+    // Two-run/one-checkpoint pattern with an EXACT contract: run 1 feeds
+    // 12 identical values for one user (variance 0, n past minPrior);
+    // run 2 feeds one extreme value then one more normal one. Flagging
+    // the extreme event REQUIRES n_prior=12 from restored state (a cold
+    // processor sees n_prior=0 < 10 and stays silent); the trailing
+    // normal value must NOT flag (the spike inflates the variance), and
+    // an equal-to-history value never flags at zero deviation. So the
+    // expected output is exactly one anomaly row with n_prior == 12.
+    val base = s"/root/repo/target/graft-io/zscore_restart_${System.nanoTime()}"
+    val feed = s"$base/feed"; val chk = s"$base/chk"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batch1 = (1 to 12).map(i => ZEvent(7L, i.toLong, i.toLong, 1000L))
+      batch1.toDS().toDF().coalesce(1).write.parquet(feed)
+      val sink = s"$base/sink"
+      def drain(): Unit = {
+        val in = spark.readStream
+          .schema(batch1.toDS().toDF().schema).parquet(feed)
+          .as[ZEvent]
+        val q = EventStreams.streamingZScores(in, minPrior = 10)
+          .toDF().writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            df.withColumn("batch_id", lit(id))
+              .write.mode("append").parquet(sink)
+          }
+          .option("checkpointLocation", chk)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain()
+      val batch2 = Seq(ZEvent(7L, 13L, 13L, 50000L), ZEvent(7L, 14L, 14L, 1000L))
+      batch2.toDS().toDF().coalesce(1).write.mode("append").parquet(feed)
+      drain()
+      val out = spark.read.parquet(sink)
+        .select($"user_id", $"ts_us", $"event_id", $"v", $"n_prior")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      assert(out === Seq((7L, 13L, 13L, 50000L, 12L)),
+        s"anomalies $out != the one planted spike at n_prior=12 — state lost?")
+    } finally {
+      fs.delete(p, true)
+      before match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
