@@ -17,9 +17,13 @@ import org.apache.spark.sql.SparkSession
   *    throws contributes NO timing — a query whose every run failed
   *    reports -1, never a fast-looking time-to-exception.
   *  - The generated-class cache is raised from its 100-entry default: this
-  *    suite executes ~95 distinct queries x 3 runs, and at the default
-  *    size the early queries' classes are evicted before their timed runs,
-  *    re-measuring Janino compilation instead of execution.
+  *    suite executes 200+ distinct queries x 3 runs, each compiling many
+  *    codegen units, and at too-small sizes classes are evicted between a
+  *    query's warm-up and its timed runs, re-measuring Janino compilation
+  *    instead of execution (round 3 at 100 entries; recurred at 3000 when
+  *    the surface passed ~215 queries — t12 measured 19.6 s in-suite vs
+  *    1.7 s isolated, with the slow set reshuffling every run as LRU
+  *    eviction order changed).
   *  - [[Caches.reset]] runs at every query-family boundary: families
   *    deliberately share persisted artifacts (pair relations, IVF index,
   *    fingerprint postings) WITHIN the family, but letting them accumulate
@@ -42,7 +46,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       // Static conf — must be set before the first session exists.
-      .config("spark.sql.codegen.cache.maxEntries", "3000")
+      .config("spark.sql.codegen.cache.maxEntries", "30000")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")

@@ -475,7 +475,53 @@ object SimBench {
     val kcoreOk = kcPeel1 == 800002L && kcPeel2 == 199998L && kcCore == 0L
     kcRes.unpersist()
 
-    println(s"""{"metric":"findsim_1024x475_qps","value":$qps,"unit":"qps","extra":{"findsim_1m_x64_sec":$bigSec,"hits_small":$hits,"hits_1m":$bigHits,"ivf_1m_build_sec":$buildSec,"ivf_1m_topk_sec":$ivfSec,"ivf_1m_topk_semijoin_sec":$ivfSemiSec,"brute_1m_topk_sec":$bruteSec,"ivf_rows":$ivfRows,"brute_rows":$bruteRows,"ivfpq_1m_build_sec":$pqBuildSec,"ivfpq_1m_topk_sec":$pqSec,"ivfpq_recall_at10":$pqRecall,"ivfpq_rerank_1m_sec":$rrSec,"ivfpq_rerank_recall_at10":$rrRecall,"bq_hamming_1m_sec":$bqSec,"bq_rows":$bqRows,"bq_rerank_1m_sec":$bqRerankSec,"bq_rerank_recall_at10":$bqRecall,"lsh_allpairs_1m_sec":$lshSec,"lsh_pairs":$lshCount,"lsh_planted_found":$plantedFound,"semdedup_1m_sec":$semSec,"semdedup_pairs":$semCount,"semdedup_planted_found":$semPlantedFound,"d4_prune_1m_sec":$pruneSec,"d4_dropped":$pruneDropped,"d4_core_minus_periphery":$pruneSep,"text_1m_winnow_sec":$winnowSec,"text_1m_winnow_rows":$winnowRows,"text_1m_wordsig_sec":$wordSigSec,"text_1m_wordsig_rows":$wordSigRows,"text_1m_cdc_sec":$cdcSec,"text_1m_cdc_rows":$cdcRows,"text_1m_entropy_sec":$entropySec,"text_1m_entropy_rows":$entropyRows,"dhash_1m_pairs_sec":$hamSec,"dhash_pairs":$hamCount,"dhash_planted_found":$hamPlanted,"nfc_1m_sec":$nfcSec,"nfc_1m_rows":$nfcRows,"pagerank_100kx2m_sec":$prSec,"pagerank_mass":$prMass,"kcenter_1m_k5_sec":$kcSec,"kcenter_1m_radius":$kc,"novelty_1m_sec":$novSec,"novelty_1m_mean":$novMean,"asof_nearest_1mx5m_sec":$asofSec,"asof_nearest_matched":$asofMatched,"flatten_1m_sec":$flatSec,"flatten_1m_kept":$flatKept,"lshsweep_b4_found":${sw4._2},"lshsweep_b4_sec":${sw4._3},"lshsweep_b8_found":${sw8._2},"lshsweep_b8_sec":${sw8._3},"lshsweep_b16_found":${sw16._2},"lshsweep_b16_sec":${sw16._3},"linededup_1m_sec":$lineSec,"linededup_1m_removed":$lineRemoved,"lpa_1m_sec":$lpaSec,"lpa_1m_mislabeled":$lpaBad,"kcore_1m_sec":$kcoreSec,"kcore_1m_closed_form_ok":$kcoreOk}}""")
+    // Engine-portable table checksum (q56's shape) at 10M rows: map-only
+    // md5 fold into one (sum, xor) row. The correctness claim at volume is
+    // ORDER-INDEPENDENCE, so the same data is checksummed under two very
+    // different partitionings and must agree bit-for-bit.
+    val ckRows = spark.range(10000000L).select(col("id"),
+      pmod(xxhash64(col("id")), lit(1000L)).as("k"),
+      concat(lit("name-"), col("id")).as("nm"))
+    def checksum(df: DataFrame): (Long, Long, Long) = {
+      val r = df.select(conv(substring(md5(concat_ws("|",
+          col("id"), col("k"), col("nm"))), 1, 10), 16, 10)
+          .cast("long").as("h"))
+        .agg(count(lit(1)), sum(col("h")), expr("bit_xor(h)")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val tck = System.nanoTime()
+    val ck1 = checksum(ckRows.repartition(7))
+    val ckSec = (System.nanoTime() - tck) / 1e9
+    val ck2 = checksum(ckRows.repartition(61, col("k")))
+    val ckOk = ck1 == ck2
+
+    // Bloom dedup gate (d19's shape) at 10M corpus keys / 2M probe rows:
+    // sketch build is one partial+final aggregate; the probe is map-only.
+    // Structural check at volume: every true member passes (Bloom filters
+    // cannot false-negative), non-member pass rate within 3x nominal fpp.
+    val bfCorpus = spark.range(10000000L).select(col("id").as("fp"))
+    val tbf = System.nanoTime()
+    val bfBytes = graft.ops.RuntimeFilter.bloomSketch(
+      bfCorpus, "fp", expectedItems = 10000000L, fpp = 0.01)
+    val bfBuildSec = (System.nanoTime() - tbf) / 1e9
+    val bfProbes = spark.range(1000000L).select(col("id").as("fp"),
+        lit(true).as("member"))
+      .unionByName(spark.range(1000000L)
+        .select((col("id") + 20000000L).as("fp"), lit(false).as("member")))
+    val tpr = System.nanoTime()
+    val bfAgg = bfProbes
+      .select(col("member"),
+        graft.ops.RuntimeFilter.mightContain(bfBytes, col("fp")).as("pass"))
+      .agg(
+        sum(when(col("member") && !col("pass"), 1L).otherwise(0L)),
+        sum(when(!col("member") && col("pass"), 1L).otherwise(0L)),
+        sum(when(!col("member"), 1L).otherwise(0L))).head()
+    val bfProbeSec = (System.nanoTime() - tpr) / 1e9
+    val bfFalseNeg = bfAgg.getLong(0)
+    val bfFpRate = bfAgg.getLong(1).toDouble / bfAgg.getLong(2)
+    val bfOk = bfFalseNeg == 0L && bfFpRate <= 0.03
+
+    println(s"""{"metric":"findsim_1024x475_qps","value":$qps,"unit":"qps","extra":{"findsim_1m_x64_sec":$bigSec,"hits_small":$hits,"hits_1m":$bigHits,"ivf_1m_build_sec":$buildSec,"ivf_1m_topk_sec":$ivfSec,"ivf_1m_topk_semijoin_sec":$ivfSemiSec,"brute_1m_topk_sec":$bruteSec,"ivf_rows":$ivfRows,"brute_rows":$bruteRows,"ivfpq_1m_build_sec":$pqBuildSec,"ivfpq_1m_topk_sec":$pqSec,"ivfpq_recall_at10":$pqRecall,"ivfpq_rerank_1m_sec":$rrSec,"ivfpq_rerank_recall_at10":$rrRecall,"bq_hamming_1m_sec":$bqSec,"bq_rows":$bqRows,"bq_rerank_1m_sec":$bqRerankSec,"bq_rerank_recall_at10":$bqRecall,"lsh_allpairs_1m_sec":$lshSec,"lsh_pairs":$lshCount,"lsh_planted_found":$plantedFound,"semdedup_1m_sec":$semSec,"semdedup_pairs":$semCount,"semdedup_planted_found":$semPlantedFound,"d4_prune_1m_sec":$pruneSec,"d4_dropped":$pruneDropped,"d4_core_minus_periphery":$pruneSep,"text_1m_winnow_sec":$winnowSec,"text_1m_winnow_rows":$winnowRows,"text_1m_wordsig_sec":$wordSigSec,"text_1m_wordsig_rows":$wordSigRows,"text_1m_cdc_sec":$cdcSec,"text_1m_cdc_rows":$cdcRows,"text_1m_entropy_sec":$entropySec,"text_1m_entropy_rows":$entropyRows,"dhash_1m_pairs_sec":$hamSec,"dhash_pairs":$hamCount,"dhash_planted_found":$hamPlanted,"nfc_1m_sec":$nfcSec,"nfc_1m_rows":$nfcRows,"pagerank_100kx2m_sec":$prSec,"pagerank_mass":$prMass,"kcenter_1m_k5_sec":$kcSec,"kcenter_1m_radius":$kc,"novelty_1m_sec":$novSec,"novelty_1m_mean":$novMean,"asof_nearest_1mx5m_sec":$asofSec,"asof_nearest_matched":$asofMatched,"flatten_1m_sec":$flatSec,"flatten_1m_kept":$flatKept,"lshsweep_b4_found":${sw4._2},"lshsweep_b4_sec":${sw4._3},"lshsweep_b8_found":${sw8._2},"lshsweep_b8_sec":${sw8._3},"lshsweep_b16_found":${sw16._2},"lshsweep_b16_sec":${sw16._3},"linededup_1m_sec":$lineSec,"linededup_1m_removed":$lineRemoved,"lpa_1m_sec":$lpaSec,"lpa_1m_mislabeled":$lpaBad,"kcore_1m_sec":$kcoreSec,"kcore_1m_closed_form_ok":$kcoreOk,"checksum_10m_sec":$ckSec,"checksum_10m_partition_invariant":$ckOk,"bloomgate_10m_build_sec":$bfBuildSec,"bloomgate_2m_probe_sec":$bfProbeSec,"bloomgate_false_negatives":$bfFalseNeg,"bloomgate_fp_rate":$bfFpRate,"bloomgate_ok":$bfOk}}""")
     spark.stop()
   }
 }

@@ -1832,6 +1832,45 @@ object Relational {
         |  SELECT 'orders', count(*), CAST(sum(h) AS BIGINT), bit_xor(h)
         |  FROM o
         |) ORDER BY tbl
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Incremental view maintenance: refresh a materialized aggregate
+      // from a change batch WITHOUT re-scanning history — base aggregate
+      // (shipments before the cutoff) merged with the delta's own
+      // aggregate via one full-outer join on the group keys. count/sum
+      // are self-maintainable aggregates (merge = add), so the merged
+      // view is algebraically the full recompute — and the oracle IS the
+      // full recompute over all rows, so the driver's hash match PROVES
+      // incremental == full, d16's incremental-canonicalization rule
+      // applied to aggregation state. Quantities are integral doubles
+      // (exact far below 2^53), so base+delta addition is exact on both
+      // engines. At 100 TB this is the nightly-refresh shape: the delta
+      // scan + a |groups|-sized merge join, never the history scan.
+      "q57_incremental_agg",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val cutoff = lit(java.sql.Timestamp.valueOf("1997-06-01 00:00:00"))
+        def agg(df: org.apache.spark.sql.DataFrame, pre: String) =
+          df.groupBy(col("l_returnflag"))
+            .agg(count(lit(1)).as(s"${pre}_n"),
+              sum(col("l_quantity")).as(s"${pre}_qty"))
+        val base = agg(t.lineitem.filter(col("l_shipdate") < cutoff), "base")
+        val delta = agg(t.lineitem.filter(col("l_shipdate") >= cutoff), "delta")
+        base.join(delta, Seq("l_returnflag"), "full_outer")
+          .select(col("l_returnflag"),
+            (coalesce(col("base_n"), lit(0L)) +
+              coalesce(col("delta_n"), lit(0L))).as("n_rows"),
+            round(coalesce(col("base_qty"), lit(0.0)) +
+              coalesce(col("delta_qty"), lit(0.0)), 2).as("sum_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        |SELECT l_returnflag, count(*) AS n_rows,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag
         |""".stripMargin.trim))
   )
 }

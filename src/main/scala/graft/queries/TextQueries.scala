@@ -3114,6 +3114,71 @@ object TextQueries {
         |FROM scored
         |GROUP BY source, (marks * 1000 >= chars * 15)
         |ORDER BY source, is_code
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Join-free cross-shard exact dedup — the Bloom-gate form every
+      // multi-shard ingest runs when a corpus-sized join per incoming
+      // batch is unaffordable: the corpus publishes one KB-MB sketch of
+      // its content fingerprints; each ingest batch drops rows whose
+      // fingerprint the sketch admits. The batch here is planted
+      // in-query on both engines (t30/d17's rule): every 25th doc
+      // replayed verbatim (a true duplicate — the sketch MUST drop it:
+      // Bloom filters have no false negatives, structurally) and every
+      // 25th+7 doc lightly edited (genuinely new — droppable only as a
+      // bounded false positive). Exact counts are oracle-checkable; the
+      // engine-specific sketch verdicts fold to contract booleans
+      // (a08's style). Bloom verdicts are DETERMINISTIC given
+      // (keys, sizing) — the bound is a fixed fact of this corpus, not
+      // a flake. At 100 TB: the d08 bucket join is the exact path; this
+      // gate costs one broadcast sketch and a map-only scan, and its
+      // false-positive loss rate is the fpp knob.
+      "d19_bloom_dedup_gate",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        def fpLong(c: org.apache.spark.sql.Column) =
+          conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+        val corpus = t.documents.select(fpLong(col("text")).as("fp"))
+        val nKeys = corpus.agg(countDistinct(col("fp"))).head.getLong(0)
+        val bf = graft.ops.RuntimeFilter.bloomSketch(
+          corpus, "fp", expectedItems = nKeys, fpp = 0.001)
+        val batch = t.documents.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+          .unionByName(t.documents.filter(col("doc_id") % 25 === 7)
+            .select((col("doc_id") + 300000L).as("doc_id"),
+              concat(col("text"), lit(" fresh")).as("text")))
+        val gated = batch
+          .join(corpus.distinct().withColumn("member", lit(true)),
+            fpLong(col("text")) === col("fp"), "left")
+          .select(col("doc_id"),
+            coalesce(col("member"), lit(false)).as("member"),
+            graft.ops.RuntimeFilter.mightContain(bf, fpLong(col("text")))
+              .as("dropped"))
+        gated.agg(
+          count(lit(1)).as("n_batch"),
+          sum(when(col("member"), 1L).otherwise(0L)).as("n_true_dup"),
+          (sum(when(col("member") && !col("dropped"), 1L).otherwise(0L)) === 0L)
+            .as("no_false_negatives"),
+          (sum(when(!col("member") && col("dropped"), 1L).otherwise(0L))
+            .cast("double") /
+            sum(when(!col("member"), 1L).otherwise(0L)).cast("double")
+            <= 0.05).as("fp_loss_bounded"))
+      },
+      Some("""
+        |WITH batch AS (
+        |  SELECT doc_id + 200000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 25 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000 AS doc_id, text || ' fresh' AS text
+        |  FROM documents WHERE doc_id % 25 = 7
+        |)
+        |SELECT count(*) AS n_batch,
+        |       CAST(sum(CASE WHEN c.text IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_true_dup,
+        |       TRUE AS no_false_negatives,
+        |       TRUE AS fp_loss_bounded
+        |FROM batch b
+        |LEFT JOIN (SELECT DISTINCT text FROM documents) c ON c.text = b.text
         |""".stripMargin.trim))
   )
 
