@@ -1871,6 +1871,59 @@ object Relational {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Event-time disorder audit — the measurement that SIZES a
+      // streaming watermark (st01-st19 all assume one): per user, how
+      // late does an event arrive relative to the max event time already
+      // seen from that user (arrival order = the append sequence,
+      // event_id)? lateness = max(prior ts) − ts when positive. The
+      // output is the disorder envelope: share of late events, the p99,
+      // and the max — pick a lateness bound below the max and the
+      // watermark will drop data; this query says exactly how much.
+      // Lateness values are exact integer micros; the p99 uses the
+      // q22-proven exact percentile pair. One user-keyed window pass —
+      // a single exchange at any log size.
+      "q58_disorder_audit",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t.events
+          .select(col("user_id"), col("event_id"),
+            expr("ts div 1000").as("ts_us"))
+          .withColumn("late_us",
+            greatest(lit(0L), coalesce(max(col("ts_us")).over(w), lit(0L))
+              - col("ts_us")))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("late_us") > 0L, 1L).otherwise(0L)).as("n_late"),
+            round(sum(when(col("late_us") > 0L, 1L).otherwise(0L))
+              .cast("double") / count(lit(1)).cast("double"), 6)
+              .as("late_share"),
+            round(expr("percentile(late_us, 0.99)"), 4).as("p99_late_us"),
+            max(col("late_us")).as("max_late_us"))
+      },
+      Some("""
+        |WITH ev AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us
+        |  FROM events
+        |),
+        |w AS (
+        |  SELECT greatest(0, coalesce(max(ts_us) OVER (
+        |           PARTITION BY user_id ORDER BY event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         - ts_us) AS late_us
+        |  FROM ev
+        |)
+        |SELECT count(*) AS n_events,
+        |       CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_late,
+        |       round(CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+        |               AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS late_share,
+        |       round(quantile_cont(late_us, 0.99), 4) AS p99_late_us,
+        |       max(late_us) AS max_late_us
+        |FROM w
         |""".stripMargin.trim))
   )
 }

@@ -3179,6 +3179,132 @@ object TextQueries {
         |       TRUE AS fp_loss_bounded
         |FROM batch b
         |LEFT JOIN (SELECT DISTINCT text FROM documents) c ON c.text = b.text
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Leakage-SAFE splitting — the fix for what s16 audits: s16 found
+      // near-dup pairs straddling train/test under the plain per-doc
+      // content-hash split (memorized near-copies of test docs in
+      // train inflate eval scores). Here the split unit is the near-dup
+      // CLUSTER: every doc splits by its canonical keeper's hash, so
+      // both endpoints of every dedup pair co-travel BY CONSTRUCTION —
+      // cross-split pairs are structurally zero, and the query proves
+      // it in-output (the oracle recomputes the same zero from the full
+      // closure). Rides the cached d02/d16 pair relation +
+      // canonicalization; unclustered docs split by their own id, so
+      // the assignment remains a pure function of content identity.
+      "s17_leakage_safe_split",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val pairs = Dedup.nearDuplicatesMinhashCached(t.documents,
+            "doc_id", "text",
+            threshold = 0.5, numHashes = 32, bands = 8, shingleN = 3)
+          .select(col("doc_a"), col("doc_b"))
+        val keepers = Dedup.canonicalize(pairs)
+        val assigned = t.documents.select(col("doc_id"))
+          .join(keepers, Seq("doc_id"), "left")
+          .withColumn("unit_id", coalesce(col("keeper_id"), col("doc_id")))
+          .withColumn("split",
+            graft.ops.Sampling.splitLabel(col("unit_id"), 90, 5))
+        val crossPairs = pairs
+          .join(assigned.select(col("doc_id").as("doc_a"),
+            col("split").as("split_a")), Seq("doc_a"))
+          .join(assigned.select(col("doc_id").as("doc_b"),
+            col("split").as("split_b")), Seq("doc_b"))
+          .filter(col("split_a") =!= col("split_b"))
+          .agg(count(lit(1)).as("n_cross"))
+        assigned
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("unit_id")).as("n_units"))
+          .crossJoin(broadcast(crossPairs))
+          .select(col("split"), col("n_docs"), col("n_units"),
+            (col("n_cross") === 0L).as("leakage_free"))
+          .orderBy(col("split"))
+      },
+      Some("""
+        |WITH RECURSIVE
+        |tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) >= 3
+        |              THEN list_distinct(list_transform(range(len(toks) - 2),
+        |                     i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+        |              ELSE [] END AS shingles
+        |  FROM tok
+        |),
+        |ex AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT)  AS h1,
+        |         CAST(concat('0x', substr(md5(s), 13, 12)) AS BIGINT) AS h2
+        |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0)
+        |),
+        |hashed AS (
+        |  SELECT doc_id, j, min((h1 + j * h2) % 2147483647) AS sigv
+        |  FROM ex, range(32) t(j)
+        |  GROUP BY doc_id, j
+        |),
+        |sigs AS (SELECT doc_id, list(sigv ORDER BY j) AS sig FROM hashed GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS key
+        |  FROM sigs, range(8) t(b)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+        |),
+        |hsets AS (SELECT doc_id, list(h1) AS hs FROM ex GROUP BY doc_id),
+        |verified AS (
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM cand c
+        |  JOIN hsets sa ON sa.doc_id = c.doc_a
+        |  JOIN hsets sb ON sb.doc_id = c.doc_b
+        |  WHERE len(list_intersect(sa.hs, sb.hs)) * 1.0
+        |        / len(list_distinct(sa.hs || sb.hs)) >= 0.5
+        |),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM verified
+        |  UNION
+        |  SELECT doc_b AS src, doc_a AS dst FROM verified
+        |),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |),
+        |labels AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS keeper_id
+        |  FROM reach GROUP BY src
+        |),
+        |assigned AS (
+        |  SELECT d.doc_id,
+        |         coalesce(l.keeper_id, d.doc_id) AS unit_id,
+        |         CASE WHEN CAST(concat('0x', substr(md5(CAST(
+        |                     coalesce(l.keeper_id, d.doc_id) AS VARCHAR)), 1, 8))
+        |                   AS BIGINT) % 100 < 90 THEN 'train'
+        |              WHEN CAST(concat('0x', substr(md5(CAST(
+        |                     coalesce(l.keeper_id, d.doc_id) AS VARCHAR)), 1, 8))
+        |                   AS BIGINT) % 100 < 95 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+        |),
+        |cross_pairs AS (
+        |  SELECT count(*) AS n_cross
+        |  FROM verified v
+        |  JOIN assigned a ON a.doc_id = v.doc_a
+        |  JOIN assigned b ON b.doc_id = v.doc_b
+        |  WHERE a.split <> b.split
+        |)
+        |SELECT split, count(*) AS n_docs,
+        |       count(DISTINCT unit_id) AS n_units,
+        |       (SELECT n_cross FROM cross_pairs) = 0 AS leakage_free
+        |FROM assigned
+        |GROUP BY split
+        |ORDER BY split
         |""".stripMargin.trim))
   )
 
