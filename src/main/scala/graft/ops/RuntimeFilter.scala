@@ -45,15 +45,43 @@ object RuntimeFilter {
     * BloomFilterAggregate (partial+final sketch merge, no row collect) —
     * the same expression the runtime-bloom-filter optimizer rule injects.
     * The returned bytes are the broadcastable sketch.
+    *
+    * The aggregate SILENTLY clamps its sizing to session maxima
+    * (`maxNumItems` default 4M, `maxNumBits` default 64M): at 10M keys
+    * the clamped sketch measured an 11% false-positive rate against the
+    * 1% requested (SimBench bloomgate) with no error anywhere — exactly
+    * the failure mode a 100 TB build side would hit. The maxima are
+    * raised to the requested sizing for the build and restored after,
+    * so the sketch honors (expectedItems, fpp) at any scale the caller
+    * asks for — the caller owns the memory trade (bits/8 bytes
+    * broadcast to every executor).
     */
   def bloomSketch(build: DataFrame, buildKey: String,
       expectedItems: Long, fpp: Double): Array[Byte] = {
     val numBits = math.max(64L,
       math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    val sketch = GraftSqlInternal.column(
-      new BloomFilterAggregate(GraftSqlInternal.expression(col(buildKey)),
-        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
-    build.select(sketch.as("bf")).head().getAs[Array[Byte]](0)
+    val conf = build.sparkSession.conf
+    val maxItemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val maxBitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val prevItems = conf.getOption(maxItemsKey)
+    val prevBits = conf.getOption(maxBitsKey)
+    def restore(key: String, prev: Option[String]): Unit = prev match {
+      case Some(v) => conf.set(key, v)
+      case None => conf.unset(key)
+    }
+    try {
+      if (conf.get(maxItemsKey, "4000000").toLong < expectedItems)
+        conf.set(maxItemsKey, expectedItems.toString)
+      if (conf.get(maxBitsKey, "67108864").toLong < numBits)
+        conf.set(maxBitsKey, numBits.toString)
+      val sketch = GraftSqlInternal.column(
+        new BloomFilterAggregate(GraftSqlInternal.expression(col(buildKey)),
+          Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+      build.select(sketch.as("bf")).head().getAs[Array[Byte]](0)
+    } finally {
+      restore(maxItemsKey, prevItems)
+      restore(maxBitsKey, prevBits)
+    }
   }
 
   /** Codegen membership probe against a built sketch — the

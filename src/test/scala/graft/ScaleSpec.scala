@@ -145,6 +145,42 @@ class ScaleSpec extends SparkSpec {
       s"per-row UDF back in the bloom path:\n$plan")
   }
 
+  test("bloomSketch honors its sizing above the session clamp maxima") {
+    // BloomFilterAggregate silently clamps (estimatedNumItems, numBits)
+    // to session maxima — at 10M keys the default-clamped sketch measured
+    // an 11% fp rate against the 1% requested, with no error anywhere
+    // (SimBench bloomgate). bloomSketch must raise the maxima for the
+    // build. Reproduced small: with maxNumBits squeezed to 1M, a 1M-key /
+    // 1% sketch needs 9.6M bits; a clamped build would run ~63% false
+    // positives, an honored one ~1%.
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val prevI = spark.conf.getOption(itemsKey)
+    val prevB = spark.conf.getOption(bitsKey)
+    spark.conf.set(itemsKey, "100000")
+    spark.conf.set(bitsKey, "1000000")
+    try {
+      val corpus = spark.range(1000000L).select($"id".as("fp"))
+      val bf = graft.ops.RuntimeFilter.bloomSketch(corpus, "fp",
+        expectedItems = 1000000L, fpp = 0.01)
+      val r = spark.range(200000L).select(($"id" + 5000000L).as("fp"))
+        .select(graft.ops.RuntimeFilter.mightContain(bf, $"fp").as("pass"))
+        .agg(sum(when($"pass", 1L).otherwise(0L)), count(lit(1)))
+        .collect().head
+      val fpRate = r.getLong(0).toDouble / r.getLong(1)
+      assert(fpRate <= 0.03,
+        f"fp rate $fpRate%.4f — the sketch was built under the clamp")
+      // The squeezed maxima are restored afterwards, not leaked.
+      assert(spark.conf.get(itemsKey) == "100000")
+      assert(spark.conf.get(bitsKey) == "1000000")
+    } finally {
+      def restore(k: String, v: Option[String]): Unit =
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      restore(itemsKey, prevI)
+      restore(bitsKey, prevB)
+    }
+  }
+
   test("scd2Intervals plans both windows over one keyed exchange") {
     // The change-detect lag window and the boundary lead window share
     // (key, ts, tie) partitioning+ordering, and the filter between them
