@@ -72,7 +72,14 @@ object Explain {
     "q53_decay"           -> "one-row max broadcast back in; map-side decay expression into ONE user-keyed partial+final aggregation",
     "e11_embed_audit"     -> "map-side magnitude + finiteness fold into a single global partial+final aggregate",
     "d17_entity_resolution" -> "block-keyed candidate self-join (sum-over-blocks quadratic, never corpus^2) + in-block levenshtein match + canonicalize",
-    "a07_theta_overlap"   -> "ONE corpus scan -> |types|-row theta sketch relation; pairwise set expressions on KB summaries")
+    "a07_theta_overlap"   -> "ONE corpus scan -> |types|-row theta sketch relation; pairwise set expressions on KB summaries",
+    "e12_margin_mining"   -> "persisted candidate relation shared by kx/ky/final (three consumers, one pass); integer micro-unit cosines keep the k-NN sums exact",
+    "q56_table_checksum"  -> "map-only md5 fold into ONE (count,sum,xor) row per table — the cheapest full-content audit",
+    "q57_incremental_agg" -> "delta-only scans + |groups|-sized full-outer merge — never the history scan",
+    "d19_bloom_dedup_gate" -> "one broadcast Bloom sketch + map-only membership probe; the join-free cross-shard dedup shape",
+    "s17_leakage_safe_split" -> "split-by-keeper over the cached pair relation; cross-split pairs structurally zero",
+    "q58_disorder_audit"  -> "ONE user-keyed window exchange; lateness as exact integer micros into a single global aggregate",
+    "t32_distinct_ngrams" -> "ONE fused tokenize -> uni+bi transform -> explode (lambda-bound); gram-keyed exact distinct")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
