@@ -655,6 +655,41 @@ object SourceQueries {
         |       TRUE AS sketch_ok
         |FROM events
         |GROUP BY event_type ORDER BY event_type
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Parquet column-index bloom filters — the FILE-level tier of the
+      // runtime-filter stack (a08/q37/d19 are the PLAN-level tier): the
+      // writer embeds a bloom filter per row group for the key column,
+      // and point lookups skip row groups whose filter excludes the key
+      // BEFORE any page decode. At 100 TB this is the difference between
+      // "read the key column of every row group" and "touch only the row
+      // groups that can match" for needle queries on non-sort columns
+      // (z-order/io06 covers the sorted case). The query proves the
+      // round trip is lossless and the point reads land exactly; the
+      // footer actually CONTAINING bloom offsets is pinned in
+      // PipelineGateSpec (DuckDB reads the same file ignoring them, so
+      // the oracle is the plain table lookup).
+      "io16_parquet_bloom",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val out = ioDir("io16", dir)
+        t.orders
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+          .write.mode("overwrite")
+          .option("parquet.bloom.filter.enabled#o_orderkey", "true")
+          .option("parquet.bloom.filter.expected.ndv#o_orderkey", "100000")
+          .parquet(out)
+        val needles = Seq(1L, 7L, 32L, 33L, 34L, 4000L)
+        s.read.parquet(out)
+          .filter(col("o_orderkey").isin(needles: _*))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        |SELECT o_orderkey, o_custkey, o_orderstatus
+        |FROM orders
+        |WHERE o_orderkey IN (1, 7, 32, 33, 34, 4000)
+        |ORDER BY o_orderkey
         |""".stripMargin.trim))
   )
 }

@@ -3305,6 +3305,68 @@ object TextQueries {
         |FROM assigned
         |GROUP BY split
         |ORDER BY split
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Zipf-slope audit — fit ln(freq) ~ a + b·ln(rank) over the top
+      // tokens by OLS. Natural language sits near b = -1 (Zipf's law);
+      // templated/synthetic corpora and tokenizer bugs bend the slope —
+      // the one-number companion to t31's Heaps'-law growth audit. The
+      // rank-frequency relation is exact integers with deterministic
+      // ties (count desc, token asc — t04's rule); ln is the only
+      // non-exact op and the OLS sums of ~1000 doubles drift orders of
+      // magnitude below the round-4 output (t19's libm rule). One
+      // tokenize-explode aggregate; everything after runs on the
+      // 1000-row relation.
+      "t34_zipf_slope",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val top = t.documents
+          .select(explode_outer(Dedup.tokens(col("text"))).as("token"))
+          .filter(col("token").isNotNull)
+          .groupBy(col("token")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token")).limit(1000)
+        val xy = top
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("n").desc, col("token"))))
+          .select(log(col("rnk").cast("double")).as("x"),
+            log(col("n").cast("double")).as("y"))
+        xy.agg(count(lit(1)).cast("double").as("m"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("m").cast("long").as("n_tokens"),
+            round((col("m") * col("sxy") - col("sx") * col("sy")) /
+              (col("m") * col("sxx") - col("sx") * col("sx")), 4).as("slope"),
+            round((col("sy") - (col("m") * col("sxy") - col("sx") * col("sy")) /
+              (col("m") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+              col("m"), 4).as("intercept"))
+      },
+      Some("""
+        |WITH counts AS (
+        |  SELECT token, count(*) AS n
+        |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
+        |                x -> x <> '')) AS token FROM documents)
+        |  GROUP BY token
+        |  ORDER BY n DESC, token
+        |  LIMIT 1000
+        |),
+        |xy AS (
+        |  SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, token) AS DOUBLE))
+        |           AS x,
+        |         ln(CAST(n AS DOUBLE)) AS y
+        |  FROM counts
+        |),
+        |s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS m, sum(x) AS sx, sum(y) AS sy,
+        |         sum(x*y) AS sxy, sum(x*x) AS sxx
+        |  FROM xy
+        |)
+        |SELECT CAST(m AS BIGINT) AS n_tokens,
+        |       round((m*sxy - sx*sy) / (m*sxx - sx*sx), 4) AS slope,
+        |       round((sy - (m*sxy - sx*sy) / (m*sxx - sx*sx) * sx) / m, 4)
+        |         AS intercept
+        |FROM s
         |""".stripMargin.trim))
   )
 

@@ -1463,6 +1463,75 @@ object VectorQueries {
         |JOIN ky ON ky.tgt_id = p.tgt_id
         |ORDER BY margin DESC, p.src_id, p.tgt_id
         |LIMIT 20
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Embedding snapshot drift — the encoder-regression alarm between
+      // two embedding drops (here: even vs odd vec_id halves standing in
+      // for "previous run" vs "re-embedded"): per label, the cosine
+      // DRIFT between the two halves' centroids. A healthy re-embedding
+      // drifts ~0; a changed encoder (or a silently shuffled label
+      // column) shows up as per-label centroid rotation long before
+      // downstream eval moves. Centroid components are avg-at-6 (v08's
+      // proven centroid contract); the cosine folds 64 rounded values,
+      // so round-6 output absorbs fold-order drift by 9 orders of
+      // magnitude. One posexplode aggregation — the (label, side, dim)
+      // relation is bounded by |labels|x2x64 whatever the corpus size.
+      "v27_centroid_drift",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val comp = t.embeddings
+          .select(col("label"), (col("vec_id") % 2 === 0).as("old_side"),
+            posexplode(col("embedding")).as(Seq("dim", "x")))
+          .groupBy(col("label"), col("old_side"), col("dim"))
+          .agg(round(avg(col("x").cast("double")), 6).as("c"))
+        val o = comp.filter(col("old_side"))
+          .select(col("label"), col("dim"), col("c").as("co"))
+        val n = comp.filter(!col("old_side"))
+          .select(col("label"), col("dim"), col("c").as("cn"))
+        val drift = o.join(n, Seq("label", "dim"))
+          .groupBy(col("label"))
+          .agg(round(lit(1.0) - sum(col("co") * col("cn")) /
+            sqrt(sum(col("co") * col("co")) * sum(col("cn") * col("cn"))), 6)
+            .as("drift"))
+        t.embeddings.groupBy(col("label"))
+          .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L))
+            .as("n_old"),
+            sum(when(col("vec_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_new"))
+          .join(drift, Seq("label"))
+          .select(col("label"), col("n_old"), col("n_new"), col("drift"))
+          .orderBy(col("label"))
+      },
+      Some("""
+        |WITH comp AS (
+        |  SELECT label, (vec_id % 2 = 0) AS old_side, d.d AS dim,
+        |         round(avg(CAST(embedding[CAST(d.d AS INTEGER) + 1] AS DOUBLE)), 6)
+        |           AS c
+        |  FROM embeddings, range(64) d(d)
+        |  GROUP BY 1, 2, 3
+        |),
+        |j AS (
+        |  SELECT o.label, o.c AS co, n.c AS cn
+        |  FROM comp o JOIN comp n ON o.label = n.label AND o.dim = n.dim
+        |  WHERE o.old_side AND NOT n.old_side
+        |),
+        |drift AS (
+        |  SELECT label,
+        |         round(1.0 - sum(co*cn) / sqrt(sum(co*co) * sum(cn*cn)), 6)
+        |           AS drift
+        |  FROM j GROUP BY label
+        |),
+        |counts AS (
+        |  SELECT label,
+        |         CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_old,
+        |         CAST(sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_new
+        |  FROM embeddings GROUP BY label
+        |)
+        |SELECT c.label, c.n_old, c.n_new, d.drift
+        |FROM counts c JOIN drift d ON d.label = c.label
+        |ORDER BY c.label
         |""".stripMargin.trim))
   )
 

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Dedup, Sampling}
@@ -118,6 +120,34 @@ class PipelineGateSpec extends SparkSpec {
     // pairs it must exceed 1 (the pair beats its own neighborhoods'
     // average) — the criterion's defining property.
     assert(margins.head > 1.0, s"top margin ${margins.head} <= 1")
+  }
+
+  test("io16 writes real parquet bloom filters into the row-group footers") {
+    // Run the query (which writes the file) then inspect the footer with
+    // the parquet library directly: every row group must carry a bloom
+    // filter offset for o_orderkey — without this the query would still
+    // hash-match (the filter is an optimization), so the footer check is
+    // what pins the feature.
+    SparkEntry.queries("io16_parquet_bloom")(spark, sf001).count()
+    val dir = new java.io.File(
+      s"/root/repo/target/graft-io/io16_${math.abs(sf001.hashCode)}")
+    val part = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+      spark.sparkContext.hadoopConfiguration)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks
+      assert(!blocks.isEmpty)
+      blocks.forEach { b =>
+        val colMeta = b.getColumns.asScala
+          .find(_.getPath.toDotString == "o_orderkey").get
+        assert(colMeta.getBloomFilterOffset > 0,
+          "no bloom filter offset for o_orderkey in row-group footer")
+        assert(reader.readBloomFilter(colMeta) != null,
+          "bloom filter offset present but filter unreadable")
+      }
+    } finally reader.close()
   }
 
   test("bloom gates report zero false negatives and bounded fp at sf0.001") {
