@@ -1874,6 +1874,47 @@ object Relational {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Tolerance-bounded as-of join — the pandas merge_asof `tolerance`
+      // semantic on the custom AsOfJoinExec: a purchase only attaches a
+      // signup if the nearest prior one is within 1 hour; staler matches
+      // become non-matches, not farther matches. This is the freshness
+      // guard every serving-time feature join needs (a feature older
+      // than its TTL must read as absent, never as itself). Exercises
+      // the operator's `tolerance` parameter at the driver gate (q15/
+      // q20/q32/q48 cover backward/forward/nearest without it). The
+      // oracle is the plain ASOF join filtered by distance — equivalent
+      // for backward, because the as-of match IS the nearest candidate.
+      "q59_asof_tolerance",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val ev = t.events.withColumn("tsu", expr("ts div 1000"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("tsu"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id").as("s_user"), col("tsu").as("s_tsu"))
+        graft.plans.AsOf.join(purchases, signups,
+            "user_id", "s_user", "tsu", "s_tsu",
+            tolerance = Some(3600000000L))
+          .filter(col("s_tsu").isNotNull)
+          .select(col("event_id"), col("user_id"),
+            col("tsu").as("purchase_us"),
+            col("s_tsu").as("matched_signup_us"),
+            (col("tsu") - col("s_tsu")).as("gap_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        |SELECT p.event_id, p.user_id,
+        |       epoch_us(p.ts) AS purchase_us,
+        |       epoch_us(s.ts) AS matched_signup_us,
+        |       epoch_us(p.ts) - epoch_us(s.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |WHERE epoch_us(p.ts) - epoch_us(s.ts) <= 3600000000
+        |ORDER BY p.event_id
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Event-time disorder audit — the measurement that SIZES a
       // streaming watermark (st01-st19 all assume one): per user, how
       // late does an event arrive relative to the max event time already

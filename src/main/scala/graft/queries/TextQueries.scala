@@ -3308,6 +3308,102 @@ object TextQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // MinHash estimator honesty — for every verified near-dup pair,
+      // the signature-agreement ESTIMATE of Jaccard (share of the 32
+      // Carter-Wegman members that collide — the quantity LSH banding
+      // actually thresholds on) against the exact shingle-set Jaccard.
+      // Both are exact rationals of engine-replayable integers, so the
+      // whole honesty table hash-matches — no tolerance boolean needed;
+      // the estimator's error is IN the output (st14's estimator-honesty
+      // rule, applied to the dedup stack's own core estimator). At scale
+      // this is the audit that justifies the banding threshold: if
+      // |est − exact| drifted, d02/d14's s-curve math would be lying.
+      "d20_minhash_estimator",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val pairs = Dedup.nearDuplicatesMinhashCached(t.documents,
+            "doc_id", "text",
+            threshold = 0.5, numHashes = 32, bands = 8, shingleN = 3)
+          .select(col("doc_a"), col("doc_b"),
+            round(col("jaccard"), 6).as("exact_j"))
+        val sigs = t.documents.select(col("doc_id"),
+          graft.functions.MinhashSignature(
+            graft.functions.WordGramPairs48(col("text"), 3), 32).as("sig"))
+          .filter(size(col("sig")) > 0)
+        pairs
+          .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")),
+            Seq("doc_a"))
+          .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")),
+            Seq("doc_b"))
+          .withColumn("matches", aggregate(
+            zip_with(col("sa"), col("sb"), (x, y) => (x === y).cast("int")),
+            lit(0), (acc, v) => acc + v))
+          .select(col("doc_a"), col("doc_b"), col("exact_j"),
+            round(col("matches").cast("double") / 32.0, 6).as("est_j"),
+            col("matches").cast("long").as("n_agree"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""
+        |WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) >= 3
+        |              THEN list_distinct(list_transform(range(len(toks) - 2),
+        |                     i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+        |              ELSE [] END AS shingles
+        |  FROM tok
+        |),
+        |ex AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT)  AS h1,
+        |         CAST(concat('0x', substr(md5(s), 13, 12)) AS BIGINT) AS h2
+        |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0)
+        |),
+        |hashed AS (
+        |  SELECT doc_id, j, min((h1 + j * h2) % 2147483647) AS sigv
+        |  FROM ex, range(32) t(j)
+        |  GROUP BY doc_id, j
+        |),
+        |sigs AS (SELECT doc_id, list(sigv ORDER BY j) AS sig FROM hashed GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS key
+        |  FROM sigs, range(8) t(b)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+        |),
+        |hsets AS (SELECT doc_id, list(h1) AS hs FROM ex GROUP BY doc_id),
+        |verified AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |         round(len(list_intersect(sa.hs, sb.hs)) * 1.0
+        |               / len(list_distinct(sa.hs || sb.hs)), 6) AS exact_j
+        |  FROM cand c
+        |  JOIN hsets sa ON sa.doc_id = c.doc_a
+        |  JOIN hsets sb ON sb.doc_id = c.doc_b
+        |  WHERE len(list_intersect(sa.hs, sb.hs)) * 1.0
+        |        / len(list_distinct(sa.hs || sb.hs)) >= 0.5
+        |)
+        |SELECT v.doc_a, v.doc_b, v.exact_j,
+        |       round(len(list_filter(range(32),
+        |               i -> a.sig[CAST(i AS INTEGER)+1]
+        |                    = b.sig[CAST(i AS INTEGER)+1])) / 32.0, 6)
+        |         AS est_j,
+        |       CAST(len(list_filter(range(32),
+        |               i -> a.sig[CAST(i AS INTEGER)+1]
+        |                    = b.sig[CAST(i AS INTEGER)+1])) AS BIGINT)
+        |         AS n_agree
+        |FROM verified v
+        |JOIN sigs a ON a.doc_id = v.doc_a
+        |JOIN sigs b ON b.doc_id = v.doc_b
+        |ORDER BY v.doc_a, v.doc_b
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Zipf-slope audit — fit ln(freq) ~ a + b·ln(rank) over the top
       // tokens by OLS. Natural language sits near b = -1 (Zipf's law);
       // templated/synthetic corpora and tokenizer bugs bend the slope —
