@@ -75,5 +75,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) =>
         WordGramPairs48(es(0),
           vector.literalInt(es, 2, "graft_wordgram_pairs48"))))
+    // Keep this list in lockstep with vector.registerSql (the session-
+    // level registration): both surfaces must expose the same names.
+    e.injectFunction((FunctionIdentifier("graft_sign_pack"),
+      info("graft_sign_pack",
+        "graft_sign_pack(vec[, wordBits]) - sign bits of a float vector " +
+          "packed wordBits (default 32) per long (the 1-bit signature)"),
+      (es: Seq[Expression]) => {
+        require(es.nonEmpty && es.length <= 2,
+          s"graft_sign_pack(vec[, wordBits]) takes 1-2 arguments, got ${es.length}")
+        val bits = if (es.length == 1) 32
+          else vector.literalInt(es, 2, "graft_sign_pack")
+        SignPack(es(0), bits)
+      }))
+    e.injectFunction((FunctionIdentifier("graft_hamming"),
+      info("graft_hamming",
+        "graft_hamming(a, b) - Hamming distance between two packed " +
+          "sign-bit signatures (xor + popcount per word)"),
+      (es: Seq[Expression]) => HammingWords(es(0), es(1))))
   }
 }

@@ -142,5 +142,14 @@ object vector {
       es => CharGramPairs48(es(0), literalInt(es, 2, "graft_chargram_pairs48")))
     GraftSqlInternal.registerFunction(spark, "graft_wordgram_pairs48",
       es => WordGramPairs48(es(0), literalInt(es, 2, "graft_wordgram_pairs48")))
+    // Keep in lockstep with GraftExtensions.apply — the two registration
+    // surfaces (session-level here, spark.sql.extensions there) must
+    // expose the same names.
+    GraftSqlInternal.registerFunction(spark, "graft_winnow_mins",
+      es => WinnowMins(es(0), literalInt(es, 2, "graft_winnow_mins")))
+    GraftSqlInternal.registerFunction(spark, "graft_char_entropy",
+      es => CharEntropy(es.head))
+    GraftSqlInternal.registerFunction(spark, "graft_nfc",
+      es => NfcNormalize(es.head))
   }
 }

@@ -51,4 +51,22 @@ object GraftSqlInternal {
       e.extraOptimizations = e.extraOptimizations :+ r
     }
   }
+
+  /** Apply an extensions installer's FUNCTION injections to a live
+    * session's registry — lets tests drive the `spark.sql.extensions`
+    * path without booting a second SparkContext.
+    */
+  def applyFunctionExtensions(
+      spark: SparkSession,
+      installer: SparkSessionExtensions => Unit): Unit = {
+    val e = new SparkSessionExtensions
+    installer(e)
+    e.registerFunctions(
+      spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry)
+  }
+
+  /** Names of session-registered functions (temp + builtin). */
+  def functionNames(spark: SparkSession): Seq[String] =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .listFunction().map(_.funcName)
 }

@@ -139,4 +139,30 @@ class VectorExpressionsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { ndOffset(Seq(2, 3), Seq(2, 0)) }
     intercept[IllegalArgumentException] { ndOffset(Seq(2, 3), Seq(0)) }
   }
+
+  test("the two SQL registration surfaces expose the same graft_* names") {
+    // registerSql (session-level) and GraftExtensions (spark.sql.extensions)
+    // are maintained by hand in two files; a name added to one and not the
+    // other ships an inconsistent SQL surface. Drive both into fresh
+    // sessions (independent registries, shared context) and compare.
+    import org.apache.spark.sql.GraftSqlInternal
+    val viaRegister = spark.newSession()
+    graft.functions.vector.registerSql(viaRegister)
+    val viaExtensions = spark.newSession()
+    GraftSqlInternal.applyFunctionExtensions(
+      viaExtensions, new GraftExtensions)
+    def graftNames(s: org.apache.spark.sql.SparkSession): Set[String] =
+      GraftSqlInternal.functionNames(s).filter(_.startsWith("graft_")).toSet
+    val a = graftNames(viaRegister)
+    val b = graftNames(viaExtensions)
+    assert(a === b, s"surfaces drifted: only-register=${a -- b}, " +
+      s"only-extensions=${b -- a}")
+    assert(a.nonEmpty)
+    // And the extensions-injected functions actually evaluate.
+    val r = viaExtensions.sql(
+      "SELECT graft_hamming(graft_sign_pack(array(CAST(1.0 AS FLOAT), " +
+        "CAST(-1.0 AS FLOAT))), graft_sign_pack(array(CAST(1.0 AS FLOAT), " +
+        "CAST(1.0 AS FLOAT)))) d").collect().head.getInt(0)
+    assert(r === 1)
+  }
 }
