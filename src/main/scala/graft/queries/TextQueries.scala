@@ -3404,6 +3404,63 @@ object TextQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Epoch/repetition planner — the data-constrained mixing schedule
+      // (Muennighoff et al., arXiv:2305.16264): given a training token
+      // budget split uniformly across sources, how many EPOCHS of each
+      // source must repeat to meet its share, capped at 4 repeats (the
+      // paper's ~4-epoch "repetition is nearly free" knee), and how much
+      // of the share goes unmet once the cap binds. Everything is exact
+      // integer arithmetic (ceil-div epochs, min for the cap, exact
+      // token counts from the t03 tokenizer), so the plan is
+      // engine-replayable. One tokenize aggregate; the planner itself
+      // runs on the |sources|-row relation.
+      "s18_epoch_plan",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val budget = 500000L
+        val avail = t.documents
+          .select(col("source"),
+            size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
+          .groupBy(col("source"))
+          .agg(sum(col("n_tokens")).as("avail_tokens"))
+        avail
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+          .withColumn("target_tokens", expr(s"$budget div cnt"))
+          .withColumn("epochs_needed",
+            expr("(target_tokens + avail_tokens - 1) div avail_tokens"))
+          .withColumn("epochs", least(col("epochs_needed"), lit(4L)))
+          .withColumn("sampled_tokens",
+            least(col("target_tokens"), col("avail_tokens") * 4L))
+          .withColumn("unmet_tokens",
+            col("target_tokens") - col("sampled_tokens"))
+          .select(col("source"), col("avail_tokens"), col("target_tokens"),
+            col("epochs"), col("sampled_tokens"), col("unmet_tokens"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        |WITH avail AS (
+        |  SELECT source,
+        |         CAST(sum(len(list_filter(string_split(text, ' '),
+        |                x -> x <> ''))) AS BIGINT) AS avail_tokens
+        |  FROM documents GROUP BY source
+        |),
+        |planned AS (
+        |  SELECT source, avail_tokens,
+        |         CAST(500000 // (SELECT count(*) FROM avail) AS BIGINT)
+        |           AS target_tokens
+        |  FROM avail
+        |)
+        |SELECT source, avail_tokens, target_tokens,
+        |       least((target_tokens + avail_tokens - 1) // avail_tokens, 4)
+        |         AS epochs,
+        |       least(target_tokens, avail_tokens * 4) AS sampled_tokens,
+        |       target_tokens - least(target_tokens, avail_tokens * 4)
+        |         AS unmet_tokens
+        |FROM planned
+        |ORDER BY source
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Zipf-slope audit — fit ln(freq) ~ a + b·ln(rank) over the top
       // tokens by OLS. Natural language sits near b = -1 (Zipf's law);
       // templated/synthetic corpora and tokenizer bugs bend the slope —
