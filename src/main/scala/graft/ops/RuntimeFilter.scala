@@ -35,6 +35,10 @@ object RuntimeFilter {
       probeKey: String, buildKey: String,
       expectedItems: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
     val bf = bloomSketch(build, buildKey, expectedItems, fpp)
+    // Empty build side (null sketch): the semi join is empty by
+    // definition — return that shape directly rather than probing a
+    // null filter.
+    if (bf == null) return probe.filter(lit(false))
     probe
       .filter(col(probeKey).isNotNull && mightContain(bf, col(probeKey)))
       .join(build.select(col(buildKey)).distinct(),
@@ -55,6 +59,10 @@ object RuntimeFilter {
     * so the sketch honors (expectedItems, fpp) at any scale the caller
     * asks for — the caller owns the memory trade (bits/8 bytes
     * broadcast to every executor).
+    *
+    * Returns null when `build` has no (non-null) keys — the aggregate's
+    * empty-input value; callers must treat it as "nothing can match"
+    * (see [[bloomSemiJoin]]), not probe it.
     */
   def bloomSketch(build: DataFrame, buildKey: String,
       expectedItems: Long, fpp: Double): Array[Byte] = {

@@ -145,6 +145,22 @@ class ScaleSpec extends SparkSpec {
       s"per-row UDF back in the bloom path:\n$plan")
   }
 
+  test("bloomSemiJoin with an empty build side is empty, not an NPE") {
+    // BloomFilterAggregate over zero rows yields a NULL sketch; the semi
+    // join must short-circuit to the (correct) empty result instead of
+    // probing a null filter.
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select($"l_orderkey", $"l_quantity")
+    val none = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .filter($"o_totalprice" > 1e18).select($"o_orderkey")
+    assert(none.isEmpty)
+    val out = graft.ops.RuntimeFilter.bloomSemiJoin(
+      li, none, "l_orderkey", "o_orderkey", expectedItems = 10L, fpp = 0.01)
+    assert(out.count() === 0L)
+    assert(out.columns.toSeq === li.columns.toSeq,
+      "empty result must keep the probe schema")
+  }
+
   test("bloomSketch honors its sizing above the session clamp maxima") {
     // BloomFilterAggregate silently clamps (estimatedNumItems, numBits)
     // to session maxima — at 10M keys the default-clamped sketch measured
