@@ -339,7 +339,7 @@ object SimBench {
         lit(1.0).as("cnt"))
     val tg = System.nanoTime()
     val prMass = graft.ops.Graph.pagerank(gVerts, gEdges, 5, 0.85)
-      .agg(sum(col("r"))).head.getDouble(0)
+      .agg(sum(col("r"))).head().getDouble(0)
     val prSec = (System.nanoTime() - tg) / 1e9
 
     // Greedy k-center over the 1M-vector corpus: k map-only scans with
@@ -348,7 +348,7 @@ object SimBench {
     // 2-approximation buys (FAISS's max-min seeding pays the same).
     val tk = System.nanoTime()
     val kc = graft.ops.Similarity.kcenterSelect(big, "id", "vec", 5)
-      .agg(max(col("radius"))).head.getDouble(0)
+      .agg(max(col("radius"))).head().getDouble(0)
     val kcSec = (System.nanoTime() - tk) / 1e9
 
     // n-gram novelty at 1M docs (t29's shape): one gram-keyed count
@@ -358,7 +358,7 @@ object SimBench {
     val tn = System.nanoTime()
     val novMean = graft.ops.Dedup.ngramNovelty(textCorpus, "doc_id", "text",
         k = 8)
-      .agg(avg(col("novelty"))).head.getDouble(0)
+      .agg(avg(col("novelty"))).head().getDouble(0)
     val novSec = (System.nanoTime() - tn) / 1e9
 
     // Nearest as-of at 1M probes x 5M quotes over 100k keys: the single
@@ -432,7 +432,7 @@ object SimBench {
     val tl = System.nanoTime()
     val lineRemoved = graft.ops.TextAnalysis.lineDedup(linedCorpus,
         "doc_id", "lt", minDocs = 1000)
-      .agg(sum(col("n_removed"))).head.getLong(0)
+      .agg(sum(col("n_removed"))).head().getLong(0)
     val lineSec = (System.nanoTime() - tl) / 1e9
 
     // Label propagation at 1M vertices / ~9.2M directed edges: 100k

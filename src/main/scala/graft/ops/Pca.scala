@@ -37,7 +37,7 @@ object Pca {
   /** Fit a k-component model from one aggregation pass over `vecCol`. */
   def fit(df: DataFrame, vecCol: String, k: Int): Model = {
     val gram = udaf(new graft.functions.GramAggregator)
-    val buf = df.select(gram(col(vecCol)).as("g")).head.getSeq[Double](0).toArray
+    val buf = df.select(gram(col(vecCol)).as("g")).head().getSeq[Double](0).toArray
     require(buf.nonEmpty && buf(0) > 0, "PCA needs at least one vector")
     val n = buf(0)
     val d = buf(1).toInt

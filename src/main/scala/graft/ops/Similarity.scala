@@ -464,10 +464,10 @@ object Similarity {
     import spark.implicits._
     val base = corpus.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("v")).persist()
-    val seedId = base.agg(min($"id")).head.getLong(0)
+    val seedId = base.agg(min($"id")).head().getLong(0)
 
     def centerVec(id: Long): Column = {
-      val arr = base.filter($"id" === id).head.getSeq[Float](1).toArray
+      val arr = base.filter($"id" === id).head().getSeq[Float](1).toArray
       typedLit(arr)
     }
 
@@ -481,7 +481,7 @@ object Similarity {
       .persist()
     for (_ <- 2 to k) {
       val next = state.filter(!$"id".isInCollection(picked.map(_._1)))
-        .orderBy($"d".desc, $"id").limit(1).head
+        .orderBy($"d".desc, $"id").limit(1).head()
       val (nid, nd) = (next.getLong(0), next.getDouble(2))
       picked = picked :+ ((nid, nd))
       val prev = state
@@ -492,7 +492,7 @@ object Similarity {
       prev.unpersist()
     }
     // Coverage radius: the farthest any point sits from the final set.
-    val radius = state.agg(max($"d")).head.getDouble(0)
+    val radius = state.agg(max($"d")).head().getDouble(0)
     state.unpersist()
     base.unpersist()
     val sel = picked.zipWithIndex.map { case ((id, d), i) =>
