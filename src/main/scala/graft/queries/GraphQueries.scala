@@ -316,7 +316,59 @@ object GraphQueries {
             col("core_deg"), col("peel_round"))
           .orderBy(col("n_nationkey"))
       },
-      Some(kcoreOracle(KcoreK, KcoreRounds)))
+      Some(kcoreOracle(KcoreK, KcoreRounds))),
+
+    QueryDef(
+      // Degree/strength profile — the first graph-health readout before
+      // any algorithm runs (PageRank, LPA, and k-core behavior all hinge
+      // on the degree distribution; a hub-dominated profile predicts the
+      // skew every per-vertex join must brace for). Per nation: degree
+      // (distinct co-supply partners) and strength (summed edge support)
+      // over the SAME shared persisted co-supply relation g02/g03/g05/g06
+      // ride — one more consumer of the already-built plan. Exact
+      // integers; isolated vertices surface with zeros (left join), not
+      // silently vanish.
+      "g07_degree_profile",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        val e = coSupplyEdges(t)
+        val und = e.select(col("a").as("v"), col("n"))
+          .unionByName(e.select(col("b").as("v"), col("n")))
+        val deg = und.groupBy(col("v"))
+          .agg(count(lit(1)).as("degree"), sum(col("n")).as("strength"))
+        t.nation.select(col("n_nationkey"), col("n_name"))
+          .join(deg, col("n_nationkey").cast("long") === deg("v"), "left")
+          .select(col("n_nationkey"), col("n_name"),
+            coalesce(col("degree"), lit(0L)).as("degree"),
+            coalesce(col("strength"), lit(0L)).as("strength"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""
+        |WITH inc AS (
+        |  SELECT DISTINCT l.l_partkey AS pk, CAST(s.s_nationkey AS BIGINT) AS nk
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |),
+        |co AS (
+        |  SELECT x.nk AS a, y.nk AS b, count(*) AS n
+        |  FROM inc x JOIN inc y ON x.pk = y.pk AND x.nk < y.nk
+        |  GROUP BY 1, 2
+        |),
+        |thr AS (SELECT quantile_cont(n, 0.75) AS q FROM co),
+        |e AS (SELECT a, b, n FROM co, thr WHERE co.n >= thr.q),
+        |und AS (
+        |  SELECT a AS v, n FROM e UNION ALL SELECT b AS v, n FROM e
+        |),
+        |deg AS (
+        |  SELECT v, count(*) AS degree, CAST(sum(n) AS BIGINT) AS strength
+        |  FROM und GROUP BY v
+        |)
+        |SELECT nt.n_nationkey, nt.n_name,
+        |       coalesce(d.degree, 0) AS degree,
+        |       coalesce(d.strength, 0) AS strength
+        |FROM nation nt
+        |LEFT JOIN deg d ON d.v = CAST(nt.n_nationkey AS BIGINT)
+        |ORDER BY nt.n_nationkey
+        |""".stripMargin.trim))
   )
 
   /** The g05 oracle: the weighted co-supply edges (g03's chain keeping

@@ -1874,6 +1874,62 @@ object Relational {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Batch KLL quantile sketches + MERGEABILITY — the quantile answer
+      // at 100 TB group cardinalities, where Spark's exact `percentile`
+      // buffers every value per group and KLL carries a KB summary
+      // through ordinary partial+final aggregation. Per-status sketches
+      // fold o_totalprice; the 'ALL' row re-aggregates the per-group
+      // SKETCHES (never the rows) — the roll-up a sketch store serves.
+      // Contracts: each sketch's p50/p95 estimate sits within 3.5% of
+      // its true rank (st17's rank-band honesty rule — KLL guarantees
+      // RANK and compaction is randomized, so value equality would be
+      // dishonest), and each sketch's internal N equals the exact row
+      // count — for 'ALL' that proves the merge lost nothing. Same
+      // sketch + wire format as the streaming quantile state (st17), so
+      // batch-built sketches can seed streams and vice versa.
+      "a09_kll_quantiles",
+      (s, dir) => {
+        import graft.functions.KllSketch
+        val t = Tables(s, dir)
+        val perStatus = t.orders.groupBy(col("o_orderstatus"))
+          .agg(KllSketch.sketch(col("o_totalprice")).as("sk"))
+          .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
+          .toSeq.sortBy(_._1)
+        val all = ("ALL", KllSketch.mergeAll(perStatus.map(_._2)))
+        val ests = (perStatus :+ all).map { case (g, sk) =>
+          (g, KllSketch.quantile(sk, 0.5), KllSketch.quantile(sk, 0.95),
+            KllSketch.n(sk)) }
+        val estDf = broadcast(
+          s.createDataFrame(ests).toDF("grp", "est50", "est95", "sketch_n"))
+        val rows = t.orders.select(col("o_orderstatus"), col("o_totalprice"))
+        val labeled = rows
+          .select(col("o_orderstatus").as("grp"), col("o_totalprice"))
+          .unionByName(rows
+            .select(lit("ALL").as("grp"), col("o_totalprice")))
+        labeled.join(estDf, "grp")
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n_rows"),
+            (abs(sum(when(col("o_totalprice") <= col("est50"), 1L)
+              .otherwise(0L)).cast("double") / count(lit(1)) - 0.5) <= 0.035)
+              .as("p50_ok"),
+            (abs(sum(when(col("o_totalprice") <= col("est95"), 1L)
+              .otherwise(0L)).cast("double") / count(lit(1)) - 0.95) <= 0.035)
+              .as("p95_ok"),
+            (max(col("sketch_n")) === count(lit(1))).as("n_exact"))
+          .orderBy(col("grp"))
+      },
+      Some("""
+        |SELECT grp, count(*) AS n_rows,
+        |       TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS n_exact
+        |FROM (
+        |  SELECT o_orderstatus AS grp FROM orders
+        |  UNION ALL
+        |  SELECT 'ALL' FROM orders
+        |)
+        |GROUP BY grp ORDER BY grp
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Tolerance-bounded as-of join — the pandas merge_asof `tolerance`
       // semantic on the custom AsOfJoinExec: a purchase only attaches a
       // signup if the nearest prior one is within 1 hour; staler matches

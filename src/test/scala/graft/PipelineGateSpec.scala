@@ -150,6 +150,30 @@ class PipelineGateSpec extends SparkSpec {
     } finally reader.close()
   }
 
+  test("KllSketchAgg folds every row under any partitioning") {
+    import graft.functions.KllSketch
+    val vals = spark.range(10000L).select(($"id" * 7L % 10000L)
+      .cast("double").as("v"))
+    def build(parts: Int): Array[Byte] = vals.repartition(parts)
+      .agg(KllSketch.sketch($"v").as("sk"))
+      .head().getAs[Array[Byte]](0)
+    Seq(3, 31).foreach { parts =>
+      val sk = build(parts)
+      assert(KllSketch.n(sk) === 10000L,
+        s"sketch lost rows at $parts partitions")
+      // Rank honesty: the p50 estimate's true rank within the KLL band.
+      val est = KllSketch.quantile(sk, 0.5)
+      val trueRank = vals.filter($"v" <= est).count().toDouble / 10000.0
+      assert(math.abs(trueRank - 0.5) <= 0.035,
+        s"p50 rank $trueRank out of band at $parts partitions")
+    }
+    // Driver-side mergeAll preserves N exactly (the sketch-store roll-up).
+    val halves = Seq(
+      vals.filter($"v" < 5000).agg(KllSketch.sketch($"v")).head().getAs[Array[Byte]](0),
+      vals.filter($"v" >= 5000).agg(KllSketch.sketch($"v")).head().getAs[Array[Byte]](0))
+    assert(KllSketch.n(KllSketch.mergeAll(halves)) === 10000L)
+  }
+
   test("bloom gates report zero false negatives and bounded fp at sf0.001") {
     val a08 = SparkEntry.queries("a08_bloom_contract")(spark, sf001).head()
     assert(a08.getBoolean(2) && a08.getBoolean(3))
