@@ -1532,6 +1532,61 @@ object VectorQueries {
         |SELECT c.label, c.n_old, c.n_new, d.drift
         |FROM counts c JOIN drift d ON d.label = c.label
         |ORDER BY c.label
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // Mutual (reciprocal) k-NN pairs — a is in b's top-k AND b is in
+      // a's top-k. The hubness-robust matching primitive: one-directional
+      // kNN links every point to hubs; requiring reciprocity keeps only
+      // genuinely mutual affinity (the criterion behind reciprocal-rank
+      // bitext filtering and RNN-DBSCAN-style clustering; e12's margin
+      // is the soft version, this is the hard one). ONE kNN relation
+      // (rounded sims + id tiebreaks BEFORE ranking — the v02 engine-
+      // parity contract), self-joined on reversed endpoints, canonical
+      // a < b orientation. The exact all-pairs front is the oracle-able
+      // gate form; at 100 TB the IVF/LSH candidate fronts (v09/e02)
+      // produce the same relation per-probe, and the reciprocity join is
+      // k-bounded per vertex regardless of corpus size.
+      "v28_mutual_knn",
+      (s, dir) => {
+        val t = Tables(s, dir)
+        // bruteForceTopK with the whole corpus as its own probe set: it
+        // broadcasts the probes, Spread-ensures the corpus scan (a naive
+        // crossJoin off the single-row-group parquet ran the 4M-cosine
+        // sweep in ONE task — 13.3 s vs 1.7 s spread), and collapses to
+        // k rows per query map-side via TopKByScore before any exchange.
+        val knn = graft.ops.Similarity.bruteForceTopK(
+          t.embeddings, t.embeddings, "vec_id", "embedding", k = 5)
+          .persist()
+        knn.as("x").join(knn.as("y"),
+            col("x.query_id") === col("y.vec_id") &&
+              col("x.vec_id") === col("y.query_id"))
+          .filter(col("x.query_id") < col("x.vec_id"))
+          .select(col("x.query_id").as("id_a"), col("x.vec_id").as("id_b"),
+            col("x.sim").as("sim"), col("x.rnk").cast("long").as("rnk_ab"),
+            col("y.rnk").cast("long").as("rnk_ba"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""
+        |WITH sims AS (
+        |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                      CAST(b.embedding AS DOUBLE[])), 6)
+        |           AS sim
+        |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id
+        |),
+        |knn AS (
+        |  SELECT ida, idb, sim,
+        |         row_number() OVER (PARTITION BY ida
+        |                            ORDER BY sim DESC, idb) AS rnk
+        |  FROM sims
+        |  QUALIFY rnk <= 5
+        |)
+        |SELECT x.ida AS id_a, x.idb AS id_b, x.sim,
+        |       x.rnk AS rnk_ab, y.rnk AS rnk_ba
+        |FROM knn x JOIN knn y ON x.ida = y.idb AND x.idb = y.ida
+        |WHERE x.ida < x.idb
+        |ORDER BY id_a, id_b
         |""".stripMargin.trim))
   )
 
