@@ -2423,17 +2423,21 @@ object TextQueries {
       // of the 8 merge rounds is one keyed pair-count aggregation over
       // ~vocab rows plus a ONE-row driver pull (the argmax pair) and a
       // map-side re-segmentation fold. Deterministic by construction
-      // (frequency ties break lexicographically), but the merge choice is
-      // an iterative data-dependent argmax — not expressible as one SQL
-      // statement, so this entry carries the driver's rows-only check and
-      // BpeSpec pins the merge sequence on a hand-computed corpus.
+      // (frequency ties break lexicographically), so the whole training
+      // loop IS oracle-checkable: the merge count is a fixed constant (8),
+      // and a fixed iteration count unrolls into straight-line SQL — each
+      // round is one pair-count aggregation, one argmax, and one
+      // window-function greedy merge application (see [[bpeOracleSql]]).
+      // The oracle hash pins every round's argmax AND the leftmost-first
+      // non-overlapping fold semantics (a==b chains included); BpeSpec
+      // additionally pins the merge sequence on a hand-computed corpus.
       "t17_bpe_merges",
       (s, dir) => {
         val t = Tables(s, dir)
         graft.ops.Bpe.trainTable(s, t.documents, "text", numMerges = 8)
           .orderBy(col("rank"))
       },
-      None),
+      Some(bpeOracleSql(8))),
 
     QueryDef(
       // Unicode canonicalization + whitespace/control scrub — the
@@ -3522,5 +3526,106 @@ object TextQueries {
         |FROM s
         |""".stripMargin.trim))
   )
+
+  /** DuckDB oracle for t17: full corpus-level BPE training, unrolled.
+    *
+    * The trainer's loop (graft.ops.Bpe.train) runs a FIXED number of merge
+    * rounds, so the "iterative, not one SQL statement" objection dissolves:
+    * unroll the 8 rounds into 8 straight-line CTE blocks. Per round r:
+    *
+    *  - `p{r}`: adjacent-pair frequencies over the vocab relation —
+    *    identical shape to Bpe.pairCounts.
+    *  - `m{r}`: the argmax pair with the trainer's exact tie-break
+    *    (ORDER BY n DESC, left, right LIMIT 1) and minFreq>=2 guard; an
+    *    empty m{r} empties every later round, mirroring early stop.
+    *  - `e/c/g/k/o{r}`: ONE merge application with the fold's exact
+    *    leftmost-first non-overlapping semantics, positionally: a position
+    *    is a candidate when (sym, next) == (left, right); candidates at
+    *    consecutive positions only arise when left==right (chains), and the
+    *    greedy fold takes the 1st, 3rd, ... of each maximal run — computed
+    *    with two window row_numbers (run grouping via pos - rank, then
+    *    odd-offset pick). A merged token never cascades within one round
+    *    (left+right != left since right is nonempty), so this positional
+    *    rule is EXACT, not an approximation of the sequential fold.
+    *  - `v{r}`: reassembled symbol arrays (picked → left||right, the
+    *    following consumed position dropped).
+    *
+    * CTEs are MATERIALIZED: each round references its predecessor twice,
+    * so DuckDB's default inline expansion would blow up 2^rounds.
+    * Validated against the Spark trainer at sf0.001/0.01/0.1 including a
+    * frequency tie at sf0.001 (ranks 7/8 both 1873 — lexicographic
+    * tie-break exercised).
+    */
+  private def bpeOracleSql(numMerges: Int): String = {
+    def round(r: Int): String = {
+      val pv = s"v${r - 1}"
+      s"""p$r AS MATERIALIZED (
+         |  SELECT pr.l AS l, pr.r AS r, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM (SELECT freq, unnest(list_transform(range(1, len(syms)),
+         |               i -> {'l': syms[i], 'r': syms[i+1]})) AS pr
+         |        FROM $pv WHERE len(syms) >= 2)
+         |  GROUP BY 1, 2
+         |),
+         |m$r AS MATERIALIZED (
+         |  SELECT l, r, n FROM p$r WHERE n >= 2 ORDER BY n DESC, l, r LIMIT 1
+         |),
+         |e$r AS (
+         |  SELECT word, freq,
+         |         unnest(list_transform(range(1, len(syms)+1),
+         |           i -> {'pos': i, 's': syms[i]})) AS u
+         |  FROM $pv CROSS JOIN m$r
+         |),
+         |c$r AS (
+         |  SELECT word, freq, u.pos AS pos, u.s AS s,
+         |         coalesce(u.s = (SELECT l FROM m$r) AND
+         |                  lead(u.s) OVER (PARTITION BY word ORDER BY u.pos) =
+         |                  (SELECT r FROM m$r), FALSE) AS cand
+         |  FROM e$r
+         |),
+         |g$r AS (
+         |  SELECT *, CASE WHEN cand THEN pos -
+         |    ROW_NUMBER() OVER (PARTITION BY word, cand ORDER BY pos) END AS grp
+         |  FROM c$r
+         |),
+         |k$r AS (
+         |  SELECT *, cand AND (ROW_NUMBER() OVER
+         |    (PARTITION BY word, grp ORDER BY pos) % 2 = 1) AS picked
+         |  FROM g$r
+         |),
+         |o$r AS (
+         |  SELECT word, freq, pos,
+         |         CASE WHEN picked
+         |                THEN s || lead(s) OVER (PARTITION BY word ORDER BY pos)
+         |              WHEN coalesce(lag(picked) OVER
+         |                (PARTITION BY word ORDER BY pos), FALSE) THEN NULL
+         |              ELSE s END AS outsym
+         |  FROM k$r
+         |),
+         |v$r AS MATERIALIZED (
+         |  SELECT word, freq,
+         |         list(outsym ORDER BY pos) FILTER (outsym IS NOT NULL) AS syms
+         |  FROM o$r GROUP BY word, freq
+         |)""".stripMargin
+    }
+    val rounds = (1 to numMerges).map(round).mkString(",\n")
+    val finals = (1 to numMerges).map(r =>
+      s"""SELECT CAST($r AS INT) AS rank, l AS "left", r AS "right", n AS freq
+         |FROM m$r""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH wf AS (
+       |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+       |           AS tok
+       |    FROM documents) GROUP BY 1
+       |),
+       |v0 AS MATERIALIZED (
+       |  SELECT word, freq,
+       |         list_transform(range(1, length(word)+1), i -> word[i]) AS syms
+       |  FROM wf
+       |),
+       |$rounds
+       |SELECT * FROM (
+       |$finals
+       |) ORDER BY rank""".stripMargin
+  }
 
 }
