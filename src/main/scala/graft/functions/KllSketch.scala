@@ -27,6 +27,16 @@ import org.apache.spark.sql.types._
   * are honest only through rank-band contracts (st14's estimator-honesty
   * rule), never value equality. The [[KllSketch]] helpers expose
   * quantile/rank/n reads over the serialized bytes.
+  *
+  * Precision: this is the FLOATS sketch — `update` narrows Double/Long/
+  * Int inputs to Float before folding, so integer values above 2²⁴
+  * (~16.7M) and high-precision doubles lose exactness, invisibly to
+  * callers (checkInputDataTypes accepts LongType). Rank-band contracts
+  * absorb the narrowing, but quantile VALUES read back via
+  * [[KllSketch.quantile]] are float-precision; a pipeline needing exact
+  * valued quantiles of large longs would swap in the doubles sketch
+  * (same DataSketches family, same merge algebra) at 2× the summary
+  * size.
   */
 case class KllSketchAgg(
     child: Expression,

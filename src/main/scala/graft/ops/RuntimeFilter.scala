@@ -63,6 +63,15 @@ object RuntimeFilter {
     * Returns null when `build` has no (non-null) keys — the aggregate's
     * empty-input value; callers must treat it as "nothing can match"
     * (see [[bloomSemiJoin]]), not probe it.
+    *
+    * NOT thread-safe across concurrent planning on the same session:
+    * the maxima are session-global runtime conf, so a query planned on
+    * another thread between raise and restore can be planned under the
+    * inflated limits (or interleave with the restore). Fine in a
+    * single-threaded driver loop (Verify/Bench); a concurrent caller
+    * should build on a cloned session — `spark.newSession` shares the
+    * SparkContext but isolates runtime conf — and pass that session's
+    * DataFrame in.
     */
   def bloomSketch(build: DataFrame, buildKey: String,
       expectedItems: Long, fpp: Double): Array[Byte] = {
