@@ -904,13 +904,17 @@ object StreamingQueries {
       // Streaming per-user 3-sigma anomaly flagging — the live outlier
       // alarm over a metric stream. Keyed state is THREE exact longs
       // (n, Σv, Σv²) per user; the 3σ test is cross-multiplied into
-      // pure int64 arithmetic ((n·v−s)² > 9·(n·q−s²)), so the stream's
-      // verdicts equal the batch window computation bit-for-bit — the
-      // oracle replays it as ROWS UNBOUNDED PRECEDING..1 PRECEDING
-      // window sums over the same milli-unit integers. Values scale to
-      // millis (not micros) so Σv² stays far inside int64 at every SF
-      // (headroom math in the EventStreams scaladoc). Restart behavior
-      // is pinned in StreamingSpec on disjoint-ts batches.
+      // exact integer arithmetic ((n·v−s)² > 9·(n·q−s²), int64 fast
+      // path with a BigInt fallback once intermediates near 2⁶³), so
+      // the stream's verdicts equal the batch window computation
+      // bit-for-bit — the oracle replays it as ROWS UNBOUNDED
+      // PRECEDING..1 PRECEDING window sums over the same milli-unit
+      // integers, cross-multiplying in HUGEINT (DuckDB overflow-checks
+      // loudly rather than wrapping, mirroring the engine's exactness).
+      // Values scale to millis (not micros) so the int64 STATE moments
+      // keep headroom at every SF (math in the EventStreams scaladoc).
+      // Restart behavior is pinned in StreamingSpec on disjoint-ts
+      // batches.
       "st19_stream_zscore",
       (s, dir) => {
         import s.implicits._
@@ -944,8 +948,10 @@ object StreamingQueries {
         |       round(v / 1000.0, 3) AS value, n_prior
         |FROM w
         |WHERE n_prior >= 10
-        |  AND (n_prior*v - s_prior) * (n_prior*v - s_prior)
-        |      > 9 * (n_prior*q_prior - s_prior*s_prior)
+        |  AND (CAST(n_prior AS HUGEINT)*v - s_prior)
+        |      * (CAST(n_prior AS HUGEINT)*v - s_prior)
+        |      > 9 * (CAST(n_prior AS HUGEINT)*q_prior
+        |             - CAST(s_prior AS HUGEINT)*s_prior)
         |ORDER BY user_id, ts_us, event_id
         |""".stripMargin.trim))
   )

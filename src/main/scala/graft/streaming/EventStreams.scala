@@ -505,11 +505,18 @@ object EventStreams {
     * restarts) the output is exactly the batch windowed computation —
     * the st19 driver contract and the StreamingSpec restart test.
     *
-    * Integer headroom: v ≤ ~5.6·10⁵ milli-units here; (n·v)² stays in
-    * int64 to n ≈ 10⁶ events/key. A deployment with hotter keys drops
-    * to centi-unit scaling or periodically rebases (n, s, q) to a
-    * decayed window — the flag is scale-free, so rebasing only changes
-    * the history the test sees.
+    * Integer headroom: the STATE moments are int64, exact while
+    * n·v²max < 2⁶³ — at the v ≤ ~5.6·10⁵ milli-units seen here, Σv²
+    * holds to n ≈ 3·10⁷ events per key; hotter keys drop to centi-unit
+    * scaling or periodically rebase (n, s, q) to a decayed window — the
+    * flag is scale-free, so rebasing only changes the history the test
+    * sees. The 3σ COMPARISON is exact for any in-range state: the int64
+    * cross-multiplied form wraps silently once n·|v| nears 2³¹·√2 (dev²
+    * and s² overflow first), so the test takes the int64 fast path only
+    * when every intermediate provably fits and otherwise evaluates in
+    * BigInt (see [[ZScoreProcessor.isAnomalous]]). The st19 oracle
+    * mirrors this by cross-multiplying in HUGEINT, which DuckDB
+    * overflow-checks loudly rather than wrapping.
     */
   def streamingZScores(events: Dataset[ZEvent],
       minPrior: Int = 10): Dataset[ZAnomaly] = {
@@ -542,16 +549,39 @@ object EventStreams {
       var st = Option(state.get()).getOrElse(ZState(0L, 0L, 0L))
       val out = Seq.newBuilder[ZAnomaly]
       rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
-        if (st.n >= minPrior) {
-          val dev = st.n * e.v - st.s
-          if (dev * dev > 9L * (st.n * st.q - st.s * st.s))
-            out += ZAnomaly(key, e.ts_us, e.event_id, e.v, st.n)
-        }
+        if (st.n >= minPrior && zScoreExceeds3Sigma(st.n, st.s, st.q, e.v))
+          out += ZAnomaly(key, e.ts_us, e.event_id, e.v, st.n)
         st = ZState(st.n + 1L, st.s + e.v, st.q + e.v * e.v)
       }
       state.update(st)
       out.result().iterator
     }
+  }
+
+  /** (n·v − s)² > 9·(n·q − s²), exactly, at any in-range (n, s, q).
+    *
+    * Fast path: pure int64, taken only when every intermediate provably
+    * fits — n·|v| ≤ 2⁶², |s| and |dev| ≤ ⌊√(2⁶³)⌋ (so s² and dev² fit),
+    * and 9·n·q ≤ Long.MaxValue (n·q − s² ∈ [0, n·q] by Cauchy–Schwarz,
+    * so its 9× fits too). Otherwise BigInt — the slow path only triggers
+    * past n·|v| ≈ 3·10⁹, where the old single formulation silently
+    * wrapped and flipped verdicts (e.g. a zero-deviation event over a
+    * zero-variance history flagged anomalous because 9·n·q wrapped
+    * negative). Package-private so ZScoreSpec can pin fast/slow parity
+    * against a BigInt reference.
+    */
+  private[graft] def zScoreExceeds3Sigma(n: Long, s: Long, q: Long,
+      v: Long): Boolean = {
+    val av = math.max(math.abs(v), 1L)
+    val sqrtMax = 3037000499L // floor(sqrt(2^63 - 1))
+    if (n <= (1L << 62) / av && math.abs(s) <= sqrtMax &&
+        q <= Long.MaxValue / 9L / math.max(n, 1L)) {
+      val dev = n * v - s
+      if (math.abs(dev) <= sqrtMax)
+        return dev * dev > 9L * (n * q - s * s)
+    }
+    val dev = BigInt(n) * v - s
+    dev * dev > 9 * (BigInt(n) * q - BigInt(s) * s)
   }
 
   /** Sliding-window rates: overlapping `width` windows advancing every

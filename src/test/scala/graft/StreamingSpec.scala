@@ -620,4 +620,41 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("zScoreExceeds3Sigma is exact past the int64 cross-multiply range") {
+    // BigInt reference for the mathematical predicate.
+    def ref(n: Long, s: Long, q: Long, v: Long): Boolean = {
+      val dev = BigInt(n) * v - s
+      dev * dev > 9 * (BigInt(n) * q - BigInt(s) * s)
+    }
+    // The regime the old int64 formulation silently wrapped in (n·q and
+    // s² past 2⁶³): 6000 prior events of constant v=560000 milli-units.
+    // A zero-deviation event over zero variance must NOT flag; the
+    // wrapped formulation computed 0 > (negative garbage) = true.
+    val n = 6000L; val c = 560000L
+    val sConst = n * c; val qConst = n * c * c
+    assert(n * qConst < 0L, "test regime must actually wrap n*q in int64")
+    assert(!EventStreams.zScoreExceeds3Sigma(n, sConst, qConst, c),
+      "zero deviation over zero variance flagged — int64 wrap regression")
+    // Same regime with real variance: half 559000 / half 561000 (σ=1000).
+    // 4σ flags, 2σ does not — both sides of the boundary, both wrapped
+    // before the fix.
+    val sVar = 3000L * 559000L + 3000L * 561000L
+    val qVar = 3000L * 559000L * 559000L + 3000L * 561000L * 561000L
+    assert(EventStreams.zScoreExceeds3Sigma(n, sVar, qVar, c + 4000L))
+    assert(!EventStreams.zScoreExceeds3Sigma(n, sVar, qVar, c + 2000L))
+    // Fast/slow parity sweep: small states take the int64 fast path and
+    // must agree with the BigInt reference everywhere, including exact
+    // 3σ (strict inequality) and negative values.
+    for {
+      vals <- Seq(Seq(1L, 2L, 3L, 4L, 5L), Seq(-10L, 10L, -10L, 10L),
+        Seq(1000L, 1000L, 1000L), Seq(0L, 0L, 7L))
+      v <- Seq(-20L, -4L, 0L, 3L, 6L, 1000L, 4000L)
+    } {
+      val (nn, ss, qq) =
+        (vals.size.toLong, vals.sum, vals.map(x => x * x).sum)
+      assert(EventStreams.zScoreExceeds3Sigma(nn, ss, qq, v) ===
+        ref(nn, ss, qq, v), s"parity broke at n=$nn s=$ss q=$qq v=$v")
+    }
+  }
 }
