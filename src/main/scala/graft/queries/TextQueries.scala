@@ -3069,8 +3069,11 @@ object TextQueries {
           lit(" = "), col("doc_id").cast("string"),
           lit("; { x["), col("doc_id").cast("string"),
           lit("] += 1; } "))
+        // Planted ids live in the negative range (-doc_id - 1): disjoint
+        // from the natural non-negative ids at ANY corpus size, unlike a
+        // fixed +100000 offset that collides past 100k docs.
         val planted = t.documents.filter(col("doc_id") % 50 === 0)
-          .select((col("doc_id") + 100000L).as("doc_id"),
+          .select((-col("doc_id") - 1L).as("doc_id"),
             repeat(snippet, 5).as("text"),
             concat(col("source"), lit("+code")).as("source"))
         val all = t.documents.select(col("doc_id"), col("text"), col("source"))
@@ -3093,7 +3096,7 @@ object TextQueries {
         |WITH planted AS (
         |  SELECT repeat('int v' || doc_id || ' = ' || doc_id ||
         |                '; { x[' || doc_id || '] += 1; } ', 5) AS text,
-        |         doc_id + 100000 AS doc_id,
+        |         -doc_id - 1 AS doc_id,
         |         source || '+code' AS source
         |  FROM documents WHERE doc_id % 50 = 0
         |),
@@ -3146,10 +3149,13 @@ object TextQueries {
         val nKeys = corpus.agg(countDistinct(col("fp"))).head.getLong(0)
         val bf = graft.ops.RuntimeFilter.bloomSketch(
           corpus, "fp", expectedItems = nKeys, fpp = 0.001)
+        // Planted batch ids in the negative range (t33's convention):
+        // -doc_id-1 / -doc_id-2 are disjoint from natural ids at any SF
+        // and from each other (the two source sets differ mod 25).
         val batch = t.documents.filter(col("doc_id") % 25 === 0)
-          .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+          .select((-col("doc_id") - 1L).as("doc_id"), col("text"))
           .unionByName(t.documents.filter(col("doc_id") % 25 === 7)
-            .select((col("doc_id") + 300000L).as("doc_id"),
+            .select((-col("doc_id") - 2L).as("doc_id"),
               concat(col("text"), lit(" fresh")).as("text")))
         val gated = batch
           .join(corpus.distinct().withColumn("member", lit(true)),
@@ -3170,10 +3176,10 @@ object TextQueries {
       },
       Some("""
         |WITH batch AS (
-        |  SELECT doc_id + 200000 AS doc_id, text
+        |  SELECT -doc_id - 1 AS doc_id, text
         |  FROM documents WHERE doc_id % 25 = 0
         |  UNION ALL
-        |  SELECT doc_id + 300000 AS doc_id, text || ' fresh' AS text
+        |  SELECT -doc_id - 2 AS doc_id, text || ' fresh' AS text
         |  FROM documents WHERE doc_id % 25 = 7
         |)
         |SELECT count(*) AS n_batch,
