@@ -148,6 +148,13 @@ object SqlOracle {
   /** The run body: expose the store as the `records` view, bind args by
     * the compiled parameter order, execute, and return rows as JSON
     * objects keyed by column name.
+    *
+    * Result size is capped ([[maxResultRows]]): the JSON marshal is a
+    * driver materialization, so a SELECT-star oracle over a big store
+    * would otherwise OOM the driver — the reference shares the flaw
+    * (node/service/compiled.go:89-97 marshals the full result), but a
+    * loud error beats a dead driver. The cap is conf-tunable and the
+    * error tells the caller the fix (LIMIT / aggregate).
     */
   private def runSql(ctx: OracleContext, store: RecordStore, sqlText: String,
       params: Seq[String], args: Seq[JValue]): JValue = {
@@ -157,12 +164,24 @@ object SqlOracle {
       params.indices.map(i => toArg(args.lift(i).getOrElse(JNull)))).toMap
     val rows = spark.sql(sqlText, argMap)
     val schema = rows.schema
-    JArray(rows.collect().toList.map { row =>
+    val cap = maxResultRows(spark)
+    val collected = rows.limit(
+      math.min(cap + 1L, Int.MaxValue.toLong).toInt).collect()
+    if (collected.length > cap)
+      throw OracleRunError(s"oracle result exceeds $cap rows; add a LIMIT " +
+        "or aggregate, or raise " + MaxResultRowsKey)
+    JArray(collected.toList.map { row =>
       JObject(schema.fields.toList.zipWithIndex.map { case (f, i) =>
         f.name -> toJson(row.get(i))
       })
     })
   }
+
+  /** Conf key for the oracle result-row cap (default 100000). */
+  val MaxResultRowsKey = "graft.oracle.maxResultRows"
+
+  private def maxResultRows(spark: SparkSession): Int =
+    spark.conf.get(MaxResultRowsKey, "100000").toInt
 
   /** JSON arg -> a literal-able Spark arg value. Objects are rejected the
     * way the reference rejects undecodable args (compiled.go:62-66).

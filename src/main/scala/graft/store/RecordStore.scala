@@ -134,11 +134,30 @@ final class RecordStore private (
   /** Equality filter on one metadata key. Returns None — distinct from an
     * empty result — when the key was never indexed, matching the
     * reference's nil-vs-empty contract (node/storage/records.go:103-123).
+    *
+    * Materializes to the driver (reference-parity API: sum returns the
+    * matched records), so the result is capped at
+    * [[RecordStore.MaxCollectRowsKey]] rows — a loud error beats an OOM
+    * when the API is pointed at corpus-scale data. The scale-safe form
+    * is [[findByDs]].
     */
-  def findBy(key: String, value: String): Option[Seq[SumRecord]] = {
+  def findBy(key: String, value: String): Option[Seq[SumRecord]] =
+    findByDs(key, value).map { matched =>
+      val cap = RecordStore.maxCollectRows(spark)
+      val rows = matched.limit(cap + 1).collect().toSeq
+      if (rows.length > cap) throw new IllegalStateException(
+        s"findBy matched more than $cap records; use findByDs or raise " +
+          RecordStore.MaxCollectRowsKey)
+      rows
+    }
+
+  /** Dataset-returning [[findBy]]: the same nil-vs-empty contract with no
+    * driver materialization — compose further operators on the result at
+    * any store size.
+    */
+  def findByDs(key: String, value: String): Option[Dataset[SumRecord]] =
     if (!metaKeys.contains(key)) None
-    else Some(ds.filter(element_at(col("meta"), key) === value).collect().toSeq)
-  }
+    else Some(ds.filter(element_at(col("meta"), key) === value))
 
   /** Id-sorted pagination with the reference's exact clamp/ceil/slice rules
     * (node/service/records.go:66-114): page and perPage clamp to >= 1;
@@ -148,6 +167,12 @@ final class RecordStore private (
   def list(pageReq: Long, perPageReq: Long): RecordPage = {
     val page = math.max(pageReq, 1L)
     val perPage = math.max(perPageReq, 1L)
+    val cap = RecordStore.maxCollectRows(spark)
+    // The page itself is driver-materialized (reference-parity), so the
+    // page SIZE is what must stay bounded — not the store.
+    if (perPage > cap) throw new IllegalStateException(
+      s"page size $perPage exceeds $cap; use listDs or raise " +
+        RecordStore.MaxCollectRowsKey)
     val total = size
     val start = (page - 1) * perPage
     val pages = total / perPage + (if (total % perPage > 0) 1 else 0)
@@ -156,12 +181,35 @@ final class RecordStore private (
       ds.orderBy(col("id")).offset(start.toInt).limit(perPage.toInt).collect().toSeq)
   }
 
+  /** Dataset-returning [[list]]: same clamp/ceil/slice rules, but the page
+    * stays a distributed plan (global sort + offset + limit — Spark plans
+    * the offset+limit as a single-pass skip, no driver pull).
+    */
+  def listDs(pageReq: Long, perPageReq: Long): (Long, Long, Dataset[SumRecord]) = {
+    val page = math.max(pageReq, 1L)
+    val perPage = math.max(perPageReq, 1L)
+    val total = size
+    val start = (page - 1) * perPage
+    val pages = total / perPage + (if (total % perPage > 0) 1 else 0)
+    if (total <= start) (total, pages, ds.limit(0))
+    else (total, pages,
+      ds.orderBy(col("id")).offset(start.toInt).limit(perPage.toInt))
+  }
+
   /** Persist as parquet (replaces the reference's .dat-per-record layout). */
   def save(path: String): Unit =
     ds.write.mode(SaveMode.Overwrite).parquet(path)
 }
 
 object RecordStore {
+
+  /** Conf key capping driver-materializing record reads (default 100000):
+    * [[RecordStore.findBy]] results and [[RecordStore.list]] page sizes.
+    */
+  val MaxCollectRowsKey = "graft.store.maxCollectRows"
+
+  private[store] def maxCollectRows(spark: SparkSession): Int =
+    spark.conf.get(MaxCollectRowsKey, "100000").toInt
 
   def empty(spark: SparkSession): RecordStore = {
     import spark.implicits._
