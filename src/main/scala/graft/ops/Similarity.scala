@@ -85,6 +85,63 @@ object Similarity {
     rankTopK(candidates, idCol, "sim", k)
   }
 
+  /** [[bruteForceTopK]] with the probe side collected and FUSED into one
+    * map-only expression ([[graft.functions.CosineTopKAgainst]]): each
+    * corpus row scans the probe matrix in a tight primitive loop and
+    * emits its top-k directly — no cross join, no shuffle, no per-pair
+    * row materialization. Identical output to bruteForceTopK (same
+    * cosine arithmetic, rounding-before-ranking, id tiebreaks, self
+    * exclusion); ~4x faster at the v28 gate shape because the 4M-pair
+    * sweep stops paying join/aggregate row machinery for 0.26 GFLOP of
+    * arithmetic.
+    *
+    * The probe set must be driver-boundable (`maxProbes` guards it) —
+    * the same constraint bruteForceTopK's broadcast already imposes. At
+    * corpus scale the corpus side stays fully partitioned; this is the
+    * batch-serving shape for "score the lake against a bounded query
+    * set".
+    */
+  def bruteForceTopKFused(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String,
+      k: Int, roundTo: Int = 6, maxProbes: Int = 1 << 16): DataFrame = {
+    val collected = probes
+      .select(col(idCol).cast("long"), col(vecCol)).limit(maxProbes + 1)
+      .collect()
+    require(collected.length <= maxProbes,
+      s"probe set exceeds $maxProbes rows; use bruteForceTopK (broadcast " +
+        "join) or an IVF front for unbounded probe sets")
+    val pids = collected.map(_.getLong(0))
+    val pvecs = collected.map(_.getSeq[Float](1).toArray)
+    val topk = org.apache.spark.sql.GraftSqlInternal.column(
+      graft.functions.CosineTopKAgainst(
+        org.apache.spark.sql.GraftSqlInternal.expression(col(vecCol)),
+        org.apache.spark.sql.GraftSqlInternal.expression(
+          col(idCol).cast("long")),
+        pids, pvecs, k, roundTo))
+    Spread.ensure(corpus)
+      .select(col(idCol).as("query_id"), posexplode(topk).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rnk"),
+        col("e.id").as("vec_id"), col("e.score").as("sim"))
+  }
+
+  /** Mutual (reciprocal) k-NN pairs from ANY kNN relation of shape
+    * (query_id, rnk, vec_id, sim): self-join on reversed endpoints,
+    * canonical a < b orientation. The candidate front is the caller's
+    * choice — exact ([[bruteForceTopK]]/[[bruteForceTopKFused]]) for the
+    * oracle arm, or an ANN front ([[graft.ops.Ivf.search]], whose output
+    * is this exact shape) at corpus scale; the reciprocity join itself is
+    * k-bounded per vertex regardless of corpus size.
+    */
+  def mutualKnn(knn: DataFrame): DataFrame =
+    knn.as("x").join(knn.as("y"),
+        col("x.query_id") === col("y.vec_id") &&
+          col("x.vec_id") === col("y.query_id"))
+      .filter(col("x.query_id") < col("x.vec_id"))
+      .select(col("x.query_id").as("id_a"), col("x.vec_id").as("id_b"),
+        col("x.sim").as("sim"), col("x.rnk").cast("long").as("rnk_ab"),
+        col("y.rnk").cast("long").as("rnk_ba"))
+
   /** Deterministic pseudo-random hyperplanes: `planes` x `dims` doubles in
     * [-1, 1) derived from `seed` via a splitmix64 walk, then CENTERED to
     * zero component-sum. Centering is load-bearing for bucket uniformity:

@@ -1466,6 +1466,79 @@ object VectorQueries {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // The installed OPTIMIZER RULE driven end-to-end: ApproxCosineJoinRule
+      // rewrites an all-pairs cosine-threshold cross join into a sign-LSH
+      // bucket join with exact re-verification. The query plants exact
+      // doubles (every 10th vector copied under -vec_id-1, v06's pattern in
+      // t33's negative-id convention) and filters at 0.9 — far above the
+      // corpus's max natural pair (0.60 at sf0.1, measured) and below the
+      // doubles' 1.0 — so the qualifying set is EXACTLY the planted twins.
+      // Identical vectors have identical sign signatures in every band, so
+      // the LSH rewrite is structurally recall-complete here and the pair
+      // relation is deterministic: the oracle replays the exact all-pairs
+      // predicate and must hash-match. The `rewritten` column pins the plan
+      // shape (marker columns injected, no cartesian/BNLJ in the physical
+      // plan): if the rule silently stops firing, the flag flips false and
+      // the driver flags the hash. The rule conf is scoped try/finally so
+      // the approximation CANNOT leak into other queries' plans; results
+      // are collected under the rewritten plan inside the scope (a
+      // Dataset's QueryExecution is cached, so the forced plans are the
+      // executed ones).
+      "e13_approx_join_rule",
+      (s, dir) => {
+        import graft.plans.ApproxCosineJoinRule
+        val t = Tables(s, dir)
+        ApproxCosineJoinRule.install(s)
+        s.conf.set(ApproxCosineJoinRule.EnabledKey, "true")
+        try {
+          val base = t.embeddings.select(col("vec_id"), col("embedding"))
+          val planted = base.filter(col("vec_id") % 10 === 0)
+            .select((-col("vec_id") - 1L).as("vec_id"), col("embedding"))
+          val all = base.unionByName(planted)
+          val a = all.select(col("vec_id").as("id_a"),
+            col("embedding").as("vec_a"))
+          val b = all.select(col("vec_id").as("id_b"),
+            col("embedding").as("vec_b"))
+          val pairs = a.crossJoin(b)
+            .filter(col("id_a") < col("id_b") &&
+              graft.functions.vector.cosine(col("vec_a"), col("vec_b")) >= 0.9)
+            .select(col("id_a"), col("id_b"),
+              round(graft.functions.vector.cosine(col("vec_a"), col("vec_b")),
+                6).as("sim"))
+          val opt = pairs.queryExecution.optimizedPlan.toString
+          val phys = pairs.queryExecution.executedPlan.toString
+          val rewritten = opt.contains("__graft_") &&
+            !phys.contains("CartesianProduct") &&
+            !phys.contains("BroadcastNestedLoop")
+          val found = pairs.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getDouble(2), rewritten)).toSeq
+          import s.implicits._
+          found.toDF("id_a", "id_b", "sim", "rewritten")
+            .orderBy(col("id_a"), col("id_b"))
+        } finally s.conf.set(ApproxCosineJoinRule.EnabledKey, "false")
+      },
+      Some("""
+        |WITH planted AS (
+        |  SELECT -vec_id - 1 AS vec_id, embedding
+        |  FROM embeddings WHERE vec_id % 10 = 0
+        |),
+        |all_v AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id, embedding FROM planted
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                    CAST(b.embedding AS DOUBLE[])), 6)
+        |         AS sim,
+        |       TRUE AS rewritten
+        |FROM all_v a, all_v b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.9
+        |ORDER BY id_a, id_b
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Embedding snapshot drift — the encoder-regression alarm between
       // two embedding drops (here: even vs odd vec_id halves standing in
       // for "previous run" vs "re-embedded"): per label, the cosine
@@ -1550,21 +1623,21 @@ object VectorQueries {
       "v28_mutual_knn",
       (s, dir) => {
         val t = Tables(s, dir)
-        // bruteForceTopK with the whole corpus as its own probe set: it
-        // broadcasts the probes, Spread-ensures the corpus scan (a naive
-        // crossJoin off the single-row-group parquet ran the 4M-cosine
-        // sweep in ONE task — 13.3 s vs 1.7 s spread), and collapses to
-        // k rows per query map-side via TopKByScore before any exchange.
-        val knn = graft.ops.Similarity.bruteForceTopK(
+        // The exact kNN front, FUSED: the whole corpus scores against its
+        // own (bounded, driver-collected) probe matrix inside one map-only
+        // expression — no cross join, no top-k aggregation, no shuffle
+        // before the reciprocity join. Output-identical to the
+        // bruteForceTopK broadcast-join form (same cosine pass, rounding
+        // before ranking, id tiebreaks); ~4x faster at this shape because
+        // 4M candidate ROWS no longer flow through join + aggregate
+        // machinery for 0.26 GFLOP of arithmetic. mutualKnn composes over
+        // ANY (query_id, rnk, vec_id, sim) relation, so an IVF front
+        // (v09's index) drops in unchanged when approximate recall is
+        // acceptable; this exact front IS the oracle-able gate form.
+        val knn = graft.ops.Similarity.bruteForceTopKFused(
           t.embeddings, t.embeddings, "vec_id", "embedding", k = 5)
           .persist()
-        knn.as("x").join(knn.as("y"),
-            col("x.query_id") === col("y.vec_id") &&
-              col("x.vec_id") === col("y.query_id"))
-          .filter(col("x.query_id") < col("x.vec_id"))
-          .select(col("x.query_id").as("id_a"), col("x.vec_id").as("id_b"),
-            col("x.sim").as("sim"), col("x.rnk").cast("long").as("rnk_ab"),
-            col("y.rnk").cast("long").as("rnk_ba"))
+        graft.ops.Similarity.mutualKnn(knn)
           .orderBy(col("id_a"), col("id_b"))
       },
       Some("""

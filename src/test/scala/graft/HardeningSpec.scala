@@ -187,4 +187,86 @@ class HardeningSpec extends SparkSpec {
     assert(ThetaSketch.estimate(empty) === 0.0, "empty sketch estimates 0")
     assert(ThetaSketch.intersectEstimate(sk, empty) === 0.0)
   }
+
+  test("bruteForceTopKFused is row-identical to the broadcast-join form") {
+    // Crafted corpus: duplicate vectors (rounded-sim ties -> id
+    // tiebreaks), a zero vector (cosine guard -> sim 0.0), opposite
+    // vectors (negative sims), fewer rows than k+1 for some queries'
+    // candidate sets. Any drift in rounding order, tie handling, or the
+    // zero guard splits the two forms.
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 40L).map { i =>
+      val v =
+        if (i == 13L) Array.fill(8)(0.0f)
+        else if (i % 7 == 0) Array.tabulate(8)(d => (d + 1).toFloat) // dups
+        else if (i % 5 == 0) Array.tabulate(8)(d => -(d + 1).toFloat)
+        else Array.fill(8)(rnd.nextFloat() * 2 - 1)
+      (i, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def canon(r: org.apache.spark.sql.DataFrame) =
+      r.orderBy($"query_id", $"rnk")
+        .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2),
+          x.getDouble(3))).toSeq
+    val joined = canon(Similarity.bruteForceTopK(
+      df, df, "vec_id", "embedding", k = 5))
+    val fused = canon(Similarity.bruteForceTopKFused(
+      df, df, "vec_id", "embedding", k = 5))
+    assert(fused === joined)
+    assert(fused.nonEmpty && fused.size === 40 * 5)
+  }
+
+  test("SqlOracle results are capped; a LIMIT-ed oracle still runs") {
+    import graft.model.SumRecord
+    import graft.oracle.{OracleRegistry, SqlOracle}
+    import graft.store.RecordStore
+    val store = RecordStore.fromRecords(spark, (1 to 3).map(i =>
+      SumRecord(i.toLong, Array(1f), Map("k" -> "v"))))
+    val prev = spark.conf.getOption(SqlOracle.MaxResultRowsKey)
+    spark.conf.set(SqlOracle.MaxResultRowsKey, "2")
+    try {
+      val reg = new OracleRegistry
+      val o = reg.createSql(spark, "allRows",
+        "SELECT id FROM records ORDER BY id").toOption.get
+      val big = reg.run(o.id, store, Seq.empty)
+      assert(big.isLeft && big.swap.toOption.get.contains("exceeds 2 rows"),
+        s"uncapped oracle result slipped through: $big")
+      val ltd = reg.createSql(spark, "twoRows",
+        "SELECT id FROM records ORDER BY id LIMIT 2").toOption.get
+      assert(reg.run(ltd.id, store, Seq.empty) ===
+        Right("""[{"id":1},{"id":2}]"""))
+    } finally prev match {
+      case Some(v) => spark.conf.set(SqlOracle.MaxResultRowsKey, v)
+      case None => spark.conf.unset(SqlOracle.MaxResultRowsKey)
+    }
+  }
+
+  test("findBy/list cap driver pulls; the Ds variants stay unbounded") {
+    import graft.model.SumRecord
+    import graft.store.RecordStore
+    val store = RecordStore.fromRecords(spark, (1 to 3).map(i =>
+      SumRecord(i.toLong, Array(1f), Map("tag" -> "same"))))
+    val prev = spark.conf.getOption(RecordStore.MaxCollectRowsKey)
+    spark.conf.set(RecordStore.MaxCollectRowsKey, "2")
+    try {
+      val e1 = intercept[IllegalStateException](store.findBy("tag", "same"))
+      assert(e1.getMessage.contains("findByDs"))
+      assert(store.findByDs("tag", "same").get.count() === 3L,
+        "Dataset variant must not be capped")
+      assert(store.findByDs("nope", "x") === None, "nil-vs-empty preserved")
+      val e2 = intercept[IllegalStateException](store.list(1, 3))
+      assert(e2.getMessage.contains("listDs"))
+      assert(store.list(1, 2).records.map(_.id) === Seq(1L, 2L),
+        "in-cap pages still serve")
+      val (total, pages, pageDs) = store.listDs(2, 2)
+      assert((total, pages) === ((3L, 2L)))
+      assert(pageDs.collect().map(_.id).toSeq === Seq(3L))
+      val (t2, p2, emptyDs) = store.listDs(9, 2)
+      assert((t2, p2, emptyDs.count()) === ((3L, 2L, 0L)),
+        "out-of-range page returns totals with no records")
+    } finally prev match {
+      case Some(v) => spark.conf.set(RecordStore.MaxCollectRowsKey, v)
+      case None => spark.conf.unset(RecordStore.MaxCollectRowsKey)
+    }
+  }
 }
