@@ -32,11 +32,17 @@ object Serve {
     server.start()
     // The reference's actual framing, served alongside HTTP+JSON: gRPC +
     // sum.proto on the next port (SPARK_GRAFT_GRPC_PORT overrides).
+    // SPARK_GRAFT_CREDS mirrors sumd's -creds flag (cmd/sumd/main.go:32):
+    // a directory with cert.pem + key.pem; when set, the gRPC socket
+    // serves TLS.
+    val creds = sys.env.get("SPARK_GRAFT_CREDS")
     val grpcServer = new SumGrpcServer(service,
-      sys.env.get("SPARK_GRAFT_GRPC_PORT").map(_.toInt).getOrElse(port + 1))
+      sys.env.get("SPARK_GRAFT_GRPC_PORT").map(_.toInt).getOrElse(port + 1),
+      creds)
     grpcServer.start()
     println(s"graft serving at ${server.baseUrl} " +
-      s"(grpc: 127.0.0.1:${grpcServer.boundPort})")
+      s"(grpc: 127.0.0.1:${grpcServer.boundPort}" +
+      creds.map(c => s", tls creds $c").getOrElse("") + ")")
     sys.addShutdownHook { grpcServer.stop(); server.stop(); spark.stop() }
     Thread.currentThread.join()
   }

@@ -5,7 +5,7 @@ import java.net.InetSocketAddress
 import scala.jdk.CollectionConverters._
 
 import org.sparkproject.connect.grpc.{CallOptions, MethodDescriptor, ServerServiceDefinition, Status}
-import org.sparkproject.connect.grpc.netty.{NettyChannelBuilder, NettyServerBuilder}
+import org.sparkproject.connect.grpc.netty.{GrpcSslContexts, NettyChannelBuilder, NettyServerBuilder}
 import org.sparkproject.connect.grpc.stub.{ClientCalls, ServerCalls, StreamObserver}
 import org.sparkproject.connect.protobuf.{ByteString, DescriptorProtos, Descriptors, DynamicMessage}
 
@@ -151,6 +151,23 @@ object SumProto {
         field("backend_used", 22, Type.TYPE_UINT64),
         field("next_record_id", 23, Type.TYPE_UINT64)))
       .addMessageType(message("Empty"))
+      .addMessageType(message("Records",
+        field("records", 1, Type.TYPE_MESSAGE, repeated = true,
+          typeName = ".sum.Record")))
+      .addMessageType(message("RecordIds",
+        field("ids", 1, Type.TYPE_UINT64, repeated = true)))
+      .addMessageType(message("ByAddr",
+        field("address", 1, Type.TYPE_STRING),
+        field("cert_file", 2, Type.TYPE_STRING)))
+      .addMessageType(message("Node",
+        field("id", 1, Type.TYPE_UINT64),
+        field("name", 2, Type.TYPE_STRING),
+        field("info", 3, Type.TYPE_MESSAGE, typeName = ".sum.ServerInfo")))
+      .addMessageType(message("NodeResponse",
+        field("success", 1, Type.TYPE_BOOL),
+        field("msg", 2, Type.TYPE_STRING),
+        field("nodes", 3, Type.TYPE_MESSAGE, repeated = true,
+          typeName = ".sum.Node")))
       .build()
     Descriptors.FileDescriptor.buildFrom(fdp,
       Array.empty[Descriptors.FileDescriptor])
@@ -181,13 +198,33 @@ object SumProto {
     "Run" -> ("Call", "CallResponse"),
     "Info" -> ("Empty", "ServerInfo"))
 
+  /** sum.SumInternalService (proto/sum.proto:27-31) — the node-to-node
+    * surface the master uses for sharded placement.
+    */
+  val internalRpcShapes: Seq[(String, (String, String))] = Seq(
+    "CreateRecordWithId" -> ("Record", "RecordResponse"),
+    "CreateRecordsWithId" -> ("Records", "RecordResponse"),
+    "DeleteRecords" -> ("RecordIds", "RecordResponse"))
+
+  /** sum.SumMasterService (proto/sum.proto:33-37) — cluster membership. */
+  val masterRpcShapes: Seq[(String, (String, String))] = Seq(
+    "AddNode" -> ("ByAddr", "NodeResponse"),
+    "ListNodes" -> ("Empty", "NodeResponse"),
+    "DeleteNode" -> ("ById", "NodeResponse"))
+
+  private val allShapes: Map[String, (String, (String, String))] =
+    (rpcShapes.map { case (rpc, s) => rpc -> ("sum.SumService", s) } ++
+      internalRpcShapes.map { case (rpc, s) =>
+        rpc -> ("sum.SumInternalService", s) } ++
+      masterRpcShapes.map { case (rpc, s) =>
+        rpc -> ("sum.SumMasterService", s) }).toMap
+
   def methodDescriptor(rpc: String)
       : MethodDescriptor[DynamicMessage, DynamicMessage] = {
-    val (in, out) = rpcShapes.toMap.apply(rpc)
+    val (svc, (in, out)) = allShapes(rpc)
     MethodDescriptor.newBuilder(marshaller(descriptor(in)), marshaller(descriptor(out)))
       .setType(MethodDescriptor.MethodType.UNARY)
-      .setFullMethodName(
-        MethodDescriptor.generateFullMethodName("sum.SumService", rpc))
+      .setFullMethodName(MethodDescriptor.generateFullMethodName(svc, rpc))
       .build()
   }
 
@@ -268,8 +305,15 @@ object SumProto {
   * [[SumProto]] for the wire contract. Port 0 binds an ephemeral port
   * (read it back from [[boundPort]]), matching [[SumServer]]'s lifecycle
   * API so the daemon can serve both transports side by side.
+  *
+  * `credsPath` mirrors sumd's `-creds` flag (cmd/sumd/main.go:32,217-219):
+  * a directory holding `cert.pem` + `key.pem`; when set, the socket serves
+  * TLS (credentials.NewServerTLSFromFile's exact file layout), otherwise
+  * plaintext. Clients connect with [[SumGrpcClient]] passing the cert file
+  * to trust — the master/node.go:64 NewClientTLSFromFile shape.
   */
-final class SumGrpcServer(val service: SumService, port: Int = 0) {
+final class SumGrpcServer(val service: SumService, port: Int = 0,
+    credsPath: Option[String] = None) {
 
   import SumProto._
 
@@ -384,10 +428,60 @@ final class SumGrpcServer(val service: SumService, port: Int = 0) {
         .build()
     })
 
-  private val serviceDefinition: ServerServiceDefinition = {
-    val builder = ServerServiceDefinition.builder("sum.SumService")
-    SumProto.rpcShapes.foreach { case (rpc, _) =>
-      val fn = handlers(rpc)
+  /** sum.SumInternalService handlers (proto/sum.proto:27-31): real ops —
+    * the store implements the reference's with-id/batch-rollback/bulk
+    * semantics directly.
+    */
+  private val internalHandlers: Map[String, DynamicMessage => DynamicMessage] =
+    Map(
+      "CreateRecordWithId" ->
+        (m => recordResponse(service.createRecordWithId(protoToRecord(m)))),
+      "CreateRecordsWithId" -> { m =>
+        val d = m.getDescriptorForType
+        val recs = m.getField(d.findFieldByName("records"))
+          .asInstanceOf[java.util.List[_]].asScala.toSeq
+          .map(r => protoToRecord(r.asInstanceOf[DynamicMessage]))
+        recordResponse(service.createRecordsWithId(recs))
+      },
+      "DeleteRecords" -> { m =>
+        val d = m.getDescriptorForType
+        val ids = m.getField(d.findFieldByName("ids"))
+          .asInstanceOf[java.util.List[_]].asScala.toSeq
+          .map(_.asInstanceOf[java.lang.Long].longValue())
+        recordResponse(service.deleteRecords(ids))
+      })
+
+  private def nodeResponse(r: NodeResponse): DynamicMessage = {
+    val d = descriptor("NodeResponse")
+    val nd = descriptor("Node")
+    val mb = DynamicMessage.newBuilder(d)
+      .setField(d.findFieldByName("success"), b(r.success))
+      .setField(d.findFieldByName("msg"), r.msg)
+    val f = d.findFieldByName("nodes")
+    r.nodes.foreach(n => mb.addRepeatedField(f, DynamicMessage.newBuilder(nd)
+      .setField(nd.findFieldByName("id"), l(n.id))
+      .setField(nd.findFieldByName("name"), n.name)
+      .build()))
+    mb.build()
+  }
+
+  /** sum.SumMasterService handlers (proto/sum.proto:33-37): the
+    * single-engine truth — this engine is the one permanent node.
+    */
+  private val masterHandlers: Map[String, DynamicMessage => DynamicMessage] =
+    Map(
+      "AddNode" ->
+        (m => nodeResponse(service.addNode(getString(m, "address")))),
+      "ListNodes" -> (_ => nodeResponse(service.listNodes())),
+      "DeleteNode" ->
+        (m => nodeResponse(service.deleteNode(getLong(m, "id")))))
+
+  private def buildService(name: String, shapes: Seq[(String, (String, String))],
+      fns: Map[String, DynamicMessage => DynamicMessage])
+      : ServerServiceDefinition = {
+    val builder = ServerServiceDefinition.builder(name)
+    shapes.foreach { case (rpc, _) =>
+      val fn = fns(rpc)
       builder.addMethod(SumProto.methodDescriptor(rpc),
         ServerCalls.asyncUnaryCall(
           new ServerCalls.UnaryMethod[DynamicMessage, DynamicMessage] {
@@ -403,11 +497,25 @@ final class SumGrpcServer(val service: SumService, port: Int = 0) {
     builder.build()
   }
 
-  private val server = NettyServerBuilder
-    .forAddress(new InetSocketAddress("127.0.0.1", port))
-    .maxInboundMessageSize(MaxMessageBytes)
-    .addService(serviceDefinition)
-    .build()
+  private val server = {
+    val builder = NettyServerBuilder
+      .forAddress(new InetSocketAddress("127.0.0.1", port))
+      .maxInboundMessageSize(MaxMessageBytes)
+      .addService(buildService("sum.SumService", SumProto.rpcShapes, handlers))
+      .addService(buildService("sum.SumInternalService",
+        SumProto.internalRpcShapes, internalHandlers))
+      .addService(buildService("sum.SumMasterService",
+        SumProto.masterRpcShapes, masterHandlers))
+    credsPath.foreach { dir =>
+      // GrpcSslContexts.forServer pre-configures ALPN/h2 on the builder;
+      // the key must be PKCS#8 PEM (as sumd's Go credentials also expect
+      // standard PEM material).
+      builder.sslContext(GrpcSslContexts.forServer(
+        new java.io.File(dir, "cert.pem"),
+        new java.io.File(dir, "key.pem")).build())
+    }
+    builder.build()
+  }
 
   def start(): Unit = server.start()
   def stop(): Unit = { server.shutdownNow(); server.awaitTermination() }
@@ -416,11 +524,28 @@ final class SumGrpcServer(val service: SumService, port: Int = 0) {
 
 /** Minimal blocking client over the same runtime — what `sumcli` is to
   * `sumd`. Each call is one unary gRPC exchange of [[SumProto]] dynamic
-  * messages on a shared plaintext channel.
+  * messages on a shared channel: plaintext by default, TLS when
+  * `certFile` names the server certificate to trust (the
+  * NewClientTLSFromFile shape, master/node.go:64 — a self-signed server
+  * cert works because trust is pinned to the file, not a CA chain).
   */
-final class SumGrpcClient(host: String, port: Int) {
-  private val channel = NettyChannelBuilder.forAddress(host, port)
-    .usePlaintext().maxInboundMessageSize(50 * 1024 * 1024).build()
+final class SumGrpcClient(host: String, port: Int,
+    certFile: Option[String] = None) {
+  private val channel = {
+    val builder = NettyChannelBuilder.forAddress(host, port)
+      .maxInboundMessageSize(50 * 1024 * 1024)
+    certFile match {
+      case Some(pem) => builder.sslContext(GrpcSslContexts.forClient()
+        .trustManager(new java.io.File(pem)).build())
+        // The test certs carry a localhost SAN; connections by IP
+        // authority ("127.0.0.1") present no matching hostname, so pin
+        // the TLS authority to the cert's name, as Go's
+        // NewClientTLSFromFile(cert, "") infers it from the cert.
+        .overrideAuthority("localhost")
+      case None => builder.usePlaintext()
+    }
+    builder.build()
+  }
 
   def call(rpc: String, req: DynamicMessage): DynamicMessage =
     ClientCalls.blockingUnaryCall(channel, SumProto.methodDescriptor(rpc),

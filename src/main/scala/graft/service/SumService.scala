@@ -24,14 +24,24 @@ final case class OracleListResponse(total: Long, pages: Long,
     oracles: Seq[Oracle])
 final case class CallResponse(success: Boolean, msg: String,
     data: Option[Payload.Envelope])
+final case class NodeEntry(id: Long, name: String)
+final case class NodeResponse(success: Boolean, msg: String,
+    nodes: Seq[NodeEntry] = Seq.empty)
 
 /** The reference's public `SumService` surface (proto/sum.proto:5-25) as a
   * thin facade over the store + registry: all 14 RPCs with the reference's
   * response semantics — errors as `{success: false, msg}` with the exact
   * message strings, id echoes in `msg` on create/update, and the gzip
-  * result envelope on Run. The internal/master services (sharding,
-  * node membership) have no facade: Spark's driver/executor model covers
-  * them (SURVEY.md §2.5).
+  * result envelope on Run.
+  *
+  * The internal/master services are ALSO faced (proto/sum.proto:27-37)
+  * but answer with the single-engine truth: the internal record ops
+  * (CreateRecordWithId / CreateRecordsWithId / DeleteRecords) are real —
+  * the store implements their exact semantics including batch rollback —
+  * while node membership reports this engine as the one permanent node
+  * (Spark's driver/executor model IS the sharding layer, SURVEY.md §2.5,
+  * so there is no remote node to add or delete — a wire-parity client
+  * probing those RPCs gets a truthful error response, not UNIMPLEMENTED).
   */
 final class SumService(
     val spark: SparkSession,
@@ -75,6 +85,63 @@ final class SumService(
         s"meta index $metaKey not found.", Seq.empty)
       case Some(recs) => FindResponse(success = true, "", recs)
     }
+
+  // ---- internal service (proto/sum.proto:27-31) --------------------------
+
+  /** CreateRecordWithId: insert under the caller's id, echoing the id in
+    * msg on success (node/service/records.go:33-38).
+    */
+  def createRecordWithId(r: SumRecord): RecordResponse =
+    store.createWithId(r) match {
+      case Left(err)  => RecordResponse(success = false, err)
+      case Right(rec) => RecordResponse(success = true, rec.id.toString, Some(rec))
+    }
+
+  /** CreateRecordsWithId: all-or-nothing batch insert; a bare success with
+    * no msg, like the reference (node/service/records.go:40-46).
+    */
+  def createRecordsWithId(recs: Seq[SumRecord]): RecordResponse =
+    store.createManyWithId(recs) match {
+      case Left(err) => RecordResponse(success = false, err)
+      case Right(_)  => RecordResponse(success = true, "")
+    }
+
+  /** DeleteRecords: best-effort bulk delete, always success
+    * (node/service/records.go:125-128).
+    */
+  def deleteRecords(ids: Seq[Long]): RecordResponse = {
+    store.deleteMany(ids)
+    RecordResponse(success = true, "")
+  }
+
+  // ---- master service (proto/sum.proto:33-37): single-engine truth -------
+
+  /** The engine's one permanent "node": itself. */
+  private def selfNode: NodeEntry = NodeEntry(1L, s"spark-engine")
+
+  /** AddNode: there is no remote node to dial — Spark executors are the
+    * sharding layer. Error RESPONSE in the reference's format
+    * (master/mux_nodes.go:10-14 errNodeResponse), never UNIMPLEMENTED.
+    */
+  def addNode(address: String): NodeResponse =
+    NodeResponse(success = false,
+      s"Cannot create node: $address — this engine shards via Spark " +
+        "executors, not sum nodes")
+
+  /** ListNodes: the single-engine truth — one node, this engine
+    * (master/mux_nodes.go:35-48).
+    */
+  def listNodes(): NodeResponse =
+    NodeResponse(success = true, "", Seq(selfNode))
+
+  /** DeleteNode: node 1 is the engine itself; any other id does not exist
+    * (reference not-found message, master/mux_nodes.go:65).
+    */
+  def deleteNode(id: Long): NodeResponse =
+    if (id == selfNode.id)
+      NodeResponse(success = false,
+        s"node $id is the engine itself and cannot be deleted")
+    else NodeResponse(success = false, s"node $id not found.")
 
   // ---- oracles -----------------------------------------------------------
 

@@ -150,4 +150,119 @@ class SumGrpcServerSpec extends SparkSpec {
       assert(rec.data.toSeq === Seq(8.0f) && rec.meta === Map("tag" -> "even"))
     }
   }
+
+  test("internal + master services answer on the wire (proto/sum.proto:27-37)") {
+    withGrpc { client =>
+      val recordD = SumProto.descriptor("Record")
+      def recordWithId(id: Long, x: Float): DynamicMessage = {
+        val b = client.newMessage("Record")
+          .setField(recordD.findFieldByName("id"), java.lang.Long.valueOf(id))
+        b.addRepeatedField(recordD.findFieldByName("data"),
+          java.lang.Float.valueOf(x))
+        b.build()
+      }
+      // CreateRecordWithId: caller-chosen id, echoed; duplicate rejects
+      // with the store's exact error string.
+      val c1 = client.call("CreateRecordWithId", recordWithId(42L, 1.0f))
+      assert(getBool(c1, "success") && SumProto.getString(c1, "msg") === "42")
+      val dup = client.call("CreateRecordWithId", recordWithId(42L, 2.0f))
+      assert(!getBool(dup, "success"))
+      assert(SumProto.getString(dup, "msg") === "identifier is not unique")
+      // CreateRecordsWithId: all-or-nothing — one clash rolls back both.
+      val recsD = SumProto.descriptor("Records")
+      def batch(ids: Long*): DynamicMessage = {
+        val b = client.newMessage("Records")
+        ids.foreach(i => b.addRepeatedField(recsD.findFieldByName("records"),
+          recordWithId(i, i.toFloat)))
+        b.build()
+      }
+      assert(!getBool(client.call("CreateRecordsWithId", batch(50L, 42L)),
+        "success"))
+      assert(!getBool(client.call("ReadRecord", client.newMessage("ById")
+        .setField(SumProto.descriptor("ById").findFieldByName("id"),
+          java.lang.Long.valueOf(50L)).build()), "success"),
+        "failed batch must roll back entirely")
+      assert(getBool(client.call("CreateRecordsWithId", batch(50L, 51L)),
+        "success"))
+      // DeleteRecords: bulk, always success.
+      val idsD = SumProto.descriptor("RecordIds")
+      val del = client.newMessage("RecordIds")
+      Seq(42L, 50L, 999L).foreach(i =>
+        del.addRepeatedField(idsD.findFieldByName("ids"),
+          java.lang.Long.valueOf(i)))
+      assert(getBool(client.call("DeleteRecords", del.build()), "success"))
+      val info = client.call("Info", client.newMessage("Empty").build())
+      assert(SumProto.getLong(info, "records") === 1L) // only 51 remains
+      // Master service: the single-engine truth, as responses not
+      // UNIMPLEMENTED.
+      val nodes = client.call("ListNodes", client.newMessage("Empty").build())
+      assert(getBool(nodes, "success"))
+      val nodeList = nodes.getField(
+        nodes.getDescriptorForType.findFieldByName("nodes"))
+        .asInstanceOf[java.util.List[_]]
+      assert(nodeList.size === 1)
+      assert(SumProto.getLong(
+        nodeList.get(0).asInstanceOf[DynamicMessage], "id") === 1L)
+      val add = client.call("AddNode", client.newMessage("ByAddr")
+        .setField(SumProto.descriptor("ByAddr").findFieldByName("address"),
+          "localhost:12345").build())
+      assert(!getBool(add, "success"))
+      assert(SumProto.getString(add, "msg").startsWith("Cannot create node:"))
+      val rm = client.call("DeleteNode", client.newMessage("ById")
+        .setField(SumProto.descriptor("ById").findFieldByName("id"),
+          java.lang.Long.valueOf(7L)).build())
+      assert(!getBool(rm, "success"))
+      assert(SumProto.getString(rm, "msg") === "node 7 not found.")
+    }
+  }
+
+  test("create -> oracle -> Run flow over a TLS channel (sumd -creds parity)") {
+    // sumd's creds layout: a directory holding cert.pem + key.pem
+    // (cmd/sumd/main.go:32,217-219); the client trusts the cert FILE, as
+    // master/node.go:64's NewClientTLSFromFile does — so a self-signed
+    // cert is the reference deployment shape, not a test shortcut.
+    val creds = new java.io.File(
+      s"target/graft-io/tls_creds_${System.nanoTime()}")
+    creds.mkdirs()
+    import scala.sys.process._
+    val gen = Process(Seq("openssl", "req", "-x509", "-newkey", "rsa:2048",
+      "-keyout", s"${creds.getAbsolutePath}/key.pem",
+      "-out", s"${creds.getAbsolutePath}/cert.pem",
+      "-days", "2", "-nodes", "-subj", "/CN=localhost",
+      "-addext", "subjectAltName=DNS:localhost")).!(ProcessLogger(_ => ()))
+    assume(gen == 0, "openssl unavailable — cannot mint test creds")
+    val server = new SumGrpcServer(SumService(spark),
+      credsPath = Some(creds.getAbsolutePath))
+    server.start()
+    val client = new SumGrpcClient("127.0.0.1", server.boundPort,
+      certFile = Some(s"${creds.getAbsolutePath}/cert.pem"))
+    try {
+      val resp = client.call("CreateRecord",
+        record(client, Seq(3.0f, 4.0f), Map("name" -> "tls")))
+      assert(getBool(resp, "success") && SumProto.getString(resp, "msg") === "1")
+      val oc = client.call("CreateOracle", client.newMessage("Oracle")
+        .setField(SumProto.descriptor("Oracle").findFieldByName("name"), "mag")
+        .setField(SumProto.descriptor("Oracle").findFieldByName("code"),
+          "SELECT id, sqrt(aggregate(data, 0D, (s, x) -> s + x*x)) AS m " +
+            "FROM records ORDER BY id").build())
+      assert(getBool(oc, "success"), SumProto.getString(oc, "msg"))
+      val callD = SumProto.descriptor("Call")
+      val run = client.call("Run", client.newMessage("Call")
+        .setField(callD.findFieldByName("oracle_id"), java.lang.Long.valueOf(
+          SumProto.getLong(getMsg(oc, "oracle"), "id"))).build())
+      assert(getBool(run, "success"), SumProto.getString(run, "msg"))
+      val data = getMsg(run, "data")
+      val payload = data.getField(
+        data.getDescriptorForType.findFieldByName("payload"))
+        .asInstanceOf[ByteString].toStringUtf8
+      assert(JsonMethods.parse(payload) ===
+        JsonMethods.parse("""[{"id":1,"m":5.0}]"""))
+      // A plaintext client against the TLS socket must fail, not silently
+      // downgrade.
+      val plain = new SumGrpcClient("127.0.0.1", server.boundPort)
+      try intercept[Exception](
+        plain.call("Info", plain.newMessage("Empty").build()))
+      finally plain.close()
+    } finally { client.close(); server.stop() }
+  }
 }
