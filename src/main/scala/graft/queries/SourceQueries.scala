@@ -239,9 +239,17 @@ object SourceQueries {
         val withTok = TextAnalysis.tokensRelation(t.documents, "text")
           .select(col("doc_id"), col("source"),
             size(col("toks")).cast("long").as("n_tokens"))
+        // Explicit partition count: a column-only repartition is an AQE
+        // coalesce target, and at this data size AQE folded the exchange
+        // to ONE partition — a single task then wrote all ~140 shard dirs
+        // sequentially (3.4 s; the committer was never the bottleneck).
+        // A user-specified count is exempt from coalescing, so the write
+        // fans across the executors (1.0 s) while each (source, bin)
+        // group still lands wholly in one task -> one file per shard dir.
+        val par = s.sparkContext.defaultParallelism
         graft.ops.Sampling.packIntoBins(withTok, "doc_id", "n_tokens",
             2048L, "source")
-          .repartition(col("source"), col("bin"))
+          .repartition(par, col("source"), col("bin"))
           .write.mode("overwrite").partitionBy("source", "bin").parquet(out)
         s.read.parquet(out)
           .groupBy(col("source"), col("bin").cast("long").as("bin"))
