@@ -57,6 +57,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // The status listener retains 1000 jobs/stages/executions by
+      // default even with the UI off. A 234-query suite (each query: a
+      // warm-up + 2 timed runs; each streaming run: a job PER
+      // MICRO-BATCH) saturates those rings early, and every later
+      // event pays eviction + lookup against the bloated store on the
+      // listener-bus thread — which streaming queries, whose
+      // micro-batch cadence rides that bus, feel hardest (the st-family
+      // measured 2-5x its family-isolated floors late in full-suite
+      // runs). Keep just enough history for post-run debugging.
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
+      .config("spark.sql.ui.retainedExecutions", "50")
+      .config("spark.sql.streaming.numRecentProgressUpdates", "10")
     // Streaming scratch on tmpfs when the host has one: every streaming
     // run provisions FRESH temp checkpoint dirs + RocksDB working dirs
     // (nothing carries between the two timed runs), so on a contended
@@ -91,6 +105,7 @@ object Bench {
       val fam = family(name)
       if (prevFamily != null && fam != prevFamily) {
         Caches.reset(spark)
+        Caches.unloadStreamState()
         // Let the ContextCleaner reclaim the family's localCheckpoint
         // blocks (freed via weak references, so they need a GC to move).
         System.gc()

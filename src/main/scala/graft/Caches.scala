@@ -42,4 +42,19 @@ object Caches {
     // probe routing) whose handles the operators do not retain.
     spark.catalog.clearCache()
   }
+
+  /** Unload every state-store provider the JVM has accumulated. Each
+    * streaming query run registers its stores in the GLOBAL
+    * `StateStore.loadedProviders` registry; stopped queries leave their
+    * providers loaded (RocksDB working dirs, maintenance-thread entries)
+    * until idle-timeout maintenance gets to them. A suite that runs
+    * hundreds of short streams accumulates hundreds of dead providers,
+    * and every new stream's store operations contend with the growing
+    * maintenance sweep — measured as the st-family inflating 2-5x in
+    * full-suite runs vs family-isolated runs on identical code. Calling
+    * between families is safe (no stream is active at a boundary);
+    * providers and the maintenance task restart lazily on next use.
+    */
+  def unloadStreamState(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
 }

@@ -30,7 +30,10 @@ object Verify {
         only.forall(_.findFirstIn(name).isDefined) }
       .foreach { case (name, fn) =>
       val fam = name.takeWhile(!_.isDigit)
-      if (prevFamily != null && fam != prevFamily) Caches.reset(spark)
+      if (prevFamily != null && fam != prevFamily) {
+        Caches.reset(spark)
+        Caches.unloadStreamState()
+      }
       prevFamily = fam
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

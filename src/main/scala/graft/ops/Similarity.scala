@@ -153,7 +153,7 @@ object Similarity {
     * bucket join must avoid. Zero-sum planes make the signature invariant
     * to a vector's mean component.
     */
-  private[ops] def hyperplanes(planes: Int, dims: Int, seed: Long): Array[Array[Double]] = {
+  private[graft] def hyperplanes(planes: Int, dims: Int, seed: Long): Array[Array[Double]] = {
     var x = seed
     def next(): Double = {
       x += 0x9E3779B97F4A7C15L

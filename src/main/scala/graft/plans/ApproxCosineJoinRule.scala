@@ -26,6 +26,15 @@ import graft.functions.CosineSimilarity
   * `spark.graft.approx.planes` / `spark.graft.approx.bands` (default 32/16:
   * 2-bit bands, recall-oriented). Verification keeps precision exact.
   *
+  * Sizing law (the signBucketJoinWide rule, SCALING.md): bits per band
+  * (= planes/bands) must track log2(side rows), or buckets saturate and
+  * the candidate join degenerates toward the cross join it replaced —
+  * with 2-bit bands every band has 4 buckets, so past a few hundred rows
+  * per side callers MUST raise planes (e.g. 64/4 = 16-bit bands for
+  * 10^4-10^5 rows). Identical vectors collide in every band at any
+  * setting, so exact-duplicate recall is always 1; near-pair recall at
+  * fixed bits is bought with bands.
+  *
   * Register per session via `ApproxCosineJoinRule.install(spark)`
   * (experimental.extraOptimizations).
   */
@@ -34,6 +43,7 @@ object ApproxCosineJoinRule extends Rule[LogicalPlan] {
   val EnabledKey = "spark.graft.approxCosineRewrite"
   val PlanesKey = "spark.graft.approx.planes"
   val BandsKey = "spark.graft.approx.bands"
+  val DimsKey = "spark.graft.approx.dims"
 
   /** Marker prefix for rewrite-internal columns; also the re-entry guard:
     * joins whose inputs already expose marker columns are our own output.
@@ -89,21 +99,21 @@ object ApproxCosineJoinRule extends Rule[LogicalPlan] {
     case other     => Seq(other)
   }
 
-  /** `planes`-bit Rademacher sign signature of a vector expression: plane p
-    * weights element i by ±1 from xxhash64(p, i) — needs no knowledge of
-    * the vector dimensionality at plan time.
+  /** Per-band sign signatures via the fused [[SignBandSignatures]]
+    * expression (one codegen call per row, the plane tensor rides as a
+    * single reference object). The first draft composed the signature
+    * from `planes` HOF aggregate trees — exactly the codegen-overflow
+    * disease SignBandSignatures exists to fix (its scaladoc has the
+    * 2000x measurement). Hyperplanes need the vector width at plan time;
+    * `spark.graft.approx.dims` supplies it (default 64) and extra plane
+    * components are harmlessly ignored on shorter vectors.
     */
-  private def signature(vec: Column, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val weighted = transform(
-        sequence(lit(0), size(vec) - 1),
-        i => element_at(vec, i + 1).cast("double") *
-          when(pmod(xxhash64(lit(p), i), lit(2)) === 0, 1.0d).otherwise(-1.0d))
-      val s = org.apache.spark.sql.functions.aggregate(
-        weighted, lit(0.0d), (acc, x) => acc + x)
-      when(s > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+  private def signatures(vec: Column, planes: Int, bands: Int, dims: Int): Column = {
+    val segBits = planes / bands
+    val tensor = Array.tabulate(bands)(b =>
+      graft.ops.Similarity.hyperplanes(segBits, dims, 42L + b))
+    GraftSqlInternal.column(graft.functions.SignBandSignatures(
+      GraftSqlInternal.expression(vec), tensor))
   }
 
   private def rewrite(
@@ -112,24 +122,31 @@ object ApproxCosineJoinRule extends Rule[LogicalPlan] {
     val spark = SparkSession.active
     val planes = conf.getConfString(PlanesKey, "32").toInt
     val bands = conf.getConfString(BandsKey, "16").toInt
-    val segBits = planes / bands
+    val dims = conf.getConfString(DimsKey, "64").toInt
     val Some((aExpr, bExpr)) = findCosineConjunct(l, r, cond)
 
     def bucketed(side: LogicalPlan, vecExpr: Expression, tag: String): DataFrame = {
       val df = GraftSqlInternal.dataFrame(spark, side)
       val vec = GraftSqlInternal.column(vecExpr)
       df.withColumn(s"${Marker}id_$tag", monotonically_increasing_id())
-        .withColumn(s"${Marker}sig", signature(vec, planes))
-        .select(col("*"), posexplode(array((0 until bands).map(s =>
-          shiftright(col(s"${Marker}sig"), s * segBits)
-            .bitwiseAND((1L << segBits) - 1)): _*))
-          .as(Seq(s"${Marker}seg", s"${Marker}segval_$tag")))
-        .drop(s"${Marker}sig")
-        .withColumnRenamed(s"${Marker}seg", s"${Marker}seg_$tag")
+        .select(col("*"),
+          posexplode(signatures(vec, planes, bands, dims))
+            .as(Seq(s"${Marker}seg_$tag", s"${Marker}segval_$tag")))
     }
 
     val lb = bucketed(l, aExpr, "l")
     val rb = bucketed(r, bExpr, "r")
+    // Verify with the ORIGINAL predicate directly on the bucket join's
+    // output, BEFORE the pair-level dedup: the exact cosine is map-side
+    // arithmetic fused into the join's output, while the dedup is a
+    // shuffle whose rows carry both embedding vectors — so false
+    // candidates (the bulk, when bands under-select) must die before the
+    // exchange, not after. cond is deterministic, so filtering per
+    // colliding band and then deduping pairs equals dedup-then-filter.
+    val verified = lb.join(rb,
+      col(s"${Marker}seg_l") === col(s"${Marker}seg_r") &&
+        col(s"${Marker}segval_l") === col(s"${Marker}segval_r"))
+      .filter(GraftSqlInternal.column(cond))
     // Pair-level dedup via row_number, not dropDuplicates: this plan is
     // spliced in AFTER the main optimizer batches, so nodes that rely on
     // main-batch lowering (Deduplicate -> Aggregate) would reach the
@@ -137,13 +154,10 @@ object ApproxCosineJoinRule extends Rule[LogicalPlan] {
     val pairW = org.apache.spark.sql.expressions.Window
       .partitionBy(col(s"${Marker}id_l"), col(s"${Marker}id_r"))
       .orderBy(col(s"${Marker}seg_l"))
-    val candidates = lb.join(rb,
-      col(s"${Marker}seg_l") === col(s"${Marker}seg_r") &&
-        col(s"${Marker}segval_l") === col(s"${Marker}segval_r"))
+    val deduped = verified
       .withColumn(s"${Marker}rn", row_number().over(pairW))
       .filter(col(s"${Marker}rn") === 1)
-    val verified = candidates.filter(GraftSqlInternal.column(cond))
-    val result = verified.select(
+    val result = deduped.select(
       originalOutput.map(a => GraftSqlInternal.column(a)): _*)
     GraftSqlInternal.analyzedPlan(result)
   }

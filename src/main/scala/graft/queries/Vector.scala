@@ -1490,6 +1490,14 @@ object VectorQueries {
         val t = Tables(s, dir)
         ApproxCosineJoinRule.install(s)
         s.conf.set(ApproxCosineJoinRule.EnabledKey, "true")
+        // Size bits-per-band for the corpus (the rule's sizing law): the
+        // default 2-bit bands saturate past a few hundred rows and the
+        // bucket join degenerates toward the cross join it replaced
+        // (measured 66.8 s at 2.2k vectors). 16-bit bands keep bucket
+        // occupancy << 1 up to ~10^5 rows; exact twins still collide in
+        // every band, so the planted recall stays structurally complete.
+        s.conf.set(ApproxCosineJoinRule.PlanesKey, "64")
+        s.conf.set(ApproxCosineJoinRule.BandsKey, "4")
         try {
           val base = t.embeddings.select(col("vec_id"), col("embedding"))
           val planted = base.filter(col("vec_id") % 10 === 0)
@@ -1515,7 +1523,11 @@ object VectorQueries {
           import s.implicits._
           found.toDF("id_a", "id_b", "sim", "rewritten")
             .orderBy(col("id_a"), col("id_b"))
-        } finally s.conf.set(ApproxCosineJoinRule.EnabledKey, "false")
+        } finally {
+          s.conf.set(ApproxCosineJoinRule.EnabledKey, "false")
+          s.conf.unset(ApproxCosineJoinRule.PlanesKey)
+          s.conf.unset(ApproxCosineJoinRule.BandsKey)
+        }
       },
       Some("""
         |WITH planted AS (
