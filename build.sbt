@@ -31,6 +31,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // that mid-suite queries measured GC schedule, not plan cost. The box
   // has 128 GiB; 24g leaves ample room for the driver-side oracle stack.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // The 234-query suite JITs ~200 MB of nmethods (measured with
+  // -XX:+PrintCodeCache at suite end: profiled 108 MB + non-profiled
+  // 91 MB) — the JDK default 240 MB reserve leaves the profiled segment
+  // ~95% full, and once code-cache flushing starts, hot generated code
+  // is swept and deoptimized mid-suite: random late-suite queries
+  // re-measure interpreter cost at 10-50x plan cost, moving between
+  // runs as sweep order changes (the same signature as the round-3/5
+  // codegen-cache LRU disease, one layer down). 512 MB keeps the
+  // segments under half full at the current surface; like
+  // spark.sql.codegen.cache.maxEntries, it must scale with the surface.
+  "-XX:ReservedCodeCacheSize=512m",
 ) ++
   // Optional scratch relocation (A/B harness knob): streaming temp
   // checkpoints and Spark local dirs live under java.io.tmpdir; pointing

@@ -32,7 +32,7 @@ case class SpaceSavingTopK(
     capacity: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.LinkedHashMap[String, Long]]
+  extends TypedImperativeAggregate[SpaceSaving.Summary]
   with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
 
   def this(child: Expression, k: Int) = this(child, k, k * 8)
@@ -48,39 +48,36 @@ case class SpaceSavingTopK(
 
   override def prettyName: String = "graft_topk"
 
-  override def createAggregationBuffer(): mutable.LinkedHashMap[String, Long] =
-    mutable.LinkedHashMap.empty
-
-  private def offer(buf: mutable.LinkedHashMap[String, Long], key: String,
-      inc: Long): Unit = SpaceSaving.offer(buf, key, inc, capacity)
+  override def createAggregationBuffer(): SpaceSaving.Summary =
+    SpaceSaving.emptySummary()
 
   override def update(
-      buf: mutable.LinkedHashMap[String, Long],
-      input: InternalRow): mutable.LinkedHashMap[String, Long] = {
+      buf: SpaceSaving.Summary,
+      input: InternalRow): SpaceSaving.Summary = {
     val v = child.eval(input)
-    if (v != null) offer(buf, v.toString, 1L)
+    if (v != null) buf.offer(v.toString, 1L, capacity)
     buf
   }
 
   override def merge(
-      a: mutable.LinkedHashMap[String, Long],
-      b: mutable.LinkedHashMap[String, Long]): mutable.LinkedHashMap[String, Long] = {
-    b.foreach { case (key, c) => offer(a, key, c) }
+      a: SpaceSaving.Summary,
+      b: SpaceSaving.Summary): SpaceSaving.Summary = {
+    b.buf.foreach { case (key, c) => a.offer(key, c, capacity) }
     a
   }
 
-  override def eval(buf: mutable.LinkedHashMap[String, Long]): Any = {
-    val top = buf.toSeq.sortBy { case (key, c) => (-c, key) }.take(k)
+  override def eval(buf: SpaceSaving.Summary): Any = {
+    val top = buf.buf.toSeq.sortBy { case (key, c) => (-c, key) }.take(k)
     new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
       new GenericArrayData(top.map(t => UTF8String.fromString(t._1)).toArray[Any]),
       new GenericArrayData(top.map(_._2).toArray[Any]))
   }
 
-  override def serialize(buf: mutable.LinkedHashMap[String, Long]): Array[Byte] =
-    SpaceSaving.serialize(buf)
+  override def serialize(buf: SpaceSaving.Summary): Array[Byte] =
+    SpaceSaving.serialize(buf.buf)
 
-  override def deserialize(bytes: Array[Byte]): mutable.LinkedHashMap[String, Long] =
-    SpaceSaving.deserialize(bytes)
+  override def deserialize(bytes: Array[Byte]): SpaceSaving.Summary =
+    SpaceSaving.deserializeSummary(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): SpaceSavingTopK =
     copy(mutableAggBufferOffset = newOffset)
@@ -102,6 +99,16 @@ object SpaceSaving {
 
   /** Add `inc` to `key`, evicting the minimum counter (and inheriting its
     * count — over-estimate, never under-estimate) when at `capacity`.
+    *
+    * NOTE: the eviction scan is O(capacity); this form is kept as the
+    * semantic reference (and for one-off merges of small maps). Hot paths
+    * — the batch aggregate's update loop and the streaming processor —
+    * drive a [[Summary]], whose lazy min-heap makes eviction O(log
+    * capacity) amortized with IDENTICAL eviction choice and wire format.
+    * The O(capacity) scan is invisible while the key universe fits the
+    * map (the gate shape) and a 40x cliff the moment it does not: at 10x
+    * the gate's user universe every new key pays a 4096-entry scan —
+    * measured 0.8 s -> 35.8 s on st16 before Summary existed.
     */
   def offer(buf: mutable.LinkedHashMap[String, Long], key: String,
       inc: Long, capacity: Int): Unit = {
@@ -114,6 +121,74 @@ object SpaceSaving {
         buf(key) = minC + inc
     }
   }
+
+  /** A SpaceSaving counter map plus the lazy min-heap that finds eviction
+    * victims in O(log capacity) amortized instead of [[offer]]'s
+    * O(capacity) scan.
+    *
+    * Equivalence to the reference `minBy(_._2)` eviction (which takes the
+    * FIRST minimal-count entry in LinkedHashMap iteration order =
+    * insertion order): each live key carries the sequence number of its
+    * (re-)insertion — counter updates keep a key's map position, and an
+    * evicted-then-readded key moves to the end, exactly mirroring `seq`
+    * assignment — so the heap minimum by (count, seq) IS `minBy`'s pick.
+    * The heap is lazy: every mutation enqueues, stale entries (superseded
+    * count, or an evicted key's ghost) are discarded when popped, and the
+    * heap is rebuilt from the live map when it exceeds 4x capacity, so
+    * per-offer cost stays O(log capacity) amortized.
+    *
+    * Wire format is unchanged — [[serialize]]/[[deserialize]] still move
+    * only the LinkedHashMap, so batch aggregation buffers and streaming
+    * state cells written before Summary existed read back identically.
+    */
+  final class Summary(val buf: mutable.LinkedHashMap[String, Long]) {
+    private var nextSeq = 0L
+    private val seqOf = mutable.HashMap.empty[String, Long]
+    private val heap = mutable.PriorityQueue.empty[(Long, Long, String)](
+      Ordering.by[(Long, Long, String), (Long, Long)](t => (t._1, t._2)).reverse)
+    buf.foreach { case (k, c) =>
+      seqOf(k) = nextSeq
+      heap.enqueue((c, nextSeq, k))
+      nextSeq += 1
+    }
+
+    def offer(key: String, inc: Long, capacity: Int): Unit = {
+      buf.get(key) match {
+        case Some(c) =>
+          val nc = c + inc
+          buf(key) = nc
+          heap.enqueue((nc, seqOf(key), key))
+          if (heap.size > 4 * math.max(capacity, 16)) rebuild()
+        case None if buf.size < capacity => insert(key, inc)
+        case None =>
+          var top = heap.dequeue()
+          while (!(seqOf.get(top._3).contains(top._2) &&
+              buf.get(top._3).contains(top._1))) {
+            top = heap.dequeue()
+          }
+          buf.remove(top._3)
+          seqOf.remove(top._3)
+          insert(key, top._1 + inc)
+      }
+    }
+
+    private def insert(key: String, c: Long): Unit = {
+      seqOf(key) = nextSeq
+      buf(key) = c
+      heap.enqueue((c, nextSeq, key))
+      nextSeq += 1
+    }
+
+    private def rebuild(): Unit = {
+      heap.clear()
+      buf.foreach { case (k, c) => heap.enqueue((c, seqOf(k), k)) }
+    }
+  }
+
+  def emptySummary(): Summary = new Summary(mutable.LinkedHashMap.empty)
+
+  def deserializeSummary(bytes: Array[Byte]): Summary =
+    new Summary(deserialize(bytes))
 
   def serialize(buf: mutable.LinkedHashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()

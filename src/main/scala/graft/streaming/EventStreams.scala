@@ -401,13 +401,12 @@ object EventStreams {
     override def handleInputRows(key: String, rows: Iterator[TypedEvent],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[TypeTopUser] = {
-      val buf = Option(state.get())
-        .map(graft.functions.SpaceSaving.deserialize)
-        .getOrElse(scala.collection.mutable.LinkedHashMap.empty[String, Long])
-      rows.foreach(e =>
-        graft.functions.SpaceSaving.offer(buf, e.user_id.toString, 1L, capacity))
-      state.update(graft.functions.SpaceSaving.serialize(buf))
-      buf.toSeq.sortBy { case (u, c) => (-c, u.toLong) }.take(k)
+      val sum = Option(state.get())
+        .map(graft.functions.SpaceSaving.deserializeSummary)
+        .getOrElse(graft.functions.SpaceSaving.emptySummary())
+      rows.foreach(e => sum.offer(e.user_id.toString, 1L, capacity))
+      state.update(graft.functions.SpaceSaving.serialize(sum.buf))
+      sum.buf.toSeq.sortBy { case (u, c) => (-c, u.toLong) }.take(k)
         .zipWithIndex
         .map { case ((u, c), i) => TypeTopUser(key, i + 1, u.toLong, c) }
         .iterator

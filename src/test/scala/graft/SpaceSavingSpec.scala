@@ -34,6 +34,33 @@ class SpaceSavingSpec extends SparkSpec {
     assert(m("hot") >= 500L) // SpaceSaving over-estimates, never under
   }
 
+  test("Summary's heap eviction replays the reference scan exactly") {
+    // The O(log C) lazy-heap path must pick the SAME victim as the
+    // reference minBy scan (min count, insertion-order tie-break) on an
+    // eviction-heavy stream with many count ties — byte-identical wire
+    // output, not just the same top-k.
+    import graft.functions.SpaceSaving
+    val rnd = new scala.util.Random(7)
+    val stream = Seq.fill(20000)(s"k${rnd.nextInt(600)}") ++
+      (1 to 400).map(i => s"fresh$i") // forced evictions at the tail
+    val cap = 64
+    val ref = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    stream.foreach(k => SpaceSaving.offer(ref, k, 1L, cap))
+    val fast = SpaceSaving.emptySummary()
+    stream.foreach(k => fast.offer(k, 1L, cap))
+    assert(fast.buf.toSeq === ref.toSeq)
+    assert(java.util.Arrays.equals(
+      SpaceSaving.serialize(fast.buf), SpaceSaving.serialize(ref)))
+    // And a serialize/deserialize round-trip mid-stream (the streaming
+    // state-cell path) continues identically.
+    val (head, tail) = stream.splitAt(9999)
+    val a = SpaceSaving.emptySummary()
+    head.foreach(k => a.offer(k, 1L, cap))
+    val b = SpaceSaving.deserializeSummary(SpaceSaving.serialize(a.buf))
+    tail.foreach(k => b.offer(k, 1L, cap))
+    assert(b.buf.toSeq === ref.toSeq)
+  }
+
   test("works with groupBy keys") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val byLang = docs
