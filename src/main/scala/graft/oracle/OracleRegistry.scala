@@ -76,6 +76,14 @@ final class OracleRegistry {
       sqlText: String): Either[String, Oracle] =
     SqlOracle.compile(spark, name, sqlText).flatMap(create)
 
+  /** Create from the reference's stored-JavaScript oracle source: compile
+    * with [[graft.oracle.js.JsOracle]] (parse, entry/merger extraction,
+    * definition-time run), then register. Broken code rejects here with
+    * the compile message, exactly like [[createSql]].
+    */
+  def createJs(name: String, jsCode: String): Either[String, Oracle] =
+    graft.oracle.js.JsOracle.compile(name, jsCode).flatMap(create)
+
   def read(id: Long): Either[String, Oracle] =
     synchronized(oracles.get(id).toRight(StoreErrors.oracleNotFound(id)))
 

@@ -1,0 +1,347 @@
+package graft.oracle.js
+
+import scala.collection.mutable
+
+import org.json4s._
+
+import graft.model.SumRecord
+import graft.oracle.{Oracle, OracleContext, OracleRunError}
+import graft.store.RecordStore
+import JsInterp.{Env, toNum, toStr}
+import JsLang._
+
+/** Compile and run the reference's stored-JavaScript oracles for real.
+  *
+  * The reference compiles oracle code with otto (node/service/compiler.go):
+  * parse, take the FIRST top-level function declaration as the entry
+  * point (error "expected a function declaration" otherwise), run the
+  * program once to surface definition-time errors (e.g. ReferenceError),
+  * and record the declared parameter names. Each run then sets `records`,
+  * `ctx` and the JSON-decoded args as globals on a fresh VM and calls the
+  * entry function (node/service/compiled.go:44-99). A later top-level
+  * function whose name starts with "merge" and that takes exactly one
+  * argument is the distributed-merge hook (master/ast_raccoon.go:72-87).
+  *
+  * This is the same contract over [[JsInterp]]: per run, a fresh global
+  * environment gets the host objects, the program re-executes (top-level
+  * state therefore resets per run — the reference clones the compile-time
+  * VM per run, which resets it the same way), and the entry call's result
+  * is marshaled with Go's JSON conventions.
+  *
+  * One deliberate difference: `record.SetData` mutates only the oracle's
+  * wrapper, never the store — graft's store is an immutable Dataset with
+  * explicit update verbs, while the reference's wrapper aliases the
+  * in-memory protobuf until the next flush. No reference test oracle
+  * relies on SetData persistence.
+  */
+object JsOracle {
+
+  final case class Compiled(entry: String, params: Seq[String],
+      merger: Option[String], program: Seq[Stmt])
+
+  /** Parse + validate, mirroring the reference compiler's checks and its
+    * error message for code with no function declaration
+    * (node/service/compiler_test.go:15-19).
+    */
+  def compileSource(code: String): Either[String, Compiled] = {
+    val program =
+      try JsLang.parse(code)
+      catch { case ParseError(m) => return Left(m) }
+    val decls = program.collect { case f: FuncDecl => f }
+    decls.headOption match {
+      case None => Left("expected a function declaration")
+      case Some(entry) =>
+        // Definition-time run: no host globals, exactly like the
+        // reference's compile-time vm.Run (records/ctx are set per run) —
+        // `function imok(){} imnot = not_defined + 1;` rejects HERE.
+        try {
+          new JsInterp().exec(program, baseEnv())
+        } catch {
+          case OracleRunError(m) => return Left(m)
+          case e: Exception      => return Left(e.getMessage)
+        }
+        val merger = decls.drop(1)
+          .find(f => f.name.startsWith("merge") && f.params.size == 1)
+          .map(_.name)
+        Right(Compiled(entry.name, entry.params, merger, program))
+    }
+  }
+
+  /** Compile to a registry [[Oracle]]: the body binds the store + context
+    * as host globals and calls the entry function with the JSON args; the
+    * merger (if declared) receives the array of partial results.
+    */
+  def compile(name: String, code: String): Either[String, Oracle] =
+    compileSource(code).map { c =>
+      Oracle(
+        id = 0,
+        name = name,
+        params = c.params,
+        body = (ctx, store, args) => {
+          val interp = new JsInterp()
+          val env = baseEnv()
+          env.declare("records", recordsHost(interp, store))
+          env.declare("ctx", ctxHost(ctx))
+          interp.exec(c.program, env)
+          c.params.zipWithIndex.foreach { case (p, i) =>
+            env.declare(p, JsInterp.fromJson(
+              args.lift(i).getOrElse(JNull)))
+          }
+          val entry = env.lookup(c.entry).getOrElse(
+            throw OracleRunError(s"ReferenceError: '${c.entry}' is not defined"))
+          val result = interp.callFunction(entry, c.params.map(p =>
+            env.lookup(p).getOrElse(JsNull)))
+          if (ctx.isError) JNull else JsInterp.toJson(result)
+        },
+        merger = c.merger.map { mergeFn => partials =>
+          val interp = new JsInterp()
+          val env = baseEnv()
+          interp.exec(c.program, env)
+          val fn = env.lookup(mergeFn).getOrElse(
+            throw OracleRunError(s"ReferenceError: '$mergeFn' is not defined"))
+          val arr = new JsArr
+          partials.foreach(p => arr.items += JsInterp.fromJson(p))
+          JsInterp.toJson(interp.callFunction(fn, Seq(arr)))
+        },
+        code = Some(code))
+    }
+
+  // ----------------------------------------------------------- host: ctx
+  private def ctxHost(ctx: OracleContext): JsHost =
+    new JsHost("Context", Map(
+      "Error" -> { args =>
+        ctx.error(args.headOption.map(toStr).getOrElse(""))
+        JsUndef
+      },
+      "IsError" -> { _ => JsBool(ctx.isError) },
+      "Message" -> { _ => JsStr(ctx.message) }))
+
+  // ------------------------------------------------------- host: records
+  private def recordsHost(interp: JsInterp, store: RecordStore): JsHost = {
+    def all(): Seq[SumRecord] = {
+      import org.apache.spark.sql.functions.col
+      val cap = RecordStore.maxCollectRows(store.records.sparkSession)
+      val rows = store.records.orderBy(col("id")).limit(cap + 1).collect().toSeq
+      if (rows.length > cap)
+        throw OracleRunError(
+          s"records.All() would materialize more than $cap rows on the " +
+            "driver; raise graft.store.maxCollectRows or use a registered " +
+            "Spark oracle for corpus-scale scans")
+      rows
+    }
+    def wrapSeq(recs: Seq[SumRecord]): JsArr = {
+      val a = new JsArr
+      recs.foreach(r => a.items += recordHost(interp, Some(r)))
+      a
+    }
+    new JsHost("Records", Map(
+      "Find" -> { args =>
+        val id = toNum(args.headOption.getOrElse(JsNum(0))).toLong
+        recordHost(interp, store.find(id))
+      },
+      "All" -> { _ => wrapSeq(all()) },
+      "AllBut" -> { args =>
+        val excludeId = args.headOption match {
+          case Some(h: JsHost) => h.props.get("ID").map(p => toNum(p()).toLong)
+          case _               => None
+        }
+        wrapSeq(all().filterNot(r => excludeId.contains(r.id)))
+      },
+      "CreateRecord" -> { args =>
+        // wrapper.Records.CreateRecord: wraps raw data WITHOUT storing it
+        // (node/wrapper/records.go:60-66) — a scratch record for the
+        // oracle's own math.
+        val data = args.headOption match {
+          case Some(a: JsArr) => a.items.map(v => toNum(v).toFloat).toArray
+          case _              => Array.empty[Float]
+        }
+        recordHost(interp, Some(SumRecord(0L, data)))
+      }))
+  }
+
+  // -------------------------------------------------------- host: record
+  /** Wrapped record, null-record included (Find miss → IsNull()==true,
+    * node/wrapper/record.go:40-44). Math methods replicate record.go
+    * exactly: double accumulation, the cosine zero-magnitude guard, the
+    * m11/(m11+m10) jaccard with the (a+b)==1 mismatch rule.
+    */
+  private def recordHost(interp: JsInterp, rec0: Option[SumRecord]): JsHost = {
+    // SetData re-wraps locally, so the data is a mutable cell
+    var rec = rec0
+    def dataOf(v: JsVal): Array[Float] = v match {
+      case h: JsHost if h.hostName == "Record" =>
+        h.props.get("__data").map(_()) match {
+          case Some(a: JsArr) => a.items.map(x => toNum(x).toFloat).toArray
+          case _ => throw OracleRunError("TypeError: null record")
+        }
+      case _ => throw OracleRunError("TypeError: expected a record")
+    }
+    def own(): Array[Float] = rec.map(_.data).getOrElse(
+      throw OracleRunError("TypeError: null record"))
+    def dotRange(a: Array[Float], b: Array[Float], start: Int, end: Int): Double = {
+      var s = 0.0
+      var i = start
+      val hi = math.min(end, math.min(a.length, b.length))
+      while (i < hi) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cosineOf(a: Array[Float], b: Array[Float], start: Int, end: Int): Double = {
+      val aMag = math.sqrt(dotRange(a, a, start, end))
+      val bMag = math.sqrt(dotRange(b, b, start, end))
+      val den = aMag * bMag
+      if (den == 0.0) 0.0 else dotRange(a, b, start, end) / den
+    }
+    def jaccardOf(a: Array[Float], b: Array[Float], start: Int, end: Int): Double = {
+      var m11 = 0.0
+      var m10 = 0.0
+      var i = start
+      val hi = math.min(end, math.min(a.length, b.length))
+      while (i < hi) {
+        m11 += (a(i) * b(i)).toDouble
+        if (a(i) + b(i) == 1.0f) m10 += 1
+        i += 1
+      }
+      if (m10 + m11 == 0) 0.0 else m11 / (m11 + m10)
+    }
+    def argNum(args: Seq[JsVal], i: Int): Int =
+      toNum(args.lift(i).getOrElse(JsNum(0))).toInt
+
+    new JsHost("Record",
+      methods = Map(
+        "IsNull" -> { _ => JsBool(rec.isEmpty) },
+        "Is" -> { args =>
+          val otherId = args.headOption match {
+            case Some(h: JsHost) if h.hostName == "Record" =>
+              h.props.get("__isnull").map(p => JsInterp.truthy(p())) match {
+                case Some(true) => None
+                case _ => h.props.get("ID").map(p => toNum(p()).toLong)
+              }
+            case _ => None
+          }
+          JsBool(rec.isDefined && otherId.contains(rec.get.id))
+        },
+        "SetData" -> { args =>
+          val data = args.headOption match {
+            case Some(a: JsArr) => a.items.map(v => toNum(v).toFloat).toArray
+            case _              => Array.empty[Float]
+          }
+          rec = rec.map(r => r.copy(data = data))
+            .orElse(Some(SumRecord(0L, data)))
+          JsUndef
+        },
+        "Get" -> { args =>
+          val data = own()
+          val i = argNum(args, 0)
+          if (i < 0 || i >= data.length)
+            throw OracleRunError(s"index $i out of range")
+          JsNum(data(i).toDouble)
+        },
+        "Meta" -> { args =>
+          val key = args.headOption.map(toStr).getOrElse("")
+          JsStr(rec.map(_.metaValue(key)).getOrElse(""))
+        },
+        "Equal" -> { args =>
+          JsBool(own().sameElements(dataOf(args.head)))
+        },
+        "Dot" -> { args =>
+          val b = dataOf(args.head)
+          JsNum(dotRange(own(), b, 0, math.max(own().length, b.length)))
+        },
+        "DotRange" -> { args =>
+          JsNum(dotRange(own(), dataOf(args.head), argNum(args, 1), argNum(args, 2)))
+        },
+        "DotSub" -> { args =>
+          JsNum(dotRange(own(), dataOf(args.head), 0, argNum(args, 1)))
+        },
+        "Magnitude" -> { _ =>
+          val d = own()
+          JsNum(math.sqrt(dotRange(d, d, 0, d.length)))
+        },
+        "Cosine" -> { args =>
+          val b = dataOf(args.head)
+          JsNum(cosineOf(own(), b, 0, math.max(own().length, b.length)))
+        },
+        "CosineSub" -> { args =>
+          JsNum(cosineOf(own(), dataOf(args.head), 0, argNum(args, 1)))
+        },
+        "CosineRange" -> { args =>
+          JsNum(cosineOf(own(), dataOf(args.head), argNum(args, 1), argNum(args, 2)))
+        },
+        "Jaccard" -> { args =>
+          val b = dataOf(args.head)
+          JsNum(jaccardOf(own(), b, 0, math.max(own().length, b.length)))
+        },
+        "JaccardRange" -> { args =>
+          JsNum(jaccardOf(own(), dataOf(args.head), argNum(args, 1), argNum(args, 2)))
+        }),
+      props = Map(
+        "ID" -> (() => JsNum(rec.map(_.id.toDouble).getOrElse(0.0))),
+        "Id" -> (() => JsNum(rec.map(_.id.toDouble).getOrElse(0.0))),
+        "Size" -> (() => JsNum(rec.map(_.data.length.toDouble).getOrElse(0.0))),
+        "__isnull" -> (() => JsBool(rec.isEmpty)),
+        "__data" -> { () =>
+          val a = new JsArr
+          rec.foreach(_.data.foreach(f => a.items += JsNum(f.toDouble)))
+          a
+        }))
+  }
+
+  // ------------------------------------------------------------- globals
+  /** The globals every VM gets: Math, and the handful of ES5 global
+    * functions small oracles reach for.
+    */
+  private def baseEnv(): Env = {
+    val env = new Env(None)
+    val rnd = new java.util.Random(42) // deterministic Math.random
+    def n1(name: String)(f: Double => Double): (String, Seq[JsVal] => JsVal) =
+      name -> { args => JsNum(f(toNum(args.headOption.getOrElse(JsUndef)))) }
+    env.declare("Math", new JsHost("Math",
+      methods = Map(
+        n1("sqrt")(math.sqrt), n1("abs")(math.abs),
+        n1("floor")(math.floor), n1("ceil")(math.ceil),
+        n1("round")(d => math.floor(d + 0.5)),
+        n1("exp")(math.exp), n1("log")(math.log),
+        "pow" -> { args =>
+          JsNum(math.pow(toNum(args.head), toNum(args(1)))) },
+        "min" -> { args =>
+          JsNum(if (args.isEmpty) Double.PositiveInfinity
+                else args.map(toNum).min) },
+        "max" -> { args =>
+          JsNum(if (args.isEmpty) Double.NegativeInfinity
+                else args.map(toNum).max) },
+        "random" -> { _ => JsNum(rnd.nextDouble()) }),
+      props = Map(
+        "PI" -> (() => JsNum(math.Pi)),
+        "E"  -> (() => JsNum(math.E)))))
+    env.declare("Object", new JsHost("Object", Map(
+      "keys" -> { args =>
+        val a = new JsArr
+        args.headOption match {
+          case Some(o: JsObj) => o.fields.keys.foreach(k => a.items += JsStr(k))
+          case Some(arr: JsArr) => arr.items.indices.foreach(i => a.items += JsStr(i.toString))
+          case _ => ()
+        }
+        a
+      })))
+    env.declare("isNaN", new JsNative("isNaN", 1,
+      args => JsBool(toNum(args.headOption.getOrElse(JsUndef)).isNaN)))
+    env.declare("parseInt", new JsNative("parseInt", 2, { args =>
+      val s = toStr(args.headOption.getOrElse(JsUndef)).trim
+      val radix = args.lift(1).map(v => toNum(v).toInt).filter(_ != 0).getOrElse(10)
+      val m = s.takeWhile(c => c == '-' || c == '+' ||
+        Character.digit(c, radix) >= 0)
+      try JsNum(java.lang.Long.parseLong(m, radix).toDouble)
+      catch { case _: NumberFormatException => JsNum(Double.NaN) }
+    }))
+    env.declare("parseFloat", new JsNative("parseFloat", 1, { args =>
+      val s = toStr(args.headOption.getOrElse(JsUndef)).trim
+      val m = "^[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?".r.findFirstIn(s)
+      JsNum(m.map(_.toDouble).getOrElse(Double.NaN))
+    }))
+    env.declare("String", new JsNative("String", 1,
+      args => JsStr(args.headOption.map(toStr).getOrElse(""))))
+    env.declare("Number", new JsNative("Number", 1,
+      args => JsNum(args.headOption.map(toNum).getOrElse(0.0))))
+    env
+  }
+}

@@ -343,7 +343,8 @@ final class SumGrpcServer(val service: SumService, port: Int = 0,
   }
 
   private def compileOracle(m: DynamicMessage): Either[DynamicMessage, Oracle] =
-    SqlOracle.compile(service.spark, getString(m, "name"), getString(m, "code"))
+    graft.oracle.OracleCompiler.compile(
+      service.spark, getString(m, "name"), getString(m, "code"))
       .left.map(msg => oracleResponse(OracleResponse(success = false, msg)))
 
   /** RPC name -> handler. Same dispatch semantics as the HTTP binding —

@@ -80,15 +80,15 @@ final class SumServer(val service: SumService, port: Int = 0) {
       JObject(List("success" -> JBool(r.success), "msg" -> JString(r.msg),
         "records" -> JArray(r.records.toList.map(encodeRecord))))
     case "CreateOracle" =>
-      SqlOracle.compile(service.spark, stringField(req, "name"),
-          stringField(req, "code")) match {
+      graft.oracle.OracleCompiler.compile(service.spark,
+          stringField(req, "name"), stringField(req, "code")) match {
         case Left(msg) => JObject(List("success" -> JBool(false),
           "msg" -> JString(msg), "oracle" -> JNull))
         case Right(o) => oracleResponse(service.createOracle(o))
       }
     case "UpdateOracle" =>
-      SqlOracle.compile(service.spark, stringField(req, "name"),
-          stringField(req, "code")) match {
+      graft.oracle.OracleCompiler.compile(service.spark,
+          stringField(req, "name"), stringField(req, "code")) match {
         case Left(msg) => JObject(List("success" -> JBool(false),
           "msg" -> JString(msg), "oracle" -> JNull))
         case Right(o) =>

@@ -208,7 +208,7 @@ object RecordStore {
     */
   val MaxCollectRowsKey = "graft.store.maxCollectRows"
 
-  private[store] def maxCollectRows(spark: SparkSession): Int =
+  private[graft] def maxCollectRows(spark: SparkSession): Int =
     spark.conf.get(MaxCollectRowsKey, "100000").toInt
 
   def empty(spark: SparkSession): RecordStore = {

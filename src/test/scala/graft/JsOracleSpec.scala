@@ -1,0 +1,276 @@
+package graft
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.model.SumRecord
+import graft.oracle.{OracleCompiler, OracleRegistry}
+import graft.store.RecordStore
+
+/** The reference's stored-JavaScript oracles, run FOR REAL through the
+  * graft JS interpreter: every oracle below is lifted verbatim from the
+  * reference's own test suites (node/service/compiled_benchmark_test.go,
+  * node/service/service_test.go, master/service_test.go,
+  * master/service_legacy_test.go) and must behave as it does there —
+  * compile-time rejections included.
+  */
+class JsOracleSpec extends SparkSpec {
+
+  private def freshStore = RecordStore.fromRecords(spark, Seq(
+    SumRecord(1L, Array(1f, 2f, 3f), Map("name" -> "Lorea")),
+    SumRecord(2L, Array(2f, 4f, 6f), Map("name" -> "Sabrina")),
+    SumRecord(3L, Array(-1f, 0f, 1f), Map.empty[String, String])))
+
+  private def runJs(code: String, args: String*)
+      (implicit store: RecordStore): Either[String, String] = {
+    val reg = new OracleRegistry
+    val o = reg.createJs("t", code).fold(m => fail(s"compile failed: $m"), identity)
+    reg.run(o.id, store, args)
+  }
+
+  implicit private lazy val store: RecordStore = freshStore
+
+  test("simple oracles: dummy, add, iterative/recursive/memoized fibonacci") {
+    assert(runJs("function dummy(){}") === Right("null"))
+    assert(runJs("function add(a, b){ return a + b; }", "2", "3") === Right("5"))
+    val fiboIter = """function fibonacci(num){
+      var a = 1, b = 0, temp;
+      while (num >= 0){
+        temp = a;
+        a = a + b;
+        b = temp;
+        num--;
+      }
+      return b;
+    }"""
+    val fiboRecu = """function fibonacci(num) {
+      if (num <= 1) return 1;
+      return fibonacci(num - 1) + fibonacci(num - 2);
+    }"""
+    val fiboMemo = """function fibonacci(num, memo) {
+      memo = memo || {};
+      if (memo[num]) return memo[num];
+      if (num <= 1) return 1;
+      return memo[num] = fibonacci(num - 1, memo) + fibonacci(num - 2, memo);
+    }"""
+    // All three reference spellings agree (same recurrence, different style)
+    assert(runJs(fiboRecu, "10") === Right("89"))
+    assert(runJs(fiboMemo, "10") === Right("89"))
+    assert(runJs(fiboIter, "10") === Right("89")) // 11 passes: b ends at fib(10)
+    assert(runJs(fiboMemo, "25") === Right("121393"))
+  }
+
+  test("compile rejections match the reference compiler") {
+    val reg = new OracleRegistry
+    // node/service/compiler_test.go:15 — no code at all
+    assert(reg.createJs("empty", "") === Left("expected a function declaration"))
+    // :18 — a program with no function declaration
+    assert(reg.createJs("no functions", "var lulz = 123;") ===
+      Left("expected a function declaration"))
+    // :19 — definition-time ReferenceError
+    val r = reg.createJs("error during definition",
+      "function imok(){} imnot = not_defined + 1;")
+    assert(r.isLeft)
+    assert(r.left.exists(_.contains("ReferenceError")))
+    // malformed source is a parse error
+    assert(reg.createJs("broken", "lulz i won't compile =)").isLeft)
+  }
+
+  test("findSimilar (reference README oracle) matches the record math") {
+    val code = """function findSimilar(id, threshold) {
+      var v = records.Find(id);
+      if( v.IsNull() == true ) {
+        return ctx.Error("Vector " + id + " not found.");
+      }
+      var results = {};
+      var all = records.AllBut(v)
+      var num = all.length;
+      for( var i = 0; i < num; ++i ) {
+        var record = all[i];
+        var similarity = v.Cosine(record);
+        if( similarity >= threshold ) {
+           results[record.Id] = similarity
+        }
+      }
+      return results;
+    }"""
+    val out = runJs(code, "1", "0.9").fold(m => fail(m), identity)
+    val parsed = JsonMethods.parse(out)
+    // record 2 is exactly collinear with record 1 (cosine 1); record 3 is
+    // orthogonal-ish (cosine ~0.378) and must be filtered at 0.9
+    parsed match {
+      case JObject(fields) =>
+        assert(fields.map(_._1) === List("2"))
+        // collinear -> cosine exactly 1.0, which Go-style JSON writes as 1
+        assert(fields.head._2 === JInt(1))
+      case other => fail(s"expected an object, got $other")
+    }
+    // ctx.Error path: unknown id fails the run with the oracle's message
+    assert(runJs(code, "99", "0.5") === Left("Vector 99 not found."))
+  }
+
+  test("findDoubles (master/service_test.go:270) with forEach and early return") {
+    val code = """
+function findDoubles(id, anotherParam) {
+    var v = records.Find(id);
+    if( v.IsNull() == true ) {
+        return ctx.Error("Vector " + id + " not found.");
+    }
+
+    var results = [];
+    records.AllBut(v).forEach(function(record){
+        for (var i=0; i < 3; i++) {
+            if (record.Get(i) !== 2*v.Get(i)) { return; }
+        }
+        results.push(record.ID);
+    });
+
+    return results;
+}"""
+    // record 2 = 2 * record 1
+    assert(runJs(code, "1") === Right("[2]"))
+    assert(runJs(code, "2") === Right("[]"))
+  }
+
+  test("mapOfRecordNames (master/service_test.go:381): undeclared global + Meta") {
+    val code = """
+function mapOfRecordNames() {
+    result = {};
+    records.All().forEach(function(record){
+        result[record.ID] = record.Meta('name');
+    });
+    return result;
+}"""
+    // Go's json.Marshal sorts map keys; absent meta is the empty string
+    assert(runJs(code) === Right("""{"1":"Lorea","2":"Sabrina","3":""}"""))
+  }
+
+  test("run-time error paths match the reference service tests") {
+    // service_test.go:337 — missing arg arrives as null, || default kicks in
+    assert(runJs("function testMissing(arg){ return (arg || 666); }") ===
+      Right("666"))
+    assert(runJs("function testMissing(arg){ return (arg || 666); }", "5") ===
+      Right("5"))
+    // :371 — division by zero is Infinity, which JSON cannot carry
+    assert(runJs("function test(){ return 666 / 0; }") ===
+      Left("json: unsupported value: +Inf"))
+    // :396 — undefined identifier at run time
+    val r = runJs("function test(){ return im_not_defined }")
+    assert(r.isLeft)
+    assert(r.left.exists(_.contains("ReferenceError")))
+    // :421 — ctx.Error aborts with the message
+    assert(runJs("function findReasonsToLive(){ ctx.Error('nope'); }") ===
+      Left("nope"))
+  }
+
+  test("merger detection and merge execution (master/service_legacy_test.go:34)") {
+    val code = "function findReasonsToLive(){ return 0; } " +
+      "function add(accumulator, item) { return accumulator + item; } " +
+      "function mergeResults(results) { return results.reduce(add); }"
+    val reg = new OracleRegistry
+    val o = reg.createJs("reasons", code).fold(m => fail(m), identity)
+    assert(o.merger.isDefined)
+    // the merger folds partials exactly like the JS reduce
+    val merged = o.merger.get(Seq(JInt(1), JInt(2), JInt(3)))
+    assert(merged === JInt(6))
+    // a merge* function with the wrong arity is NOT a merger
+    val o2 = reg.createJs("nomerge",
+      "function f(){ return 0; } function mergeWrong(a, b){ return a; }")
+      .fold(m => fail(m), identity)
+    assert(o2.merger.isEmpty)
+  }
+
+  test("record math methods replicate node/wrapper/record.go") {
+    val code = """function m(idA, idB) {
+      var a = records.Find(idA), b = records.Find(idB);
+      return {
+        dot: a.Dot(b),
+        dotSub: a.DotSub(b, 2),
+        dotRange: a.DotRange(b, 1, 3),
+        mag: a.Magnitude(),
+        cos: a.Cosine(b),
+        cosSub: a.CosineSub(b, 2),
+        eq: a.Equal(b),
+        is: a.Is(b),
+        size: a.Size,
+        g: a.Get(2)
+      };
+    }"""
+    val out = runJs(code, "1", "2").fold(m => fail(m), identity)
+    val JObject(fields) = JsonMethods.parse(out)
+    val m = fields.toMap
+    assert(m("dot") === JInt(28))      // 1*2+2*4+3*6
+    assert(m("dotSub") === JInt(10))   // 1*2+2*4
+    assert(m("dotRange") === JInt(26)) // 2*4+3*6
+    assert(m("cos") === JInt(1))       // collinear
+    assert(m("eq") === JBool(false))
+    assert(m("is") === JBool(false))
+    assert(m("size") === JInt(3))
+    assert(m("g") === JInt(3))
+    val JDouble(mag) = m("mag")
+    assert(math.abs(mag - math.sqrt(14.0)) < 1e-12)
+    val JDouble(cs) = m("cosSub")
+    assert(math.abs(cs - 1.0) < 1e-12)
+  }
+
+  test("jaccard replicates the (a+b)==1 mismatch rule on binary vectors") {
+    implicit val binStore: RecordStore = RecordStore.fromRecords(spark, Seq(
+      SumRecord(1L, Array(1f, 0f, 1f, 1f)),
+      SumRecord(2L, Array(1f, 1f, 0f, 1f))))
+    val out = runJs(
+      "function j(a, b){ return records.Find(a).Jaccard(records.Find(b)); }",
+      "1", "2")(binStore)
+    // m11 = 2 (positions 0,3), m10 = 2 (positions 1,2) -> 2/4
+    assert(out === Right("0.5"))
+  }
+
+  test("the cosine zero-magnitude guard returns 0 like the reference") {
+    implicit val zStore: RecordStore = RecordStore.fromRecords(spark, Seq(
+      SumRecord(1L, Array(0f, 0f, 0f)),
+      SumRecord(2L, Array(1f, 2f, 3f))))
+    assert(runJs(
+      "function z(a, b){ return records.Find(a).Cosine(records.Find(b)); }",
+      "1", "2")(zStore) === Right("0"))
+  }
+
+  test("a runaway loop hits the step budget instead of wedging the server") {
+    val r = runJs("function spin(){ while(true){} }")
+    assert(r.isLeft)
+    assert(r.left.exists(_.contains("step budget")))
+  }
+
+  test("service-surface dispatch routes JS to the interpreter, SQL to the compiler") {
+    assert(OracleCompiler.looksLikeJs("function f(){}"))
+    assert(OracleCompiler.looksLikeJs("// entry\nfunction f(){}"))
+    assert(OracleCompiler.looksLikeJs("/* c */ var x = 1;"))
+    assert(!OracleCompiler.looksLikeJs("SELECT 1 AS one"))
+    val viaDispatch = OracleCompiler.compile(spark, "js",
+      "function one(){ return 1; }").fold(m => fail(m), identity)
+    val reg = new OracleRegistry
+    val created = reg.create(viaDispatch).fold(m => fail(m), identity)
+    assert(reg.run(created.id, store, Seq.empty) === Right("1"))
+    assert(OracleCompiler.compile(spark, "sql", "SELECT 1 AS one").isRight)
+  }
+
+  test("for-in, typeof, ternary, string methods, Math — the ES5 odds and ends") {
+    val code = """function misc() {
+      var o = {b: 2, a: 1};
+      var keys = [];
+      for (var k in o) { keys.push(k); }
+      var t = typeof 1 === 'number' ? 'num' : 'other';
+      var s = 'Hello World';
+      return {
+        keys: keys.join('-'),
+        t: t,
+        up: s.toUpperCase(),
+        idx: s.indexOf('World'),
+        sub: s.substring(0, 5),
+        sq: Math.sqrt(16),
+        mx: Math.max(1, 9, 4),
+        parsed: parseInt('42') + parseFloat('0.5')
+      };
+    }"""
+    assert(runJs(code) === Right(
+      """{"idx":6,"keys":"b-a","mx":9,"parsed":42.5,"sq":4,"sub":"Hello","t":"num","up":"HELLO WORLD"}"""))
+  }
+}

@@ -57,6 +57,43 @@ class SumServerSpec extends SparkSpec {
     }
   }
 
+  test("a stored-JavaScript oracle (the reference's own findSimilar) runs over the wire") {
+    withServer { (_, base) =>
+      // records 1 and 2 collinear, record 3 not
+      post(base, "CreateRecord", """{"data":[1.0, 2.0, 3.0], "meta":{}}""")
+      post(base, "CreateRecord", """{"data":[2.0, 4.0, 6.0], "meta":{}}""")
+      post(base, "CreateRecord", """{"data":[-1.0, 0.0, 1.0], "meta":{}}""")
+      // the README oracle, verbatim — dispatched to the JS interpreter
+      val js = """function findSimilar(id, threshold) {
+        var v = records.Find(id);
+        if( v.IsNull() == true ) {
+          return ctx.Error(\"Vector \" + id + \" not found.\");
+        }
+        var results = {};
+        var all = records.AllBut(v);
+        for( var i = 0; i < all.length; ++i ) {
+          var record = all[i];
+          var similarity = v.Cosine(record);
+          if( similarity >= threshold ) { results[record.Id] = similarity; }
+        }
+        return results;
+      }""".replace("\n", "\\n")
+      val oc = post(base, "CreateOracle",
+        s"""{"name":"findSimilar","code":"$js"}""")
+      assert((oc \ "success") === JBool(true), JsonMethods.compact(JsonMethods.render(oc)))
+      val oracleId = (oc \ "oracle" \ "id").asInstanceOf[JInt].num.toLong
+      val run = post(base, "Run", s"""{"oracle_id":$oracleId,"args":["1","0.9"]}""")
+      assert((run \ "success") === JBool(true), JsonMethods.compact(JsonMethods.render(run)))
+      val payload = new String(java.util.Base64.getDecoder.decode(
+        (run \ "data" \ "payload").asInstanceOf[JString].s), "UTF-8")
+      assert(payload === """{"2":1}""")
+      // the oracle's ctx.Error path crosses the wire as an error response
+      val miss = post(base, "Run", s"""{"oracle_id":$oracleId,"args":["99","0.5"]}""")
+      assert((miss \ "success") === JBool(false))
+      assert((miss \ "msg") === JString("Vector 99 not found."))
+    }
+  }
+
   test("broken oracle code is rejected over the wire at create") {
     withServer { (_, base) =>
       val oc = post(base, "CreateOracle",
