@@ -252,6 +252,55 @@ function mapOfRecordNames() {
     assert(OracleCompiler.compile(spark, "sql", "SELECT 1 AS one").isRight)
   }
 
+  test("distributed run: per-node JS partials fold through the JS merger " +
+      "(master/service_test.go:483-545)") {
+    // The reference's master fans an oracle out to nodes and folds the
+    // per-node results; graft's distribution model makes each partition a
+    // "node". Simulate two nodes as two store shards, run the JS oracle
+    // per shard, and fold through graft's Merge — the same path
+    // DistributionSpec drives for Spark-native oracles.
+    import graft.oracle.Merge
+    val scalarCode = """
+function sumAllVectors() {
+    var result = 0.0;
+    records.All().forEach(function(record){
+        for (var i=0; i < 3; i++) {
+            result += record.Get(i);
+        }
+    });
+    return result;
+}"""
+    val shard1 = RecordStore.fromRecords(spark,
+      Seq(SumRecord(1L, Array(1f, 2f, 3f))))
+    val shard2 = RecordStore.fromRecords(spark,
+      Seq(SumRecord(2L, Array(10f, 20f, 30f)), SumRecord(3L, Array(0.5f, 0f, 0f))))
+
+    def partials(code: String): (Seq[JValue], graft.oracle.Oracle) = {
+      val reg = new OracleRegistry
+      val o = reg.createJs("sumAllVectors", code).fold(m => fail(m), identity)
+      val ctx = new graft.oracle.OracleContext
+      (Seq(shard1, shard2).map(st => o.body(ctx, st, Seq.empty)), o)
+    }
+
+    // Without a merger, a scalar hits the reference's tri-state error.
+    val (parts, o1) = partials(scalarCode)
+    assert(parts === Seq(JInt(6), JDouble(60.5)))
+    assert(o1.merger.isEmpty)
+    val noMerge = Merge.merge(parts, o1.merger)
+    assert(noMerge.isLeft)
+    assert(noMerge.left.exists(_.contains("not supported for auto-merge")))
+
+    // With mergeNodesResults the partials fold to the whole-store sum.
+    val validCode = scalarCode + """
+function add(accumulator, a) { return accumulator + a; }
+function mergeNodesResults(results) {
+    return results.reduce(add);
+}"""
+    val (parts2, o2) = partials(validCode)
+    assert(o2.merger.isDefined)
+    assert(Merge.merge(parts2, o2.merger) === Right(JDouble(66.5)))
+  }
+
   test("for-in, typeof, ternary, string methods, Math — the ES5 odds and ends") {
     val code = """function misc() {
       var o = {b: 2, a: 1};
