@@ -32,7 +32,7 @@ object Cli {
       |  delete-record <id>
       |  list-records <page> <per_page>
       |  find-records <meta_key> <value>
-      |  create-oracle <name> <sql...>           compiled at create (SqlOracle)
+      |  create-oracle <name> <code...>          compiled at create (JS or SQL)
       |  read-oracle <id>
       |  find-oracle <name>
       |  list-oracles <page> <per_page>
@@ -120,10 +120,13 @@ object Cli {
         Some(json(svc.listRecords(parts(1).toLong, parts(2).toLong)))
       case "find-records" => Some(json(svc.findRecords(parts(1), parts(2))))
       case "create-oracle" =>
-        // SQL text is everything after the name — compiled at create, the
-        // reference's CreateOracle(code) contract.
-        val sql = parts.drop(2).mkString(" ")
-        Some(json(svc.oracles.createSql(svc.spark, parts(1), sql) match {
+        // Oracle code is everything after the name — compiled at create
+        // (the reference's CreateOracle(code) contract), dispatched by
+        // language: a JS program runs in the graft.oracle.js interpreter,
+        // anything else is SQL.
+        val code = parts.drop(2).mkString(" ")
+        Some(json(graft.oracle.OracleCompiler.compile(svc.spark, parts(1), code)
+            .flatMap(svc.oracles.create) match {
           case Left(err) => graft.service.OracleResponse(success = false, err)
           case Right(o)  => graft.service.OracleResponse(success = true,
             o.id.toString, Some(o))

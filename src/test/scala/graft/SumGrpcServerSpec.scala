@@ -77,6 +77,43 @@ class SumGrpcServerSpec extends SparkSpec {
     }
   }
 
+  test("a stored-JavaScript oracle runs over gRPC (the reference's native protocol)") {
+    withGrpc { client =>
+      client.call("CreateRecord", record(client, Seq(1f, 2f, 3f), Map.empty))
+      client.call("CreateRecord", record(client, Seq(2f, 4f, 6f), Map.empty))
+      val js = """function findSimilar(id, threshold) {
+        var v = records.Find(id);
+        if (v.IsNull() == true) { return ctx.Error("Vector " + id + " not found."); }
+        var results = {};
+        var all = records.AllBut(v);
+        for (var i = 0; i < all.length; ++i) {
+          var sim = v.Cosine(all[i]);
+          if (sim >= threshold) { results[all[i].Id] = sim; }
+        }
+        return results;
+      }"""
+      val oc = client.call("CreateOracle", client.newMessage("Oracle")
+        .setField(SumProto.descriptor("Oracle").findFieldByName("name"), "findSimilar")
+        .setField(SumProto.descriptor("Oracle").findFieldByName("code"), js)
+        .build())
+      assert(getBool(oc, "success"), SumProto.getString(oc, "msg"))
+      val oracleId = SumProto.getLong(getMsg(oc, "oracle"), "id")
+      val call = client.newMessage("Call")
+      val callD = SumProto.descriptor("Call")
+      call.setField(callD.findFieldByName("oracle_id"),
+        java.lang.Long.valueOf(oracleId))
+      call.addRepeatedField(callD.findFieldByName("args"), "1")
+      call.addRepeatedField(callD.findFieldByName("args"), "0.9")
+      val run = client.call("Run", call.build())
+      assert(getBool(run, "success"), SumProto.getString(run, "msg"))
+      val data = getMsg(run, "data")
+      val payload = data.getField(
+        data.getDescriptorForType.findFieldByName("payload"))
+        .asInstanceOf[ByteString].toStringUtf8
+      assert(payload === """{"2":1}""")
+    }
+  }
+
   test("broken oracle code rejects at create over gRPC; big results gzip") {
     withGrpc { client =>
       val oracleD = SumProto.descriptor("Oracle")
