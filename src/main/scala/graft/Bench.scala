@@ -73,8 +73,60 @@ object Bench {
     }
   }
 
+  /** Streaming queries re-provision their state stores EVERY run (fresh
+    * temp checkpoints), so each run's providers become dead registry
+    * entries the moment the query stops. At family boundaries the
+    * registry is cleared, but WITHIN the st family 19 queries x 3 runs x
+    * 8 state partitions x 1-4 stores/operator accumulate hundreds of
+    * dead RocksDB providers — and the queries that sort LAST in the
+    * family (st13-st19, the transformWithState set) pay the growing
+    * maintenance sweep. The round-6 driver bench measured exactly that
+    * shape: st15 0.95 -> 5.58 s, st13/16/17/18/19 at 2-4.5 s, while
+    * family-isolated runs of the same commit sat at their ~1-2 s floors.
+    * Unloading after EVERY streaming query keeps the registry O(one
+    * query) instead of O(family); no stream is active between queries,
+    * and the provider pool + maintenance task restart lazily.
+    */
+  private def streamingFamily(fam: String): Boolean =
+    fam == "st" && !sys.env.get("GRAFT_BENCH_STREAM_UNLOAD").contains("family")
+
+  /** This host runs kernel memory daemons (kdamond/kcompactd) whose
+    * loadavg swings 0-4.5 and decays over MINUTES after every heavy JVM
+    * exits — and the driver invokes this bench right after a full
+    * compile/verify cycle. Benches started at loadavg > ~1 measured
+    * 1.3-4x inflations concentrated wherever the suite was when pressure
+    * peaked (BENCH_NOTES round-6 forensics). A bounded pre-flight
+    * cooldown (poll /proc/loadavg, sleep until the 1-minute load drops
+    * below 1.0 or the budget runs out) measures the plans, not the
+    * previous process's memory-compaction wake. Skipped when the proc
+    * file is absent (non-Linux) or GRAFT_BENCH_NO_COOLDOWN is set.
+    */
+  private def coolDown(): Unit = {
+    if (sys.env.contains("GRAFT_BENCH_NO_COOLDOWN")) return
+    val proc = new java.io.File("/proc/loadavg")
+    if (!proc.isFile) return
+    val budgetMs = sys.env.get("GRAFT_BENCH_COOLDOWN_MS")
+      .flatMap(_.toLongOption).getOrElse(180000L)
+    val deadline = System.nanoTime() + budgetMs * 1000000L
+    var load = 0.0
+    var waited = false
+    while ({
+      load = scala.util.Try(
+        new String(java.nio.file.Files.readAllBytes(proc.toPath))
+          .split("\\s+")(0).toDouble).getOrElse(0.0)
+      load > 1.0 && System.nanoTime() < deadline
+    }) {
+      if (!waited) System.err.println(
+        f"## bench cooldown: loadavg $load%.2f > 1.0, waiting (budget ${budgetMs / 1000}s)")
+      waited = true
+      Thread.sleep(5000)
+    }
+    if (waited) System.err.println(f"## bench cooldown done: loadavg $load%.2f")
+  }
+
   def main(args: Array[String]): Unit = {
     if (ensureCodeCache(args)) return
+    coolDown()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
@@ -157,6 +209,10 @@ object Bench {
       }
       if (only.isDefined) // diagnostics for dev runs only; keeps stdout JSON-clean
         System.err.println(f"## $name runs: ${timings.map(t => f"$t%.3f").mkString(", ")}")
+      // Per-QUERY state hygiene for the streaming family (see
+      // streamingFamily): the boundary unload alone lets dead providers
+      // accumulate across the 19-query family and tax its tail.
+      if (streamingFamily(fam)) Caches.unloadStreamState()
       name -> (if (timings.isEmpty) -1.0 else timings.min)
     }
     // Millisecond precision keeps the whole line under ~1.9k chars for 70+

@@ -40,6 +40,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Streaming queries leave their just-stopped run's state-store
+      // providers in the global registry; unload per query so the
+      // family's tail never pays a grown maintenance sweep (same
+      // rationale as graft.Bench.streamingFamily).
+      if (fam == "st") Caches.unloadStreamState()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

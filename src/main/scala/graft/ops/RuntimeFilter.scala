@@ -64,14 +64,13 @@ object RuntimeFilter {
     * empty-input value; callers must treat it as "nothing can match"
     * (see [[bloomSemiJoin]]), not probe it.
     *
-    * NOT thread-safe across concurrent planning on the same session:
-    * the maxima are session-global runtime conf, so a query planned on
-    * another thread between raise and restore can be planned under the
-    * inflated limits (or interleave with the restore). Fine in a
-    * single-threaded driver loop (Verify/Bench); a concurrent caller
-    * should build on a cloned session — `spark.newSession` shares the
-    * SparkContext but isolates runtime conf — and pass that session's
-    * DataFrame in.
+    * Thread-safe: when the requested sizing exceeds the session maxima,
+    * the sketch is built on a CLONED session (`newSession` — shared
+    * SparkContext and cache manager, isolated runtime conf) with the
+    * maxima raised only there. The caller's session conf is never
+    * touched, so a query planned concurrently on it can never observe
+    * inflated limits (the raise/restore variant this replaced had
+    * exactly that race).
     */
   def bloomSketch(build: DataFrame, buildKey: String,
       expectedItems: Long, fpp: Double): Array[Byte] = {
@@ -80,25 +79,25 @@ object RuntimeFilter {
     val conf = build.sparkSession.conf
     val maxItemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val maxBitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val prevItems = conf.getOption(maxItemsKey)
-    val prevBits = conf.getOption(maxBitsKey)
-    def restore(key: String, prev: Option[String]): Unit = prev match {
-      case Some(v) => conf.set(key, v)
-      case None => conf.unset(key)
-    }
-    try {
-      if (conf.get(maxItemsKey, "4000000").toLong < expectedItems)
-        conf.set(maxItemsKey, expectedItems.toString)
-      if (conf.get(maxBitsKey, "67108864").toLong < numBits)
-        conf.set(maxBitsKey, numBits.toString)
-      val sketch = GraftSqlInternal.column(
-        new BloomFilterAggregate(GraftSqlInternal.expression(col(buildKey)),
-          Literal(expectedItems), Literal(numBits)).toAggregateExpression())
-      build.select(sketch.as("bf")).head().getAs[Array[Byte]](0)
-    } finally {
-      restore(maxItemsKey, prevItems)
-      restore(maxBitsKey, prevBits)
-    }
+    val needsRaise =
+      conf.get(maxItemsKey, "4000000").toLong < expectedItems ||
+      conf.get(maxBitsKey, "67108864").toLong < numBits
+    val buildDf =
+      if (!needsRaise) build
+      else {
+        val clone = build.sparkSession.newSession()
+        if (clone.conf.get(maxItemsKey, "4000000").toLong < expectedItems)
+          clone.conf.set(maxItemsKey, expectedItems.toString)
+        if (clone.conf.get(maxBitsKey, "67108864").toLong < numBits)
+          clone.conf.set(maxBitsKey, numBits.toString)
+        // Transplant the analyzed plan: the clone shares the context and
+        // cache manager, so persisted upstream relations still hit cache.
+        GraftSqlInternal.dataFrame(clone, GraftSqlInternal.analyzedPlan(build))
+      }
+    val sketch = GraftSqlInternal.column(
+      new BloomFilterAggregate(GraftSqlInternal.expression(col(buildKey)),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    buildDf.select(sketch.as("bf")).head().getAs[Array[Byte]](0)
   }
 
   /** Codegen membership probe against a built sketch — the

@@ -269,4 +269,47 @@ class HardeningSpec extends SparkSpec {
       case None => spark.conf.unset(RecordStore.MaxCollectRowsKey)
     }
   }
+
+  test("bloomSketch never inflates the caller session's clamp maxima") {
+    // The raise/restore variant this pins against mutated session-global
+    // runtime conf for the duration of the build: any query planned on
+    // another thread in that window was planned under the inflated bloom
+    // maxima. The clone-session build must leave the caller's conf
+    // untouched AT EVERY INSTANT, not merely restored afterwards — so a
+    // watcher thread polls the maxima throughout the build and records
+    // every distinct value it observes.
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val prevI = spark.conf.getOption(itemsKey)
+    val prevB = spark.conf.getOption(bitsKey)
+    spark.conf.set(itemsKey, "1000")
+    spark.conf.set(bitsKey, "100000")
+    try {
+      val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+      @volatile var stop = false
+      val watcher = new Thread(() => {
+        while (!stop) seen.add((spark.conf.get(itemsKey), spark.conf.get(bitsKey)))
+      })
+      watcher.start()
+      try {
+        // Sizing far above both squeezed maxima forces the raise path.
+        val corpus = spark.range(50000L).select($"id".as("fp"))
+        val bf = graft.ops.RuntimeFilter.bloomSketch(corpus, "fp",
+          expectedItems = 50000L, fpp = 0.01)
+        assert(bf != null)
+        // The honored sketch still works despite the squeezed session.
+        val misses = spark.range(10000L).select(($"id" + 1000000L).as("fp"))
+          .select(graft.ops.RuntimeFilter.mightContain(bf, $"fp").as("p"))
+          .agg(sum(when($"p", 1L).otherwise(0L))).head.getLong(0)
+        assert(misses <= 10000L * 0.05, s"fp count $misses — clamped build")
+      } finally { stop = true; watcher.join() }
+      assert(seen.size === 1 && seen.contains(("1000", "100000")),
+        s"concurrent thread observed inflated maxima: $seen")
+    } finally {
+      def restore(k: String, v: Option[String]): Unit =
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      restore(itemsKey, prevI)
+      restore(bitsKey, prevB)
+    }
+  }
 }
