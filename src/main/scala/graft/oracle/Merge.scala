@@ -55,6 +55,14 @@ object Merge {
     }
   }
 
+  /** A merger failure whose message is already in the reference's final
+    * wording — [[merge]] passes it through verbatim instead of wrapping.
+    * The reference distinguishes a VM error ("unable to run merger
+    * function: %v") from a ctx.Error raised inside the merger ("merger
+    * function failed: %v"), master/mux_runner.go:181-186.
+    */
+  final case class MergerFailure(msg: String) extends RuntimeException(msg)
+
   /** Fold results through a user merge function when one is registered
     * (the reference detects a `merge*`-named single-arg function in the
     * oracle source, master/ast_raccoon.go:52-90), else the default merger.
@@ -65,9 +73,26 @@ object Merge {
     userMerger match {
       case Some(f) =>
         try Right(f(results))
-        catch { case e: Exception => Left(s"merger function failed: ${e.getMessage}") }
+        catch {
+          case MergerFailure(m) => Left(m)
+          case e: Exception => Left(s"merger function failed: ${e.getMessage}")
+        }
       case None => defaultMerger(results)
     }
+
+  /** First non-finite double anywhere in a result tree — JSON cannot
+    * carry NaN/Inf, so marshaling fails like Go's encoding/json does on
+    * the reference node (service_test.go:677-684).
+    */
+  private[oracle] def firstNonFinite(v: JValue): Option[Double] = v match {
+    case JDouble(d) if d.isNaN || d.isInfinite => Some(d)
+    case JArray(xs)  => xs.iterator.flatMap(firstNonFinite).nextOption()
+    case JObject(fs) => fs.iterator.map(_._2).flatMap(firstNonFinite).nextOption()
+    case _ => None
+  }
+
+  private[oracle] def nonFiniteRepr(d: Double): String =
+    if (d.isNaN) "NaN" else if (d > 0) "+Inf" else "-Inf"
 
   private def render(v: JValue): String = v match {
     case JString(s)  => s

@@ -19,29 +19,29 @@ object OracleCompiler {
   def compile(spark: SparkSession, name: String,
       code: String): Either[String, Oracle] =
     if (looksLikeJs(code)) graft.oracle.js.JsOracle.compile(name, code)
-    else SqlOracle.compile(spark, name, code)
-
-  /** JS if the first non-comment token is `function` or `var` — the
-    * shapes the reference's own compiler tests feed it
-    * (node/service/compiler_test.go:15-19). SQL text can never start
-    * with either keyword.
-    */
-  private[graft] def looksLikeJs(code: String): Boolean = {
-    var s = code
-    var stripped = true
-    while (stripped) {
-      s = s.stripLeading()
-      stripped = false
-      if (s.startsWith("//")) {
-        val nl = s.indexOf('\n')
-        s = if (nl < 0) "" else s.substring(nl + 1)
-        stripped = true
-      } else if (s.startsWith("/*")) {
-        val end = s.indexOf("*/")
-        s = if (end < 0) "" else s.substring(end + 2)
-        stripped = true
-      }
+    else SqlOracle.compile(spark, name, code) match {
+      case ok @ Right(_) => ok
+      case Left(sqlErr) =>
+        // The program parsed as JS but declared no entry function AND is
+        // not valid SQL: report the reference compiler's message
+        // (node/service/compiler_test.go:15-19) rather than a confusing
+        // SQL parse error for what was clearly JS input.
+        if (parsesAsJs(code)) Left("expected a function declaration")
+        else Left(sqlErr)
     }
-    s.startsWith("function") || s.startsWith("var ")
-  }
+
+  /** JS if the whole text parses under the oracle grammar AND declares a
+    * top-level function — the acceptance set of the reference compiler,
+    * which takes any otto-legal program containing a function declaration
+    * (node/service/compiler.go:19-52) regardless of what statement opens
+    * it. SQL text never parses as a JS program with a function decl.
+    */
+  private[graft] def looksLikeJs(code: String): Boolean =
+    try graft.oracle.js.JsLang.parse(code)
+      .exists(_.isInstanceOf[graft.oracle.js.JsLang.FuncDecl])
+    catch { case graft.oracle.js.JsLang.ParseError(_) => false }
+
+  private def parsesAsJs(code: String): Boolean =
+    try { graft.oracle.js.JsLang.parse(code); true }
+    catch { case graft.oracle.js.JsLang.ParseError(_) => false }
 }

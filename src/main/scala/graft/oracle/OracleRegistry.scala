@@ -42,6 +42,13 @@ final case class Oracle(
 
 final case class OracleRunError(msg: String) extends RuntimeException(msg)
 
+/** A run that exhausted its interpreter step budget. Deliberately NOT an
+  * [[OracleRunError]]: the JS `try/catch` statement catches run errors
+  * (otto parity) but must never catch the budget, or a stored oracle
+  * could swallow it in a loop and wedge the thread it runs on.
+  */
+final case class OracleBudgetError(msg: String) extends RuntimeException(msg)
+
 /** Oracle CRUD with the reference's registry semantics
   * (node/service/oracles.go, master/mux_oracles.go): sequential ids,
   * find-by-name is a linear scan where the last match wins, list paginates
@@ -123,26 +130,59 @@ final class OracleRegistry {
     * run the body, fail on ctx.Error or thrown errors, return the result
     * JSON text.
     */
-  /** First non-finite double anywhere in the result tree, if any. */
-  private def firstNonFinite(v: JValue): Option[Double] = v match {
-    case JDouble(d) if d.isNaN || d.isInfinite => Some(d)
-    case JArray(xs) => xs.iterator.flatMap(firstNonFinite).nextOption()
-    case JObject(fs) => fs.iterator.map(_._2).flatMap(firstNonFinite).nextOption()
-    case _ => None
+  private def firstNonFinite(v: JValue): Option[Double] = graft.oracle.Merge.firstNonFinite(v)
+
+  /** JSON-decode positional args; missing -> null (compiled.go:53-77). */
+  private def decodeArgs(oracle: Oracle,
+      jsonArgs: Seq[String]): Either[String, Seq[JValue]] = {
+    val out = Seq.newBuilder[JValue]
+    oracle.params.indices.foreach { i =>
+      jsonArgs.lift(i) match {
+        case None | Some(null) | Some("") => out += JNull
+        case Some(raw) =>
+          try out += JsonMethods.parse(raw)
+          catch {
+            case e: Exception =>
+              return Left(s"could not unmarshal value '$raw': ${e.getMessage}")
+          }
+      }
+    }
+    Right(out.result())
   }
+
+  /** Master-style run: scatter the oracle to every partition ("node"),
+    * gather per-partition partials, fold through the merge layer — the
+    * reference master's Run (master/mux_runner.go:82-155). Stored-JS
+    * oracles execute ON executors over partition-local record views, so
+    * the driver-pull cap never bounds them; oracles without JS code
+    * (Spark-native bodies — already distributed plans — and SQL oracles)
+    * run through [[run]].
+    */
+  def runDistributed(id: Long, store: RecordStore,
+      jsonArgs: Seq[String]): Either[String, String] =
+    read(id).flatMap { oracle =>
+      oracle.code.filter(OracleCompiler.looksLikeJs) match {
+        case None => run(id, store, jsonArgs)
+        case Some(code) =>
+          decodeArgs(oracle, jsonArgs).flatMap { decoded =>
+            graft.oracle.js.JsOracle.runDistributed(id, code, store, decoded)
+              .flatMap { merged =>
+                graft.oracle.Merge.firstNonFinite(merged) match {
+                  case Some(d) =>
+                    Left(s"json: unsupported value: ${graft.oracle.Merge.nonFiniteRepr(d)}")
+                  case None =>
+                    Right(JsonMethods.compact(JsonMethods.render(merged)))
+                }
+              }
+          }
+      }
+    }
 
   def run(id: Long, store: RecordStore, jsonArgs: Seq[String]): Either[String, String] = {
     read(id).flatMap { oracle =>
-      val decoded = oracle.params.indices.map { i =>
-        jsonArgs.lift(i) match {
-          case None | Some(null) | Some("") => JNull
-          case Some(raw) =>
-            try JsonMethods.parse(raw)
-            catch {
-              case e: Exception =>
-                return Left(s"could not unmarshal value '$raw': ${e.getMessage}")
-            }
-        }
+      val decoded = decodeArgs(oracle, jsonArgs) match {
+        case Left(m)  => return Left(m)
+        case Right(d) => d
       }
       val ctx = new OracleContext
       try {
@@ -157,8 +197,9 @@ final class OracleRegistry {
           case None => Right(JsonMethods.compact(JsonMethods.render(result)))
         }
       } catch {
-        case OracleRunError(msg) => Left(msg)
-        case e: Exception        => Left(s"got panic of type ${e.getClass.getSimpleName}: ${e.getMessage}")
+        case OracleRunError(msg)    => Left(msg)
+        case OracleBudgetError(msg) => Left(msg)
+        case e: Exception           => Left(s"got panic of type ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
     }
   }

@@ -24,13 +24,41 @@ final class JsArr(val items: mutable.ArrayBuffer[JsVal] =
 final class JsFunc(val name: Option[String], val params: Seq[String],
     val body: Seq[Stmt], val closure: JsInterp.Env) extends JsVal
 final class JsNative(val name: String, val arity: Int,
-    val fn: Seq[JsVal] => JsVal) extends JsVal
+    val fn: Seq[JsVal] => JsVal,
+    /** Static members reachable as `Name.member` (e.g.
+      * `String.fromCharCode`, `Array.isArray`, `Number.MAX_VALUE`).
+      */
+    val statics: Map[String, JsVal] = Map.empty) extends JsVal
 /** A host object: named methods plus read-only properties (the wrapped
   * `records`/`ctx`/record objects the reference exposes to oracles).
   */
 final class JsHost(val hostName: String,
     val methods: Map[String, Seq[JsVal] => JsVal],
     val props: Map[String, () => JsVal] = Map.empty) extends JsVal
+
+/** A regex value (`/pat/flags` literal or `new RegExp`). `lastIndex` is
+  * the ES5 stateful cursor `exec` advances on a global regex, so the
+  * canonical `while ((m = re.exec(s)) !== null)` loop terminates.
+  */
+final class JsRegex(val source: String, val flags: String) extends JsVal {
+  val global: Boolean = flags.contains('g')
+  var lastIndex: Int = 0
+  val pattern: java.util.regex.Pattern = {
+    import java.util.regex.Pattern._
+    var f = 0
+    if (flags.contains('i')) f |= CASE_INSENSITIVE
+    if (flags.contains('m')) f |= MULTILINE
+    java.util.regex.Pattern.compile(source, f)
+  }
+}
+
+/** A JS `throw` in flight. Escapes the interpreter when uncaught; the
+  * oracle layer converts it to a run error with otto's message (a thrown
+  * string exports as the bare string — master/service_test.go:683 pins
+  * `throw "apple cider"` -> "apple cider").
+  */
+final case class JsThrow(value: JsVal) extends RuntimeException
+  with scala.util.control.NoStackTrace
 
 /** Tree-walking evaluator with JS coercion semantics for the subset
   * [[JsLang]] parses. Each run is budgeted (`maxSteps`) so a stored
@@ -51,7 +79,10 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
   private def tick(): Unit = {
     steps += 1
     if (steps > maxSteps)
-      throw OracleRunError(s"oracle exceeded the $maxSteps-step budget")
+      // A dedicated type so a user `try { for(;;){} } catch(e) {}` cannot
+      // swallow the budget and wedge the serving thread anyway.
+      throw graft.oracle.OracleBudgetError(
+        s"oracle exceeded the $maxSteps-step budget")
   }
 
   private final case class ReturnSignal(v: JsVal) extends RuntimeException
@@ -157,9 +188,48 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
         }
       case Return(e) =>
         throw ReturnSignal(e.map(eval(_, env)).getOrElse(JsUndef))
+      case Throw(e) => throw JsThrow(eval(e, env))
+      case TryStmt(body, catchParam, catchBody, finallyBody) =>
+        // `catch` sees both user throws and runtime errors (otto parity);
+        // control-flow signals and the step budget pass through. The
+        // catch param lives in a child frame so it does not leak — `var`s
+        // inside the catch body land there too, an accepted delta from
+        // ES5's function-scoped var (no reference oracle depends on it).
+        def runStmts(ss: Seq[Stmt], in: Env): Unit = {
+          hoist(ss, in)
+          ss.foreach(stmt(_, in))
+        }
+        try {
+          try runStmts(body, env)
+          catch {
+            case t @ (_: JsThrow | _: OracleRunError) if catchBody.isDefined =>
+              val cenv = new Env(Some(env))
+              cenv.declare(catchParam.get, caughtValue(t))
+              runStmts(catchBody.get, cenv)
+          }
+        } finally finallyBody.foreach(runStmts(_, env))
+      case Switch(disc, cases) =>
+        val d = eval(disc, env)
+        // ES5: test the case clauses in order (default skipped), then
+        // fall back to default; execution falls through until a break.
+        var idx = cases.indexWhere(_._1.exists(e => strictEquals(eval(e, env), d)))
+        if (idx < 0) idx = cases.indexWhere(_._1.isEmpty)
+        if (idx >= 0) {
+          try cases.drop(idx).foreach(_._2.foreach(stmt(_, env)))
+          catch { case _: BreakSignal => () }
+        }
       case BreakStmt    => throw BreakSignal()
       case ContinueStmt => throw ContinueSignal()
     }
+  }
+
+  /** The value a `catch` clause binds: the thrown value itself, or an
+    * Error-shaped object ({name, message}) for interpreter run errors.
+    */
+  private def caughtValue(t: Throwable): JsVal = t match {
+    case JsThrow(v)         => v
+    case OracleRunError(m)  => errorFromMessage(m)
+    case other              => errorFromMessage(String.valueOf(other.getMessage))
   }
 
   // ---------------------------------------------------------- expressions
@@ -169,6 +239,7 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
       case NumLit(v)  => JsNum(v)
       case StrLit(s)  => JsStr(s)
       case BoolLit(b) => JsBool(b)
+      case RegexLit(pat, flags) => mkRegex(pat, flags)
       case NullLit    => JsNull
       case Ident("undefined") => JsUndef
       case Ident("NaN")       => JsNum(Double.NaN)
@@ -204,6 +275,9 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
             callMethod(obj, nm, args)
           case _ => callFunction(eval(fnE, env), args)
         }
+      case NewExpr(callee, argEs) =>
+        val args = argEs.map(eval(_, env))
+        newObject(callee, args, env)
       case Unary(op, inner) =>
         op match {
           case "-" => JsNum(-toNum(eval(inner, env)))
@@ -211,6 +285,27 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
           case "!" => JsBool(!truthy(eval(inner, env)))
           case "~" => JsNum((~toInt32(eval(inner, env))).toDouble)
           case "void" => eval(inner, env); JsUndef
+          case "delete" =>
+            inner match {
+              case Member(objE, nm) =>
+                eval(objE, env) match {
+                  case o: JsObj => o.fields.remove(nm)
+                  case _        => ()
+                }
+              case Index(objE, idxE) =>
+                val obj = eval(objE, env)
+                val idx = eval(idxE, env)
+                obj match {
+                  case o: JsObj => o.fields.remove(toStr(idx))
+                  case a: JsArr =>
+                    // delete leaves a hole, length unchanged (ES5)
+                    val i = toNum(idx).toInt
+                    if (i >= 0 && i < a.items.length) a.items(i) = JsUndef
+                  case _ => ()
+                }
+              case _ => ()
+            }
+            JsBool(true)
           case "typeof" =>
             val v = inner match {
               case Ident(nm) => env.lookup(nm).getOrElse(JsUndef)
@@ -247,11 +342,51 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
     }
   }
 
+  /** `new` over the subset's constructible globals. User functions work
+    * as factory constructors only (must return an object — our subset has
+    * no `this`); anything else is a loud TypeError rather than a silently
+    * wrong instance.
+    */
+  private def newObject(callee: Expr, args: Seq[JsVal], env: Env): JsVal =
+    callee match {
+      case Ident(nm @ ("Error" | "TypeError" | "RangeError" | "SyntaxError"
+                     | "ReferenceError" | "EvalError" | "URIError")) =>
+        errorObj(nm, args.headOption.map(toStr).getOrElse(""))
+      case Ident("Object") => new JsObj
+      case Ident("Array") =>
+        val a = new JsArr
+        args match {
+          case Seq(JsNum(d)) if d.isWhole && d >= 0 =>
+            (0 until d.toInt).foreach(_ => a.items += JsUndef)
+          case _ => args.foreach(a.items += _)
+        }
+        a
+      case Ident("RegExp") =>
+        mkRegex(args.headOption.map(toStr).getOrElse(""),
+          args.lift(1).map(toStr).getOrElse(""))
+      case other =>
+        eval(other, env) match {
+          case f: JsFunc =>
+            callFunction(f, args) match {
+              case o: JsObj => o
+              case a: JsArr => a
+              case _ => throw OracleRunError(
+                "TypeError: constructing a user function that does not " +
+                  "return an object needs `this`, which the oracle subset " +
+                  "does not model")
+            }
+          case v =>
+            throw OracleRunError(s"TypeError: ${typeOf(v)} is not a constructor")
+        }
+    }
+
   private def assignTo(target: Expr, v: JsVal, env: Env): Unit = target match {
     case Ident(nm) => env.assign(nm, v) // undeclared -> global (non-strict)
     case Member(objE, nm) =>
       eval(objE, env) match {
         case o: JsObj => o.fields(nm) = v
+        case re: JsRegex if nm == "lastIndex" =>
+          re.lastIndex = math.max(0, toNum(v).toInt)
         case a: JsArr if nm == "length" =>
           val n = toNum(v).toInt
           if (n < a.items.length) a.items.remove(n, a.items.length - n)
@@ -292,6 +427,17 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
         .orElse(h.methods.get(nm).map(m =>
           new JsNative(s"${h.hostName}.$nm", -1, m)))
         .getOrElse(JsUndef)
+    case re: JsRegex => nm match {
+      case "source"     => JsStr(re.source)
+      case "flags"      => JsStr(re.flags)
+      case "global"     => JsBool(re.global)
+      case "ignoreCase" => JsBool(re.flags.contains('i'))
+      case "multiline"  => JsBool(re.flags.contains('m'))
+      case "lastIndex"  => JsNum(re.lastIndex.toDouble)
+      case _            => regexMethod(re, nm).getOrElse(JsUndef)
+    }
+    case num: JsNum => numberMethod(num.v, nm).getOrElse(JsUndef)
+    case nf: JsNative => nf.statics.getOrElse(nm, JsUndef)
     case JsNull | JsUndef =>
       throw OracleRunError(
         s"TypeError: cannot read property '$nm' of ${typeOf(obj)}")
@@ -336,6 +482,16 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
         }
       case s: JsStr =>
         stringMethod(s.s, nm) match {
+          case Some(nf: JsNative) => tick(); nf.fn(args)
+          case _ => callFunction(getMember(obj, nm), args)
+        }
+      case re: JsRegex =>
+        regexMethod(re, nm) match {
+          case Some(nf: JsNative) => tick(); nf.fn(args)
+          case _ => callFunction(getMember(obj, nm), args)
+        }
+      case num: JsNum =>
+        numberMethod(num.v, nm) match {
           case Some(nf: JsNative) => tick(); nf.fn(args)
           case _ => callFunction(getMember(obj, nm), args)
         }
@@ -412,6 +568,42 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
       }
       out
     }))
+    case "shift" => Some(new JsNative("shift", 0, _ =>
+      if (a.items.isEmpty) JsUndef else a.items.remove(0)))
+    case "unshift" => Some(new JsNative("unshift", -1, args => {
+      args.reverse.foreach(v => a.items.insert(0, v))
+      JsNum(a.items.length)
+    }))
+    case "splice" => Some(new JsNative("splice", -1, args => {
+      val n = a.items.length
+      var start = toNum(args.headOption.getOrElse(JsNum(0))).toInt
+      if (start < 0) start = math.max(0, n + start)
+      start = math.min(start, n)
+      val del = math.max(0, math.min(n - start,
+        args.lift(1).map(v => toNum(v).toInt).getOrElse(n - start)))
+      val removed = new JsArr
+      (0 until del).foreach(_ => removed.items += a.items.remove(start))
+      args.drop(2).zipWithIndex.foreach { case (v, i) => a.items.insert(start + i, v) }
+      removed
+    }))
+    case "reverse" => Some(new JsNative("reverse", 0, _ => {
+      val rev = a.items.reverse
+      a.items.clear(); rev.foreach(a.items += _)
+      a
+    }))
+    case "some" => Some(new JsNative("some", 1, args => {
+      val f = args.head
+      JsBool(a.items.zipWithIndex.exists { case (v, i) =>
+        truthy(callFunction(f, Seq(v, JsNum(i), a))) })
+    }))
+    case "every" => Some(new JsNative("every", 1, args => {
+      val f = args.head
+      JsBool(a.items.zipWithIndex.forall { case (v, i) =>
+        truthy(callFunction(f, Seq(v, JsNum(i), a))) })
+    }))
+    case "lastIndexOf" => Some(new JsNative("lastIndexOf", 1, args =>
+      JsNum(a.items.lastIndexWhere(strictEquals(_, args.head)).toDouble)))
+    case "toString" => Some(new JsNative("toString", 0, _ => JsStr(toStr(a))))
     case "sort" => Some(new JsNative("sort", -1, args => {
       val sorted = args.headOption match {
         case Some(f @ (_: JsFunc | _: JsNative)) =>
@@ -451,6 +643,7 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
       val out = new JsArr
       val parts = args.headOption match {
         case None | Some(JsUndef) => Array(s)
+        case Some(re: JsRegex)    => re.pattern.split(s, -1)
         case Some(sep) =>
           val ss = toStr(sep)
           if (ss.isEmpty) s.map(_.toString).toArray
@@ -461,6 +654,161 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
     }))
     case "trim"     => Some(new JsNative("trim", 0, _ => JsStr(s.trim)))
     case "toString" => Some(new JsNative("toString", 0, _ => JsStr(s)))
+    case "charCodeAt" => Some(new JsNative("charCodeAt", 1, args => {
+      val i = toNum(args.headOption.getOrElse(JsNum(0))).toInt
+      JsNum(if (i >= 0 && i < s.length) s.charAt(i).toDouble else Double.NaN)
+    }))
+    case "lastIndexOf" => Some(new JsNative("lastIndexOf", 1, args =>
+      JsNum(s.lastIndexOf(toStr(args.head)).toDouble)))
+    case "concat" => Some(new JsNative("concat", -1, args =>
+      JsStr(s + args.map(toStr).mkString)))
+    case "substr" => Some(new JsNative("substr", -1, args => {
+      // ES5 B.2.3: negative start counts from the end
+      val n = s.length
+      var start = toNum(args.headOption.getOrElse(JsNum(0))).toInt
+      if (start < 0) start = math.max(0, n + start)
+      start = math.min(start, n)
+      val len = args.lift(1).map(v => toNum(v).toInt).getOrElse(n - start)
+      JsStr(if (len <= 0) "" else s.substring(start, math.min(n, start + len)))
+    }))
+    case "search" => Some(new JsNative("search", 1, args => {
+      val re = toRegex(args.headOption.getOrElse(JsUndef))
+      val m = re.pattern.matcher(s)
+      JsNum(if (m.find()) m.start.toDouble else -1.0)
+    }))
+    case "match" => Some(new JsNative("match", 1, args => {
+      val re = toRegex(args.headOption.getOrElse(JsUndef))
+      if (re.global) {
+        val out = new JsArr
+        val m = re.pattern.matcher(s)
+        while (m.find()) out.items += JsStr(m.group())
+        if (out.items.isEmpty) JsNull else out
+      } else execOn(re, s, stateful = false)
+    }))
+    case "replace" => Some(new JsNative("replace", 2, args => {
+      val repl = args.lift(1).getOrElse(JsUndef)
+      def replFor(m: java.util.regex.Matcher): String = repl match {
+        case f @ (_: JsFunc | _: JsNative) =>
+          val cargs = mutable.ArrayBuffer[JsVal](JsStr(m.group()))
+          (1 to m.groupCount).foreach(g => cargs +=
+            (if (m.group(g) == null) JsUndef else JsStr(m.group(g))))
+          cargs += JsNum(m.start.toDouble)
+          cargs += JsStr(s)
+          toStr(callFunction(f, cargs.toSeq))
+        case v => expandDollars(toStr(v), m)
+      }
+      args.headOption.getOrElse(JsUndef) match {
+        case re: JsRegex =>
+          val m = re.pattern.matcher(s)
+          val sb = new StringBuilder
+          var last = 0
+          var go = m.find()
+          while (go) {
+            sb.append(s.substring(last, m.start)).append(replFor(m))
+            last = m.end
+            // zero-width match: step forward so a global replace halts
+            go = re.global && {
+              val pos = if (m.end == m.start) m.end + 1 else m.end
+              pos <= s.length && m.find(pos)
+            }
+          }
+          sb.append(s.substring(last))
+          JsStr(sb.toString)
+        case pat => // string pattern: FIRST literal occurrence only (ES5)
+          val p = toStr(pat)
+          val at = s.indexOf(p)
+          if (at < 0) JsStr(s)
+          else repl match {
+            case f @ (_: JsFunc | _: JsNative) =>
+              JsStr(s.substring(0, at) +
+                toStr(callFunction(f, Seq(JsStr(p), JsNum(at.toDouble), JsStr(s)))) +
+                s.substring(at + p.length))
+            case v =>
+              JsStr(s.substring(0, at) + toStr(v).replace("$$", "$") +
+                s.substring(at + p.length))
+          }
+      }
+    }))
+    case _ => None
+  }
+
+  /** `$&`, `$1`..`$99`, `$$` expansion for a string replacement. */
+  private def expandDollars(tpl: String, m: java.util.regex.Matcher): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < tpl.length) {
+      val c = tpl.charAt(i)
+      if (c == '$' && i + 1 < tpl.length) {
+        tpl.charAt(i + 1) match {
+          case '$' => sb += '$'; i += 2
+          case '&' => sb.append(m.group()); i += 2
+          case d if d.isDigit =>
+            var j = i + 1
+            if (j + 1 < tpl.length && tpl.charAt(j + 1).isDigit &&
+                (tpl.substring(i + 1, j + 2).toInt <= m.groupCount)) j += 1
+            val g = tpl.substring(i + 1, j + 1).toInt
+            if (g >= 1 && g <= m.groupCount) {
+              Option(m.group(g)).foreach(sb.append)
+              i = j + 1
+            } else { sb += c; i += 1 }
+          case _ => sb += c; i += 1
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  private def toRegex(v: JsVal): JsRegex = v match {
+    case re: JsRegex => re
+    case other       => mkRegex(java.util.regex.Pattern.quote(toStr(other)), "")
+  }
+
+  /** `exec` semantics: the match array [full, group1, ...] or null; a
+    * GLOBAL regex advances `lastIndex` between calls (ES5 15.10.6.2) so
+    * the canonical exec loop terminates.
+    */
+  private def execOn(re: JsRegex, s: String, stateful: Boolean): JsVal = {
+    val start = if (stateful && re.global) re.lastIndex else 0
+    if (start > s.length) { re.lastIndex = 0; return JsNull }
+    val m = re.pattern.matcher(s)
+    if (!m.find(start)) {
+      if (stateful && re.global) re.lastIndex = 0
+      JsNull
+    } else {
+      if (stateful && re.global)
+        re.lastIndex = if (m.end == m.start) m.end + 1 else m.end
+      val out = new JsArr
+      out.items += JsStr(m.group())
+      (1 to m.groupCount).foreach(g => out.items +=
+        (if (m.group(g) == null) JsUndef else JsStr(m.group(g))))
+      out
+    }
+  }
+
+  // ------------------------------------------------------ regex builtins
+  private def regexMethod(re: JsRegex, nm: String): Option[JsNative] = nm match {
+    case "test" => Some(new JsNative("test", 1, args =>
+      JsBool(re.pattern.matcher(toStr(args.headOption.getOrElse(JsUndef))).find())))
+    case "exec" => Some(new JsNative("exec", 1, args =>
+      execOn(re, toStr(args.headOption.getOrElse(JsUndef)), stateful = true)))
+    case "toString" => Some(new JsNative("toString", 0, _ => JsStr(toStr(re))))
+    case _ => None
+  }
+
+  // ----------------------------------------------------- number builtins
+  private def numberMethod(d: Double, nm: String): Option[JsNative] = nm match {
+    case "toFixed" => Some(new JsNative("toFixed", 1, args => {
+      val digits = toNum(args.headOption.getOrElse(JsNum(0))).toInt
+      if (d.isNaN) JsStr("NaN")
+      else if (d.isInfinite) JsStr(if (d > 0) "Infinity" else "-Infinity")
+      else JsStr(java.math.BigDecimal.valueOf(d)
+        .setScale(digits, java.math.RoundingMode.HALF_UP).toPlainString)
+    }))
+    case "toString" => Some(new JsNative("toString", 1, args => {
+      val radix = args.headOption.map(v => toNum(v).toInt).getOrElse(10)
+      JsStr(numToStrRadix(d, radix))
+    }))
+    case "valueOf" => Some(new JsNative("valueOf", 0, _ => JsNum(d)))
     case _ => None
   }
 
@@ -504,6 +852,42 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
     case ">>" => JsNum((toInt32(l) >> (toInt32(r) & 31)).toDouble)
     case ">>>" =>
       JsNum(((toInt32(l).toLong & 0xFFFFFFFFL) >>> (toInt32(r) & 31)).toDouble)
+    case "in" =>
+      val key = toStr(l)
+      r match {
+        case o: JsObj => JsBool(o.fields.contains(key))
+        case a: JsArr =>
+          val d = toNum(l)
+          JsBool(key == "length" ||
+            (d.isWhole && d >= 0 && d < a.items.length))
+        case h: JsHost => JsBool(h.props.contains(key) || h.methods.contains(key))
+        case _ =>
+          throw OracleRunError(
+            s"TypeError: cannot use 'in' operator to search for '$key' in ${typeOf(r)}")
+      }
+    case "instanceof" =>
+      val ctor = r match {
+        case n: JsNative => n.name
+        case h: JsHost   => h.hostName
+        case _ => throw OracleRunError(
+          "TypeError: right-hand side of 'instanceof' is not callable")
+      }
+      JsBool(ctor match {
+        case "Array"    => l.isInstanceOf[JsArr]
+        case "Object"   => l.isInstanceOf[JsObj] || l.isInstanceOf[JsArr] ||
+                           l.isInstanceOf[JsRegex]
+        case "Function" => l.isInstanceOf[JsFunc] || l.isInstanceOf[JsNative]
+        case "RegExp"   => l.isInstanceOf[JsRegex]
+        case "Error"    => l match {
+          case o: JsObj => o.fields.get("name").exists(n => toStr(n).endsWith("Error"))
+          case _        => false
+        }
+        case n if n.endsWith("Error") => l match {
+          case o: JsObj => o.fields.get("name").exists(x => toStr(x) == n)
+          case _        => false
+        }
+        case _ => false
+      })
     case other => throw OracleRunError(s"unsupported operator $other")
   }
 
@@ -599,16 +983,136 @@ object JsInterp {
       case JsNull | JsUndef => ""
       case x => toStr(x)
     }.mkString(",")
-    case _: JsObj  => "[object Object]"
+    case o: JsObj =>
+      // Error objects stringify as "name: message" (otto/ES5), which is
+      // also what an uncaught throw of one reports
+      if (o.fields.contains("message") && o.fields.get("name").exists(
+          n => toStr(n).endsWith("Error")))
+        s"${toStr(o.fields("name"))}: ${toStr(o.fields("message"))}"
+      else "[object Object]"
+    case re: JsRegex => s"/${re.source}/${re.flags}"
     case f: JsFunc => s"function ${f.name.getOrElse("")}() { ... }"
     case n: JsNative => s"function ${n.name}() { [native] }"
     case h: JsHost => s"[object ${h.hostName}]"
   }
 
   private def toPrimitive(v: JsVal): JsVal = v match {
-    case _: JsObj | _: JsArr | _: JsFunc | _: JsNative | _: JsHost =>
+    case _: JsObj | _: JsArr | _: JsFunc | _: JsNative | _: JsHost |
+         _: JsRegex =>
       JsStr(toStr(v))
     case prim => prim
+  }
+
+  def mkRegex(pattern: String, flags: String): JsRegex =
+    try new JsRegex(pattern, flags)
+    catch {
+      case e: java.util.regex.PatternSyntaxException =>
+        throw OracleRunError(
+          s"SyntaxError: invalid regular expression: ${e.getMessage}")
+    }
+
+  /** An Error-shaped object: what `new TypeError(msg)` builds and what a
+    * `catch` clause binds for interpreter run errors.
+    */
+  def errorObj(name: String, message: String): JsObj = {
+    val o = new JsObj
+    o.fields("name") = JsStr(name)
+    o.fields("message") = JsStr(message)
+    o
+  }
+
+  /** Rebuild an Error object from a run-error message like
+    * "TypeError: x is not a function".
+    */
+  def errorFromMessage(m: String): JsObj = {
+    val sep = m.indexOf(": ")
+    if (sep > 0 && m.substring(0, sep).matches("[A-Z][A-Za-z]*Error"))
+      errorObj(m.substring(0, sep), m.substring(sep + 2))
+    else errorObj("Error", m)
+  }
+
+  /** The message an UNCAUGHT `throw` surfaces: a thrown string exports as
+    * the bare string (master/service_test.go:683), an Error object as
+    * "name: message", anything else via toStr.
+    */
+  def throwMessage(v: JsVal): String = toStr(v)
+
+  /** Number.prototype.toString(radix): ES5 integer digits plus up to 20
+    * fractional digits, trailing zeros stripped.
+    */
+  def numToStrRadix(d: Double, radix: Int): String = {
+    if (radix < 2 || radix > 36)
+      throw OracleRunError("RangeError: toString() radix must be between 2 and 36")
+    if (radix == 10 || d.isNaN || d.isInfinite) numToStr(d)
+    else {
+      val neg = d < 0
+      var x = math.abs(d)
+      val ip = math.floor(x).toLong
+      var s = java.lang.Long.toString(ip, radix)
+      x -= ip
+      if (x > 0) {
+        val sb = new StringBuilder(s).append('.')
+        var i = 0
+        while (x > 0 && i < 20) {
+          x *= radix
+          val digit = math.floor(x).toInt
+          sb.append(Character.forDigit(digit, radix))
+          x -= digit
+          i += 1
+        }
+        s = sb.toString.reverse.dropWhile(_ == '0').reverse
+        if (s.endsWith(".")) s = s.dropRight(1)
+      }
+      if (neg) "-" + s else s
+    }
+  }
+
+  /** JSON.stringify over interpreter values: ES5 semantics — undefined/
+    * functions are skipped in objects, null in arrays, None at the top;
+    * non-finite numbers serialize as null; insertion key order.
+    */
+  def jsonStringify(v: JsVal, indent: String): Option[String] = {
+    def quote(s: String): String = {
+      val sb = new StringBuilder("\"")
+      s.foreach {
+        case '"'  => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.append('"').toString
+    }
+    def go(v: JsVal, pad: String): Option[String] = v match {
+      case JsNum(d)  => Some(if (d.isNaN || d.isInfinite) "null" else numToStr(d))
+      case JsStr(s)  => Some(quote(s))
+      case JsBool(b) => Some(b.toString)
+      case JsNull    => Some("null")
+      case JsUndef | _: JsFunc | _: JsNative | _: JsHost => None
+      case _: JsRegex => Some("{}")
+      case a: JsArr =>
+        val inner = pad + indent
+        val items = a.items.map(x => go(x, inner).getOrElse("null"))
+        Some(
+          if (items.isEmpty) "[]"
+          else if (indent.isEmpty) items.mkString("[", ",", "]")
+          else items.mkString(s"[\n$inner", s",\n$inner", s"\n$pad]"))
+      case o: JsObj =>
+        val inner = pad + indent
+        val sep = if (indent.isEmpty) ":" else ": "
+        val fields = o.fields.toSeq.flatMap { case (k, x) =>
+          go(x, inner).map(s => quote(k) + sep + s)
+        }
+        Some(
+          if (fields.isEmpty) "{}"
+          else if (indent.isEmpty) fields.mkString("{", ",", "}")
+          else fields.mkString(s"{\n$inner", s",\n$inner", s"\n$pad}"))
+    }
+    go(v, "")
   }
 
   def typeOf(v: JsVal): String = v match {
@@ -657,6 +1161,7 @@ object JsInterp {
     case JsBool(b) => JBool(b)
     case JsNull | JsUndef => JNull
     case a: JsArr => JArray(a.items.map(toJson).toList)
+    case _: JsRegex => JObject(Nil) // regexes marshal as {} (no data fields)
     case o: JsObj =>
       JObject(o.fields.toSeq.sortBy(_._1).map { case (k, x) => k -> toJson(x) }.toList)
     case f: JsFunc =>

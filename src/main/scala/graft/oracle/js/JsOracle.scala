@@ -37,7 +37,14 @@ import JsLang._
 object JsOracle {
 
   final case class Compiled(entry: String, params: Seq[String],
-      merger: Option[String], program: Seq[Stmt])
+      merger: Option[MergerDecl], program: Seq[Stmt])
+
+  /** The `merge*` hook's name and its single declared parameter — the
+    * reference sets the param as a VM GLOBAL before re-running the whole
+    * program source (master/mux_runner.go:169-178), so top-level code can
+    * see it; we replicate that binding order.
+    */
+  final case class MergerDecl(name: String, param: String)
 
   /** Parse + validate, mirroring the reference compiler's checks and its
     * error message for code with no function declaration
@@ -57,12 +64,14 @@ object JsOracle {
         try {
           new JsInterp().exec(program, baseEnv())
         } catch {
+          case JsThrow(v)        => return Left(JsInterp.throwMessage(v))
           case OracleRunError(m) => return Left(m)
+          case graft.oracle.OracleBudgetError(m) => return Left(m)
           case e: Exception      => return Left(e.getMessage)
         }
         val merger = decls.drop(1)
           .find(f => f.name.startsWith("merge") && f.params.size == 1)
-          .map(_.name)
+          .map(f => MergerDecl(f.name, f.params.head))
         Right(Compiled(entry.name, entry.params, merger, program))
     }
   }
@@ -82,28 +91,135 @@ object JsOracle {
           val env = baseEnv()
           env.declare("records", recordsHost(interp, store))
           env.declare("ctx", ctxHost(ctx))
-          interp.exec(c.program, env)
-          c.params.zipWithIndex.foreach { case (p, i) =>
-            env.declare(p, JsInterp.fromJson(
-              args.lift(i).getOrElse(JNull)))
+          try {
+            interp.exec(c.program, env)
+            c.params.zipWithIndex.foreach { case (p, i) =>
+              env.declare(p, JsInterp.fromJson(
+                args.lift(i).getOrElse(JNull)))
+            }
+            val entry = env.lookup(c.entry).getOrElse(
+              throw OracleRunError(s"ReferenceError: '${c.entry}' is not defined"))
+            val result = interp.callFunction(entry, c.params.map(p =>
+              env.lookup(p).getOrElse(JsNull)))
+            if (ctx.isError) JNull else JsInterp.toJson(result)
+          } catch {
+            // an uncaught JS `throw` fails the run with the thrown value's
+            // export, like otto (a thrown string is the bare string)
+            case JsThrow(v) => throw OracleRunError(JsInterp.throwMessage(v))
           }
-          val entry = env.lookup(c.entry).getOrElse(
-            throw OracleRunError(s"ReferenceError: '${c.entry}' is not defined"))
-          val result = interp.callFunction(entry, c.params.map(p =>
-            env.lookup(p).getOrElse(JsNull)))
-          if (ctx.isError) JNull else JsInterp.toJson(result)
         },
-        merger = c.merger.map { mergeFn => partials =>
+        merger = buildMerger(c),
+        code = Some(code))
+    }
+
+  /** The merger closure, replicating the reference merger VM
+    * (master/mux_runner.go:159-193): the partials array and `ctx` are
+    * GLOBALS visible to the re-executed program, a ctx.Error inside the
+    * merger fails the merge with "merger function failed: <msg>", and a
+    * VM error fails it with "unable to run merger function: <err>".
+    */
+  private def buildMerger(c: Compiled): Option[Seq[JValue] => JValue] =
+    c.merger.map { m => partials =>
+      val interp = new JsInterp()
+      val env = baseEnv()
+      val ctx = new OracleContext
+      val arr = new JsArr
+      partials.foreach(p => arr.items += JsInterp.fromJson(p))
+      env.declare(m.param, arr)
+      env.declare("ctx", ctxHost(ctx))
+      val result =
+        try {
+          interp.exec(c.program, env)
+          val fn = env.lookup(m.name).getOrElse(
+            throw OracleRunError(s"ReferenceError: '${m.name}' is not defined"))
+          interp.callFunction(fn,
+            Seq(env.lookup(m.param).getOrElse(arr)))
+        } catch {
+          case JsThrow(v) =>
+            throw graft.oracle.Merge.MergerFailure(
+              s"unable to run merger function: ${JsInterp.throwMessage(v)}")
+          case OracleRunError(msg) =>
+            throw graft.oracle.Merge.MergerFailure(
+              s"unable to run merger function: $msg")
+          case graft.oracle.OracleBudgetError(msg) =>
+            throw graft.oracle.Merge.MergerFailure(
+              s"unable to run merger function: $msg")
+        }
+      if (ctx.isError)
+        throw graft.oracle.Merge.MergerFailure(
+          s"merger function failed: ${ctx.message}")
+      JsInterp.toJson(result)
+    }
+
+  /** Run the entry PER PARTITION on executors — graft's mapping of the
+    * reference master's scatter-gather (master/mux_runner.go:82-155):
+    * each Spark partition is a "node" whose `records` host exposes only
+    * that partition's records, its JSON partial (or error) returns to the
+    * driver, and the partials fold through the stored `merge*` hook or
+    * the default tri-state merger. The driver-pull cap does NOT bound
+    * this path — a partition materializes only inside its executor task,
+    * never on the driver; only the compact JSON partial travels back.
+    *
+    * Per-node errors aggregate in the master's wire format:
+    * "Errors from nodes: [error while running oracle <id>: <msg>, …]"
+    * (master/mux_runner.go:120-151, pinned by service_test.go:660).
+    */
+  def runDistributed(id: Long, code: String, store: RecordStore,
+      args: Seq[JValue]): Either[String, JValue] =
+    compileSource(code).flatMap { c =>
+      val program = c.program
+      val params = c.params
+      val entryName = c.entry
+      val argVals: Seq[JValue] =
+        params.indices.map(i => args.lift(i).getOrElse(JNull))
+      val spark = store.records.sparkSession
+      import spark.implicits._
+      val partials: Seq[(Boolean, String)] =
+        store.records.mapPartitions { it =>
+          val recs = it.toVector.sortBy(_.id)
           val interp = new JsInterp()
           val env = baseEnv()
-          interp.exec(c.program, env)
-          val fn = env.lookup(mergeFn).getOrElse(
-            throw OracleRunError(s"ReferenceError: '$mergeFn' is not defined"))
-          val arr = new JsArr
-          partials.foreach(p => arr.items += JsInterp.fromJson(p))
-          JsInterp.toJson(interp.callFunction(fn, Seq(arr)))
-        },
-        code = Some(code))
+          val ctx = new OracleContext
+          env.declare("records", seqRecordsHost(interp,
+            id => recs.find(_.id == id), () => recs))
+          env.declare("ctx", ctxHost(ctx))
+          val out =
+            try {
+              interp.exec(program, env)
+              params.zipWithIndex.foreach { case (p, i) =>
+                env.declare(p, JsInterp.fromJson(argVals(i)))
+              }
+              val entry = env.lookup(entryName).getOrElse(throw OracleRunError(
+                s"ReferenceError: '$entryName' is not defined"))
+              val result = interp.callFunction(entry,
+                params.map(p => env.lookup(p).getOrElse(JsNull)))
+              if (ctx.isError) (false, ctx.message)
+              else {
+                val json = JsInterp.toJson(result)
+                graft.oracle.Merge.firstNonFinite(json) match {
+                  case Some(d) => (false, "json: unsupported value: " +
+                    graft.oracle.Merge.nonFiniteRepr(d))
+                  case None => (true, org.json4s.jackson.JsonMethods.compact(
+                    org.json4s.jackson.JsonMethods.render(json)))
+                }
+              }
+            } catch {
+              case JsThrow(v)        => (false, JsInterp.throwMessage(v))
+              case OracleRunError(m) => (false, m)
+              case graft.oracle.OracleBudgetError(m) => (false, m)
+            }
+          Iterator.single(out)
+        }.collect().toSeq
+      val errors = partials.collect { case (false, m) => m }
+      if (errors.nonEmpty)
+        Left("Errors from nodes: [" +
+          errors.map(m => s"error while running oracle $id: $m")
+            .mkString(", ") + "]")
+      else {
+        val vals = partials.map { case (_, s) =>
+          org.json4s.jackson.JsonMethods.parse(s) }
+        graft.oracle.Merge.merge(vals, buildMerger(c))
+      }
     }
 
   // ----------------------------------------------------------- host: ctx
@@ -117,6 +233,9 @@ object JsOracle {
       "Message" -> { _ => JsStr(ctx.message) }))
 
   // ------------------------------------------------------- host: records
+  /** Driver-side `records` host over the whole store: Find is a Catalyst
+    * point lookup; All/AllBut pull through the driver cap.
+    */
   private def recordsHost(interp: JsInterp, store: RecordStore): JsHost = {
     def all(): Seq[SumRecord] = {
       import org.apache.spark.sql.functions.col
@@ -125,10 +244,20 @@ object JsOracle {
       if (rows.length > cap)
         throw OracleRunError(
           s"records.All() would materialize more than $cap rows on the " +
-            "driver; raise graft.store.maxCollectRows or use a registered " +
-            "Spark oracle for corpus-scale scans")
+            "driver; raise graft.store.maxCollectRows, or run through " +
+            "runDistributed where each partition materializes only on its " +
+            "executor")
       rows
     }
+    seqRecordsHost(interp, store.find, () => all())
+  }
+
+  /** The `records` host over a pluggable record view — the partition-local
+    * form [[runDistributed]] builds on executors plugs a Vector in here.
+    */
+  private def seqRecordsHost(interp: JsInterp,
+      findFn: Long => Option[SumRecord],
+      allFn: () => Seq[SumRecord]): JsHost = {
     def wrapSeq(recs: Seq[SumRecord]): JsArr = {
       val a = new JsArr
       recs.foreach(r => a.items += recordHost(interp, Some(r)))
@@ -137,15 +266,15 @@ object JsOracle {
     new JsHost("Records", Map(
       "Find" -> { args =>
         val id = toNum(args.headOption.getOrElse(JsNum(0))).toLong
-        recordHost(interp, store.find(id))
+        recordHost(interp, findFn(id))
       },
-      "All" -> { _ => wrapSeq(all()) },
+      "All" -> { _ => wrapSeq(allFn()) },
       "AllBut" -> { args =>
         val excludeId = args.headOption match {
           case Some(h: JsHost) => h.props.get("ID").map(p => toNum(p()).toLong)
           case _               => None
         }
-        wrapSeq(all().filterNot(r => excludeId.contains(r.id)))
+        wrapSeq(allFn().filterNot(r => excludeId.contains(r.id)))
       },
       "CreateRecord" -> { args =>
         // wrapper.Records.CreateRecord: wraps raw data WITHOUT storing it
@@ -301,6 +430,10 @@ object JsOracle {
         n1("floor")(math.floor), n1("ceil")(math.ceil),
         n1("round")(d => math.floor(d + 0.5)),
         n1("exp")(math.exp), n1("log")(math.log),
+        n1("sin")(math.sin), n1("cos")(math.cos), n1("tan")(math.tan),
+        n1("asin")(math.asin), n1("acos")(math.acos), n1("atan")(math.atan),
+        "atan2" -> { args =>
+          JsNum(math.atan2(toNum(args.head), toNum(args(1)))) },
         "pow" -> { args =>
           JsNum(math.pow(toNum(args.head), toNum(args(1)))) },
         "min" -> { args =>
@@ -312,7 +445,34 @@ object JsOracle {
         "random" -> { _ => JsNum(rnd.nextDouble()) }),
       props = Map(
         "PI" -> (() => JsNum(math.Pi)),
-        "E"  -> (() => JsNum(math.E)))))
+        "E"  -> (() => JsNum(math.E)),
+        "LN2"     -> (() => JsNum(math.log(2))),
+        "LN10"    -> (() => JsNum(math.log(10))),
+        "LOG2E"   -> (() => JsNum(1.0 / math.log(2))),
+        "LOG10E"  -> (() => JsNum(1.0 / math.log(10))),
+        "SQRT2"   -> (() => JsNum(math.sqrt(2))),
+        "SQRT1_2" -> (() => JsNum(math.sqrt(0.5))))))
+    env.declare("JSON", new JsHost("JSON", Map(
+      "parse" -> { args =>
+        val raw = toStr(args.headOption.getOrElse(JsUndef))
+        try JsInterp.fromJson(org.json4s.jackson.JsonMethods.parse(raw))
+        catch {
+          case e: Exception =>
+            throw OracleRunError(s"SyntaxError: ${e.getMessage}")
+        }
+      },
+      "stringify" -> { args =>
+        // the 2nd (replacer) argument is accepted and ignored; the 3rd is
+        // the ES5 space argument (number of spaces, capped at 10, or a
+        // literal indent string)
+        val indent = args.lift(2) match {
+          case Some(JsNum(d)) if d >= 1 => " " * math.min(10, d.toInt)
+          case Some(JsStr(s))           => s.take(10)
+          case _                        => ""
+        }
+        JsInterp.jsonStringify(args.headOption.getOrElse(JsUndef), indent)
+          .map(JsStr(_)).getOrElse(JsUndef)
+      })))
     env.declare("Object", new JsHost("Object", Map(
       "keys" -> { args =>
         val a = new JsArr
@@ -325,13 +485,61 @@ object JsOracle {
       })))
     env.declare("isNaN", new JsNative("isNaN", 1,
       args => JsBool(toNum(args.headOption.getOrElse(JsUndef)).isNaN)))
+    env.declare("isFinite", new JsNative("isFinite", 1, { args =>
+      val d = toNum(args.headOption.getOrElse(JsUndef))
+      JsBool(!d.isNaN && !d.isInfinite)
+    }))
+    // Constructible globals: `new X(...)` is special-cased by the
+    // interpreter; these bindings make the plain-call forms (`Error(m)`,
+    // `Array(1,2)`, `Boolean(v)`) and `instanceof X` work too.
+    Seq("Error", "TypeError", "RangeError", "SyntaxError",
+        "ReferenceError", "EvalError", "URIError").foreach { nm =>
+      env.declare(nm, new JsNative(nm, 1, args =>
+        JsInterp.errorObj(nm, args.headOption.map(toStr).getOrElse(""))))
+    }
+    env.declare("Array", new JsNative("Array", -1,
+      args => {
+        val a = new JsArr
+        args match {
+          case Seq(JsNum(d)) if d.isWhole && d >= 0 =>
+            (0 until d.toInt).foreach(_ => a.items += JsUndef)
+          case _ => args.foreach(a.items += _)
+        }
+        a
+      },
+      statics = Map("isArray" -> new JsNative("isArray", 1,
+        args => JsBool(args.headOption.exists(_.isInstanceOf[JsArr]))))))
+    env.declare("Boolean", new JsNative("Boolean", 1,
+      args => JsBool(JsInterp.truthy(args.headOption.getOrElse(JsUndef)))))
+    env.declare("RegExp", new JsNative("RegExp", 2, args =>
+      args.headOption match {
+        case Some(re: JsRegex) => re // RegExp(re) returns it unchanged
+        case other => JsInterp.mkRegex(other.map(toStr).getOrElse(""),
+          args.lift(1).map(toStr).getOrElse(""))
+      }))
     env.declare("parseInt", new JsNative("parseInt", 2, { args =>
-      val s = toStr(args.headOption.getOrElse(JsUndef)).trim
-      val radix = args.lift(1).map(v => toNum(v).toInt).filter(_ != 0).getOrElse(10)
-      val m = s.takeWhile(c => c == '-' || c == '+' ||
-        Character.digit(c, radix) >= 0)
-      try JsNum(java.lang.Long.parseLong(m, radix).toDouble)
-      catch { case _: NumberFormatException => JsNum(Double.NaN) }
+      // ES5 15.1.2.2: optional sign only at position 0, then an optional
+      // 0x/0X prefix (radix absent or 16) switching to hex, then the
+      // longest digit prefix valid in the radix; empty -> NaN.
+      var s = toStr(args.headOption.getOrElse(JsUndef)).trim
+      var sign = 1.0
+      if (s.startsWith("-")) { sign = -1.0; s = s.substring(1) }
+      else if (s.startsWith("+")) s = s.substring(1)
+      var radix = args.lift(1).map(v => toNum(v).toInt).filter(_ != 0).getOrElse(0)
+      if ((radix == 0 || radix == 16) &&
+          (s.startsWith("0x") || s.startsWith("0X"))) {
+        s = s.substring(2); radix = 16
+      }
+      if (radix == 0) radix = 10
+      val m = s.takeWhile(c => Character.digit(c, radix) >= 0)
+      if (m.isEmpty || radix < 2 || radix > 36) JsNum(Double.NaN)
+      else {
+        // digit-by-digit (not parseLong) so huge literals saturate into
+        // doubles instead of overflowing
+        var acc = 0.0
+        m.foreach(c => acc = acc * radix + Character.digit(c, radix))
+        JsNum(sign * acc)
+      }
     }))
     env.declare("parseFloat", new JsNative("parseFloat", 1, { args =>
       val s = toStr(args.headOption.getOrElse(JsUndef)).trim
@@ -339,9 +547,17 @@ object JsOracle {
       JsNum(m.map(_.toDouble).getOrElse(Double.NaN))
     }))
     env.declare("String", new JsNative("String", 1,
-      args => JsStr(args.headOption.map(toStr).getOrElse(""))))
+      args => JsStr(args.headOption.map(toStr).getOrElse("")),
+      statics = Map("fromCharCode" -> new JsNative("fromCharCode", -1,
+        args => JsStr(args.map(v => toNum(v).toChar).mkString)))))
     env.declare("Number", new JsNative("Number", 1,
-      args => JsNum(args.headOption.map(toNum).getOrElse(0.0))))
+      args => JsNum(args.headOption.map(toNum).getOrElse(0.0)),
+      statics = Map(
+        "MAX_VALUE" -> JsNum(Double.MaxValue),
+        "MIN_VALUE" -> JsNum(java.lang.Double.MIN_VALUE),
+        "POSITIVE_INFINITY" -> JsNum(Double.PositiveInfinity),
+        "NEGATIVE_INFINITY" -> JsNum(Double.NegativeInfinity),
+        "NaN" -> JsNum(Double.NaN))))
     env
   }
 }

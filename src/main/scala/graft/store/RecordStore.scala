@@ -54,6 +54,14 @@ final class RecordStore private (
 
   def records: Dataset[SumRecord] = ds
 
+  /** The same records re-bucketed into `n` partitions — the Spark form of
+    * the reference master's transfer/balance verbs (each partition is a
+    * "node"; re-sharding is a repartition, not a data migration).
+    */
+  def repartitioned(n: Int): RecordStore = synchronized {
+    new RecordStore(spark, ds.repartition(n), nextIdVal, metaKeys)
+  }
+
   def size: Long = ds.count()
 
   def nextId: Long = synchronized(nextIdVal)

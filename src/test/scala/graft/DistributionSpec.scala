@@ -21,6 +21,75 @@ class DistributionSpec extends SparkSpec {
         Map("name" -> s"rec$i"))
     })
 
+  test("stored-JS oracle runs distributed: entry partials are produced ON " +
+      "executors, folded by mergeNodesResults (master/mux_runner.go:82-155)") {
+    import graft.oracle.OracleRegistry
+    import org.json4s.jackson.JsonMethods
+    val store = RecordStore.fromRecords(spark, (1 to 500).map { i =>
+      SumRecord(i.toLong, Array(1f, 2f, 3f), Map("name" -> s"rec$i"))
+    }).repartitioned(8)
+    val reg = new OracleRegistry
+    // the reference's scalarCode + merger (master/service_test.go:483-545)
+    val o = reg.createJs("sumAllVectors", """
+function sumAllVectors() {
+    var result = 0.0;
+    records.All().forEach(function(record){
+        for (var i=0; i < 3; i++) {
+            result += record.Get(i);
+        }
+    });
+    return result;
+}
+function add(accumulator, a) { return accumulator + a; }
+function mergeNodesResults(results) {
+    return results.reduce(add);
+}""").fold(m => fail(m), identity)
+
+    // prove the distributed path is NOT bounded by the driver-pull cap:
+    // set it below the store size — records.All() on the driver would
+    // refuse, but each executor partition stays under it
+    val prior = spark.conf.getOption(RecordStore.MaxCollectRowsKey)
+    spark.conf.set(RecordStore.MaxCollectRowsKey, "100")
+    try {
+      assert(reg.run(o.id, store, Seq.empty).left.exists(
+        _.contains("records.All() would materialize")))
+      assert(reg.runDistributed(o.id, store, Seq.empty) === Right("3000"))
+    } finally {
+      prior.fold(spark.conf.unset(RecordStore.MaxCollectRowsKey))(
+        v => spark.conf.set(RecordStore.MaxCollectRowsKey, v))
+    }
+
+    // without a merger, per-node map partials union through the default
+    // merger (each id lands in exactly one partition, so no conflicts)
+    val mapper = reg.createJs("mapOfRecordNames", """
+function mapOfRecordNames() {
+    result = {};
+    records.All().forEach(function(record){
+        result["k" + record.ID] = record.Meta("name");
+    });
+    return result;
+}""").fold(m => fail(m), identity)
+    val merged = reg.runDistributed(mapper.id, store, Seq.empty)
+      .fold(m => fail(m), identity)
+    val JObject(fields) = JsonMethods.parse(merged)
+    assert(fields.size === 500)
+    assert(fields.toMap.get("k7") === Some(JString("rec7")))
+
+    // per-node failures aggregate in the master's wire format
+    // (master/service_test.go:655-660)
+    val failing = reg.createJs("failsOnEvens", """
+function failsOnEvens() {
+    records.All().forEach(function(record){
+        if (record.ID % 2 == 0) { ctx.Error("yuppie!"); }
+    });
+    return 0;
+}""").fold(m => fail(m), identity)
+    val err = reg.runDistributed(failing.id, store, Seq.empty)
+    assert(err.isLeft)
+    assert(err.left.exists(_.matches(
+      "^Errors from nodes: \\[.*error while running oracle \\d+: yuppie!.*\\]$")))
+  }
+
   test("per-partition findSimilar partials merge to the whole-store result") {
     val store = mkStore(64)
     val ref = store.find(1L).get

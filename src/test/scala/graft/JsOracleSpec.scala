@@ -242,7 +242,15 @@ function mapOfRecordNames() {
   test("service-surface dispatch routes JS to the interpreter, SQL to the compiler") {
     assert(OracleCompiler.looksLikeJs("function f(){}"))
     assert(OracleCompiler.looksLikeJs("// entry\nfunction f(){}"))
-    assert(OracleCompiler.looksLikeJs("/* c */ var x = 1;"))
+    // the reference accepts ANY otto-legal program containing a function
+    // declaration, regardless of the opening statement
+    // (node/service/compiler.go:19-52)
+    assert(OracleCompiler.looksLikeJs(
+      "var limit = 10;\nfunction f(){ return limit; }"))
+    assert(OracleCompiler.looksLikeJs(
+      "if (true) { }\nfunction f(){ return 1; }"))
+    // an identifier merely STARTING with "function" is not a declaration
+    assert(!OracleCompiler.looksLikeJs("SELECT functions FROM t"))
     assert(!OracleCompiler.looksLikeJs("SELECT 1 AS one"))
     val viaDispatch = OracleCompiler.compile(spark, "js",
       "function one(){ return 1; }").fold(m => fail(m), identity)
@@ -250,6 +258,16 @@ function mapOfRecordNames() {
     val created = reg.create(viaDispatch).fold(m => fail(m), identity)
     assert(reg.run(created.id, store, Seq.empty) === Right("1"))
     assert(OracleCompiler.compile(spark, "sql", "SELECT 1 AS one").isRight)
+    // JS-parseable code with no function declaration and no SQL meaning
+    // gets the reference compiler's message, not a SQL parse error
+    assert(OracleCompiler.compile(spark, "nofn", "var x = 1;") ===
+      Left("expected a function declaration"))
+    // expression-first JS program: routed to the JS compiler and runnable
+    val exprFirst = OracleCompiler.compile(spark, "exprFirst",
+      "var seed = 2;\nfunction twice(){ return seed * 2; }")
+      .fold(m => fail(m), identity)
+    val created2 = reg.create(exprFirst).fold(m => fail(m), identity)
+    assert(reg.run(created2.id, store, Seq.empty) === Right("4"))
   }
 
   test("distributed run: per-node JS partials fold through the JS merger " +
@@ -321,5 +339,195 @@ function mergeNodesResults(results) {
     }"""
     assert(runJs(code) === Right(
       """{"idx":6,"keys":"b-a","mx":9,"parsed":42.5,"sq":4,"sub":"Hello","t":"num","up":"HELLO WORLD"}"""))
+  }
+
+  test("failing merger: ctx.Error in the merge hook fails with the " +
+      "reference's exact message (master/service_test.go:550-568)") {
+    import graft.oracle.Merge
+    val reg = new OracleRegistry
+    val failing = reg.createJs("sumAllVectorsFailing", """
+function sumAllVectors() { return 1; }
+function mergeNodesResults(results) {
+  ctx.Error('FAIL');
+}""").fold(m => fail(m), identity)
+    assert(Merge.merge(Seq(JInt(1), JInt(2)), failing.merger) ===
+      Left("merger function failed: FAIL"))
+    // a merger that reads ctx NON-fatally must not blow up
+    val reading = reg.createJs("ctxReader", """
+function entry() { return 1; }
+function mergeAll(results) {
+  if (ctx.IsError()) { return null; }
+  var total = 0;
+  results.forEach(function(r){ total += r; });
+  return total;
+}""").fold(m => fail(m), identity)
+    assert(Merge.merge(Seq(JInt(1), JInt(2)), reading.merger) === Right(JInt(3)))
+  }
+
+  test("throwing merger: `throw \"apple cider\"` fails with otto's " +
+      "message (master/service_test.go:668-684)") {
+    import graft.oracle.Merge
+    val reg = new OracleRegistry
+    val o = reg.createJs("mergerThrowup", """
+function drinkAppleCider() { return 0; }
+function mergeSomethingButThrowup(results) { throw "apple cider"; }""")
+      .fold(m => fail(m), identity)
+    assert(o.merger.isDefined)
+    assert(Merge.merge(Seq(JInt(1)), o.merger) ===
+      Left("unable to run merger function: apple cider"))
+  }
+
+  test("throw / try / catch / finally (otto-legal grammar the reference accepts)") {
+    val code = """function t() {
+      var log = [];
+      // user throw, caught
+      try { throw "boom"; log.push("unreached"); }
+      catch (e) { log.push("caught:" + e); }
+      finally { log.push("fin1"); }
+      // runtime error, caught as an Error-shaped value
+      try { var x = null; x.foo; }
+      catch (e) { log.push(e.name); }
+      // try/finally without catch: finally runs, value flows out
+      var v = 0;
+      try { v = 1; } finally { v += 1; }
+      log.push("v" + v);
+      // nested: inner rethrow caught outside
+      try {
+        try { throw new TypeError("inner"); }
+        catch (e) { throw e; }
+      } catch (e2) { log.push(e2.name + "/" + e2.message); }
+      return log.join("|");
+    }"""
+    assert(runJs(code) ===
+      Right("\"caught:boom|fin1|TypeError|v2|TypeError/inner\""))
+    // an uncaught throw fails the run with the thrown value's export
+    assert(runJs("function t(){ throw \"apple cider\"; }") ===
+      Left("apple cider"))
+    assert(runJs("function t(){ throw new RangeError(\"too big\"); }") ===
+      Left("RangeError: too big"))
+  }
+
+  test("try/catch cannot swallow the step budget") {
+    // the budget fires inside the try body; the catch clause must let it
+    // pass (it only intercepts JS throws and run errors)
+    val r = runJs(
+      "function spin(){ while(true){ try { var i = 0; } catch(e) {} } }")
+    assert(r.isLeft)
+    assert(r.left.exists(_.contains("step budget")))
+  }
+
+  test("switch/case/default with fall-through") {
+    val code = """function sw(n) {
+      var out = [];
+      switch (n) {
+        case 1: out.push("one"); break;
+        case 2: out.push("two"); // falls through
+        case 3: out.push("three"); break;
+        default: out.push("many");
+      }
+      switch ("zzz") { case "a": return "wrong"; default: out.push("dflt"); }
+      return out.join(",");
+    }"""
+    assert(runJs(code, "1") === Right("\"one,dflt\""))
+    assert(runJs(code, "2") === Right("\"two,three,dflt\""))
+    assert(runJs(code, "3") === Right("\"three,dflt\""))
+    assert(runJs(code, "9") === Right("\"many,dflt\""))
+  }
+
+  test("regex literals: test/exec/match/replace/split/search, /g statefulness") {
+    val code = """function re() {
+      var words = /\w+/g;
+      var s = "the quick brown fox";
+      var count = 0, m;
+      while ((m = words.exec(s)) !== null) { count++; }
+      var division = 10 / 2 / 5; // `/` after a value is division
+      return {
+        count: count,
+        test: /qu.ck/.test(s),
+        first: s.match(/b(r)own/)[1],
+        all: s.match(/o/g).length,
+        repl: s.replace(/(\w+) (\w+)/, "$2 $1"),
+        replAll: "a-b-c".replace(/-/g, "+"),
+        fn: "x1y2".replace(/\d/g, function(d){ return d * 2; }),
+        parts: "a1b22c".split(/\d+/).join("|"),
+        at: s.search(/fox/),
+        ci: /FOX/i.test(s),
+        division: division
+      };
+    }"""
+    assert(runJs(code) === Right("""{"all":2,"at":16,"ci":true,"count":4,""" +
+      """"division":1,"first":"r","fn":"x2y4","parts":"a|b|c",""" +
+      """"repl":"quick the brown fox","replAll":"a+b+c","test":true}"""))
+  }
+
+  test("new / instanceof / delete / in operators") {
+    val code = """function ops() {
+      var a = new Array(3);
+      var b = new Array(1, 2);
+      var o = new Object();
+      o.k = 1;
+      var isIn = "k" in o;
+      delete o.k;
+      var gone = !("k" in o);
+      var re = new RegExp("a+", "i");
+      return {
+        alen: a.length, blen: b.length,
+        isArr: b instanceof Array && Array.isArray(b),
+        isObj: o instanceof Object,
+        isRe: re instanceof RegExp && re.test("AAA"),
+        err: (new TypeError("x")) instanceof Error,
+        isIn: isIn, gone: gone,
+        idx: 1 in b, past: !(5 in b)
+      };
+    }"""
+    assert(runJs(code) === Right("""{"alen":3,"blen":2,"err":true,""" +
+      """"gone":true,"idx":true,"isArr":true,"isIn":true,"isObj":true,""" +
+      """"isRe":true,"past":true}"""))
+  }
+
+  test("JSON.parse / JSON.stringify") {
+    val code = """function j(raw) {
+      var v = JSON.parse(raw);
+      v.extra = [1, "two", null, true];
+      v.skipMe = undefined;
+      return {
+        round: JSON.stringify(v),
+        num: JSON.stringify(1/0),
+        pretty: JSON.stringify({a:1}, null, 2)
+      };
+    }"""
+    assert(runJs(code, "\"{\\\"n\\\": 1.5, \\\"s\\\": \\\"x\\\"}\"") === Right(
+      """{"num":"null","pretty":"{\n  \"a\": 1\n}",""" +
+      """"round":"{\"n\":1.5,\"s\":\"x\",\"extra\":[1,\"two\",null,true]}"}"""))
+  }
+
+  test("natives audit: Number/String/Math/Array additions, ES5 parseInt") {
+    val code = """function n() {
+      var arr = [3, 1, 2];
+      arr.reverse();
+      var shifted = arr.shift();
+      arr.unshift(9);
+      var spliced = arr.splice(1, 1, 7, 8);
+      return {
+        fx: (3.14159).toFixed(2),
+        hex: (255).toString(16),
+        fcc: String.fromCharCode(72, 105),
+        cca: "Hi".charCodeAt(1),
+        fin: isFinite(1) && !isFinite(1/0),
+        some: [1,2,3].some(function(x){ return x > 2; }),
+        every: [1,2,3].every(function(x){ return x > 0; }),
+        pHex: parseInt("0x1F"),
+        pSign: parseInt("1-2"),
+        pNeg: parseInt("-42"),
+        sub2: "abcdef".substr(-3, 2),
+        lio: "abcabc".lastIndexOf("b"),
+        atan2: Math.atan2(1, 1) === Math.PI / 4,
+        arr: arr.join(","), shifted: shifted, spliced: spliced.join(",")
+      };
+    }"""
+    assert(runJs(code) === Right("""{"arr":"9,7,8,3","atan2":true,""" +
+      """"cca":105,"every":true,"fcc":"Hi","fin":true,"fx":"3.14",""" +
+      """"hex":"ff","lio":4,"pHex":31,"pNeg":-42,"pSign":1,"shifted":2,""" +
+      """"some":true,"spliced":"1","sub2":"de"}"""))
   }
 }
