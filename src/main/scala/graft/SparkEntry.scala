@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{GraphQueries, MixQueries, QueryDef, Relational,
   SeriesQueries, SourceQueries, StreamingQueries, TextQueries, VectorQueries}
 
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+/** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
   * Each entry in [[queries]] is one operator from SURVEY.md §2 expressed as
   * an idiomatic Spark plan; [[oracleSql]] carries the DuckDB-equivalent SQL

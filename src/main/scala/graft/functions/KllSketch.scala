@@ -34,9 +34,10 @@ import org.apache.spark.sql.types._
   * callers (checkInputDataTypes accepts LongType). Rank-band contracts
   * absorb the narrowing, but quantile VALUES read back via
   * [[KllSketch.quantile]] are float-precision; a pipeline needing exact
-  * valued quantiles of large longs would swap in the doubles sketch
-  * (same DataSketches family, same merge algebra) at 2× the summary
-  * size.
+  * valued quantiles of large longs swaps in [[KllDoublesSketchAgg]]
+  * (same DataSketches family, same merge algebra, 2× the summary size) —
+  * a10_kll_doubles_exact drives it with a value-membership contract the
+  * floats sketch cannot pass above 2²⁴.
   */
 case class KllSketchAgg(
     child: Expression,
@@ -96,13 +97,112 @@ case class KllSketchAgg(
     copy(child = newChild)
 }
 
+/** The DOUBLES twin of [[KllSketchAgg]] — same sketch family, same merge
+  * algebra, 2x the summary size, NO input narrowing: a Long folds in as
+  * an exact double (exact through 2^53), so quantile reads return exact
+  * stream members for integer keys of any realistic id range. This is
+  * the variant a pipeline quantiling raw ids/timestamps uses; the floats
+  * sketch silently loses exactness above 2^24 (scaladoc above).
+  */
+case class KllDoublesSketchAgg(
+    child: Expression,
+    k: Int = 200,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.datasketches.kll.KllDoublesSketch]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  import org.apache.datasketches.kll.KllDoublesSketch
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case FloatType | DoubleType | LongType | IntegerType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a numeric column, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = BinaryType
+
+  override def nullable: Boolean = false
+
+  override def prettyName: String = "graft_kll_doubles_sketch"
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+
+  override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) v match {
+      case d: Double => buf.update(d)
+      case f: Float  => buf.update(f.toDouble)
+      case l: Long   => buf.update(l.toDouble)
+      case i: Int    => buf.update(i.toDouble)
+      case other     => buf.update(other.toString.toDouble)
+    }
+    buf
+  }
+
+  override def merge(a: KllDoublesSketch, b: KllDoublesSketch): KllDoublesSketch = {
+    a.merge(b)
+    a
+  }
+
+  override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+
+  override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllDoublesSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): KllDoublesSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildInternal(newChild: Expression): KllDoublesSketchAgg =
+    copy(child = newChild)
+}
+
 object KllSketch {
   import org.apache.spark.sql.{Column, GraftSqlInternal}
+  import org.apache.datasketches.kll.KllDoublesSketch
 
   /** Column API: serialized KLL floats sketch of a numeric column. */
   def sketch(c: Column, k: Int = 200): Column =
     GraftSqlInternal.column(
       KllSketchAgg(GraftSqlInternal.expression(c), k).toAggregateExpression())
+
+  /** Column API: serialized KLL DOUBLES sketch — exact value identity for
+    * integer inputs through 2^53 (no float narrowing).
+    */
+  def doublesSketch(c: Column, k: Int = 200): Column =
+    GraftSqlInternal.column(
+      KllDoublesSketchAgg(GraftSqlInternal.expression(c), k)
+        .toAggregateExpression())
+
+  private def readDoubles(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  /** Quantile estimate from a serialized DOUBLES sketch: an exact member
+    * of the folded stream (KLL retains actual values).
+    */
+  def doublesQuantile(bytes: Array[Byte], q: Double): Double =
+    readDoubles(bytes).getQuantile(q)
+
+  /** Normalized rank of `value` in a serialized doubles sketch. */
+  def doublesRank(bytes: Array[Byte], value: Double): Double =
+    readDoubles(bytes).getRank(value)
+
+  /** Stream length folded into a serialized doubles sketch (exact). */
+  def doublesN(bytes: Array[Byte]): Long = readDoubles(bytes).getN
+
+  /** Merge serialized doubles sketches (driver-side bounded fold). */
+  def doublesMergeAll(sketches: Seq[Array[Byte]], k: Int = 200): Array[Byte] = {
+    val acc = KllDoublesSketch.newHeapInstance(k)
+    sketches.foreach(b => acc.merge(readDoubles(b)))
+    acc.toByteArray
+  }
 
   private def read(bytes: Array[Byte]): KllFloatsSketch =
     KllFloatsSketch.heapify(Memory.wrap(bytes))

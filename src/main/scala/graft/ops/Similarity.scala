@@ -25,6 +25,19 @@ import graft.functions.vector
   */
 object Similarity {
 
+  /** Id cap for the EXACT certification arms of the e-family contract
+    * queries (e01/e02/e03/e05/e12/e13/v28). The exact all-pairs relation
+    * is certification apparatus — it exists to measure the linear
+    * LSH/IVF paths' recall, not to scale itself — so both engines bound
+    * it to the first `ExactArmCap` ids: SF-independent work by design.
+    * The cap sits above every gate-SF id range (sf0.01/sf0.1 embeddings
+    * top out at vec_id 1999), so gate outputs are bit-identical with or
+    * without it; at sf1+ the inflated fixture clamps to a constant-size
+    * slice and the DuckDB oracle replay completes instead of spilling
+    * inside a 200M-row cross join (SCALING.md, round-6 replay cutoff).
+    */
+  val ExactArmCap = 4000L
+
   /** Per-query exact top-k over a (query_id, id, score) candidate
     * relation via the partial-aggregating [[graft.functions.TopKByScore]]:
     * every map task collapses its candidates to <= k per query BEFORE the

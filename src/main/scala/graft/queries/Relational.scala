@@ -1930,6 +1930,65 @@ object Relational {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // KLL DOUBLES sketch over raw integer ids ABOVE 2^24 — the exactness
+      // gap the floats sketch (a09) cannot close: a float-narrowed id is
+      // no longer a member of the key set, so quantile reads return values
+      // that never occurred. Keys are o_orderkey stretched to ~10^12
+      // (exact in doubles through 2^53, NOT representable in float32), so
+      // the membership contract — each p50/p95 estimate IS an exact
+      // element of the folded key set — deterministically separates the
+      // doubles sketch from a narrowing one, independent of KLL's
+      // randomized compaction. Rank honesty (3.5% band) and merge-loses-
+      // nothing (sketch N == exact count, incl. the re-aggregated 'ALL'
+      // row) ride along as in a09.
+      "a10_kll_doubles_exact",
+      (s, dir) => {
+        import graft.functions.KllSketch
+        val t = Tables(s, dir)
+        val keyed = t.orders.select(col("o_orderstatus"),
+          (col("o_orderkey") * lit(1000003L) + lit(7L)).as("bigkey"))
+        val perStatus = keyed.groupBy(col("o_orderstatus"))
+          .agg(KllSketch.doublesSketch(col("bigkey")).as("sk"))
+          .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
+          .toSeq.sortBy(_._1)
+        val all = ("ALL", KllSketch.doublesMergeAll(perStatus.map(_._2)))
+        val ests = (perStatus :+ all).map { case (g, sk) =>
+          (g, KllSketch.doublesQuantile(sk, 0.5),
+            KllSketch.doublesQuantile(sk, 0.95), KllSketch.doublesN(sk)) }
+        val estDf = broadcast(
+          s.createDataFrame(ests).toDF("grp", "est50", "est95", "sketch_n"))
+        val labeled = keyed
+          .select(col("o_orderstatus").as("grp"), col("bigkey"))
+          .unionByName(keyed.select(lit("ALL").as("grp"), col("bigkey")))
+        labeled.join(estDf, "grp")
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n_rows"),
+            (abs(sum(when(col("bigkey").cast("double") <= col("est50"), 1L)
+              .otherwise(0L)).cast("double") / count(lit(1)) - 0.5) <= 0.035)
+              .as("p50_ok"),
+            (abs(sum(when(col("bigkey").cast("double") <= col("est95"), 1L)
+              .otherwise(0L)).cast("double") / count(lit(1)) - 0.95) <= 0.035)
+              .as("p95_ok"),
+            (max(when(col("bigkey").cast("double") === col("est50"), 1L)
+              .otherwise(0L)) === 1L).as("p50_member"),
+            (max(when(col("bigkey").cast("double") === col("est95"), 1L)
+              .otherwise(0L)) === 1L).as("p95_member"),
+            (max(col("sketch_n")) === count(lit(1))).as("n_exact"))
+          .orderBy(col("grp"))
+      },
+      Some("""
+        |SELECT grp, count(*) AS n_rows,
+        |       TRUE AS p50_ok, TRUE AS p95_ok,
+        |       TRUE AS p50_member, TRUE AS p95_member, TRUE AS n_exact
+        |FROM (
+        |  SELECT o_orderstatus AS grp FROM orders
+        |  UNION ALL
+        |  SELECT 'ALL' FROM orders
+        |)
+        |GROUP BY grp ORDER BY grp
+        |""".stripMargin.trim)),
+
+    QueryDef(
       // Tolerance-bounded as-of join — the pandas merge_asof `tolerance`
       // semantic on the custom AsOfJoinExec: a purchase only attaches a
       // signup if the nearest prior one is within 1 hour; staler matches

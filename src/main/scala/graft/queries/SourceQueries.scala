@@ -15,8 +15,9 @@ import graft.sources.TableIO
   */
 object SourceQueries {
 
-  private def ioDir(name: String, dir: String): String =
-    s"/root/repo/target/graft-io/${name}_${math.abs(dir.hashCode)}"
+  private def ioDir(s: org.apache.spark.sql.SparkSession, name: String,
+      dir: String): String =
+    s"${Scratch.ioRoot(s)}/${name}_${math.abs(dir.hashCode)}"
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -26,7 +27,7 @@ object SourceQueries {
       "io01_csv_roundtrip",
       (s, dir) => {
         val t = Tables(s, dir)
-        val out = ioDir("io01", dir)
+        val out = ioDir(s, "io01", dir)
         t.orders.select(col("o_orderkey"), col("o_custkey"),
             col("o_orderstatus"),
             col("o_orderdate").cast("date").cast("string").as("o_orderdate"))
@@ -58,7 +59,7 @@ object SourceQueries {
       "io02_json_roundtrip",
       (s, dir) => {
         val t = Tables(s, dir)
-        val out = ioDir("io02", dir)
+        val out = ioDir(s, "io02", dir)
         t.customer.select(col("c_custkey"), col("c_nationkey"),
             col("c_acctbal"), col("c_mktsegment"))
           .write.mode("overwrite").json(out)
@@ -90,7 +91,7 @@ object SourceQueries {
       "io03_partitioned_sink",
       (s, dir) => {
         val t = Tables(s, dir)
-        val out = ioDir("io03", dir)
+        val out = ioDir(s, "io03", dir)
         t.events
           .select(expr("ts div 86400000000000").as("day"),
             col("event_type"), col("value"))
@@ -126,7 +127,7 @@ object SourceQueries {
       "io04_orc_roundtrip",
       (s, dir) => {
         val t = Tables(s, dir)
-        val out = ioDir("io04", dir)
+        val out = ioDir(s, "io04", dir)
         t.lineitem.select(col("l_orderkey"), col("l_returnflag"),
             col("l_linestatus"), col("l_quantity"), col("l_extendedprice"))
           .write.mode("overwrite").orc(out)
@@ -162,7 +163,7 @@ object SourceQueries {
       "io05_compaction",
       (s, dir) => {
         val t = Tables(s, dir)
-        val base = ioDir("io05", dir)
+        val base = ioDir(s, "io05", dir)
         t.documents.repartition(40)
           .write.mode("overwrite").parquet(s"$base/frag")
         graft.ops.Lake.compactParquet(s, s"$base/frag", s"$base/compact",
@@ -195,7 +196,7 @@ object SourceQueries {
       "io06_zorder",
       (s, dir) => {
         val t = Tables(s, dir)
-        val base = ioDir("io06", dir)
+        val base = ioDir(s, "io06", dir)
         graft.ops.Lake.zorderWrite(
           t.lineitem.select(col("l_orderkey"), col("l_partkey"),
             col("l_suppkey"), col("l_quantity")),
@@ -235,7 +236,7 @@ object SourceQueries {
       "io07_shard_export",
       (s, dir) => {
         val t = Tables(s, dir)
-        val out = ioDir("io07", dir)
+        val out = ioDir(s, "io07", dir)
         val withTok = TextAnalysis.tokensRelation(t.documents, "text")
           .select(col("doc_id"), col("source"),
             size(col("toks")).cast("long").as("n_tokens"))
@@ -329,7 +330,7 @@ object SourceQueries {
       "io09_schema_evolution",
       (s, dir) => {
         val t = Tables(s, dir)
-        val out = ioDir("io09", dir)
+        val out = ioDir(s, "io09", dir)
         t.customer.filter(col("c_custkey") % 2 === 0)
           .select(col("c_custkey"), col("c_name"))
           .write.mode("overwrite").parquet(out)
@@ -363,7 +364,7 @@ object SourceQueries {
       "io10_snapshot_diff",
       (s, dir) => {
         val t = Tables(s, dir)
-        val out1 = ioDir("io10a", dir); val out2 = ioDir("io10b", dir)
+        val out1 = ioDir(s, "io10a", dir); val out2 = ioDir(s, "io10b", dir)
         val base = t.orders.select(col("o_orderkey"), col("o_totalprice"),
           col("o_orderstatus"))
         base.write.mode("overwrite").parquet(out1)
@@ -431,7 +432,7 @@ object SourceQueries {
       "io11_corrupt_records",
       (s, dir) => {
         val t = Tables(s, dir)
-        val out = ioDir("io11", dir)
+        val out = ioDir(s, "io11", dir)
         t.customer.select(
             when(col("c_custkey") % 13 === 0,
               concat(lit("{broken "), col("c_custkey").cast("string")))
@@ -472,7 +473,7 @@ object SourceQueries {
       "io12_time_travel",
       (s, dir) => {
         val t = Tables(s, dir)
-        val tdir = ioDir("io12", dir)
+        val tdir = ioDir(s, "io12", dir)
         val p = new org.apache.hadoop.fs.Path(tdir)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
         val base = t.customer
@@ -540,7 +541,7 @@ object SourceQueries {
       "io13_index_persist",
       (s, dir) => {
         val t = Tables(s, dir)
-        val out = ioDir("io13", dir)
+        val out = ioDir(s, "io13", dir)
         val emb = t.embeddings
         val probes = emb.filter(col("vec_id") >= 100 && col("vec_id") < 115)
         val built = graft.ops.Ivf.build(emb, "vec_id", "embedding",
@@ -587,7 +588,7 @@ object SourceQueries {
       "io14_dynamic_overwrite",
       (s, dir) => {
         val t = Tables(s, dir)
-        val out = ioDir("io14", dir)
+        val out = ioDir(s, "io14", dir)
         val ev = t.events
           .select(expr("ts div 86400000000000").as("day"),
             col("event_type"), col("value"))
@@ -636,7 +637,7 @@ object SourceQueries {
       "io15_sketch_store",
       (s, dir) => {
         val t = Tables(s, dir)
-        val out = ioDir("io15", dir)
+        val out = ioDir(s, "io15", dir)
         val ev = t.events.select(
           expr("ts div 86400000000000").as("day"),
           col("event_type"), col("user_id"))
@@ -681,7 +682,7 @@ object SourceQueries {
       "io16_parquet_bloom",
       (s, dir) => {
         val t = Tables(s, dir)
-        val out = ioDir("io16", dir)
+        val out = ioDir(s, "io16", dir)
         t.orders
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
           .write.mode("overwrite")

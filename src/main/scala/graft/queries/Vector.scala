@@ -1396,9 +1396,13 @@ object VectorQueries {
       (s, dir) => {
         val t = Tables(s, dir)
         val k = 4
-        val src = t.embeddings.filter(col("label") === 0)
+        // both sides bounded at ExactArmCap: the exact kNN-margin relation
+        // is certification apparatus, SF-independent work by design
+        val capped = t.embeddings.filter(
+          col("vec_id") < graft.ops.Similarity.ExactArmCap)
+        val src = capped.filter(col("label") === 0)
           .select(col("vec_id").as("src_id"), col("embedding").as("src_emb"))
-        val tgt = t.embeddings.filter(col("label") === 1)
+        val tgt = capped.filter(col("label") === 1)
           .select(col("vec_id").as("tgt_id"), col("embedding").as("tgt_emb"))
         val pairs = src.crossJoin(tgt)
           .select(col("src_id"), col("tgt_id"),
@@ -1428,11 +1432,11 @@ object VectorQueries {
       Some("""
         |WITH src AS (
         |  SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS src_emb
-        |  FROM embeddings WHERE label = 0
+        |  FROM embeddings WHERE label = 0 AND vec_id < 4000
         |),
         |tgt AS (
         |  SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS tgt_emb
-        |  FROM embeddings WHERE label = 1
+        |  FROM embeddings WHERE label = 1 AND vec_id < 4000
         |),
         |pairs AS (
         |  SELECT src_id, tgt_id,
@@ -1499,7 +1503,10 @@ object VectorQueries {
         s.conf.set(ApproxCosineJoinRule.PlanesKey, "64")
         s.conf.set(ApproxCosineJoinRule.BandsKey, "4")
         try {
-          val base = t.embeddings.select(col("vec_id"), col("embedding"))
+          // bounded at ExactArmCap like the other exact contract arms
+          val base = t.embeddings
+            .filter(col("vec_id") < graft.ops.Similarity.ExactArmCap)
+            .select(col("vec_id"), col("embedding"))
           val planted = base.filter(col("vec_id") % 10 === 0)
             .select((-col("vec_id") - 1L).as("vec_id"), col("embedding"))
           val all = base.unionByName(planted)
@@ -1532,10 +1539,10 @@ object VectorQueries {
       Some("""
         |WITH planted AS (
         |  SELECT -vec_id - 1 AS vec_id, embedding
-        |  FROM embeddings WHERE vec_id % 10 = 0
+        |  FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 4000
         |),
         |all_v AS (
-        |  SELECT vec_id, embedding FROM embeddings
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4000
         |  UNION ALL SELECT vec_id, embedding FROM planted
         |)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1646,8 +1653,12 @@ object VectorQueries {
         // ANY (query_id, rnk, vec_id, sim) relation, so an IVF front
         // (v09's index) drops in unchanged when approximate recall is
         // acceptable; this exact front IS the oracle-able gate form.
+        // both sides bounded at ExactArmCap: the exact kNN front is the
+        // oracle-able gate form, SF-independent work by design
+        val capped = t.embeddings.filter(
+          col("vec_id") < graft.ops.Similarity.ExactArmCap)
         val knn = graft.ops.Similarity.bruteForceTopKFused(
-          t.embeddings, t.embeddings, "vec_id", "embedding", k = 5)
+          capped, capped, "vec_id", "embedding", k = 5)
           .persist()
         graft.ops.Similarity.mutualKnn(knn)
           .orderBy(col("id_a"), col("id_b"))
@@ -1658,7 +1669,9 @@ object VectorQueries {
         |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                                      CAST(b.embedding AS DOUBLE[])), 6)
         |           AS sim
-        |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id <> b.vec_id
+        |    AND a.vec_id < 4000 AND b.vec_id < 4000
         |),
         |knn AS (
         |  SELECT ida, idb, sim,

@@ -174,6 +174,42 @@ class PipelineGateSpec extends SparkSpec {
     assert(KllSketch.n(KllSketch.mergeAll(halves)) === 10000L)
   }
 
+  test("KllDoublesSketchAgg keeps large-long quantiles EXACT members of " +
+      "the key set where the floats sketch narrows (the 2^24 gap)") {
+    import graft.functions.KllSketch
+    // ids far above 2^24: consecutive longs around 10^12 — adjacent values
+    // are NOT distinguishable in float32 (ulp at 1e12 is 131072)
+    val base = 1000000000000L
+    val keys = spark.range(50000L).select(($"id" + base).as("k"))
+    val keySet = keys.select($"k".cast("double")).as[Double]
+      .collect().toSet
+    // doubles sketch: every quantile read is an exact key
+    val dsk = keys.repartition(13)
+      .agg(KllSketch.doublesSketch($"k").as("sk"))
+      .head().getAs[Array[Byte]](0)
+    assert(KllSketch.doublesN(dsk) === 50000L)
+    Seq(0.1, 0.5, 0.9, 0.99).foreach { q =>
+      val est = KllSketch.doublesQuantile(dsk, q)
+      assert(keySet.contains(est),
+        s"doubles p$q estimate $est is not a member of the key stream")
+      val trueRank = keys.filter($"k".cast("double") <= est).count()
+        .toDouble / 50000.0
+      assert(math.abs(trueRank - q) <= 0.035,
+        s"doubles p$q rank $trueRank out of band")
+    }
+    // the floats sketch on the same stream returns NON-members: the
+    // narrowing collapses ~131072 consecutive ids onto each float, so a
+    // returned quantile is a member only if the narrowed value happens to
+    // round-trip — with ulp >> 1 it cannot for most keys
+    val fsk = keys.repartition(13)
+      .agg(KllSketch.sketch($"k").as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val floatMembers = Seq(0.1, 0.5, 0.9, 0.99)
+      .map(q => KllSketch.quantile(fsk, q)).count(keySet.contains)
+    assert(floatMembers < 4,
+      "floats sketch unexpectedly returned only exact members above 2^24")
+  }
+
   test("bloom gates report zero false negatives and bounded fp at sf0.001") {
     val a08 = SparkEntry.queries("a08_bloom_contract")(spark, sf001).head()
     assert(a08.getBoolean(2) && a08.getBoolean(3))
