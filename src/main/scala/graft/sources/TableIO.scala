@@ -62,7 +62,17 @@ object TableIO {
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.write.mode(SaveMode.Overwrite)
+    // Pre-partition on the bucket column into EXACTLY `buckets` tasks:
+    // Spark's bucket id is murmur3(col) pmod buckets — the same function
+    // HashPartitioning applies — so task i holds exactly bucket i and the
+    // table lands as ONE file per bucket. Without this, every upstream
+    // task writes a sliver into every bucket (tasks x buckets files): the
+    // commit then costs more than the data, and the bucketed read lists
+    // and merges the fragments per bucket on every query. The explicit
+    // count is exempt from AQE coalescing; at cluster scale `buckets`
+    // itself is sized to the fleet, so the write stays wide.
+    df.repartition(buckets, df.col(bucketCol))
+      .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(table)
   }
