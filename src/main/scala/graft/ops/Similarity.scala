@@ -395,19 +395,49 @@ object Similarity {
     *
     * Output: id_a < id_b, sim (rounded), cell.
     */
+  /** Cluster-scoped near-dup pairs (SemDeDup's candidate scheme): pairs
+    * are generated only within shared k-means cells, verified with the
+    * exact rounded cosine.
+    *
+    * `probes` > 1 is MULTI-PROBE assignment: each point enters its
+    * `probes` nearest cells (fused [[graft.functions.CentroidTopK]] scan
+    * over the index's centroids), so a pair is missed only if the two
+    * points share NONE of their probed cells — the recall cliff of
+    * single-assignment SemDeDup (a k-means boundary between two
+    * near-duplicates) disappears structurally rather than by tuning cell
+    * count. Candidate volume grows by at most `probes`^2/2 per pair,
+    * still linear in corpus size; duplicates from multiply-shared cells
+    * collapse in one keyed aggregation (min cell survives,
+    * deterministic).
+    */
   def clusterScopedPairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numCells: Int, roundTo: Int = 6,
-      iterations: Int = 2): DataFrame = {
+      iterations: Int = 2, probes: Int = 1): DataFrame = {
     val index = Ivf.buildCached(df.select(col(idCol), col(vecCol)),
       idCol, vecCol, numCells, iterations)
-    val a = index.cells.select(col("cell"),
+    val assigned =
+      if (probes <= 1) index.cells
+      else {
+        val cents = index.centroids.collect()
+          .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+        val ids = cents.map(_._1)
+        val mat = cents.map(_._2)
+        df.select(col(idCol), col(vecCol),
+          explode(graft.functions.CentroidTopK(col(vecCol), ids, mat,
+            probes)).as("cell"))
+      }
+    val a = assigned.select(col("cell"),
       col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = index.cells.select(col("cell"),
+    val b = assigned.select(col("cell"),
       col(idCol).as("id_b"), col(vecCol).as("vec_b"))
-    a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+    val verified = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
       .withColumn("sim", round(vector.cosine(col("vec_a"), col("vec_b")), roundTo))
       .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"), col("cell"))
+    if (probes <= 1) verified
+    else verified.groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("sim")).as("sim"), min(col("cell")).as("cell"))
       .select(col("id_a"), col("id_b"), col("sim"), col("cell"))
   }
 

@@ -22,6 +22,11 @@ import scala.collection.mutable
   * newline. A `/` after a value-position token lexes as division,
   * otherwise as a regex literal (the same prev-token heuristic real
   * engines' lexers use).
+  *
+  * Still outside the subset (otto parses them; no reference-suite oracle
+  * uses them): labeled break/continue, `with`, getters/setters in object
+  * literals, user prototype extension, and `this` (so user-function
+  * constructors work factory-style only — see JsInterp.newObject).
   */
 object JsLang {
 

@@ -604,6 +604,39 @@ class OpsSpec extends SparkSpec {
     assert(clustered.subsetOf(exact))
     // the two tight dup pairs live inside one cluster each — found
     assert(clustered.contains((0L, 1L)) && clustered.contains((10L, 11L)))
+
+    // multi-probe: still a subset of exact, at least single-probe recall,
+    // and no duplicate pair rows from multiply-shared cells
+    val multi = graft.ops.Similarity
+      .clusterScopedPairs(df, "vec_id", "embedding", threshold = 0.9,
+        numCells = 2, probes = 2)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(multi.length === multi.distinct.length, "duplicate pair rows")
+    assert(multi.toSet.subsetOf(exact))
+    assert(clustered.subsetOf(multi.toSet))
+  }
+
+  test("CentroidTopK: k=1 equals CentroidArgmax; top-2 is ordered by cosine") {
+    import graft.functions.{CentroidArgmax, CentroidTopK}
+    val cents = Array(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f), Array(0.7f, 0.7f, 0f, 0f))
+    val ids = Array(10, 20, 30, 40)
+    val vecs = Seq(
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),   // nearest 10, then 40
+      (2L, Array(0.6f, 0.62f, 0f, 0f)),  // nearest 40, then 20
+      (3L, Array(0f, 0f, 1f, 0.2f)))     // nearest 30
+      .toDF("id", "v")
+    val got = vecs.select($"id",
+        CentroidArgmax($"v", ids, cents).as("a1"),
+        CentroidTopK($"v", ids, cents, 1).as("t1"),
+        CentroidTopK($"v", ids, cents, 2).as("t2"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Int](2), r.getSeq[Int](3))).sortBy(_._1)
+    got.foreach { case (_, a1, t1, _) => assert(t1 === Seq(a1)) }
+    assert(got(0)._4 === Seq(10, 40))
+    assert(got(1)._4 === Seq(40, 20))
+    assert(got(2)._4.head === 30)
   }
 
   test("semDedupKeep keeps the min-id representative of each dup group") {
