@@ -115,6 +115,13 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
       fn.params.zipWithIndex.foreach { case (p, i) =>
         frame.declare(p, if (i < args.length) args(i) else JsUndef)
       }
+      // ES5 `arguments`: every function body sees its actual-argument list
+      // unless a parameter shadows the name. Exposed as an array (otto's is
+      // array-like without the Array methods — a superset here) so the
+      // common variadic idioms (`arguments.length`, `arguments[i]`) run.
+      if (!frame.has("arguments"))
+        frame.declare("arguments",
+          new JsArr(mutable.ArrayBuffer.from(args)))
       fn.name.foreach(nm => if (!frame.has(nm)) frame.declare(nm, fn))
       try {
         hoist(fn.body, frame)
@@ -415,13 +422,14 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
 
   // -------------------------------------------------- member/index access
   private def getMember(obj: JsVal, nm: String): JsVal = obj match {
-    case o: JsObj => o.fields.getOrElse(nm, JsUndef)
+    case o: JsObj =>
+      o.fields.getOrElse(nm, protoMethod(o, nm).getOrElse(JsUndef))
     case a: JsArr =>
       if (nm == "length") JsNum(a.items.length)
-      else arrayMethod(a, nm).getOrElse(JsUndef)
+      else arrayMethod(a, nm).orElse(protoMethod(a, nm)).getOrElse(JsUndef)
     case s: JsStr =>
       if (nm == "length") JsNum(s.s.length)
-      else stringMethod(s.s, nm).getOrElse(JsUndef)
+      else stringMethod(s.s, nm).orElse(protoMethod(s, nm)).getOrElse(JsUndef)
     case h: JsHost =>
       h.props.get(nm).map(_())
         .orElse(h.methods.get(nm).map(m =>
@@ -436,12 +444,37 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
       case "lastIndex"  => JsNum(re.lastIndex.toDouble)
       case _            => regexMethod(re, nm).getOrElse(JsUndef)
     }
-    case num: JsNum => numberMethod(num.v, nm).getOrElse(JsUndef)
-    case nf: JsNative => nf.statics.getOrElse(nm, JsUndef)
+    case num: JsNum =>
+      numberMethod(num.v, nm).orElse(protoMethod(num, nm)).getOrElse(JsUndef)
+    case fn: JsFunc =>
+      if (nm == "length") JsNum(fn.params.length)
+      else if (nm == "name") JsStr(fn.name.getOrElse(""))
+      else funcProto(fn, nm).orElse(protoMethod(fn, nm)).getOrElse(JsUndef)
+    case nf: JsNative =>
+      nf.statics.get(nm)
+        .orElse(funcProto(nf, nm)).orElse(protoMethod(nf, nm))
+        .getOrElse(JsUndef)
     case JsNull | JsUndef =>
       throw OracleRunError(
         s"TypeError: cannot read property '$nm' of ${typeOf(obj)}")
-    case _ => JsUndef
+    case other => protoMethod(other, nm).getOrElse(JsUndef)
+  }
+
+  /** `Function.prototype.call/apply` — the grammar has no `this`, so the
+    * thisArg is accepted and discarded; what oracles actually use these
+    * for is variadic application (`Math.max.apply(null, arr)`).
+    */
+  private def funcProto(f: JsVal, nm: String): Option[JsNative] = nm match {
+    case "call" => Some(new JsNative("call", -1, args =>
+      callFunction(f, args.drop(1))))
+    case "apply" => Some(new JsNative("apply", -1, args =>
+      callFunction(f, args.lift(1) match {
+        case Some(a: JsArr)               => a.items.toSeq
+        case Some(JsNull) | Some(JsUndef) | None => Seq.empty
+        case Some(other) => throw OracleRunError(
+          s"TypeError: second argument to apply must be an array, got ${typeOf(other)}")
+      })))
+    case _ => None
   }
 
   private def getIndexed(obj: JsVal, idx: JsVal): JsVal = obj match {
@@ -496,6 +529,45 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
           case _ => callFunction(getMember(obj, nm), args)
         }
       case _ => callFunction(getMember(obj, nm), args)
+    }
+
+  // ------------------------------------------- Object.prototype fallback
+  /** The `Object.prototype` methods every value inherits in ES5 — the
+    * fallback when no own field or type-specific builtin matched. The
+    * `for (k in obj) if (obj.hasOwnProperty(k))` guard is the canonical
+    * ES5 iteration idiom, so user oracles ported from otto rely on it
+    * even though this object model has no prototype chain to filter out.
+    */
+  private def protoMethod(self: JsVal, nm: String): Option[JsNative] =
+    nm match {
+      case "hasOwnProperty" => Some(new JsNative("hasOwnProperty", 1,
+        args => {
+          val key = toStr(args.headOption.getOrElse(JsUndef))
+          JsBool(self match {
+            case o: JsObj => o.fields.contains(key)
+            case a: JsArr => key == "length" ||
+              key.toIntOption.exists(i => i >= 0 && i < a.items.length)
+            case s: JsStr => key == "length" ||
+              key.toIntOption.exists(i => i >= 0 && i < s.s.length)
+            case _ => false
+          })
+        }))
+      case "propertyIsEnumerable" => Some(new JsNative(
+        "propertyIsEnumerable", 1, args => {
+          val key = toStr(args.headOption.getOrElse(JsUndef))
+          JsBool(self match {
+            case o: JsObj => o.fields.contains(key)
+            case a: JsArr =>
+              key.toIntOption.exists(i => i >= 0 && i < a.items.length)
+            case _ => false
+          })
+        }))
+      case "toString" =>
+        Some(new JsNative("toString", 0, _ => JsStr(toStr(self))))
+      case "valueOf" => Some(new JsNative("valueOf", 0, _ => self))
+      case "isPrototypeOf" => // no user prototype chains in this model
+        Some(new JsNative("isPrototypeOf", 1, _ => JsBool(false)))
+      case _ => None
     }
 
   // ------------------------------------------------------ array builtins

@@ -530,4 +530,49 @@ function mergeSomethingButThrowup(results) { throw "apple cider"; }""")
       """"hex":"ff","lio":4,"pHex":31,"pNeg":-42,"pSign":1,"shifted":2,""" +
       """"some":true,"spliced":"1","sub2":"de"}"""))
   }
+
+  test("Object.prototype surface: hasOwnProperty guard idiom, toString, " +
+      "valueOf; `arguments`; Function call/apply") {
+    // The canonical ES5 iteration guard — the single most common line of
+    // otto-era JavaScript an oracle author would port.
+    val guard = """function count(obj) {
+      var n = 0;
+      for (var k in obj) { if (obj.hasOwnProperty(k)) n++; }
+      return n + (obj.hasOwnProperty("missing") ? 100 : 0);
+    }"""
+    assert(runJs(guard, """{"a":1,"b":2}""") === Right("2"))
+
+    val proto = """function p() {
+      var arr = [10, 20];
+      return {
+        aIdx: arr.hasOwnProperty(1),
+        aOut: arr.hasOwnProperty(5),
+        aLen: arr.hasOwnProperty("length"),
+        oStr: ({}).toString(),
+        nStr: (42).valueOf() + 1,
+        sHas: "hi".hasOwnProperty(0),
+        pe: ({x: 1}).propertyIsEnumerable("x")
+      };
+    }"""
+    assert(runJs(proto) === Right("""{"aIdx":true,"aLen":true,""" +
+      """"aOut":false,"nStr":43,"oStr":"[object Object]","pe":true,""" +
+      """"sHas":true}"""))
+
+    // `arguments` makes variadic entry points runnable; apply makes the
+    // Math.max-over-an-array idiom work without a reduce.
+    val variadic = """function v() {
+      function sum() {
+        var t = 0;
+        for (var i = 0; i < arguments.length; i++) t += arguments[i];
+        return t;
+      }
+      return {
+        s: sum(1, 2, 3, 4),
+        mx: Math.max.apply(null, [3, 9, 4]),
+        cl: sum.call(null, 5, 6),
+        ln: sum.length
+      };
+    }"""
+    assert(runJs(variadic) === Right("""{"cl":11,"ln":0,"mx":9,"s":10}"""))
+  }
 }
