@@ -18,11 +18,35 @@ final case class JsBool(b: Boolean) extends JsVal
 case object JsNull extends JsVal
 case object JsUndef extends JsVal
 final class JsObj(val fields: mutable.LinkedHashMap[String, JsVal] =
-    mutable.LinkedHashMap.empty) extends JsVal
+    mutable.LinkedHashMap.empty) extends JsVal {
+  /** ES5 [[Prototype]] link — set once at construction (`new F()` points
+    * it at `F.prototype`), so prototype graphs are acyclic by creation
+    * order. Member reads walk it; writes always land on own fields.
+    */
+  var proto: JsObj = null
+  /** Keys excluded from `for (k in o)` — the auto-seeded non-enumerable
+    * `constructor` on a function's default prototype object.
+    */
+  var nonEnumerable: Set[String] = Set.empty
+}
 final class JsArr(val items: mutable.ArrayBuffer[JsVal] =
     mutable.ArrayBuffer.empty) extends JsVal
 final class JsFunc(val name: Option[String], val params: Seq[String],
-    val body: Seq[Stmt], val closure: JsInterp.Env) extends JsVal
+    val body: Seq[Stmt], val closure: JsInterp.Env) extends JsVal {
+  /** `F.prototype` — auto-created on first touch with a non-enumerable
+    * `constructor` back-link (ES5 13.2), replaceable by assignment
+    * (`Child.prototype = new Parent()` is the ES5 inheritance idiom).
+    */
+  var prototypeObj: JsObj = null
+  def prototypeRef: JsObj = {
+    if (prototypeObj == null) {
+      prototypeObj = new JsObj
+      prototypeObj.fields("constructor") = this
+      prototypeObj.nonEnumerable = Set("constructor")
+    }
+    prototypeObj
+  }
+}
 final class JsNative(val name: String, val arity: Int,
     val fn: Seq[JsVal] => JsVal,
     /** Static members reachable as `Name.member` (e.g.
@@ -108,10 +132,15 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
       case _ => ()
     }
 
-  def callFunction(f: JsVal, args: Seq[JsVal]): JsVal = f match {
+  def callFunction(f: JsVal, args: Seq[JsVal],
+      thisVal: JsVal = JsUndef): JsVal = f match {
     case fn: JsFunc =>
       tick()
       val frame = new Env(Some(fn.closure))
+      // EVERY frame binds `this` (undefined on plain calls), so a nested
+      // plain call never sees the enclosing method's receiver through the
+      // closure — the ES5 behavior the `var self = this` idiom exists for.
+      frame.declare("this", thisVal)
       fn.params.zipWithIndex.foreach { case (p, i) =>
         frame.declare(p, if (i < args.length) args(i) else JsUndef)
       }
@@ -181,7 +210,17 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
       case ForIn(nm, declare, objE, body) =>
         if (declare && !env.has(nm)) env.declare(nm, JsUndef)
         val keys: Seq[String] = eval(objE, env) match {
-          case o: JsObj => o.fields.keys.toSeq
+          case o: JsObj =>
+            // ES5 for-in: own enumerable keys, then inherited ones not
+            // shadowed; the auto-seeded `constructor` is non-enumerable.
+            val seen = mutable.LinkedHashSet.empty[String]
+            var cur = o
+            while (cur != null) {
+              cur.fields.keys.foreach(k =>
+                if (!cur.nonEnumerable.contains(k)) seen += k)
+              cur = cur.proto
+            }
+            seen.toSeq
           case a: JsArr => a.items.indices.map(_.toString)
           case _        => Seq.empty
         }
@@ -248,6 +287,7 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
       case BoolLit(b) => JsBool(b)
       case RegexLit(pat, flags) => mkRegex(pat, flags)
       case NullLit    => JsNull
+      case ThisExpr   => env.lookup("this").getOrElse(JsUndef)
       case Ident("undefined") => JsUndef
       case Ident("NaN")       => JsNum(Double.NaN)
       case Ident("Infinity")  => JsNum(Double.PositiveInfinity)
@@ -374,13 +414,15 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
       case other =>
         eval(other, env) match {
           case f: JsFunc =>
-            callFunction(f, args) match {
+            // ES5 13.2.2: a fresh object whose [[Prototype]] is
+            // F.prototype becomes `this`; an object return value wins
+            // over the instance, any other return is discarded.
+            val inst = new JsObj
+            inst.proto = f.prototypeRef
+            callFunction(f, args, thisVal = inst) match {
               case o: JsObj => o
               case a: JsArr => a
-              case _ => throw OracleRunError(
-                "TypeError: constructing a user function that does not " +
-                  "return an object needs `this`, which the oracle subset " +
-                  "does not model")
+              case _        => inst
             }
           case v =>
             throw OracleRunError(s"TypeError: ${typeOf(v)} is not a constructor")
@@ -392,6 +434,12 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
     case Member(objE, nm) =>
       eval(objE, env) match {
         case o: JsObj => o.fields(nm) = v
+        case f: JsFunc if nm == "prototype" => v match {
+          case p: JsObj => f.prototypeObj = p
+          case other => throw OracleRunError(
+            "TypeError: a function prototype must be an object, got " +
+              typeOf(other))
+        }
         case re: JsRegex if nm == "lastIndex" =>
           re.lastIndex = math.max(0, toNum(v).toInt)
         case a: JsArr if nm == "length" =>
@@ -423,7 +471,7 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
   // -------------------------------------------------- member/index access
   private def getMember(obj: JsVal, nm: String): JsVal = obj match {
     case o: JsObj =>
-      o.fields.getOrElse(nm, protoMethod(o, nm).getOrElse(JsUndef))
+      ownOrInherited(o, nm).orElse(protoMethod(o, nm)).getOrElse(JsUndef)
     case a: JsArr =>
       if (nm == "length") JsNum(a.items.length)
       else arrayMethod(a, nm).orElse(protoMethod(a, nm)).getOrElse(JsUndef)
@@ -447,7 +495,8 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
     case num: JsNum =>
       numberMethod(num.v, nm).orElse(protoMethod(num, nm)).getOrElse(JsUndef)
     case fn: JsFunc =>
-      if (nm == "length") JsNum(fn.params.length)
+      if (nm == "prototype") fn.prototypeRef
+      else if (nm == "length") JsNum(fn.params.length)
       else if (nm == "name") JsStr(fn.name.getOrElse(""))
       else funcProto(fn, nm).orElse(protoMethod(fn, nm)).getOrElse(JsUndef)
     case nf: JsNative =>
@@ -460,20 +509,32 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
     case other => protoMethod(other, nm).getOrElse(JsUndef)
   }
 
-  /** `Function.prototype.call/apply` — the grammar has no `this`, so the
-    * thisArg is accepted and discarded; what oracles actually use these
-    * for is variadic application (`Math.max.apply(null, arr)`).
+  /** Own field or one inherited through the [[Prototype]] chain. */
+  private def ownOrInherited(o: JsObj, nm: String): Option[JsVal] = {
+    var cur = o
+    while (cur != null) {
+      val hit = cur.fields.get(nm)
+      if (hit.isDefined) return hit
+      cur = cur.proto
+    }
+    None
+  }
+
+  /** `Function.prototype.call/apply`: the first argument becomes `this`
+    * for the invocation (`Math.max.apply(null, arr)` for variadics,
+    * `Parent.call(this, ...)` for constructor chaining).
     */
   private def funcProto(f: JsVal, nm: String): Option[JsNative] = nm match {
     case "call" => Some(new JsNative("call", -1, args =>
-      callFunction(f, args.drop(1))))
+      callFunction(f, args.drop(1),
+        thisVal = args.headOption.getOrElse(JsUndef))))
     case "apply" => Some(new JsNative("apply", -1, args =>
       callFunction(f, args.lift(1) match {
         case Some(a: JsArr)               => a.items.toSeq
         case Some(JsNull) | Some(JsUndef) | None => Seq.empty
         case Some(other) => throw OracleRunError(
           s"TypeError: second argument to apply must be an array, got ${typeOf(other)}")
-      })))
+      }, thisVal = args.headOption.getOrElse(JsUndef))))
     case _ => None
   }
 
@@ -485,7 +546,7 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
           if (i >= 0 && i < a.items.length) a.items(i) else JsUndef
         case _ => getMember(a, toStr(idx))
       }
-    case o: JsObj => o.fields.getOrElse(toStr(idx), JsUndef)
+    case o: JsObj => getMember(o, toStr(idx))
     case s: JsStr =>
       idx match {
         case JsNum(d) if d.isWhole && d >= 0 && d < s.s.length =>
@@ -497,6 +558,9 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
 
   private def callMethod(obj: JsVal, nm: String, args: Seq[JsVal]): JsVal =
     obj match {
+      case o: JsObj =>
+        // a method call on an object binds the receiver as `this`
+        callFunction(getMember(o, nm), args, thisVal = o)
       case h: JsHost =>
         h.methods.get(nm) match {
           case Some(m) => tick(); m(args)
@@ -927,7 +991,7 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
     case "in" =>
       val key = toStr(l)
       r match {
-        case o: JsObj => JsBool(o.fields.contains(key))
+        case o: JsObj => JsBool(ownOrInherited(o, key).isDefined)
         case a: JsArr =>
           val d = toNum(l)
           JsBool(key == "length" ||
@@ -938,6 +1002,20 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
             s"TypeError: cannot use 'in' operator to search for '$key' in ${typeOf(r)}")
       }
     case "instanceof" =>
+      r match {
+        // user constructor: walk the instance's [[Prototype]] chain for
+        // identity with F.prototype (never auto-create it here — a
+        // function whose prototype was never touched has no instances)
+        case f: JsFunc =>
+          var cur = l match { case o: JsObj => o.proto; case _ => null }
+          var hit = false
+          while (cur != null && !hit) {
+            hit = f.prototypeObj != null && (cur eq f.prototypeObj)
+            cur = cur.proto
+          }
+          return JsBool(hit)
+        case _ => ()
+      }
       val ctor = r match {
         case n: JsNative => n.name
         case h: JsHost   => h.hostName

@@ -23,10 +23,15 @@ import scala.collection.mutable
   * otherwise as a regex literal (the same prev-token heuristic real
   * engines' lexers use).
   *
+  * `this` is a primary expression; user-function constructors get the
+  * full ES5 13.2 semantics (fresh instance as `this`, [[Prototype]] from
+  * `F.prototype`, object returns win), method calls bind the receiver,
+  * and `F.prototype` chains resolve/shadow/instanceof like ES5 — see
+  * JsInterp.
+  *
   * Still outside the subset (otto parses them; no reference-suite oracle
-  * uses them): labeled break/continue, `with`, getters/setters in object
-  * literals, user prototype extension, and `this` (so user-function
-  * constructors work factory-style only — see JsInterp.newObject).
+  * uses them): labeled break/continue, `with`, and getters/setters in
+  * object literals.
   */
 object JsLang {
 
@@ -61,6 +66,7 @@ object JsLang {
   final case class RegexLit(pattern: String, flags: String) extends Expr
   final case class NewExpr(callee: Expr, args: Seq[Expr]) extends Expr
   case object NullLit extends Expr
+  case object ThisExpr extends Expr
   final case class Ident(name: String) extends Expr
   final case class ArrLit(items: Seq[Expr]) extends Expr
   final case class ObjLit(fields: Seq[(String, Expr)]) extends Expr
@@ -533,6 +539,7 @@ object JsLang {
       case "true"     => advance(); BoolLit(true)
       case "false"    => advance(); BoolLit(false)
       case "null"     => advance(); NullLit
+      case "this"     => advance(); ThisExpr
       case "ident"    => Ident(advance().text)
       case "function" => funcLiteral(requireName = false)
       case "new" =>

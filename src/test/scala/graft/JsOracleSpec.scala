@@ -575,4 +575,61 @@ function mergeSomethingButThrowup(results) { throw "apple cider"; }""")
     }"""
     assert(runJs(variadic) === Right("""{"cl":11,"ln":0,"mx":9,"s":10}"""))
   }
+
+  test("this, user constructors, and prototype chains (ES5 13.2)") {
+    // Constructor + prototype method + inheritance via the classic
+    // Child.prototype = new Parent() idiom, with Parent.call(this, ...)
+    // constructor chaining — the shape otto-era user types take.
+    val code = """function run() {
+      function Point(x, y) { this.x = x; this.y = y; }
+      Point.prototype.norm2 = function () {
+        return this.x * this.x + this.y * this.y;
+      };
+      Point.prototype.kind = "point";
+
+      function Point3(x, y, z) { Point.call(this, x, y); this.z = z; }
+      Point3.prototype = new Point(0, 0);
+      Point3.prototype.norm2 = function () {
+        return this.x * this.x + this.y * this.y + this.z * this.z;
+      };
+
+      var p = new Point(3, 4);
+      var q = new Point3(1, 2, 2);
+      var ownKeys = [];
+      for (var k in p) ownKeys.push(k);   // x, y + inherited norm2/kind
+      ownKeys.sort();
+
+      // a detached method call loses its receiver (plain call => this
+      // undefined), so the var-self idiom is what works:
+      var saw = null;
+      function Counter() {
+        var self = this;
+        this.n = 7;
+        (function () { saw = self.n; })();
+      }
+      new Counter();
+
+      return {
+        pn: p.norm2(), qn: q.norm2(),
+        kind: q.kind,                      // two-level prototype walk
+        inst: [p instanceof Point, q instanceof Point3,
+               q instanceof Point, p instanceof Point3],
+        ctor: p.constructor === Point,     // non-enumerable back-link
+        keys: ownKeys.join(","),
+        own: p.hasOwnProperty("x") && !p.hasOwnProperty("norm2"),
+        inOp: "norm2" in p,                // `in` sees inherited
+        shadow: (function () {
+          var r = new Point(1, 1);
+          r.norm2 = function () { return 99; }; // own field shadows proto
+          return r.norm2();
+        })(),
+        saw: saw,
+        thisTop: typeof this               // plain-run entry: undefined
+      };
+    }"""
+    assert(runJs(code) === Right("""{"ctor":true,"inOp":true,""" +
+      """"inst":[true,true,true,false],"keys":"kind,norm2,x,y",""" +
+      """"kind":"point","own":true,"pn":25,"qn":9,"saw":7,""" +
+      """"shadow":99,"thisTop":"undefined"}"""))
+  }
 }
