@@ -76,6 +76,20 @@ final class JsRegex(val source: String, val flags: String) extends JsVal {
   }
 }
 
+/** A Date value: epoch milliseconds (NaN = Invalid Date). The engine is
+  * UTC-pinned (the Spark sessions run with spark.sql.session.timeZone
+  * UTC), so the local-time getters alias their getUTC* forms — the one
+  * documented deviation from a host-zone-dependent ES5 Date.
+  */
+final class JsDate(var ms: Double) extends JsVal {
+  def instant: java.time.ZonedDateTime = {
+    if (ms.isNaN || ms.isInfinite)
+      throw OracleRunError("RangeError: Invalid time value")
+    java.time.Instant.ofEpochMilli(ms.toLong)
+      .atZone(java.time.ZoneOffset.UTC)
+  }
+}
+
 /** A JS `throw` in flight. Escapes the interpreter when uncaught; the
   * oracle layer converts it to a run error with otto's message (a thrown
   * string exports as the bare string — master/service_test.go:683 pins
@@ -411,6 +425,14 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
       case Ident("RegExp") =>
         mkRegex(args.headOption.map(toStr).getOrElse(""),
           args.lift(1).map(toStr).getOrElse(""))
+      case Ident("Date") =>
+        new JsDate(args match {
+          case Seq()           => System.currentTimeMillis.toDouble
+          case Seq(s: JsStr)   => dateParse(s.s)
+          case Seq(d: JsDate)  => d.ms
+          case Seq(one)        => toNum(one)
+          case fields          => dateFromFields(fields.map(toNum))
+        })
       case other =>
         eval(other, env) match {
           case f: JsFunc =>
@@ -492,6 +514,8 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
       case "lastIndex"  => JsNum(re.lastIndex.toDouble)
       case _            => regexMethod(re, nm).getOrElse(JsUndef)
     }
+    case d: JsDate =>
+      dateMethod(d, nm).orElse(protoMethod(d, nm)).getOrElse(JsUndef)
     case num: JsNum =>
       numberMethod(num.v, nm).orElse(protoMethod(num, nm)).getOrElse(JsUndef)
     case fn: JsFunc =>
@@ -584,6 +608,11 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
         }
       case re: JsRegex =>
         regexMethod(re, nm) match {
+          case Some(nf: JsNative) => tick(); nf.fn(args)
+          case _ => callFunction(getMember(obj, nm), args)
+        }
+      case d: JsDate =>
+        dateMethod(d, nm) match {
           case Some(nf: JsNative) => tick(); nf.fn(args)
           case _ => callFunction(getMember(obj, nm), args)
         }
@@ -931,6 +960,42 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
     case _ => None
   }
 
+  // ------------------------------------------------------- date builtins
+  private def dateMethod(d: JsDate, nm: String): Option[JsNative] = {
+    // every getter returns NaN on an Invalid Date (ES5 15.9.5)
+    def get(f: java.time.ZonedDateTime => Double): Seq[JsVal] => JsVal =
+      _ => JsNum(if (d.ms.isNaN || d.ms.isInfinite) Double.NaN
+                 else f(d.instant))
+    def g(name: String)(f: java.time.ZonedDateTime => Double) =
+      Some(new JsNative(name, 0, get(f)))
+    nm match {
+      case "getTime" | "valueOf" => Some(new JsNative(nm, 0, _ => JsNum(d.ms)))
+      case "setTime" => Some(new JsNative("setTime", 1, args => {
+        d.ms = toNum(args.headOption.getOrElse(JsUndef))
+        JsNum(d.ms)
+      }))
+      // UTC-pinned engine: the local getters alias getUTC* (class doc)
+      case "getFullYear" | "getUTCFullYear" => g(nm)(_.getYear.toDouble)
+      case "getMonth" | "getUTCMonth" => g(nm)(_.getMonthValue - 1.0)
+      case "getDate" | "getUTCDate" => g(nm)(_.getDayOfMonth.toDouble)
+      case "getDay" | "getUTCDay" => // JS: 0 = Sunday; ISO: 7 = Sunday
+        g(nm)(z => z.getDayOfWeek.getValue % 7.0)
+      case "getHours" | "getUTCHours" => g(nm)(_.getHour.toDouble)
+      case "getMinutes" | "getUTCMinutes" => g(nm)(_.getMinute.toDouble)
+      case "getSeconds" | "getUTCSeconds" => g(nm)(_.getSecond.toDouble)
+      case "getMilliseconds" | "getUTCMilliseconds" =>
+        g(nm)(_.getNano / 1e6)
+      case "getTimezoneOffset" => g(nm)(_ => 0.0)
+      case "toISOString" => Some(new JsNative(nm, 0, _ =>
+        JsStr(dateIso(d)))) // throws RangeError on Invalid Date via instant
+      case "toJSON" => Some(new JsNative(nm, 0, _ =>
+        if (d.ms.isNaN || d.ms.isInfinite) JsNull else JsStr(dateIso(d))))
+      case "toString" | "toUTCString" | "toDateString" =>
+        Some(new JsNative(nm, 0, _ => JsStr(toStr(d))))
+      case _ => None
+    }
+  }
+
   // ----------------------------------------------------- number builtins
   private def numberMethod(d: Double, nm: String): Option[JsNative] = nm match {
     case "toFixed" => Some(new JsNative("toFixed", 1, args => {
@@ -1024,8 +1089,9 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
       }
       JsBool(ctor match {
         case "Array"    => l.isInstanceOf[JsArr]
+        case "Date"     => l.isInstanceOf[JsDate]
         case "Object"   => l.isInstanceOf[JsObj] || l.isInstanceOf[JsArr] ||
-                           l.isInstanceOf[JsRegex]
+                           l.isInstanceOf[JsRegex] || l.isInstanceOf[JsDate]
         case "Function" => l.isInstanceOf[JsFunc] || l.isInstanceOf[JsNative]
         case "RegExp"   => l.isInstanceOf[JsRegex]
         case "Error"    => l match {
@@ -1104,6 +1170,7 @@ object JsInterp {
       val t = s.trim
       if (t.isEmpty) 0
       else try t.toDouble catch { case _: NumberFormatException => Double.NaN }
+    case d: JsDate => d.ms // arithmetic over dates works in epoch ms
     case o => toNum(toPrimitive(o))
   }
 
@@ -1141,6 +1208,10 @@ object JsInterp {
         s"${toStr(o.fields("name"))}: ${toStr(o.fields("message"))}"
       else "[object Object]"
     case re: JsRegex => s"/${re.source}/${re.flags}"
+    case d: JsDate =>
+      if (d.ms.isNaN || d.ms.isInfinite) "Invalid Date"
+      else d.instant.format(java.time.format.DateTimeFormatter.ofPattern(
+        "EEE MMM dd yyyy HH:mm:ss 'GMT+0000 (UTC)'", java.util.Locale.US))
     case f: JsFunc => s"function ${f.name.getOrElse("")}() { ... }"
     case n: JsNative => s"function ${n.name}() { [native] }"
     case h: JsHost => s"[object ${h.hostName}]"
@@ -1148,9 +1219,50 @@ object JsInterp {
 
   private def toPrimitive(v: JsVal): JsVal = v match {
     case _: JsObj | _: JsArr | _: JsFunc | _: JsNative | _: JsHost |
-         _: JsRegex =>
+         _: JsRegex | _: JsDate => // Date's default hint is String (ES5 8.12.8)
       JsStr(toStr(v))
     case prim => prim
+  }
+
+  /** ES5 15.9.1.15 ISO form, millisecond precision, Z suffix. */
+  def dateIso(d: JsDate): String =
+    d.instant.format(java.time.format.DateTimeFormatter.ofPattern(
+      "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
+
+  /** Date.parse over the formats oracles see: ISO 8601 instants
+    * (with offset or Z), ISO date-times without a zone (read as UTC),
+    * and bare dates. Anything else is NaN, like ES5.
+    */
+  def dateParse(s: String): Double = {
+    val t = s.trim
+    def tryParse(f: => Double): Option[Double] =
+      try Some(f) catch { case _: Exception => None }
+    tryParse(java.time.OffsetDateTime.parse(t).toInstant.toEpochMilli.toDouble)
+      .orElse(tryParse(java.time.Instant.parse(t).toEpochMilli.toDouble))
+      .orElse(tryParse(java.time.LocalDateTime.parse(t)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli.toDouble))
+      .orElse(tryParse(java.time.LocalDate.parse(t).atStartOfDay
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli.toDouble))
+      .getOrElse(Double.NaN)
+  }
+
+  /** Date.UTC / `new Date(y, m, d, h, mi, s, ms)` field constructor —
+    * month is 0-based, out-of-range fields roll over (plusX arithmetic).
+    */
+  def dateFromFields(fields: Seq[Double]): Double = {
+    if (fields.exists(d => d.isNaN || d.isInfinite)) return Double.NaN
+    val year = fields.head.toInt match {
+      case y if y >= 0 && y <= 99 => 1900 + y // two-digit years (ES5)
+      case y => y
+    }
+    java.time.LocalDateTime.of(year, 1, 1, 0, 0)
+      .plusMonths(fields.lift(1).map(_.toLong).getOrElse(0L))
+      .plusDays(fields.lift(2).map(_.toLong - 1).getOrElse(0L))
+      .plusHours(fields.lift(3).map(_.toLong).getOrElse(0L))
+      .plusMinutes(fields.lift(4).map(_.toLong).getOrElse(0L))
+      .plusSeconds(fields.lift(5).map(_.toLong).getOrElse(0L))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli.toDouble +
+      fields.lift(6).getOrElse(0.0).toLong
   }
 
   def mkRegex(pattern: String, flags: String): JsRegex =
@@ -1244,6 +1356,9 @@ object JsInterp {
       case JsNull    => Some("null")
       case JsUndef | _: JsFunc | _: JsNative | _: JsHost => None
       case _: JsRegex => Some("{}")
+      case d: JsDate =>
+        Some(if (d.ms.isNaN || d.ms.isInfinite) "null"
+             else quote(dateIso(d)))
       case a: JsArr =>
         val inner = pad + indent
         val items = a.items.map(x => go(x, inner).getOrElse("null"))
@@ -1312,6 +1427,8 @@ object JsInterp {
     case JsNull | JsUndef => JNull
     case a: JsArr => JArray(a.items.map(toJson).toList)
     case _: JsRegex => JObject(Nil) // regexes marshal as {} (no data fields)
+    case d: JsDate => // ES5 Date.prototype.toJSON: ISO string, null invalid
+      if (d.ms.isNaN || d.ms.isInfinite) JNull else JString(dateIso(d))
     case o: JsObj =>
       JObject(o.fields.toSeq.sortBy(_._1).map { case (k, x) => k -> toJson(x) }.toList)
     case f: JsFunc =>

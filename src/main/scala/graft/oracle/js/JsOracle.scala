@@ -511,6 +511,20 @@ object JsOracle {
         args => JsBool(args.headOption.exists(_.isInstanceOf[JsArr]))))))
     env.declare("Boolean", new JsNative("Boolean", 1,
       args => JsBool(JsInterp.truthy(args.headOption.getOrElse(JsUndef)))))
+    // `new Date(...)` is interpreter-special-cased; this binding carries
+    // the statics, `instanceof Date`, and the ES5 plain-call form (which
+    // ignores its arguments and returns the current time as a string)
+    env.declare("Date", new JsNative("Date", -1,
+      _ => JsStr(JsInterp.toStr(
+        new JsDate(System.currentTimeMillis.toDouble))),
+      statics = Map(
+        "now" -> new JsNative("now", 0,
+          _ => JsNum(System.currentTimeMillis.toDouble)),
+        "parse" -> new JsNative("parse", 1, args =>
+          JsNum(JsInterp.dateParse(
+            JsInterp.toStr(args.headOption.getOrElse(JsUndef))))),
+        "UTC" -> new JsNative("UTC", -1, args =>
+          JsNum(JsInterp.dateFromFields(args.map(JsInterp.toNum)))))))
     env.declare("RegExp", new JsNative("RegExp", 2, args =>
       args.headOption match {
         case Some(re: JsRegex) => re // RegExp(re) returns it unchanged

@@ -632,4 +632,36 @@ function mergeSomethingButThrowup(results) { throw "apple cider"; }""")
       """"kind":"point","own":true,"pn":25,"qn":9,"saw":7,""" +
       """"shadow":99,"thisTop":"undefined"}"""))
   }
+
+  test("Date: UTC-pinned ES5 subset (ctor forms, getters, parse, " +
+      "arithmetic, ISO/JSON round trip)") {
+    val code = """function d() {
+      var t = new Date(Date.UTC(2026, 7, 16, 1, 30, 0, 250));
+      var iso = new Date("2026-08-16T01:30:00.250Z");
+      var parsed = Date.parse("2026-08-16");
+      var bad = new Date("definitely not a date");
+      return {
+        ms: t.getTime(),
+        same: t.getTime() === iso.valueOf(),
+        y: t.getUTCFullYear(), mo: t.getMonth(), day: t.getUTCDate(),
+        dow: t.getDay(),                       // 2026-08-16 is a Sunday
+        hh: t.getHours(), mm: t.getMinutes(), msec: t.getMilliseconds(),
+        tz: t.getTimezoneOffset(),
+        midnight: parsed,
+        diffH: (t.getTime() - parsed) / 3600000,
+        iso: t.toISOString(),
+        json: JSON.stringify({when: t}),
+        inst: t instanceof Date,
+        badNaN: isNaN(bad.getTime()),
+        cmp: iso - new Date(0)                 // arithmetic in epoch ms
+      };
+    }"""
+    // 2026-08-16T01:30:00.250Z = 1786843800250 ms
+    assert(runJs(code) === Right("""{"badNaN":true,"cmp":1786843800250,""" +
+      """"day":16,"diffH":1.5000694444444445,"dow":0,"hh":1,""" +
+      """"inst":true,"iso":"2026-08-16T01:30:00.250Z",""" +
+      """"json":"{\"when\":\"2026-08-16T01:30:00.250Z\"}",""" +
+      """"midnight":1786838400000,"mm":30,"mo":7,"ms":1786843800250,""" +
+      """"msec":250,"same":true,"tz":0,"y":2026}"""))
+  }
 }
