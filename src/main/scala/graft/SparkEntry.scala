@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{GraphQueries, MixQueries, QueryDef, Relational,
-  SeriesQueries, SourceQueries, StreamingQueries, TextQueries, VectorQueries}
+import graft.queries.{GraphQueries, MixQueries, OracleQueries, QueryDef,
+  Relational, SeriesQueries, SourceQueries, StreamingQueries, TextQueries,
+  VectorQueries}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +18,7 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     Relational.defs ++ VectorQueries.defs ++ TextQueries.defs ++
       MixQueries.defs ++ SeriesQueries.defs ++ SourceQueries.defs ++
-      StreamingQueries.defs ++ GraphQueries.defs
+      StreamingQueries.defs ++ GraphQueries.defs ++ OracleQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * findSimilar — the reference's canonical oracle (README.md:139-166).

@@ -224,6 +224,24 @@ object RecordStore {
     new RecordStore(spark, spark.emptyDataset[SumRecord], 1L, Set.empty)
   }
 
+  /** Wrap an existing distributed Dataset as a store WITHOUT pulling it to
+    * the driver — the ingest path for lake-resident corpora (two KB-sized
+    * aggregates compute nextId and the meta key set, as [[load]] does).
+    */
+  def fromDataset(spark: SparkSession,
+      records: Dataset[SumRecord]): RecordStore = {
+    import spark.implicits._
+    val ds = records.map(SumRecord.withDefaultShape)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val maxId = ds.agg(max(col("id"))).collect().head match {
+      case row if row.isNullAt(0) => 0L
+      case row                    => row.getLong(0)
+    }
+    val keys = ds.select(explode(map_keys(col("meta"))).as("k"))
+      .distinct().as[String].collect().toSet
+    new RecordStore(spark, ds, maxId + 1, keys)
+  }
+
   def fromRecords(spark: SparkSession, recs: Seq[SumRecord]): RecordStore = {
     val s = empty(spark)
     s.createManyWithId(recs.map(SumRecord.withDefaultShape)) match {
