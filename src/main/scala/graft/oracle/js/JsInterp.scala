@@ -125,10 +125,10 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
 
   private final case class ReturnSignal(v: JsVal) extends RuntimeException
     with scala.util.control.NoStackTrace
-  private final case class BreakSignal() extends RuntimeException
-    with scala.util.control.NoStackTrace
-  private final case class ContinueSignal() extends RuntimeException
-    with scala.util.control.NoStackTrace
+  private final case class BreakSignal(label: Option[String])
+    extends RuntimeException with scala.util.control.NoStackTrace
+  private final case class ContinueSignal(label: Option[String])
+    extends RuntimeException with scala.util.control.NoStackTrace
 
   // ------------------------------------------------------------- driving
   /** Execute a program in `env`: hoist function declarations, run the
@@ -170,7 +170,16 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
         hoist(fn.body, frame)
         fn.body.foreach(stmt(_, frame))
         JsUndef
-      } catch { case ReturnSignal(v) => v }
+      } catch {
+        case ReturnSignal(v) => v
+        // a break/continue naming a label that no enclosing statement
+        // declares — real engines reject it at parse; surface the same
+        // class of error rather than leaking a control signal
+        case BreakSignal(l) => throw OracleRunError(
+          s"SyntaxError: undefined label '${l.getOrElse("")}'")
+        case ContinueSignal(l) => throw OracleRunError(
+          s"SyntaxError: undefined label '${l.getOrElse("")}'")
+      }
     case nf: JsNative => tick(); nf.fn(args)
     case other =>
       throw OracleRunError(s"TypeError: ${typeOf(other)} is not a function")
@@ -193,59 +202,18 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
         stmts.foreach(stmt(_, env))
       case If(c, t, e) =>
         if (truthy(eval(c, env))) stmt(t, env) else e.foreach(stmt(_, env))
-      case While(c, body) =>
-        while (truthy(eval(c, env))) {
-          try stmt(body, env)
-          catch {
-            case _: ContinueSignal => ()
-            case _: BreakSignal    => return
-          }
-        }
-      case DoWhile(body, c) =>
-        var go = true
-        while (go) {
-          try stmt(body, env)
-          catch {
-            case _: ContinueSignal => ()
-            case _: BreakSignal    => return
-          }
-          go = truthy(eval(c, env))
-        }
-      case For(init, cond, upd, body) =>
-        init.foreach(stmt(_, env))
-        while (cond.forall(c => truthy(eval(c, env)))) {
-          try stmt(body, env)
-          catch {
-            case _: ContinueSignal => ()
-            case _: BreakSignal    => return
-          }
-          upd.foreach(eval(_, env))
-        }
-      case ForIn(nm, declare, objE, body) =>
-        if (declare && !env.has(nm)) env.declare(nm, JsUndef)
-        val keys: Seq[String] = eval(objE, env) match {
-          case o: JsObj =>
-            // ES5 for-in: own enumerable keys, then inherited ones not
-            // shadowed; the auto-seeded `constructor` is non-enumerable.
-            val seen = mutable.LinkedHashSet.empty[String]
-            var cur = o
-            while (cur != null) {
-              cur.fields.keys.foreach(k =>
-                if (!cur.nonEnumerable.contains(k)) seen += k)
-              cur = cur.proto
-            }
-            seen.toSeq
-          case a: JsArr => a.items.indices.map(_.toString)
-          case _        => Seq.empty
-        }
-        keys.foreach { k =>
-          assignTo(Ident(nm), JsStr(k), env)
-          try stmt(body, env)
-          catch {
-            case _: ContinueSignal => ()
-            case _: BreakSignal    => return
-          }
-        }
+      case loop @ (_: While | _: DoWhile | _: For | _: ForIn) =>
+        execLoop(loop, env, None)
+      case Labeled(l, body) => body match {
+        case loop @ (_: While | _: DoWhile | _: For | _: ForIn) =>
+          execLoop(loop, env, Some(l))
+        case other =>
+          // `break l` exits any labeled statement (ES5 12.12); a
+          // `continue` can only target a loop label, so one escaping
+          // here surfaces as the undefined-label error downstream
+          try stmt(other, env)
+          catch { case BreakSignal(Some(x)) if x == l => () }
+      }
       case Return(e) =>
         throw ReturnSignal(e.map(eval(_, env)).getOrElse(JsUndef))
       case Throw(e) => throw JsThrow(eval(e, env))
@@ -275,11 +243,68 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
         var idx = cases.indexWhere(_._1.exists(e => strictEquals(eval(e, env), d)))
         if (idx < 0) idx = cases.indexWhere(_._1.isEmpty)
         if (idx >= 0) {
+          // only the unlabeled break terminates the switch; a labeled one
+          // targets an enclosing labeled statement and propagates
           try cases.drop(idx).foreach(_._2.foreach(stmt(_, env)))
-          catch { case _: BreakSignal => () }
+          catch { case BreakSignal(None) => () }
         }
-      case BreakStmt    => throw BreakSignal()
-      case ContinueStmt => throw ContinueSignal()
+      case BreakStmt(l)    => throw BreakSignal(l)
+      case ContinueStmt(l) => throw ContinueSignal(l)
+    }
+  }
+
+  /** One loop execution under an optional label. An unlabeled signal or
+    * one naming THIS loop's label resolves here; a signal carrying a
+    * different label propagates to the enclosing labeled statement —
+    * the ES5 12.7/12.8 labeled break/continue semantics.
+    */
+  private def execLoop(s: Stmt, env: Env, self: Option[String]): Unit = {
+    // one body pass: true = keep looping, false = break out of this loop
+    def step(body: Stmt): Boolean =
+      try { stmt(body, env); true }
+      catch {
+        case ContinueSignal(l) if l.isEmpty || l == self => true
+        case BreakSignal(l) if l.isEmpty || l == self    => false
+      }
+    s match {
+      case While(c, body) =>
+        var go = true
+        while (go && truthy(eval(c, env))) go = step(body)
+      case DoWhile(body, c) =>
+        var go = true
+        while (go) go = step(body) && truthy(eval(c, env))
+      case For(init, cond, upd, body) =>
+        init.foreach(stmt(_, env))
+        var go = true
+        while (go && cond.forall(c => truthy(eval(c, env)))) {
+          go = step(body)
+          if (go) upd.foreach(eval(_, env)) // break skips upd, continue runs it
+        }
+      case ForIn(nm, declare, objE, body) =>
+        if (declare && !env.has(nm)) env.declare(nm, JsUndef)
+        val keys: Seq[String] = eval(objE, env) match {
+          case o: JsObj =>
+            // ES5 for-in: own enumerable keys, then inherited ones not
+            // shadowed; the auto-seeded `constructor` is non-enumerable.
+            val seen = mutable.LinkedHashSet.empty[String]
+            var cur = o
+            while (cur != null) {
+              cur.fields.keys.foreach(k =>
+                if (!cur.nonEnumerable.contains(k)) seen += k)
+              cur = cur.proto
+            }
+            seen.toSeq
+          case a: JsArr => a.items.indices.map(_.toString)
+          case _        => Seq.empty
+        }
+        var go = true
+        val it = keys.iterator
+        while (go && it.hasNext) {
+          assignTo(Ident(nm), JsStr(it.next()), env)
+          go = step(body)
+        }
+      case other =>
+        throw new IllegalStateException(s"not a loop: $other")
     }
   }
 

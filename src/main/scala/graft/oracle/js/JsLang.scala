@@ -29,9 +29,13 @@ import scala.collection.mutable
   * and `F.prototype` chains resolve/shadow/instanceof like ES5 — see
   * JsInterp.
   *
+  * Labeled statements with labeled break/continue follow ES5 12.7-12.12
+  * (a labeled signal resolves at the loop or statement carrying its
+  * label; `break l` exits any labeled statement, switch consumes only
+  * the unlabeled break).
+  *
   * Still outside the subset (otto parses them; no reference-suite oracle
-  * uses them): labeled break/continue, `with`, and getters/setters in
-  * object literals.
+  * uses them): `with`, and getters/setters in object literals.
   */
 object JsLang {
 
@@ -55,8 +59,9 @@ object JsLang {
     * Execution falls through from the matched clause, per ES5.
     */
   final case class Switch(disc: Expr, cases: Seq[(Option[Expr], Seq[Stmt])]) extends Stmt
-  case object BreakStmt extends Stmt
-  case object ContinueStmt extends Stmt
+  final case class BreakStmt(label: Option[String]) extends Stmt
+  final case class ContinueStmt(label: Option[String]) extends Stmt
+  final case class Labeled(label: String, body: Stmt) extends Stmt
   case object EmptyStmt extends Stmt
 
   sealed trait Expr
@@ -316,8 +321,17 @@ object JsLang {
                 else Some(expression())
         endStatement()
         Return(v)
-      case "break"    => advance(); endStatement(); BreakStmt
-      case "continue" => advance(); endStatement(); ContinueStmt
+      case "break" =>
+        advance()
+        // ASI: a label must follow on the SAME line (ES5 12.8)
+        val l = if (at("ident") && !peek.nlBefore) Some(advance().text)
+                else None
+        endStatement(); BreakStmt(l)
+      case "continue" =>
+        advance()
+        val l = if (at("ident") && !peek.nlBefore) Some(advance().text)
+                else None
+        endStatement(); ContinueStmt(l)
       case "throw" =>
         advance()
         if (peek.nlBefore) fail("illegal newline after throw")
@@ -360,9 +374,16 @@ object JsLang {
         expect("}")
         Switch(disc, cases.toSeq)
       case _ =>
-        val e = expression()
-        endStatement()
-        ExprStmt(e)
+        // labeled statement: `ident :` at statement position (ES5 12.12)
+        if (at("ident") && toks(pos + 1).kind == ":") {
+          val l = advance().text
+          advance() // ':'
+          Labeled(l, statement())
+        } else {
+          val e = expression()
+          endStatement()
+          ExprStmt(e)
+        }
     }
 
     private def block(): Block = {

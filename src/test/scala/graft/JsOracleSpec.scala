@@ -633,6 +633,54 @@ function mergeSomethingButThrowup(results) { throw "apple cider"; }""")
       """"shadow":99,"thisTop":"undefined"}"""))
   }
 
+  test("labeled break/continue across nested loops, switch, and blocks") {
+    val code = """function lbl() {
+      // labeled break out of a nested scan — the classic search idiom
+      var found = -1;
+      outer:
+      for (var i = 0; i < 5; i++) {
+        for (var j = 0; j < 5; j++) {
+          if (i * 10 + j === 23) { found = i * 10 + j; break outer; }
+        }
+      }
+      // labeled continue: skip the rest of the INNER loop rounds whenever
+      // j passes the diagonal — counts only the lower triangle
+      var tri = 0;
+      rows:
+      for (var a = 0; a < 4; a++) {
+        for (var b = 0; b < 4; b++) {
+          if (b > a) continue rows;
+          tri++;
+        }
+      }
+      // a labeled break inside a switch targets the LOOP, not the switch;
+      // an unlabeled one still just ends the switch
+      var seen = [];
+      scan:
+      for (var k = 0; k < 5; k++) {
+        switch (k) {
+          case 2: break;          // ends the switch only
+          case 3: break scan;     // ends the loop
+        }
+        seen.push(k);
+      }
+      // `break l` exits a labeled non-loop block
+      var step = 0;
+      blk: {
+        step = 1;
+        if (step === 1) break blk;
+        step = 2;
+      }
+      return {found: found, tri: tri, seen: seen.join(","), step: step};
+    }"""
+    assert(runJs(code) ===
+      Right("""{"found":23,"seen":"0,1,2","step":1,"tri":10}"""))
+
+    // an undefined label surfaces as an error, not a leaked control signal
+    val bad = "function f() { while (true) { break nowhere; } }"
+    assert(runJs(bad).left.exists(_.contains("undefined label")))
+  }
+
   test("Date: UTC-pinned ES5 subset (ctor forms, getters, parse, " +
       "arithmetic, ISO/JSON round trip)") {
     val code = """function d() {
