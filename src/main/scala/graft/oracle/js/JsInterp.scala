@@ -730,6 +730,18 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
       }
       acc
     }))
+    case "reduceRight" => Some(new JsNative("reduceRight", -1, args => {
+      val f = args.head
+      var (acc, start) =
+        if (args.length > 1) (args(1), a.items.length - 1)
+        else if (a.items.nonEmpty) (a.items.last, a.items.length - 2)
+        else throw OracleRunError(
+          "TypeError: reduceRight of empty array with no initial value")
+      (start to 0 by -1).foreach { i =>
+        acc = callFunction(f, Seq(acc, a.items(i), JsNum(i), a))
+      }
+      acc
+    }))
     case "indexOf" => Some(new JsNative("indexOf", 1, args =>
       JsNum(a.items.indexWhere(strictEquals(_, args.head)).toDouble)))
     case "join" => Some(new JsNative("join", 1, args => {
@@ -844,6 +856,10 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
     }))
     case "trim"     => Some(new JsNative("trim", 0, _ => JsStr(s.trim)))
     case "toString" => Some(new JsNative("toString", 0, _ => JsStr(s)))
+    case "localeCompare" => Some(new JsNative("localeCompare", 1, args =>
+      // code-unit order (the ES5 default comparison; no locale tables)
+      JsNum(Integer.signum(s.compareTo(
+        toStr(args.headOption.getOrElse(JsUndef)))).toDouble)))
     case "charCodeAt" => Some(new JsNative("charCodeAt", 1, args => {
       val i = toNum(args.headOption.getOrElse(JsNum(0))).toInt
       JsNum(if (i >= 0 && i < s.length) s.charAt(i).toDouble else Double.NaN)

@@ -483,6 +483,55 @@ object JsOracle {
         }
         a
       })))
+    // ES5 15.1.3 URI handling: encode over UTF-8 bytes with the spec's
+    // unescaped sets; decode rejects malformed %-sequences with URIError.
+    val uriMark = "-_.!~*'()"
+    val uriReserved = ";/?:@&=+$,#"
+    def uriEncode(name: String, keep: String) =
+      new JsNative(name, 1, { args =>
+        val s = toStr(args.headOption.getOrElse(JsUndef))
+        val sb = new StringBuilder
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+          val c = (b & 0xff).toChar
+          if (c.isLetterOrDigit && c < 128 || keep.indexOf(c) >= 0)
+            sb.append(c)
+          else sb.append(f"%%${b & 0xff}%02X")
+        }
+        JsStr(sb.toString)
+      })
+    def uriDecode(name: String, keepEncoded: String) =
+      new JsNative(name, 1, { args =>
+        val s = toStr(args.headOption.getOrElse(JsUndef))
+        val bytes = new java.io.ByteArrayOutputStream
+        var i = 0
+        while (i < s.length) {
+          val c = s.charAt(i)
+          if (c == '%') {
+            if (i + 3 > s.length)
+              throw OracleRunError("URIError: URI malformed")
+            val hex = s.substring(i + 1, i + 3)
+            val v = try Integer.parseInt(hex, 16)
+              catch { case _: Exception =>
+                throw OracleRunError("URIError: URI malformed") }
+            // decodeURI keeps reserved characters percent-encoded
+            if (v < 128 && keepEncoded.indexOf(v.toChar) >= 0) {
+              bytes.write('%'); bytes.write(hex.charAt(0))
+              bytes.write(hex.charAt(1))
+            } else bytes.write(v)
+            i += 3
+          } else {
+            bytes.write(c.toString
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            i += 1
+          }
+        }
+        JsStr(new String(bytes.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8))
+      })
+    env.declare("encodeURIComponent", uriEncode("encodeURIComponent", uriMark))
+    env.declare("encodeURI", uriEncode("encodeURI", uriMark + uriReserved))
+    env.declare("decodeURIComponent", uriDecode("decodeURIComponent", ""))
+    env.declare("decodeURI", uriDecode("decodeURI", uriReserved))
     env.declare("isNaN", new JsNative("isNaN", 1,
       args => JsBool(toNum(args.headOption.getOrElse(JsUndef)).isNaN)))
     env.declare("isFinite", new JsNative("isFinite", 1, { args =>

@@ -633,6 +633,27 @@ function mergeSomethingButThrowup(results) { throw "apple cider"; }""")
       """"shadow":99,"thisTop":"undefined"}"""))
   }
 
+  test("URI globals, localeCompare, reduceRight") {
+    val code = """function u() {
+      return {
+        ec: encodeURIComponent("a b/c?&=100% é"),
+        eu: encodeURI("http://x.io/a b?q=1&r=é"),
+        dc: decodeURIComponent("a%20b%2Fc%3F%26%3D100%25%20%C3%A9"),
+        du: decodeURI("http://x.io/a%20b%3Fq%3D1"),
+        lc: ["b".localeCompare("a"), "a".localeCompare("b"),
+             "a".localeCompare("a")],
+        rr: [1, 2, 3].reduceRight(function(acc, x) { return acc + "," + x; },
+          "seed")
+      };
+    }"""
+    assert(runJs(code) === Right("""{"dc":"a b/c?&=100% é",""" +
+      """"du":"http://x.io/a b%3Fq%3D1","ec":"a%20b%2Fc%3F%26%3D100%25%20%C3%A9",""" +
+      """"eu":"http://x.io/a%20b?q=1&r=%C3%A9","lc":[1,-1,0],""" +
+      """"rr":"seed,3,2,1"}"""))
+    assert(runJs("function f(){ return decodeURIComponent('%zz'); }")
+      .left.exists(_.contains("URI malformed")))
+  }
+
   test("labeled break/continue across nested loops, switch, and blocks") {
     val code = """function lbl() {
       // labeled break out of a nested scan — the classic search idiom
