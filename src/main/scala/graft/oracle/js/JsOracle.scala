@@ -477,7 +477,12 @@ object JsOracle {
       "keys" -> { args =>
         val a = new JsArr
         args.headOption match {
-          case Some(o: JsObj) => o.fields.keys.foreach(k => a.items += JsStr(k))
+          case Some(o: JsObj) =>
+            // OWN ENUMERABLE keys only (ES5 15.2.3.14): inherited ones are
+            // for-in's business, and the auto-seeded `constructor` on a
+            // default function prototype is non-enumerable
+            o.fields.keys.foreach(k =>
+              if (!o.nonEnumerable.contains(k)) a.items += JsStr(k))
           case Some(arr: JsArr) => arr.items.indices.foreach(i => a.items += JsStr(i.toString))
           case _ => ()
         }

@@ -631,6 +631,18 @@ function mergeSomethingButThrowup(results) { throw "apple cider"; }""")
       """"inst":[true,true,true,false],"keys":"kind,norm2,x,y",""" +
       """"kind":"point","own":true,"pn":25,"qn":9,"saw":7,""" +
       """"shadow":99,"thisTop":"undefined"}"""))
+
+    // Object.keys: own enumerable only — the default prototype's
+    // non-enumerable constructor back-link stays invisible
+    val keys = """function k() {
+      function T(a) { this.a = a; }
+      T.prototype.m = function () { return 1; };
+      return {
+        inst: Object.keys(new T(5)).join(","),
+        proto: Object.keys(T.prototype).join(",")
+      };
+    }"""
+    assert(runJs(keys) === Right("""{"inst":"a","proto":"m"}"""))
   }
 
   test("URI globals, localeCompare, reduceRight") {
