@@ -645,6 +645,55 @@ function mergeSomethingButThrowup(results) { throw "apple cider"; }""")
     assert(runJs(keys) === Right("""{"inst":"a","proto":"m"}"""))
   }
 
+  test("adversarial edges: shadow/delete re-exposes the prototype, " +
+      "finally vs labeled break, invalid-Date getters, arguments") {
+    val code = """function edges() {
+      // deleting an own field un-shadows the prototype value
+      function T() {}
+      T.prototype.v = "proto";
+      var t = new T();
+      t.v = "own";
+      var shadowed = t.v;
+      delete t.v;
+      var reExposed = t.v;
+
+      // finally runs on the way out of a labeled break, in order
+      var trail = [];
+      out:
+      for (var i = 0; i < 3; i++) {
+        try {
+          trail.push("t" + i);
+          if (i === 1) break out;
+        } finally {
+          trail.push("f" + i);
+        }
+      }
+
+      // an Invalid Date answers NaN from getters, null from toJSON,
+      // "Invalid Date" from toString — and never throws except toISOString
+      var bad = new Date("nope");
+      var isoThrew = false;
+      try { bad.toISOString(); } catch (e) { isoThrew = true; }
+
+      // arguments reflects the call site, not the declaration
+      function f(a, b) { return arguments.length; }
+
+      return {
+        shadowed: shadowed, reExposed: reExposed,
+        trail: trail.join(","),
+        badY: isNaN(bad.getUTCFullYear()),
+        badJson: JSON.stringify({d: bad}),
+        badStr: "" + bad,
+        isoThrew: isoThrew,
+        argLen: [f(), f(1), f(1, 2, 3)]
+      };
+    }"""
+    assert(runJs(code) === Right("""{"argLen":[0,1,3],""" +
+      """"badJson":"{\"d\":null}","badStr":"Invalid Date","badY":true,""" +
+      """"isoThrew":true,"reExposed":"proto","shadowed":"own",""" +
+      """"trail":"t0,f0,t1,f1"}"""))
+  }
+
   test("URI globals, localeCompare, reduceRight") {
     val code = """function u() {
       return {
