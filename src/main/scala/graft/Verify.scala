@@ -24,6 +24,29 @@ object Verify {
     // SPARK_GRAFT_ONLY=regex restricts the dump (local iteration only —
     // the driver never sets it, so the driver always verifies everything).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    // Plan-regression gate (round-7 verdict task 8): with per-query
+    // cooled-pass bands on record (BENCH_BANDS.json, same table
+    // graft.Bench re-measures against), a query running >2x its band
+    // HERE — on a cooled host, at the smaller verify SF, before the
+    // driver bench — is a plan regression, not host noise, and should
+    // fail loudly in the builder's loop. Skipped when the host is under
+    // load (the flag would be noise) or no band exists.
+    val bands: Map[String, Double] = {
+      val f = new java.io.File(
+        sys.env.getOrElse("GRAFT_BENCH_BANDS", "BENCH_BANDS.json"))
+      if (!f.isFile) Map.empty
+      else scala.util.Try {
+        val text = new String(java.nio.file.Files.readAllBytes(f.toPath))
+        """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(text)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+    }
+    def load1: Double = scala.util.Try(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+").head.toDouble)
+      .getOrElse(0.0)
+    val hostCooled = load1 < 1.0
+    val regressions = scala.collection.mutable.ArrayBuffer.empty[String]
     var prevFamily: String = null
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
@@ -35,9 +58,21 @@ object Verify {
         Caches.unloadStreamState()
       }
       prevFamily = fam
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        val secs = (System.nanoTime() - t0) / 1e9
+        // Bands are recorded at bench SF (sf0.1) on 32 cores; verify runs
+        // smaller/narrower, so >2x the BENCH band here is a conservative
+        // flag — any true plan regression blows far past it.
+        bands.get(name).filter(b => hostCooled && secs > b * 2 + 0.5)
+          .foreach { b =>
+            regressions += f"$name: $secs%.2fs vs band $b%.2fs"
+            System.err.println(
+              f"[verify] BAND REGRESSION $name: $secs%.2fs > 2x band $b%.2fs")
+          }
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Streaming queries leave their just-stopped run's state-store
@@ -46,6 +81,9 @@ object Verify {
       // rationale as graft.Bench.streamingFamily).
       if (fam == "st") Caches.unloadStreamState()
     }
+    if (regressions.nonEmpty)
+      System.err.println(s"[verify] ${regressions.size} band regression(s): " +
+        regressions.mkString("; "))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -203,17 +203,28 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
       case If(c, t, e) =>
         if (truthy(eval(c, env))) stmt(t, env) else e.foreach(stmt(_, env))
       case loop @ (_: While | _: DoWhile | _: For | _: ForIn) =>
-        execLoop(loop, env, None)
-      case Labeled(l, body) => body match {
-        case loop @ (_: While | _: DoWhile | _: For | _: ForIn) =>
-          execLoop(loop, env, Some(l))
-        case other =>
-          // `break l` exits any labeled statement (ES5 12.12); a
-          // `continue` can only target a loop label, so one escaping
-          // here surfaces as the undefined-label error downstream
-          try stmt(other, env)
-          catch { case BreakSignal(Some(x)) if x == l => () }
-      }
+        execLoop(loop, env, Set.empty)
+      case Labeled(l, body) =>
+        // ES5 12.12 label SETS: consecutive labels all attach to the
+        // same statement, so `l1: l2: while (...) { continue l1; }` must
+        // resolve at the loop. Peel every nested Labeled wrapper first.
+        var labels = Set(l)
+        var inner = body
+        while (inner.isInstanceOf[Labeled]) {
+          val wrapped = inner.asInstanceOf[Labeled]
+          labels += wrapped.label
+          inner = wrapped.body
+        }
+        inner match {
+          case loop @ (_: While | _: DoWhile | _: For | _: ForIn) =>
+            execLoop(loop, env, labels)
+          case other =>
+            // `break l` exits any labeled statement (ES5 12.12); a
+            // `continue` can only target a loop label, so one escaping
+            // here surfaces as the undefined-label error downstream
+            try stmt(other, env)
+            catch { case BreakSignal(Some(x)) if labels.contains(x) => () }
+        }
       case Return(e) =>
         throw ReturnSignal(e.map(eval(_, env)).getOrElse(JsUndef))
       case Throw(e) => throw JsThrow(eval(e, env))
@@ -253,18 +264,19 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
     }
   }
 
-  /** One loop execution under an optional label. An unlabeled signal or
-    * one naming THIS loop's label resolves here; a signal carrying a
-    * different label propagates to the enclosing labeled statement —
-    * the ES5 12.7/12.8 labeled break/continue semantics.
+  /** One loop execution under a label SET (empty when unlabeled — ES5
+    * 12.12 attaches every consecutive label to the statement). An
+    * unlabeled signal or one naming any of THIS loop's labels resolves
+    * here; a signal carrying a different label propagates to the
+    * enclosing labeled statement — the ES5 12.7/12.8 semantics.
     */
-  private def execLoop(s: Stmt, env: Env, self: Option[String]): Unit = {
+  private def execLoop(s: Stmt, env: Env, self: Set[String]): Unit = {
     // one body pass: true = keep looping, false = break out of this loop
     def step(body: Stmt): Boolean =
       try { stmt(body, env); true }
       catch {
-        case ContinueSignal(l) if l.isEmpty || l == self => true
-        case BreakSignal(l) if l.isEmpty || l == self    => false
+        case ContinueSignal(l) if l.forall(self.contains) => true
+        case BreakSignal(l) if l.forall(self.contains)    => false
       }
     s match {
       case While(c, body) =>
@@ -1291,19 +1303,30 @@ object JsInterp {
     * month is 0-based, out-of-range fields roll over (plusX arithmetic).
     */
   def dateFromFields(fields: Seq[Double]): Double = {
-    if (fields.exists(d => d.isNaN || d.isInfinite)) return Double.NaN
+    // Date.UTC() with no args and non-finite fields are NaN, not a crash
+    // (ES5 15.9.4.3 via TimeClip); same for any year/month that pushes
+    // java.time past its representable range.
+    if (fields.isEmpty || fields.exists(d => d.isNaN || d.isInfinite))
+      return Double.NaN
     val year = fields.head.toInt match {
       case y if y >= 0 && y <= 99 => 1900 + y // two-digit years (ES5)
       case y => y
     }
-    java.time.LocalDateTime.of(year, 1, 1, 0, 0)
-      .plusMonths(fields.lift(1).map(_.toLong).getOrElse(0L))
-      .plusDays(fields.lift(2).map(_.toLong - 1).getOrElse(0L))
-      .plusHours(fields.lift(3).map(_.toLong).getOrElse(0L))
-      .plusMinutes(fields.lift(4).map(_.toLong).getOrElse(0L))
-      .plusSeconds(fields.lift(5).map(_.toLong).getOrElse(0L))
-      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli.toDouble +
-      fields.lift(6).getOrElse(0.0).toLong
+    val ms = try {
+      java.time.LocalDateTime.of(year, 1, 1, 0, 0)
+        .plusMonths(fields.lift(1).map(_.toLong).getOrElse(0L))
+        .plusDays(fields.lift(2).map(_.toLong - 1).getOrElse(0L))
+        .plusHours(fields.lift(3).map(_.toLong).getOrElse(0L))
+        .plusMinutes(fields.lift(4).map(_.toLong).getOrElse(0L))
+        .plusSeconds(fields.lift(5).map(_.toLong).getOrElse(0L))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli.toDouble +
+        fields.lift(6).getOrElse(0.0).toLong
+    } catch {
+      case _: java.time.DateTimeException => return Double.NaN
+      case _: ArithmeticException => return Double.NaN
+    }
+    // ES5 15.9.1.14 TimeClip: beyond ±8.64e15 ms is an invalid time value
+    if (math.abs(ms) > 8.64e15) Double.NaN else ms
   }
 
   def mkRegex(pattern: String, flags: String): JsRegex =

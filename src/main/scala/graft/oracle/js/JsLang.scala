@@ -35,7 +35,10 @@ import scala.collection.mutable
   * the unlabeled break).
   *
   * Still outside the subset (otto parses them; no reference-suite oracle
-  * uses them): `with`, and getters/setters in object literals.
+  * uses them), each a NAMED fail-loud rejection rather than a silent
+  * misparse — the full delta table is in COVERAGE.md: `with` and
+  * accessor literals reject at parse; `eval` / `new Function` /
+  * `Object.defineProperty` reject at run (no such binding/member).
   */
 object JsLang {
 
@@ -96,7 +99,11 @@ object JsLang {
   private val keywords = Set("function", "var", "if", "else", "while", "do",
     "for", "in", "return", "break", "continue", "true", "false", "null",
     "typeof", "new", "delete", "void", "instanceof", "this",
-    "throw", "try", "catch", "finally", "switch", "case", "default")
+    "throw", "try", "catch", "finally", "switch", "case", "default",
+    // reserved-but-unsupported: rejected at parse with a named message
+    // (otherwise `with (o) {...}` would silently parse as a CALL to an
+    // undefined `with` function — a wrong-semantics trap, not fail-loud)
+    "with")
 
   private val puncts = Seq(// longest first
     ">>>=", "===", "!==", ">>>", "<<=", ">>=", "==", "!=", "<=", ">=",
@@ -247,6 +254,12 @@ object JsLang {
     private def statement(): Stmt = peek.kind match {
       case ";" => advance(); EmptyStmt
       case "{" => block()
+      case "with" =>
+        // otto parses `with`; no reference-suite oracle uses it, and its
+        // dynamic-scope semantics poison every binding in its body. A
+        // named parse rejection (pinned in JsOracleSpec) beats silently
+        // parsing `with (o) {...}` as a call to an undefined function.
+        fail("with statements are not supported")
       case "function" =>
         val FuncExpr(Some(nm), ps, body) = funcLiteral(requireName = true)
         FuncDecl(nm, ps, body)
@@ -614,6 +627,11 @@ object JsLang {
               case k if keywords(k) => advance().text
               case _ => fail("expected property key")
             }
+            // `{ get x() {...} }` — an accessor literal (otto parses
+            // them; no reference oracle uses them). Name the rejection
+            // instead of the generic expected-':' message.
+            if ((key == "get" || key == "set") && !at(":"))
+              fail("accessor properties (get/set) are not supported")
             expect(":")
             fields += ((key, assignExpr()))
             more = eat(",") && !at("}")

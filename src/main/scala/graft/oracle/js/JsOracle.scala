@@ -176,12 +176,34 @@ object JsOracle {
       import spark.implicits._
       val partials: Seq[(Boolean, String)] =
         store.records.mapPartitions { it =>
-          val recs = it.toVector.sortBy(_.id)
           val interp = new JsInterp()
           val env = baseEnv()
           val ctx = new OracleContext
+          // LAZY partition view: the partition materializes into executor
+          // heap only if the oracle actually uses random access
+          // (records.Find/All/AllBut — the reference node's all-in-memory
+          // shape, node/storage/records.go). A records.ForEach-only oracle
+          // streams the iterator directly, bounding memory at ONE record
+          // regardless of partition size.
+          var buffered: Vector[SumRecord] = null
+          var streamed = false
+          def all(): Seq[SumRecord] = {
+            if (buffered == null) {
+              if (streamed) throw OracleRunError(
+                "records.ForEach already consumed this partition's " +
+                  "stream; call Find/All/AllBut before ForEach, or use " +
+                  "ForEach exclusively")
+              buffered = it.toVector.sortBy(_.id)
+            }
+            buffered
+          }
+          def each(f: SumRecord => Unit): Unit =
+            if (buffered != null) buffered.foreach(f)
+            else if (streamed) throw OracleRunError(
+              "records.ForEach already consumed this partition's stream")
+            else { streamed = true; it.foreach(f) }
           env.declare("records", seqRecordsHost(interp,
-            id => recs.find(_.id == id), () => recs))
+            id => all().find(_.id == id), () => all(), Some(each)))
           env.declare("ctx", ctxHost(ctx))
           val out =
             try {
@@ -207,6 +229,13 @@ object JsOracle {
               case JsThrow(v)        => (false, JsInterp.throwMessage(v))
               case OracleRunError(m) => (false, m)
               case graft.oracle.OracleBudgetError(m) => (false, m)
+              // A defect in the interpreter/host layer (e.g. an
+              // unanticipated java.time edge) must surface as the
+              // reference's per-node error, not fail the Spark task with
+              // a raw executor exception (master/mux_runner.go:120-151
+              // wraps ANY node error the same way).
+              case scala.util.control.NonFatal(e) =>
+                (false, s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")
             }
           Iterator.single(out)
         }.collect().toSeq
@@ -253,17 +282,33 @@ object JsOracle {
   }
 
   /** The `records` host over a pluggable record view — the partition-local
-    * form [[runDistributed]] builds on executors plugs a Vector in here.
+    * form [[runDistributed]] builds on executors plugs a lazy view in here.
+    * `eachFn` (when given) backs a streaming `records.ForEach(fn)` that
+    * visits records one at a time WITHOUT materializing the view — the
+    * scale path for linear-pass oracles; elsewhere ForEach folds over the
+    * materialized view for API uniformity.
     */
   private def seqRecordsHost(interp: JsInterp,
       findFn: Long => Option[SumRecord],
-      allFn: () => Seq[SumRecord]): JsHost = {
+      allFn: () => Seq[SumRecord],
+      eachFn: Option[(SumRecord => Unit) => Unit] = None): JsHost = {
     def wrapSeq(recs: Seq[SumRecord]): JsArr = {
       val a = new JsArr
       recs.foreach(r => a.items += recordHost(interp, Some(r)))
       a
     }
     new JsHost("Records", Map(
+      "ForEach" -> { args =>
+        val fn = args.headOption.getOrElse(
+          throw OracleRunError("TypeError: undefined is not a function"))
+        val visit: SumRecord => Unit =
+          r => { interp.callFunction(fn, Seq(recordHost(interp, Some(r)))); () }
+        eachFn match {
+          case Some(each) => each(visit)
+          case None       => allFn().foreach(visit)
+        }
+        JsUndef
+      },
       "Find" -> { args =>
         val id = toNum(args.headOption.getOrElse(JsNum(0))).toLong
         recordHost(interp, findFn(id))
@@ -508,16 +553,20 @@ object JsOracle {
       new JsNative(name, 1, { args =>
         val s = toStr(args.headOption.getOrElse(JsUndef))
         val bytes = new java.io.ByteArrayOutputStream
+        // STRICT hex digits only: Integer.parseInt would accept "+f"
+        // (signed hex), which ES5 15.1.3 rejects as URIError
+        def hexDigit(c: Char): Boolean =
+          (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+          (c >= 'A' && c <= 'F')
         var i = 0
         while (i < s.length) {
           val c = s.charAt(i)
           if (c == '%') {
-            if (i + 3 > s.length)
+            if (i + 3 > s.length ||
+                !hexDigit(s.charAt(i + 1)) || !hexDigit(s.charAt(i + 2)))
               throw OracleRunError("URIError: URI malformed")
             val hex = s.substring(i + 1, i + 3)
-            val v = try Integer.parseInt(hex, 16)
-              catch { case _: Exception =>
-                throw OracleRunError("URIError: URI malformed") }
+            val v = Integer.parseInt(hex, 16)
             // decodeURI keeps reserved characters percent-encoded
             if (v < 128 && keepEncoded.indexOf(v.toChar) >= 0) {
               bytes.write('%'); bytes.write(hex.charAt(0))
@@ -530,8 +579,16 @@ object JsOracle {
             i += 1
           }
         }
-        JsStr(new String(bytes.toByteArray,
-          java.nio.charset.StandardCharsets.UTF_8))
+        // Invalid UTF-8 percent-sequences (e.g. a lone %FF) are URIError
+        // in ES5/otto, not U+FFFD replacement — decode REPORTing failures.
+        val decoder = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        val out =
+          try decoder.decode(java.nio.ByteBuffer.wrap(bytes.toByteArray))
+          catch { case _: java.nio.charset.CharacterCodingException =>
+            throw OracleRunError("URIError: URI malformed") }
+        JsStr(out.toString)
       })
     env.declare("encodeURIComponent", uriEncode("encodeURIComponent", uriMark))
     env.declare("encodeURI", uriEncode("encodeURI", uriMark + uriReserved))

