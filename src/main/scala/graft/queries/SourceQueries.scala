@@ -251,7 +251,15 @@ object SourceQueries {
         graft.ops.Sampling.packIntoBins(withTok, "doc_id", "n_tokens",
             2048L, "source")
           .repartition(par, col("source"), col("bin"))
-          .write.mode("overwrite").partitionBy("source", "bin").parquet(out)
+          .write.mode("overwrite").partitionBy("source", "bin")
+          // v2 commit: tasks move their files into the destination at
+          // TASK commit, so the job commit stops sequentially renaming
+          // ~200 one-file shard dirs on the driver — the committer was
+          // the remaining serial section of this write. (Correctness
+          // trade of v2 — visible partial output on job failure — is the
+          // standard lake-export setting; the manifest is the read-back.)
+          .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+          .parquet(out)
         s.read.parquet(out)
           .groupBy(col("source"), col("bin").cast("long").as("bin"))
           .agg(count(lit(1)).as("n_docs"),

@@ -45,14 +45,32 @@ object StreamingQueries {
     // gate scale (st-family 20.6 s -> 17.7 s, median 2.60 -> 2.26 s;
     // BENCH_NOTES §streaming). SPARK_GRAFT_STATE_PROVIDER=hdfs restores
     // the default provider for A/B runs.
-    if (!sys.env.get("SPARK_GRAFT_STATE_PROVIDER").contains("hdfs"))
+    if (!sys.env.get("SPARK_GRAFT_STATE_PROVIDER").contains("hdfs")) {
       s.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Commit = append the version's changelog, not upload a full
+      // snapshot zip: stream-stream joins commit 4 stores per partition
+      // per batch, and the st05/st11 profile showed commitTimeMs ~= the
+      // whole floor (3.7-3.9 s summed across 32 instances PER BATCH with
+      // full snapshots). Snapshots still happen, async, in maintenance.
+      s.conf.set("spark.sql.streaming.stateStore.rocksdb" +
+        ".changelogCheckpointing.enabled", "true")
+      // Exact per-store row counts cost a read-before-every-put; the
+      // engine only surfaces them as progress metrics. Joins/dedup
+      // correctness never reads them.
+      s.conf.set("spark.sql.streaming.stateStore.rocksdb" +
+        ".trackTotalNumberOfRows", "false")
+    }
     try {
       val q = df.writeStream.format("memory").queryName(name)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      // Diagnostic: per-micro-batch duration breakdown (addBatch /
+      // getBatch / commitOffsets / walCommit / stateStore metrics) for
+      // isolating streaming floors. Dev-only; the driver never sets it.
+      if (sys.env.contains("SPARK_GRAFT_STREAM_PROGRESS"))
+        q.recentProgress.foreach(p => System.err.println(s"## progress ${p.json}"))
     } finally s.conf.set("spark.sql.shuffle.partitions", before)
     s.table(name)
   }
