@@ -99,11 +99,11 @@ object GraphQueries {
           .orderBy(col("n_nationkey"))
       },
       Some("""
-        |WITH inc AS (
+        |WITH inc AS MATERIALIZED (
         |  SELECT DISTINCT l.l_partkey AS pk, CAST(s.s_nationkey AS BIGINT) AS nk
         |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |),
-        |co AS (
+        |co AS MATERIALIZED (
         |  SELECT x.nk AS a, y.nk AS b, count(*) AS n
         |  FROM inc x JOIN inc y ON x.pk = y.pk AND x.nk < y.nk
         |  GROUP BY 1, 2
@@ -157,18 +157,18 @@ object GraphQueries {
       },
       Some("""
         |WITH RECURSIVE
-        |inc AS (
+        |inc AS MATERIALIZED (
         |  SELECT DISTINCT l.l_partkey AS pk, CAST(s.s_nationkey AS BIGINT) AS nk
         |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |),
-        |co AS (
+        |co AS MATERIALIZED (
         |  SELECT x.nk AS a, y.nk AS b, count(*) AS n
         |  FROM inc x JOIN inc y ON x.pk = y.pk AND x.nk < y.nk
         |  GROUP BY 1, 2
         |),
         |thr AS (SELECT quantile_cont(n, 0.75) AS q FROM co),
         |e AS (SELECT a, b FROM co, thr WHERE co.n >= thr.q),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT a AS src, b AS dst FROM e
         |  UNION
         |  SELECT b AS src, a AS dst FROM e
@@ -234,19 +234,19 @@ object GraphQueries {
       },
       Some("""
         |WITH RECURSIVE
-        |inc AS (
+        |inc AS MATERIALIZED (
         |  SELECT DISTINCT l.l_partkey AS pk,
         |         CAST(s.s_nationkey AS BIGINT) AS nk
         |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |),
-        |co AS (
+        |co AS MATERIALIZED (
         |  SELECT x.nk AS a, y.nk AS b, count(*) AS n
         |  FROM inc x JOIN inc y ON x.pk = y.pk AND x.nk < y.nk
         |  GROUP BY x.nk, y.nk
         |),
         |thr AS (SELECT quantile_cont(n, 0.75) AS q FROM co),
         |e0 AS (SELECT a, b FROM co, thr WHERE co.n >= thr.q),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT a AS src, b AS dst FROM e0
         |  UNION
         |  SELECT b AS src, a AS dst FROM e0
@@ -344,11 +344,11 @@ object GraphQueries {
           .orderBy(col("n_nationkey"))
       },
       Some("""
-        |WITH inc AS (
+        |WITH inc AS MATERIALIZED (
         |  SELECT DISTINCT l.l_partkey AS pk, CAST(s.s_nationkey AS BIGINT) AS nk
         |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |),
-        |co AS (
+        |co AS MATERIALIZED (
         |  SELECT x.nk AS a, y.nk AS b, count(*) AS n
         |  FROM inc x JOIN inc y ON x.pk = y.pk AND x.nk < y.nk
         |  GROUP BY 1, 2
@@ -378,18 +378,18 @@ object GraphQueries {
     */
   private def lpaOracle(iters: Int): String = {
     val base = """
-      |WITH inc AS (
+      |WITH inc AS MATERIALIZED (
       |  SELECT DISTINCT l.l_partkey AS pk, CAST(s.s_nationkey AS BIGINT) AS nk
       |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
       |),
-      |co AS (
+      |co AS MATERIALIZED (
       |  SELECT x.nk AS a, y.nk AS b, count(*) AS n
       |  FROM inc x JOIN inc y ON x.pk = y.pk AND x.nk < y.nk
       |  GROUP BY 1, 2
       |),
       |thr AS (SELECT quantile_cont(n, 0.75) AS q FROM co),
       |e AS (SELECT a, b, n FROM co, thr WHERE co.n >= thr.q),
-      |edges AS (
+      |edges AS MATERIALIZED (
       |  SELECT a AS src, b AS dst, n AS w FROM e
       |  UNION ALL
       |  SELECT b AS src, a AS dst, n AS w FROM e
@@ -432,18 +432,18 @@ object GraphQueries {
     */
   private def kcoreOracle(k: Int, rounds: Int): String = {
     val base = """
-      |WITH inc AS (
+      |WITH inc AS MATERIALIZED (
       |  SELECT DISTINCT l.l_partkey AS pk, CAST(s.s_nationkey AS BIGINT) AS nk
       |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
       |),
-      |co AS (
+      |co AS MATERIALIZED (
       |  SELECT x.nk AS a, y.nk AS b, count(*) AS n
       |  FROM inc x JOIN inc y ON x.pk = y.pk AND x.nk < y.nk
       |  GROUP BY 1, 2
       |),
       |thr AS (SELECT quantile_cont(n, 0.75) AS q FROM co),
       |e AS (SELECT a, b FROM co, thr WHERE co.n >= thr.q),
-      |edges AS (
+      |edges AS MATERIALIZED (
       |  SELECT a AS src, b AS dst FROM e
       |  UNION ALL
       |  SELECT b AS src, a AS dst FROM e
@@ -520,7 +520,7 @@ object GraphQueries {
     */
   private def pagerankOracle: String = {
     val base = s"""
-      |WITH edges AS (
+      |WITH edges AS MATERIALIZED (
       |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
       |         CAST(count(*) AS DOUBLE) AS cnt
       |  FROM lineitem l

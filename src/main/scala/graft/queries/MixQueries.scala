@@ -915,10 +915,14 @@ object MixQueries {
       "s11_weighted_sample",
       (s, dir) => {
         val t = Tables(s, dir)
+        // + 0.0 normalizes IEEE negative zero: a key in (-5e-7, 0) rounds
+        // to -0.0 in one engine and 0.0 in the other (seen at the sf1
+        // replay, where longer docs push keys toward zero); -0.0 + 0.0 is
+        // +0.0 in both engines and every other value is unchanged.
         Sampling.weightedSample(t.documents, "doc_id", "n_chars",
             k = 20, salt = "ws42")
           .select(col("doc_id"), col("source"), col("n_chars"),
-            round(col("wkey"), 6).as("wkey"))
+            (round(col("wkey"), 6) + lit(0.0)).as("wkey"))
       },
       Some("""
         |WITH k AS (
@@ -928,7 +932,7 @@ object MixQueries {
         |             AS BIGINT) + 0.5) / 4294967296.0) / n_chars AS key
         |  FROM documents
         |)
-        |SELECT doc_id, source, n_chars, round(key, 6) AS wkey
+        |SELECT doc_id, source, n_chars, round(key, 6) + 0.0 AS wkey
         |FROM k
         |ORDER BY key DESC, doc_id
         |LIMIT 20

@@ -24,6 +24,15 @@ object Relational {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
+      // Sums run in DECIMAL (TPC-H's own column type): the fixture stores
+      // doubles, but every measure has <= 6 true decimal digits, so the
+      // per-row decimal cast is exact and identical in both engines, and
+      // decimal summation is exact at ANY scale factor — the sf1 replay
+      // caught round(double-sum, 2) differing in the last digit at 1e10
+      // magnitudes over 6M rows (cross-engine float reassociation, ~3e-13
+      // relative, unfixable by rounding). Averages divide the exact
+      // decimal sum by the exact count in double — one identical IEEE
+      // division per group, not a float fold.
       "q01_pricing_summary",
       (s, dir) => {
         val t = Tables(s, dir)
@@ -31,28 +40,40 @@ object Relational {
           .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf(Sep)))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            round(sum(col("l_quantity")), 2).as("sum_qty"),
-            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-              .as("sum_disc_price"),
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
-              (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-            round(avg(col("l_quantity")), 6).as("avg_qty"),
-            round(avg(col("l_extendedprice")), 6).as("avg_price"),
-            round(avg(col("l_discount")), 6).as("avg_disc"),
+            sum(col("l_quantity").cast("decimal(18,2)")).as("dq"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).as("dbp"),
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast("decimal(18,6)")).as("ddp"),
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount")) *
+              (lit(1) + col("l_tax"))).cast("decimal(18,6)")).as("dch"),
+            sum(col("l_discount").cast("decimal(18,2)")).as("ddisc"),
             count(lit(1)).as("count_order"))
+          .select(col("l_returnflag"), col("l_linestatus"),
+            round(col("dq").cast("double"), 2).as("sum_qty"),
+            round(col("dbp").cast("double"), 2).as("sum_base_price"),
+            round(col("ddp").cast("double"), 2).as("sum_disc_price"),
+            round(col("dch").cast("double"), 2).as("sum_charge"),
+            round(col("dq").cast("double") / col("count_order"), 6).as("avg_qty"),
+            round(col("dbp").cast("double") / col("count_order"), 6).as("avg_price"),
+            round(col("ddisc").cast("double") / col("count_order"), 6).as("avg_disc"),
+            col("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       },
       Some(s"""
         |SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 2)                                        AS sum_qty,
-        |       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-        |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-        |       round(avg(l_quantity), 6)                                        AS avg_qty,
-        |       round(avg(l_extendedprice), 6)                                   AS avg_price,
-        |       round(avg(l_discount), 6)                                        AS avg_disc,
-        |       count(*)                                                         AS count_order
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)      AS sum_qty,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+        |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |                           AS DECIMAL(18,6))) AS DOUBLE), 2)                 AS sum_disc_price,
+        |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+        |                           AS DECIMAL(18,6))) AS DOUBLE), 2)                 AS sum_charge,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |             / count(*), 6)                                                  AS avg_qty,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |             / count(*), 6)                                                  AS avg_price,
+        |       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |             / count(*), 6)                                                  AS avg_disc,
+        |       count(*)                                                              AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '$Sep'
         |GROUP BY l_returnflag, l_linestatus
@@ -439,8 +460,11 @@ object Relational {
         val t = Tables(s, dir)
         t.orders
           .cube(col("o_orderstatus"), col("o_orderpriority"))
+          // decimal sum: exact at any SF (q01's rationale — the sf1 grand
+          // total drifted in the last rounded digit as a double fold)
           .agg(count(lit(1)).as("n"),
-            round(sum(col("o_totalprice")), 2).as("sum_price"))
+            round(sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double"), 2).as("sum_price"))
           .select(
             coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
             coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -451,7 +475,8 @@ object Relational {
         |SELECT coalesce(o_orderstatus, 'ALL')   AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,
         |       count(*)                         AS n,
-        |       round(sum(o_totalprice), 2)      AS sum_price
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |                  AS DOUBLE), 2)        AS sum_price
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority
@@ -719,7 +744,9 @@ object Relational {
           SELECT coalesce(o_orderstatus, 'ALL')   AS status,
                  coalesce(o_orderpriority, 'ALL') AS priority,
                  count(*)                         AS n,
-                 round(sum(o_totalprice), 2)      AS sum_price
+                 -- decimal sum: exact at any SF (q01's rationale)
+                 round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                            AS DOUBLE), 2)        AS sum_price
           FROM orders_q27
           GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
           ORDER BY status, priority""")
@@ -728,7 +755,8 @@ object Relational {
         |SELECT coalesce(o_orderstatus, 'ALL')   AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,
         |       count(*)                         AS n,
-        |       round(sum(o_totalprice), 2)      AS sum_price
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |                  AS DOUBLE), 2)        AS sum_price
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, priority
@@ -846,14 +874,19 @@ object Relational {
               col("o_orderpriority")),
             "l_orderkey", salts = 8)
           .groupBy(col("o_orderpriority"))
+          // qty is integer-valued and price has 2 decimals, so the per-row
+          // product is exactly a DECIMAL(18,2); decimal sum exact at any
+          // SF (q01's rationale)
           .agg(count(lit(1)).as("n"),
-            round(sum(col("l_quantity") * col("l_extendedprice")), 2).as("volume"))
+            round(sum((col("l_quantity") * col("l_extendedprice"))
+              .cast("decimal(18,2)")).cast("double"), 2).as("volume"))
           .orderBy(col("o_orderpriority"))
       },
       Some("""
         |SELECT o_orderpriority,
         |       count(*) AS n,
-        |       round(sum(l_quantity * l_extendedprice), 2) AS volume
+        |       round(CAST(sum(CAST(l_quantity * l_extendedprice
+        |                           AS DECIMAL(18,2))) AS DOUBLE), 2) AS volume
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority

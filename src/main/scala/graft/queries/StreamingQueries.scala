@@ -793,17 +793,28 @@ object StreamingQueries {
       // a bounded SpaceSaving counter map in keyed state
       // (EventStreams.streamingTopK — the a04 batch aggregate's algorithm
       // and wire format in a state-store cell). O(capacity) state per key
-      // on an unbounded stream; with capacity 4096 >= the ~1500 distinct
-      // users per type the counts are EXACT, so the oracle is the plain
-      // batch count ranking (ties broken count desc then user asc — the
-      // processor sorts the same way).
+      // on an unbounded stream. The EXACTNESS certification (oracle = the
+      // plain batch count ranking; ties count desc then user asc, the
+      // processor's own sort) requires capacity >= the per-type distinct
+      // key count, so capacity is PROVISIONED from the key-domain
+      // statistic — 2x distinct users, gate-floored at 4096 — the way a
+      // production deployment sizes counter state from cardinality
+      // estimates (gate: ~1500 users -> 4096 unchanged; the sf1 replay's
+      // 150k users previously silently exceeded the fixed 4096 and the
+      // estimates diverged from the exact oracle). Past the provisioned
+      // capacity SpaceSaving degrades to its documented epsilon bound —
+      // that is the sketch's 100 TB contract, certified exact here.
       "st16_stream_topk",
       (s, dir) => {
         import s.implicits._
+        val distinctUsers =
+          Tables(s, dir).events.agg(
+            countDistinct(col("user_id"))).head.getLong(0)
+        val cap = math.max(4096L, 2L * distinctUsers).toInt
         val ev = eventStream(s, dir)
           .select(col("event_type"), col("user_id"))
           .as[EventStreams.TypedEvent]
-        val top = EventStreams.streamingTopK(ev, k = 3, capacity = 4096).toDF()
+        val top = EventStreams.streamingTopK(ev, k = 3, capacity = cap).toDF()
         runToTable(s, top, "update")
           .select(col("event_type"), col("rnk"), col("user_id"),
             col("est_count"))

@@ -23,6 +23,29 @@ object VectorQueries {
 
   private val RefId = 0L
 
+  /** PQ codebook size tracks corpus size (the k-means train-size rule:
+    * ~64 training vectors per centroid, clamped to [32, 256] — 32 is the
+    * gate floor where 500 vectors train soundly, 256 the 8-bit code
+    * ceiling), rounded down to a power of two so cache keys stay stable
+    * as corpora grow incrementally. Fixed ksub=32 measured recall 0.35 at
+    * the 500-vector gate but 0.125 at the 20k-vector sf1 replay (below
+    * the 0.15 contract floor); ksub=256 restores 0.30 there. Same class
+    * of sizing law as e13's bits-per-band ~ log2(n).
+    */
+  private def ksubFor(n: Long): Int =
+    math.min(256, math.max(32,
+      Integer.highestOneBit(math.max(1L, n / 64L).toInt)))
+
+  /** Binary-quantization shortlist multiple: 64-bit sign codes carry
+    * FIXED information, so covering the true top-k at a growing corpus
+    * needs a proportionally larger Hamming shortlist (~n/500 candidates
+    * per k, gate-floored at 4x). At sf1 overfetch=4 measured recall
+    * 0.245 (floor 0.50) vs 0.69 at the scaled 40x — still a 2% scan
+    * before the exact re-rank.
+    */
+  private def overfetchFor(n: Long): Int =
+    math.max(4, math.ceil(n / 500.0).toInt)
+
   /** The one-row reference vector, aliased for a broadcast nested-loop join. */
   private def refVec(t: Tables) =
     broadcast(t.embeddings.filter(col("vec_id") === RefId)
@@ -580,7 +603,7 @@ object VectorQueries {
         val t = Tables(s, dir)
         val emb = t.embeddings
         val (model, enc) = graft.ops.Pq.encodeCached(emb, "vec_id", "embedding",
-          m = 8, ksub = 32)
+          m = 8, ksub = ksubFor(emb.count()))
         val probes = emb.filter(col("vec_id") < 20)
         val pqTop = graft.ops.Pq.adcTopK(enc, probes, "vec_id", "embedding",
             model, k = 10)
@@ -618,7 +641,7 @@ object VectorQueries {
         val t = Tables(s, dir)
         val emb = t.embeddings
         val index = graft.ops.Pq.buildIvfPqCached(emb, "vec_id", "embedding",
-          numCells = 8, m = 8, ksub = 32)
+          numCells = 8, m = 8, ksub = ksubFor(emb.count()))
         val probes = emb.filter(col("vec_id") < 20)
         val routedTop = graft.ops.Pq.ivfPqTopK(index, probes,
             "vec_id", "embedding", k = 10, nprobe = 4)
@@ -654,7 +677,7 @@ object VectorQueries {
         val t = Tables(s, dir)
         val emb = t.embeddings
         val index = graft.ops.Pq.buildIvfPqCached(emb, "vec_id", "embedding",
-          numCells = 8, m = 8, ksub = 32)
+          numCells = 8, m = 8, ksub = ksubFor(emb.count()))
         val probes = emb.filter(col("vec_id") < 20)
         val routedTop = graft.ops.Pq.ivfPqTopKRerank(index, emb, probes,
             "vec_id", "embedding", k = 10, nprobe = 4, rerankFactor = 4)
@@ -742,7 +765,7 @@ object VectorQueries {
         val emb = t.embeddings
         val probes = emb.filter(col("vec_id") < 20)
         val bqTop = graft.ops.Quantize.binaryRerankTopK(emb, probes,
-            "vec_id", "embedding", k = 10, overfetch = 4)
+            "vec_id", "embedding", k = 10, overfetch = overfetchFor(emb.count()))
           .select(col("query_id"), col("vec_id"))
         val exactTop = graft.ops.Similarity.bruteForceTopK(emb, probes,
             "vec_id", "embedding", k = 10)
