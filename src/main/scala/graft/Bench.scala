@@ -82,7 +82,11 @@ object Bench {
     * 1.5 x band ALSO triggers the adaptive re-measure, so the artifact of
     * record reports the plan's floor, not the launch context.
     */
-  private def loadBands(): Map[String, Double] = {
+  private def loadBands(sfDir: String): Map[String, Double] = {
+    // Bands are floors AT THE RECORDED SF (sf0.1, the driver's bench SF).
+    // Against a different fixture (the sf1 scaling runs) every row would
+    // sit legitimately above its band and trigger wasted re-measures.
+    if (!sfDir.contains("sf0.1")) return Map.empty
     val path = sys.env.getOrElse("GRAFT_BENCH_BANDS", "BENCH_BANDS.json")
     val f = new java.io.File(path)
     if (!f.isFile) return Map.empty
@@ -219,7 +223,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val warmDir = "/root/testdata/sf0.001"
-    val bands = loadBands()
+    val bands = loadBands(sfDir)
     // Dev-only subsetting for fast iteration (the driver never sets this):
     // SPARK_GRAFT_ONLY=regex runs just the matching queries.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
