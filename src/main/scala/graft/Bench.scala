@@ -87,14 +87,7 @@ object Bench {
     // Against a different fixture (the sf1 scaling runs) every row would
     // sit legitimately above its band and trigger wasted re-measures.
     if (!sfDir.contains("sf0.1")) return Map.empty
-    val path = sys.env.getOrElse("GRAFT_BENCH_BANDS", "BENCH_BANDS.json")
-    val f = new java.io.File(path)
-    if (!f.isFile) return Map.empty
-    try {
-      val text = new String(java.nio.file.Files.readAllBytes(f.toPath))
-      """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(text)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    } catch { case _: Exception => Map.empty }
+    BenchBands.load()
   }
 
   /** Streaming queries re-provision their state stores EVERY run (fresh
@@ -125,30 +118,40 @@ object Bench {
     * previous process's memory-compaction wake. Skipped when the proc
     * file is absent (non-Linux) or GRAFT_BENCH_NO_COOLDOWN is set.
     */
-  private def coolDown(): Unit = {
-    if (sys.env.contains("GRAFT_BENCH_NO_COOLDOWN")) return
+  /** @return (seconds waited, 1-min load at entry, 1-min load at exit) —
+    *         reported in the bench JSON so the artifact records the launch
+    *         context it was measured under.
+    */
+  private def coolDown(): (Long, Double, Double) = {
+    if (sys.env.contains("GRAFT_BENCH_NO_COOLDOWN")) return (0L, 0.0, 0.0)
     val proc = new java.io.File("/proc/loadavg")
-    if (!proc.isFile) return
-    // Elevated 5-min load at entry means the host is still working off a
-    // prior heavy process (the driver bench launches right after its
-    // verify cycle) — give the decay more room than the default budget.
-    val l5AtEntry = scala.util.Try(
-      new String(java.nio.file.Files.readAllBytes(proc.toPath))
-        .split("\\s+").lift(1).flatMap(_.toDoubleOption).getOrElse(0.0))
-      .getOrElse(0.0)
+    if (!proc.isFile) return (0L, 0.0, 0.0)
+    def read(): (Double, Double) = {
+      val parts = scala.util.Try(
+        new String(java.nio.file.Files.readAllBytes(proc.toPath))
+          .split("\\s+")).getOrElse(Array("0", "0"))
+      (parts.headOption.flatMap(_.toDoubleOption).getOrElse(0.0),
+        parts.lift(1).flatMap(_.toDoubleOption).getOrElse(0.0))
+    }
+    val (l1Entry, _) = read()
+    // The suite start is BLOCKED until the 1-minute load is below 1.0
+    // (round-8 verdict task 1: a best-effort wait shipped five rows at
+    // 1.6-2.8x their cooled bands). The budget is a safety valve against
+    // a host that is genuinely busy with something other than post-JVM
+    // decay — 25 min covers every decay curve observed in BENCH_NOTES
+    // (the longest, a full verify cycle's kcompactd wake, was ~7 min);
+    // only if it trips does the suite run hot, and then the per-row
+    // pressure annotation (see main) marks the artifact as such.
     val budgetMs = sys.env.get("GRAFT_BENCH_COOLDOWN_MS")
-      .flatMap(_.toLongOption)
-      .getOrElse(if (l5AtEntry > 1.5) 420000L else 180000L)
-    val deadline = System.nanoTime() + budgetMs * 1000000L
+      .flatMap(_.toLongOption).getOrElse(1500000L)
+    val t0 = System.nanoTime()
+    val deadline = t0 + budgetMs * 1000000L
     var l1 = 0.0
     var l5 = 0.0
     var waited = false
     while ({
-      val parts = scala.util.Try(
-        new String(java.nio.file.Files.readAllBytes(proc.toPath))
-          .split("\\s+")).getOrElse(Array("0", "0"))
-      l1 = parts.headOption.flatMap(_.toDoubleOption).getOrElse(0.0)
-      l5 = parts.lift(1).flatMap(_.toDoubleOption).getOrElse(0.0)
+      val (a, b) = read()
+      l1 = a; l5 = b
       // Gate on the 5-minute average too: a bench launched right after a
       // compile/verify cycle sees 1-min load recover in seconds while the
       // host's memory daemons are still working off the pressure — those
@@ -157,16 +160,17 @@ object Bench {
       (l1 > 1.0 || l5 > 1.5) && System.nanoTime() < deadline
     }) {
       if (!waited) System.err.println(
-        f"## bench cooldown: loadavg $l1%.2f/$l5%.2f (1m/5m), waiting (budget ${budgetMs / 1000}s)")
+        f"## bench cooldown: loadavg $l1%.2f/$l5%.2f (1m/5m), blocking until 1m<1.0 (budget ${budgetMs / 1000}s)")
       waited = true
       Thread.sleep(5000)
     }
     if (waited) System.err.println(f"## bench cooldown done: loadavg $l1%.2f/$l5%.2f")
+    ((System.nanoTime() - t0) / 1000000000L, l1Entry, l1)
   }
 
   def main(args: Array[String]): Unit = {
     if (ensureCodeCache(args)) return
-    coolDown()
+    val (cooldownS, loadEntry, loadStart) = coolDown()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
@@ -227,6 +231,13 @@ object Bench {
     // Dev-only subsetting for fast iteration (the driver never sets this):
     // SPARK_GRAFT_ONLY=regex runs just the matching queries.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    // Rows still above 1.5x their cooled band after the re-measure budget:
+    // the artifact must SELF-DESCRIBE residual host pressure (round-8
+    // verdict task 1 — BENCH_r08 shipped five such rows with no in-artifact
+    // signal). The queries map stays purely numeric for any consumer doing
+    // arithmetic; the pressure rows ride in a sibling top-level key, each
+    // with the measured min and the band it failed to reach.
+    val pressure = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     var prevFamily: String = null
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
@@ -266,6 +277,11 @@ object Bench {
         extra += 1
         timings = timings ++ timedRun()
       }
+      // Budget exhausted and the row never reached 1.5x band: either the
+      // plan regressed or the host stayed hot through all 5 runs. Annotate
+      // rather than guess — the reader compares against the band.
+      band.filter(b => timings.nonEmpty && timings.min > b * 1.5 + 0.05)
+        .foreach(b => pressure(name) = (timings.min, b))
       if (only.isDefined) // diagnostics for dev runs only; keeps stdout JSON-clean
         System.err.println(f"## $name runs: ${timings.map(t => f"$t%.3f").mkString(", ")}")
       // Per-QUERY state hygiene for the streaming family (see
@@ -280,7 +296,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Launch-context + residual-pressure self-description (empty pressure
+    // map on a clean run). cooldown_s > 0 means the suite blocked that
+    // long for the host to cool; load_start is the 1-min loadavg the
+    // suite actually started under.
+    val press = pressure.map { case (k, (t, b)) =>
+      "\"" + k + "\":{\"t\":" + fmt(t) + ",\"band\":" + fmt(b) + ",\"pressure\":true}"
+    }.mkString("{", ",", "}")
+    val ctx = f""""cooldown_s":$cooldownS,"load_entry":$loadEntry%.2f,"load_start":$loadStart%.2f"""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"pressure":$press,$ctx,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

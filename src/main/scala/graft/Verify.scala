@@ -31,19 +31,11 @@ object Verify {
     // driver bench — is a plan regression, not host noise, and should
     // fail loudly in the builder's loop. Skipped when the host is under
     // load (the flag would be noise) or no band exists.
-    val bands: Map[String, Double] = {
-      val f = new java.io.File(
-        sys.env.getOrElse("GRAFT_BENCH_BANDS", "BENCH_BANDS.json"))
-      // Bands are sf0.1 floors; at larger fixtures (the sf1 replay) rows
-      // legitimately exceed them, so the gate only arms at gate-or-bench SF.
-      if (!f.isFile || !(sfDir.contains("sf0.01") || sfDir.contains("sf0.1")))
-        Map.empty
-      else scala.util.Try {
-        val text = new String(java.nio.file.Files.readAllBytes(f.toPath))
-        """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(text)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }.getOrElse(Map.empty)
-    }
+    // Bands are sf0.1 floors; at larger fixtures (the sf1 replay) rows
+    // legitimately exceed them, so the gate only arms at gate-or-bench SF.
+    val bands: Map[String, Double] =
+      if (sfDir.contains("sf0.01") || sfDir.contains("sf0.1")) BenchBands.load()
+      else Map.empty
     def load1: Double = scala.util.Try(
       new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+").head.toDouble)
@@ -84,9 +76,20 @@ object Verify {
       // rationale as graft.Bench.streamingFamily).
       if (fam == "st") Caches.unloadStreamState()
     }
-    if (regressions.nonEmpty)
+    // The gate must be machine-visible, not just a stderr line a log
+    // scroll buries: regressions land in a JSON artifact next to the
+    // query outputs (tools/check.py and the builder loop read outDir
+    // anyway), and GRAFT_VERIFY_BAND_STRICT=1 turns them into a non-zero
+    // exit for loops that only check status codes. Exit stays 0 by
+    // default so a deliberately-hot exploratory run or the driver's own
+    // invocation cannot be failed by host noise.
+    if (regressions.nonEmpty) {
       System.err.println(s"[verify] ${regressions.size} band regression(s): " +
         regressions.mkString("; "))
+      Files.writeString(Paths.get(s"$outDir/band_regressions.json"),
+        regressions.map(r => "\"" + r.replace("\"", "'") + "\"")
+          .mkString("[", ",", "]"))
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -103,5 +106,8 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (regressions.nonEmpty &&
+        sys.env.get("GRAFT_VERIFY_BAND_STRICT").contains("1"))
+      sys.exit(3)
   }
 }

@@ -229,6 +229,15 @@ object JsOracle {
               case JsThrow(v)        => (false, JsInterp.throwMessage(v))
               case OracleRunError(m) => (false, m)
               case graft.oracle.OracleBudgetError(m) => (false, m)
+              // Spark-internal failures must PROPAGATE: the partition
+              // iterator is a shuffle read, and a FetchFailedException
+              // thrown while the oracle consumes it is Spark's stage-retry
+              // signal — reporting it as a per-node oracle error would
+              // turn a transient, recoverable shuffle failure into a bogus
+              // "Errors from nodes" query failure (harmless in local mode,
+              // wrong on any cluster).
+              case e if e.getClass.getName.startsWith("org.apache.spark") =>
+                throw e
               // A defect in the interpreter/host layer (e.g. an
               // unanticipated java.time edge) must surface as the
               // reference's per-node error, not fail the Spark task with

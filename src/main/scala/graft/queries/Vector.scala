@@ -33,8 +33,11 @@ object VectorQueries {
     * of sizing law as e13's bits-per-band ~ log2(n).
     */
   private def ksubFor(n: Long): Int =
-    math.min(256, math.max(32,
-      Integer.highestOneBit(math.max(1L, n / 64L).toInt)))
+    // Clamp in Long BEFORE narrowing: at n/64 >= 2^31 a .toInt would wrap
+    // negative and the clamps would silently yield the 32 gate floor —
+    // the exact gate-constant regression this sizing law replaced.
+    math.min(256L, math.max(32L,
+      java.lang.Long.highestOneBit(math.max(1L, n / 64L)))).toInt
 
   /** Binary-quantization shortlist multiple: 64-bit sign codes carry
     * FIXED information, so covering the true top-k at a growing corpus
