@@ -635,38 +635,113 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** C(n, k) in Long — block-combination counts are tiny (<= C(16,3)). */
+  private def comb(n: Int, k: Int): Long = {
+    var r = 1L
+    for (i <- 1 to k) r = r * (n - k + i) / i
+    r
+  }
+
+  /** Block count for the SimHash pair join, sized to the number of
+    * DISTINCT fingerprints `m` — the d03 sizing law (round-8 verdict
+    * task 5, same class as ksubFor(n)). With B blocks over `bits` bits
+    * and radius d, candidate generation probes every C(B, d) choice of
+    * (B-d) blocks (Manku et al., WWW'07 — the block-permutation scheme);
+    * a pair within Hamming radius d has >= B-d clean blocks, so by
+    * pigeonhole it shares at least one probe key: recall stays EXACT for
+    * every B, which is why the law can retune freely as corpora grow
+    * without changing any answer.
+    *
+    * Cost per choice of B: C(B,d)*m probe rows plus
+    * C(B,d) * m^2/2 / 2^keyBits expected random bucket collisions, where
+    * keyBits >= bits - d*ceil(bits/B) (a probe key omits d blocks). Small
+    * B under-keys the buckets (the old fixed B=4 probed 8-bit keys — 256
+    * buckets, so candidates grew ~m^2/256: 47.8M verified pairs at sf1);
+    * large B multiplies probe rows through C(B,d). The law just evaluates
+    * the model at each feasible B and takes the argmin — gate-sized
+    * corpora land on the old B=4, sf0.1 on B=5, sf1 on B=6-8, and the
+    * quadratic term stays balanced against the linear one at any m.
+    */
+  private[graft] def simhashBlocksFor(m: Long, d: Int, bits: Int = 32): Int =
+    ((d + 1) to 16).minBy { b =>
+      val keyBits = math.max(0, bits - d * ((bits + b - 1) / b))
+      val c = comb(b, d).toDouble
+      c * m.toDouble +
+        c * (m.toDouble * m.toDouble / 2.0) / math.pow(2.0, keyBits.toDouble)
+    }
+
   /** Near-duplicate pairs by SimHash Hamming distance <= maxDistance.
     *
-    * Pair generation uses the standard multi-probe trick: split the 32-bit
-    * fingerprint into (maxDistance+1) segments; by pigeonhole, any pair
-    * within the radius agrees exactly on at least one segment, so the join
-    * is a segment-equality hash join, never a cross join.
+    * Two structural levers keep candidate growth near-linear in corpus
+    * size (the old fixed 4-segment probe measured 47.8M candidate pairs
+    * at sf1 — quadratic in m over only 256 buckets):
+    *
+    *  1. Pair generation runs over DISTINCT fingerprints, not documents:
+    *     exact/near-exact duplicates collapse onto shared simhash values
+    *     (the common LLM-corpus shape), so the self-join space is m
+    *     distinct values, and document pairs materialize only by
+    *     expanding the (value_a, value_b) matches through the membership
+    *     relation — output-proportional, never candidate-proportional.
+    *  2. The block-combination probe ([[simhashBlocksFor]]): any pair
+    *     within the radius agrees exactly on some (B-d)-block key, so the
+    *     join is a bucket-key hash join with EXACT recall at every B, and
+    *     B retunes to corpus size without changing results.
     */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       maxDistance: Int = 3): DataFrame = {
-    val segments = maxDistance + 1
-    val segBits = 32 / segments
+    val bits = 32
     // Persisted for the same reason as the MinHash hashed-shingle relation:
-    // both sides of the bucket self-join consume it, and Spark would
-    // otherwise recompute the full tokenize+hash+bitsum chain twice per
-    // run (measured 6-14 s -> ~1.5 s at sf0.1).
+    // the distinct-value pass and both expansion joins consume it, and
+    // Spark would otherwise recompute the full tokenize+hash+bitsum chain
+    // per consumer (measured 6-14 s -> ~1.5 s at sf0.1).
     val hs = simhash32(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val probes = hs.select(col("doc_id"), col("simhash"), posexplode(
-      array((0 until segments).map(s =>
-        shiftright(col("simhash"), s * segBits)
-          .bitwiseAND((1L << segBits) - 1)): _*)).as(Seq("seg", "segval")))
-    probes.as("a")
+    val vals = hs.select(col("simhash")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val blocks = simhashBlocksFor(vals.count(), maxDistance, bits)
+    // Block i covers a contiguous bit range (widths differ by <= 1); a
+    // probe key is the fingerprint masked to one (blocks - d)-block
+    // choice, so key equality == equality on every block in the choice.
+    val base = bits / blocks
+    val rem = bits % blocks
+    val blockMasks = (0 until blocks).map { i =>
+      val lo = i * base + math.min(i, rem)
+      val w = base + (if (i < rem) 1 else 0)
+      (((1L << w) - 1) << lo)
+    }
+    val comboMasks = blockMasks.indices.combinations(blocks - maxDistance)
+      .map(c => c.map(blockMasks).reduce(_ | _)).toSeq
+    val probes = vals.select(col("simhash"), posexplode(
+        array(comboMasks.map(mk => col("simhash").bitwiseAND(lit(mk))): _*))
+      .as(Seq("combo", "key")))
+    val valPairs = probes.as("a")
       .join(probes.as("b"),
-        col("a.seg") === col("b.seg") && col("a.segval") === col("b.segval") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.combo") === col("b.combo") && col("a.key") === col("b.key") &&
+          col("a.simhash") < col("b.simhash"))
+      .select(col("a.simhash").as("ha"), col("b.simhash").as("hb"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       // Hamming filter BEFORE the distinct: the dedup shuffle then carries
-      // only true pairs (x<=segments multiplicity), not every candidate.
+      // only true value pairs (<= C(B,d) multiplicity), not every candidate.
       .filter(col("hamming") <= maxDistance)
       .distinct()
+    // Expansion: each surviving value pair crosses its two membership
+    // sets (each document pair materializes exactly once — a pair of docs
+    // determines its pair of fingerprints); equal-fingerprint documents
+    // pair at Hamming 0 through a membership self-join.
+    val cross = valPairs
+      .join(hs.as("ma"), col("ha") === col("ma.simhash"))
+      .join(hs.as("mb"), col("hb") === col("mb.simhash"))
+      .select(least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
+        col("hamming"))
+    val intra = hs.as("x")
+      .join(hs.as("y"),
+        col("x.simhash") === col("y.simhash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(lit(0L)).as("hamming"))
+    cross.unionByName(intra)
   }
 
   /** Exact duplicated-SPAN detection (the substring-level dedup of Lee et

@@ -1243,23 +1243,41 @@ object JsInterp {
       BigDecimal(d).toBigInt.toString
     else d.toString
 
-  def toStr(v: JsVal): String = v match {
+  def toStr(v: JsVal): String =
+    toStrSeen(v, java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]()))
+
+  /** [[toStr]] with cycle detection: a self-referential array or object
+    * would otherwise recurse the JVM stack to death (StackOverflowError —
+    * an Error no catch layer maps, so it would fail a Spark task raw). A
+    * re-entered container renders as "" inside a join, matching V8's
+    * cyclic Array.prototype.join behavior; pinned by JsFuzzSpec.
+    */
+  private def toStrSeen(v: JsVal,
+      active: java.util.Set[AnyRef]): String = v match {
     case JsNum(d)  => numToStr(d)
     case JsStr(s)  => s
     case JsBool(b) => b.toString
     case JsNull    => "null"
     case JsUndef   => "undefined"
-    case a: JsArr  => a.items.map {
-      case JsNull | JsUndef => ""
-      case x => toStr(x)
-    }.mkString(",")
+    case a: JsArr  =>
+      if (!active.add(a)) ""
+      else try a.items.map {
+        case JsNull | JsUndef => ""
+        case x => toStrSeen(x, active)
+      }.mkString(",")
+      finally { active.remove(a); () }
     case o: JsObj =>
       // Error objects stringify as "name: message" (otto/ES5), which is
       // also what an uncaught throw of one reports
-      if (o.fields.contains("message") && o.fields.get("name").exists(
-          n => toStr(n).endsWith("Error")))
-        s"${toStr(o.fields("name"))}: ${toStr(o.fields("message"))}"
-      else "[object Object]"
+      if (active.contains(o)) "[object Object]"
+      else if (o.fields.contains("message") && o.fields.get("name").exists(
+          n => toStr(n).endsWith("Error"))) {
+        active.add(o)
+        try s"${toStrSeen(o.fields("name"), active)}: " +
+          toStrSeen(o.fields("message"), active)
+        finally { active.remove(o); () }
+      } else "[object Object]"
     case re: JsRegex => s"/${re.source}/${re.flags}"
     case d: JsDate =>
       if (d.ms.isNaN || d.ms.isInfinite) "Invalid Date"
@@ -1398,6 +1416,15 @@ object JsInterp {
     * non-finite numbers serialize as null; insertion key order.
     */
   def jsonStringify(v: JsVal, indent: String): Option[String] = {
+    // Cycle guard (ES5 15.12.3 step JO/JA "cyclic structure" check): a
+    // self-referential container is a TypeError, exactly V8's message —
+    // without it the recursion would die as a raw StackOverflowError.
+    val active = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+    def enter(c: AnyRef): Unit =
+      if (!active.add(c))
+        throw JsThrow(errorObj("TypeError",
+          "Converting circular structure to JSON"))
     def quote(s: String): String = {
       val sb = new StringBuilder("\"")
       s.foreach {
@@ -1424,22 +1451,28 @@ object JsInterp {
         Some(if (d.ms.isNaN || d.ms.isInfinite) "null"
              else quote(dateIso(d)))
       case a: JsArr =>
-        val inner = pad + indent
-        val items = a.items.map(x => go(x, inner).getOrElse("null"))
-        Some(
-          if (items.isEmpty) "[]"
-          else if (indent.isEmpty) items.mkString("[", ",", "]")
-          else items.mkString(s"[\n$inner", s",\n$inner", s"\n$pad]"))
+        enter(a)
+        try {
+          val inner = pad + indent
+          val items = a.items.map(x => go(x, inner).getOrElse("null"))
+          Some(
+            if (items.isEmpty) "[]"
+            else if (indent.isEmpty) items.mkString("[", ",", "]")
+            else items.mkString(s"[\n$inner", s",\n$inner", s"\n$pad]"))
+        } finally { active.remove(a); () }
       case o: JsObj =>
-        val inner = pad + indent
-        val sep = if (indent.isEmpty) ":" else ": "
-        val fields = o.fields.toSeq.flatMap { case (k, x) =>
-          go(x, inner).map(s => quote(k) + sep + s)
-        }
-        Some(
-          if (fields.isEmpty) "{}"
-          else if (indent.isEmpty) fields.mkString("{", ",", "}")
-          else fields.mkString(s"{\n$inner", s",\n$inner", s"\n$pad}"))
+        enter(o)
+        try {
+          val inner = pad + indent
+          val sep = if (indent.isEmpty) ":" else ": "
+          val fields = o.fields.toSeq.flatMap { case (k, x) =>
+            go(x, inner).map(s => quote(k) + sep + s)
+          }
+          Some(
+            if (fields.isEmpty) "{}"
+            else if (indent.isEmpty) fields.mkString("{", ",", "}")
+            else fields.mkString(s"{\n$inner", s",\n$inner", s"\n$pad}"))
+        } finally { active.remove(o); () }
     }
     go(v, "")
   }
@@ -1481,7 +1514,17 @@ object JsInterp {
     * the otto export): object keys sorted, integral doubles as integers.
     * Functions and host objects are unmarshalable, like Go funcs.
     */
-  def toJson(v: JsVal): JValue = v match {
+  def toJson(v: JsVal): JValue =
+    toJsonSeen(v, java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]()))
+
+  /** [[toJson]] with cycle detection: Go's encoding/json reports a
+    * self-referential value as an error ("encountered a cycle") rather
+    * than recursing forever — so does the marshal of a cyclic oracle
+    * result here, in the same `json:` error family the reference
+    * surfaces (service_test.go:677-684 pins the non-finite spelling).
+    */
+  private def toJsonSeen(v: JsVal, active: java.util.Set[AnyRef]): JValue = v match {
     case JsNum(d) =>
       if (d.isWhole && !d.isInfinite && math.abs(d) <= 9.007199254740992e15)
         JInt(BigInt(d.toLong))
@@ -1489,12 +1532,20 @@ object JsInterp {
     case JsStr(s)  => JString(s)
     case JsBool(b) => JBool(b)
     case JsNull | JsUndef => JNull
-    case a: JsArr => JArray(a.items.map(toJson).toList)
+    case a: JsArr =>
+      if (!active.add(a))
+        throw OracleRunError("json: unsupported value: encountered a cycle")
+      try JArray(a.items.map(toJsonSeen(_, active)).toList)
+      finally { active.remove(a); () }
     case _: JsRegex => JObject(Nil) // regexes marshal as {} (no data fields)
     case d: JsDate => // ES5 Date.prototype.toJSON: ISO string, null invalid
       if (d.ms.isNaN || d.ms.isInfinite) JNull else JString(dateIso(d))
     case o: JsObj =>
-      JObject(o.fields.toSeq.sortBy(_._1).map { case (k, x) => k -> toJson(x) }.toList)
+      if (!active.add(o))
+        throw OracleRunError("json: unsupported value: encountered a cycle")
+      try JObject(o.fields.toSeq.sortBy(_._1)
+        .map { case (k, x) => k -> toJsonSeen(x, active) }.toList)
+      finally { active.remove(o); () }
     case f: JsFunc =>
       throw OracleRunError(s"json: unsupported type: func ${f.name.getOrElse("")}")
     case _ =>

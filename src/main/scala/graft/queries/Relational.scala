@@ -860,19 +860,28 @@ object Relational {
         |""".stripMargin.trim)),
 
     QueryDef(
-      // Salted skew join at the query surface: the lineitem side is salted
-      // by row hash, orders replicated per salt, so one hot orderkey
-      // spreads over 8 reducers. Result equality with the plain join is
-      // exact — which is why a plain SQL join is a valid oracle.
+      // Salted skew join at the query surface, with the salt factor
+      // MEASURED rather than fixed (round-8 verdict task 3): a sampled
+      // key-frequency statistic sizes the salt to the skew that actually
+      // exists. TPC-H orderkeys are uniform, so the factor measures 1 and
+      // the plan is the plain join — no 8x small-side replication tax
+      // (which at sf1 cost 9.2 s for zero benefit); against a genuinely
+      // hot key the same query salts exactly enough to split it into
+      // ~2M-row slices. Result equality with the plain join is exact at
+      // EVERY factor — which is why a plain SQL join is a valid oracle,
+      // and why the sampled statistic can never change an answer.
+      // q38 exercises the forced-salt path against planted skew.
       "q31_salted_join",
       (s, dir) => {
         val t = Tables(s, dir)
+        val li = t.lineitem.select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"))
         graft.ops.Skew.saltedJoin(
-            t.lineitem.select(col("l_orderkey"), col("l_quantity"),
-              col("l_extendedprice")),
+            li,
             t.orders.select(col("o_orderkey").as("l_orderkey"),
               col("o_orderpriority")),
-            "l_orderkey", salts = 8)
+            "l_orderkey",
+            salts = graft.ops.Skew.measuredSaltFactor(li, "l_orderkey"))
           .groupBy(col("o_orderpriority"))
           // qty is integer-valued and price has 2 decimals, so the per-row
           // product is exactly a DECIMAL(18,2); decimal sum exact at any

@@ -242,29 +242,51 @@ object SourceQueries {
             size(col("toks")).cast("long").as("n_tokens"))
         // Explicit partition count: a column-only repartition is an AQE
         // coalesce target, and at this data size AQE folded the exchange
-        // to ONE partition — a single task then wrote all ~140 shard dirs
-        // sequentially (3.4 s; the committer was never the bottleneck).
-        // A user-specified count is exempt from coalescing, so the write
-        // fans across the executors (1.0 s) while each (source, bin)
-        // group still lands wholly in one task -> one file per shard dir.
+        // to ONE partition — a single task then wrote every shard dir
+        // sequentially. A user-specified count is exempt from coalescing.
         val par = s.sparkContext.defaultParallelism
+        // Shard GROUPS of 32 bins per directory (round-8 verdict task 7):
+        // one directory per (source, bin) scaled as dirs ~ corpus tokens —
+        // ~2000 one-file dirs at sf1 (10.8 s: per-file writer open/close
+        // on the write, per-footer reads on the read-back) and an FS
+        // metadata disaster at 100 TB. Grouping divides dir/file count by
+        // 32 while rows stay clustered by bin INSIDE the group file
+        // (sortWithinPartitions), so a bin predicate prunes at the
+        // row-group level after (source, grp) prunes at listing. This is
+        // the WebDataset-style shard-group layout; the per-bin map lives
+        // in the manifest, not the directory tree.
         graft.ops.Sampling.packIntoBins(withTok, "doc_id", "n_tokens",
             2048L, "source")
-          .repartition(par, col("source"), col("bin"))
-          .write.mode("overwrite").partitionBy("source", "bin")
+          .withColumn("grp", (col("bin") / lit(32L)).cast("long"))
+          .repartition(par, col("source"), col("grp"))
+          .sortWithinPartitions(col("source"), col("grp"), col("bin"),
+            col("doc_id"))
+          .write.mode("overwrite").partitionBy("source", "grp")
           // v2 commit: tasks move their files into the destination at
-          // TASK commit, so the job commit stops sequentially renaming
-          // ~200 one-file shard dirs on the driver — the committer was
-          // the remaining serial section of this write. (Correctness
-          // trade of v2 — visible partial output on job failure — is the
-          // standard lake-export setting; the manifest is the read-back.)
+          // TASK commit, so the job commit never serially renames shard
+          // dirs on the driver. (Correctness trade of v2 — visible
+          // partial output on job failure — is the standard lake-export
+          // setting; the manifest is the read-back.)
           .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
           .parquet(out)
+        // The per-shard MANIFEST — (source, bin) -> doc count, token
+        // count, first doc — computed by reading the lake back (so a
+        // match with the source-side oracle proves round-trip fidelity)
+        // and persisted INSIDE the dataset under an underscore dir, which
+        // parquet listing ignores: loaders open the manifest, pick their
+        // (source, bin), and read the group file with a bin predicate.
+        val manifestPath = s"$out/_manifest"
         s.read.parquet(out)
           .groupBy(col("source"), col("bin").cast("long").as("bin"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_tokens")).as("shard_tokens"),
             min(col("doc_id")).as("min_doc"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(manifestPath)
+        // The checked result is the manifest read back from ITS parquet —
+        // the full chain lake write -> lake read -> manifest write ->
+        // manifest read must round-trip to equal the source-side oracle.
+        s.read.parquet(manifestPath)
           .orderBy(col("source"), col("bin"))
       },
       Some("""

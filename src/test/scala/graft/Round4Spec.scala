@@ -124,29 +124,43 @@ class Round4Spec extends SparkSpec {
       s"expected partition-filter pruning in:\n$plan")
   }
 
-  test("io07 shard export: one file per shard, (source,bin) read prunes") {
+  test("io07 shard export: one file per shard group, pruned read, manifest round-trip") {
     val q = graft.SparkEntry.queries
-    q("io07_shard_export")(spark, sf).collect() // runs the write
+    val result = q("io07_shard_export")(spark, sf).collect()
     val out = s"/root/repo/target/graft-io/io07_${math.abs(sf.hashCode)}"
     // The pre-write repartition clusters by the partition key: every
-    // (source, bin) shard directory must hold exactly ONE parquet file —
-    // the data-loader contract (and the anti-small-files discipline).
-    val shardDirs = new java.io.File(out).listFiles()
+    // (source, grp) shard-GROUP directory must hold exactly ONE parquet
+    // file (32 bins per group — the anti-small-files discipline; at sf1
+    // per-bin dirs meant ~2000 one-file dirs and 10.8 s of writer/footer
+    // overhead).
+    val groupDirs = new java.io.File(out).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("source="))
-      .flatMap(_.listFiles().filter(_.getName.startsWith("bin=")))
-    assert(shardDirs.nonEmpty, "expected source=*/bin=* shard directories")
-    shardDirs.foreach { d =>
+      .flatMap(_.listFiles().filter(_.getName.startsWith("grp=")))
+    assert(groupDirs.nonEmpty, "expected source=*/grp=* shard-group directories")
+    groupDirs.foreach { d =>
       val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
       assert(files.length === 1,
-        s"${d.getPath} holds ${files.length} files; shards must be 1 file")
+        s"${d.getPath} holds ${files.length} files; groups must be 1 file")
     }
-    // A shard predicate must prune at listing time (partition filters),
-    // not scan-and-filter.
-    val plan = spark.read.parquet(out)
-      .filter($"source" === "src0" && $"bin" === 0)
-      .queryExecution.executedPlan.toString
+    // A (source, grp) predicate prunes at LISTING time (partition
+    // filters); the bin predicate inside the group pushes down to the
+    // parquet scan, where the sortWithinPartitions clustering makes
+    // row-group stats effective.
+    val pruned = spark.read.parquet(out)
+      .filter($"source" === "src0" && $"grp" === 0 && $"bin" === 0)
+    val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("source"),
       s"expected partition-filter pruning in:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("bin"),
+      s"expected the bin predicate pushed to the scan in:\n$plan")
+    // The manifest lives inside the dataset (underscore dir, invisible to
+    // parquet listing) and maps every (source, bin) shard exactly once —
+    // and it IS the query result (the checked output reads it back).
+    val manifest = spark.read.parquet(s"$out/_manifest")
+    val shardCount = spark.read.parquet(out)
+      .select($"source", $"bin").distinct().count()
+    assert(manifest.count() === shardCount)
+    assert(result.length.toLong === shardCount)
   }
 
   test("st01/st02 streaming results equal their batch twins") {
