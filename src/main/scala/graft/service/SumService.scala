@@ -183,13 +183,21 @@ final class SumService(
   // ---- execution ---------------------------------------------------------
 
   /** Run an oracle by id with JSON-encoded args; results above 2 KiB are
-    * gzip-enveloped (node/service/service.go:106-124,128-154).
+    * gzip-enveloped (node/service/service.go:106-124,128-154). Every run
+    * failure — ctx.Error, uncaught throw, marshal error — wraps as
+    * "error while running oracle <id>: <msg>" (service.go:138,146,
+    * pinned by service_test.go:370,395,420); only the pre-run
+    * "oracle <id> not found." stays bare (service.go:131).
     */
   def run(oracleId: Long, jsonArgs: Seq[String]): CallResponse =
-    oracles.run(oracleId, store, jsonArgs) match {
-      case Left(err)   => CallResponse(success = false, err, None)
-      case Right(json) => CallResponse(success = true, "",
-        Some(Payload.buildString(json)))
+    oracles.read(oracleId) match {
+      case Left(err) => CallResponse(success = false, err, None)
+      case Right(_) => oracles.run(oracleId, store, jsonArgs) match {
+        case Left(err) => CallResponse(success = false,
+          s"error while running oracle $oracleId: $err", None)
+        case Right(json) => CallResponse(success = true, "",
+          Some(Payload.buildString(json)))
+      }
     }
 
   def info(): EngineInfo = EngineInfo(spark, store, oracles)

@@ -1,0 +1,125 @@
+package graft
+
+import graft.model.SumRecord
+import graft.oracle.Payload
+import graft.service.{SumFederation, SumService}
+
+/** End-to-end federation semantics (round-8 verdict task 8, the last
+  * deliberately-red cell): add node -> records rebalance with the
+  * reference balancer's arithmetic -> stored oracles absorbed into the
+  * master cage -> distributed Run fans out, merges, and aggregates
+  * per-node errors in the master's wire format.
+  */
+class SumFederationSpec extends SparkSpec {
+
+  private def engineWith(ids: Range): SumService = {
+    val svc = SumService(spark)
+    assert(svc.createRecordsWithId(ids.map(i =>
+      SumRecord(i.toLong, Array(i.toFloat, 1f), Map("name" -> s"r$i")))).success)
+    svc
+  }
+
+  test("addNode rebalances records per balancer.go and absorbs node oracles") {
+    val fed = new SumFederation
+    val a = engineWith(1 to 100)
+    fed.addNode("a", a)
+    // One node: targets equal its own count, no movement.
+    assert(fed.listNodes().map(_.records) === Seq(100L))
+
+    val b = SumService(spark) // empty store, 4 canonical oracles
+    val bOracles = b.oracles.size
+    assert(bOracles > 0)
+    fed.addNode("b", b)
+    // balance: total 100 over 2 nodes -> 50/50 (remainder 0); the donor
+    // gives its FIRST records (page-1 id order), so node b now holds
+    // ids 1..50.
+    assert(fed.listNodes().map(_.records).sorted === Seq(50L, 50L))
+    assert(b.store.find(1L).isDefined && a.store.find(1L).isEmpty)
+    // agent Smith: the node's oracles moved into the master cage
+    // (deduplicated by name+code — both engines started with the same
+    // canonical set).
+    assert(b.oracles.size === 0)
+    assert(fed.oracles.size === bOracles)
+  }
+
+  test("balance is a no-op inside the 5% hysteresis band") {
+    val fed = new SumFederation
+    val a = engineWith(1 to 52)
+    val b = engineWith(101 to 148) // 48 records: delta 2 <= target/20 = 2
+    fed.addNode("a", a)
+    fed.addNode("b", b)
+    assert(fed.listNodes().map(_.records) === Seq(52L, 48L))
+  }
+
+  test("distributed Run: scatter, user merger, exact total across shards") {
+    val fed = new SumFederation
+    fed.addNode("a", engineWith(1 to 60))
+    fed.addNode("b", engineWith(61 to 100))
+    val code = """function sumIds() {
+      var all = records.All();
+      var t = 0;
+      for (var i = 0; i < all.length; i++) t += all[i].ID;
+      return t;
+    }
+    function mergeSums(partials) {
+      var s = 0;
+      for (var i = 0; i < partials.length; i++) s += partials[i];
+      return s;
+    }"""
+    val oracle = fed.oracles.createJs("sumIds", code)
+      .fold(m => fail(s"compile failed: $m"), identity)
+    val resp = fed.run(oracle.id, Seq.empty)
+    assert(resp.success, resp.msg)
+    // Node placement cannot change the answer: sum(1..100) = 5050.
+    assert(Payload.openString(resp.data.get) === "5050")
+    // Temporary oracles were cleaned up on both nodes.
+    fed.listNodes().foreach(n => assert(n.engine.oracles.size === 0))
+  }
+
+  test("distributed Run: default merger unions maps; node errors aggregate in wire format") {
+    val fed = new SumFederation
+    fed.addNode("a", engineWith(1 to 3))
+    fed.addNode("b", engineWith(11 to 13))
+    val mapCode = """function idMap() {
+      var all = records.All();
+      var out = {};
+      for (var i = 0; i < all.length; i++) out['' + all[i].ID] = all[i].Size;
+      return out;
+    }"""
+    val o1 = fed.oracles.createJs("idMap", mapCode)
+      .fold(m => fail(s"compile failed: $m"), identity)
+    val r1 = fed.run(o1.id, Seq.empty)
+    assert(r1.success, r1.msg)
+    val merged = org.json4s.jackson.JsonMethods.parse(
+      Payload.openString(r1.data.get)).values.asInstanceOf[Map[String, Any]]
+    assert(merged.keySet === Set("1", "2", "3", "11", "12", "13"))
+
+    val failing = """function boom() { throw 'yuppie!'; }"""
+    val o2 = fed.oracles.createJs("boom", failing)
+      .fold(m => fail(s"compile failed: $m"), identity)
+    val r2 = fed.run(o2.id, Seq.empty)
+    assert(!r2.success)
+    assert(r2.msg.matches(
+      "^Errors from nodes: \\[.*error while running oracle \\d+: yuppie!.*\\]$"),
+      r2.msg)
+    assert(fed.run(999L, Seq.empty).msg === "oracle 999 not found.")
+  }
+
+  test("deleteNode redistributes the departing node's records") {
+    val fed = new SumFederation
+    val a = engineWith(1 to 40)
+    val b = engineWith(101 to 140)
+    val c = engineWith(201 to 241) // 41, keeps remainder arithmetic honest
+    fed.addNode("a", a)
+    fed.addNode("b", b)
+    fed.addNode("c", c)
+    val idB = fed.listNodes().find(_.name == "b").get.id
+    assert(fed.deleteNode(idB).success)
+    val after = fed.listNodes()
+    assert(after.map(_.name) === Seq("a", "c"))
+    // b's 40 records split 20/20 over the survivors; totals conserved.
+    assert(after.map(_.records).sum === 121L)
+    assert(after.map(_.records) === Seq(60L, 61L))
+    assert(fed.deleteNode(99L).msg === "node 99 not found.")
+  }
+}

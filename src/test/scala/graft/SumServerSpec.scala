@@ -87,10 +87,13 @@ class SumServerSpec extends SparkSpec {
       val payload = new String(java.util.Base64.getDecoder.decode(
         (run \ "data" \ "payload").asInstanceOf[JString].s), "UTF-8")
       assert(payload === """{"2":1}""")
-      // the oracle's ctx.Error path crosses the wire as an error response
+      // the oracle's ctx.Error path crosses the wire wrapped in the node
+      // RPC's exact spelling (node/service/service.go:146, pinned by
+      // service_test.go:420 "error while running oracle 1: nope")
       val miss = post(base, "Run", s"""{"oracle_id":$oracleId,"args":["99","0.5"]}""")
       assert((miss \ "success") === JBool(false))
-      assert((miss \ "msg") === JString("Vector 99 not found."))
+      assert((miss \ "msg") ===
+        JString(s"error while running oracle $oracleId: Vector 99 not found."))
     }
   }
 

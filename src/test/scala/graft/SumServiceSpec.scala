@@ -48,8 +48,12 @@ class SumServiceSpec extends SparkSpec {
   test("run failures surface as unsuccessful responses, not exceptions") {
     val svc = freshService
     val oracle = svc.findOracle("findSimilar").oracle.get
+    // Run failures wrap in the node RPC's exact spelling
+    // (node/service/service.go:146, service_test.go:420); only the
+    // pre-run oracle lookup failure stays bare (service.go:131).
     val missing = svc.run(oracle.id, Seq("666", "0.5"))
-    assert(!missing.success && missing.msg === "record 666 not found.")
+    assert(!missing.success && missing.msg ===
+      s"error while running oracle ${oracle.id}: record 666 not found.")
     val badOracle = svc.run(999L, Seq.empty)
     assert(!badOracle.success && badOracle.msg === "oracle 999 not found.")
   }
