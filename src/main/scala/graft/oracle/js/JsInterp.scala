@@ -113,15 +113,29 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
   import JsInterp._
 
   private var steps = 0L
+  private var budget = maxSteps
 
   private def tick(): Unit = {
     steps += 1
-    if (steps > maxSteps)
+    if (steps > budget)
       // A dedicated type so a user `try { for(;;){} } catch(e) {}` cannot
       // swallow the budget and wedge the serving thread anyway.
       throw graft.oracle.OracleBudgetError(
-        s"oracle exceeded the $maxSteps-step budget")
+        s"oracle exceeded the $budget-step budget")
   }
+
+  /** Extend the step budget by `n`. The records host grants this per
+    * record it serves, so the budget bounds interpreter work PER RECORD
+    * OF DATA TOUCHED rather than per run: a linear records.ForEach/All
+    * pass stays within budget at ANY corpus size (the sf10 replay caught
+    * the fixed budget tripping at 1.25M records per partition — a
+    * gate-sized constant, the defect class the sizing laws exist for),
+    * while a data-free infinite loop still trips at the base budget and
+    * a runaway loop inside one visit callback trips before the next
+    * record grants more.
+    */
+  def grantSteps(n: Long): Unit =
+    budget = math.min(Long.MaxValue / 2, budget + math.max(0L, n))
 
   private final case class ReturnSignal(v: JsVal) extends RuntimeException
     with scala.util.control.NoStackTrace

@@ -297,11 +297,20 @@ object JsOracle {
     * scale path for linear-pass oracles; elsewhere ForEach folds over the
     * materialized view for API uniformity.
     */
+  /** Step budget granted per record the host serves: the interpreter
+    * budget then bounds work per record touched, not per run, so linear
+    * passes scale with the corpus (JsInterp.grantSteps). 10k steps per
+    * record is ~2 orders above a heavy per-record callback (a 64-dim
+    * cosine in pure JS is ~500 steps).
+    */
+  private val StepsPerRecord = 10000L
+
   private def seqRecordsHost(interp: JsInterp,
       findFn: Long => Option[SumRecord],
       allFn: () => Seq[SumRecord],
       eachFn: Option[(SumRecord => Unit) => Unit] = None): JsHost = {
     def wrapSeq(recs: Seq[SumRecord]): JsArr = {
+      interp.grantSteps(StepsPerRecord * recs.length)
       val a = new JsArr
       recs.foreach(r => a.items += recordHost(interp, Some(r)))
       a
@@ -310,8 +319,11 @@ object JsOracle {
       "ForEach" -> { args =>
         val fn = args.headOption.getOrElse(
           throw OracleRunError("TypeError: undefined is not a function"))
-        val visit: SumRecord => Unit =
-          r => { interp.callFunction(fn, Seq(recordHost(interp, Some(r)))); () }
+        val visit: SumRecord => Unit = r => {
+          interp.grantSteps(StepsPerRecord)
+          interp.callFunction(fn, Seq(recordHost(interp, Some(r))))
+          ()
+        }
         eachFn match {
           case Some(each) => each(visit)
           case None       => allFn().foreach(visit)

@@ -871,4 +871,23 @@ function mergeSomethingButThrowup(results) { throw "apple cider"; }""")
       .left.exists(_.contains(
         "TypeError: 'defineProperty' is not a function on Object")))
   }
+
+  test("step budget is extendable via grants; ungranted loops still trip") {
+    import graft.oracle.js.{JsInterp, JsLang}
+    import graft.oracle.OracleBudgetError
+    // The records host grants budget per record served (sf10 caught the
+    // fixed 50M budget tripping a LINEAR 1.25M-record ForEach pass); the
+    // grant mechanism is pinned here at interpreter level: the same
+    // ~5000-step loop trips a 500-step interpreter and completes once
+    // granted headroom, and the budget error names the grown budget.
+    val prog = "var t = 0; for (var i = 0; i < 1000; i++) t += i;"
+    val tight = new JsInterp(maxSteps = 500)
+    val e = intercept[OracleBudgetError] {
+      tight.exec(JsLang.parse(prog), new JsInterp.Env(None))
+    }
+    assert(e.msg === "oracle exceeded the 500-step budget")
+    val granted = new JsInterp(maxSteps = 500)
+    granted.grantSteps(1000000L)
+    granted.exec(JsLang.parse(prog), new JsInterp.Env(None)) // completes
+  }
 }
