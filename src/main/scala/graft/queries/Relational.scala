@@ -100,6 +100,12 @@ object Relational {
         |""".stripMargin.trim)),
 
     QueryDef(
+      // Revenue sums in DECIMAL (q01's pattern): the sf10 replay caught
+      // this query's double sum drifting in its 2nd decimal at 1.3e11
+      // per-nation magnitudes (cross-engine float reassociation over 60M
+      // rows). The per-row product is exactly a 4-decimal value computed
+      // within 1e-8, so the DECIMAL(18,6) cast is exact, and decimal
+      // addition is exact at any SF.
       "q03_revenue_by_nation",
       (s, dir) => {
         val t = Tables(s, dir)
@@ -109,15 +115,19 @@ object Relational {
           .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("n_name"))
           .agg(
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-              .as("revenue"),
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast("decimal(18,6)")).as("drev"),
             countDistinct(col("o_orderkey")).as("n_orders"))
+          .select(col("n_name"),
+            round(col("drev").cast("double"), 2).as("revenue"),
+            col("n_orders"))
           .orderBy(col("n_name"))
       },
       Some("""
         |SELECT n_name,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-        |       count(DISTINCT o_orderkey)                        AS n_orders
+        |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |                           AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+        |       count(DISTINCT o_orderkey)                            AS n_orders
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey

@@ -679,11 +679,19 @@ object VectorQueries {
       (s, dir) => {
         val t = Tables(s, dir)
         val emb = t.embeddings
+        val n = emb.count()
         val index = graft.ops.Pq.buildIvfPqCached(emb, "vec_id", "embedding",
-          numCells = 8, m = 8, ksub = ksubFor(emb.count()))
+          numCells = 8, m = 8, ksub = ksubFor(n))
         val probes = emb.filter(col("vec_id") < 20)
+        // Rerank depth is a sizing law like v20's shortlist (~n/500,
+        // gate-floored at 4x): PQ codes carry FIXED information, so the
+        // true top-k's rank in ADC ordering degrades with corpus size and
+        // a fixed 4x shortlist starves the exact stage — the sf10 replay
+        // measured recall below the 0.40 contract floor at 200k vectors
+        // with the same code that passed at 20k.
         val routedTop = graft.ops.Pq.ivfPqTopKRerank(index, emb, probes,
-            "vec_id", "embedding", k = 10, nprobe = 4, rerankFactor = 4)
+            "vec_id", "embedding", k = 10, nprobe = 4,
+            rerankFactor = overfetchFor(n))
           .select(col("query_id"), col("vec_id"))
         val exactTop = graft.ops.Similarity.mipsTopK(emb, probes,
             "vec_id", "embedding", k = 10)
