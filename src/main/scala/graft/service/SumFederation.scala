@@ -4,45 +4,252 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.json4s.JValue
 
-import graft.oracle.{Merge, OracleRegistry, Payload}
+import graft.model.SumRecord
+import graft.oracle.{Merge, Oracle, OracleRegistry, Payload}
 
-/** The reference MASTER's node-federation semantics, in process
-  * (master/mux_nodes.go, master/balancer.go, master/oracle_stealer.go,
-  * master/mux_runner.go) — the one reference surface the single-engine
-  * mapping answered truthfully instead of implementing. Each federated
-  * node is a full engine ([[SumService]]: its own RecordStore shard +
-  * oracle registry); the master holds the oracle cage and coordinates:
+/** One federated engine as the master sees it — either in-process (a
+  * [[SumService]]) or remote over the real gRPC wire (a
+  * [[SumGrpcClient]]), exactly the two faces the reference master's
+  * NodeInfo carries (Client + InternalClient, master/node.go).
+  */
+trait NodeEngine {
+  def records: Long
+  def nextRecordId: Long
+  def listRecords(page: Long, perPage: Long): Seq[SumRecord]
+  def createRecordWithId(r: SumRecord): RecordResponse
+  def createRecordsWithId(recs: Seq[SumRecord]): RecordResponse
+  def deleteRecords(ids: Seq[Long]): Unit
+  def readRecord(id: Long): RecordResponse
+  def updateRecord(r: SumRecord): RecordResponse
+  def deleteRecord(id: Long): RecordResponse
+  def findRecords(meta: String, value: String): FindResponse
+  /** The node's stored oracles: compiled objects in process, (id, name,
+    * code) over the wire.
+    */
+  def nodeOracles(): Seq[NodeEngine.NodeOracle]
+  def createOracle(o: Oracle): OracleResponse
+  def deleteOracle(id: Long): Unit
+  def run(oracleId: Long, args: Seq[String]): CallResponse
+  def close(): Unit = ()
+}
+
+object NodeEngine {
+  /** An oracle as reported by a node: `compiled` present only for
+    * in-process nodes (the wire carries name + code, like the reference's
+    * proto Oracle).
+    */
+  final case class NodeOracle(id: Long, name: String, code: Option[String],
+      compiled: Option[Oracle])
+}
+
+/** In-process node: direct calls into the engine's service facade. */
+final class LocalEngine(val service: SumService) extends NodeEngine {
+  def records: Long = service.store.size
+  def nextRecordId: Long = service.store.nextId
+  def listRecords(page: Long, perPage: Long): Seq[SumRecord] =
+    service.listRecords(page, perPage).records
+  def createRecordWithId(r: SumRecord): RecordResponse =
+    service.createRecordWithId(r)
+  def createRecordsWithId(recs: Seq[SumRecord]): RecordResponse =
+    service.createRecordsWithId(recs)
+  def deleteRecords(ids: Seq[Long]): Unit = { service.deleteRecords(ids); () }
+  def readRecord(id: Long): RecordResponse = service.readRecord(id)
+  def updateRecord(r: SumRecord): RecordResponse = service.updateRecord(r)
+  def deleteRecord(id: Long): RecordResponse = service.deleteRecord(id)
+  def findRecords(meta: String, value: String): FindResponse =
+    service.findRecords(meta, value)
+  def nodeOracles(): Seq[NodeEngine.NodeOracle] =
+    service.oracles.list(1, 1000000L)._3.map(o =>
+      NodeEngine.NodeOracle(o.id, o.name, o.code, Some(o)))
+  def createOracle(o: Oracle): OracleResponse =
+    service.createOracle(o.copy(id = 0))
+  def deleteOracle(id: Long): Unit = { service.deleteOracle(id); () }
+  def run(oracleId: Long, args: Seq[String]): CallResponse =
+    service.run(oracleId, args)
+}
+
+/** Remote node over the real gRPC wire — every call below is one unary
+  * exchange of sum.proto dynamic messages on the node's socket, the
+  * faces the reference master drives (Client for the public service,
+  * InternalClient for with-id placement; master/node.go:24-78).
+  */
+final class GrpcEngine(client: SumGrpcClient) extends NodeEngine {
+  import org.sparkproject.connect.protobuf.DynamicMessage
+  import SumProto._
+
+  private def empty = client.newMessage("Empty").build()
+  private def byId(id: Long): DynamicMessage = {
+    val b = client.newMessage("ById")
+    b.setField(b.getDescriptorForType.findFieldByName("id"),
+      java.lang.Long.valueOf(id))
+    b.build()
+  }
+  private def info(): DynamicMessage = client.call("Info", empty)
+
+  def records: Long = getLong(info(), "records")
+  def nextRecordId: Long = getLong(info(), "next_record_id")
+
+  def listRecords(page: Long, perPage: Long): Seq[SumRecord] = {
+    val b = client.newMessage("ListRequest")
+    val d = b.getDescriptorForType
+    b.setField(d.findFieldByName("page"), java.lang.Long.valueOf(page))
+    b.setField(d.findFieldByName("per_page"), java.lang.Long.valueOf(perPage))
+    val resp = client.call("ListRecords", b.build())
+    import scala.jdk.CollectionConverters._
+    resp.getField(resp.getDescriptorForType.findFieldByName("records"))
+      .asInstanceOf[java.util.List[_]].asScala.toSeq
+      .map(m => protoToRecord(m.asInstanceOf[DynamicMessage]))
+  }
+
+  private def recordResp(m: DynamicMessage): RecordResponse = {
+    val d = m.getDescriptorForType
+    val rec =
+      if (m.hasField(d.findFieldByName("record")))
+        Some(protoToRecord(m.getField(d.findFieldByName("record"))
+          .asInstanceOf[DynamicMessage]))
+      else None
+    RecordResponse(
+      m.getField(d.findFieldByName("success")).asInstanceOf[Boolean],
+      getString(m, "msg"), rec)
+  }
+
+  def createRecordWithId(r: SumRecord): RecordResponse =
+    recordResp(client.call("CreateRecordWithId", recordToProto(r)))
+
+  def createRecordsWithId(recs: Seq[SumRecord]): RecordResponse = {
+    val b = client.newMessage("Records")
+    val f = b.getDescriptorForType.findFieldByName("records")
+    recs.foreach(r => b.addRepeatedField(f, recordToProto(r)))
+    recordResp(client.call("CreateRecordsWithId", b.build()))
+  }
+
+  def deleteRecords(ids: Seq[Long]): Unit = {
+    val b = client.newMessage("RecordIds")
+    val f = b.getDescriptorForType.findFieldByName("ids")
+    ids.foreach(id => b.addRepeatedField(f, java.lang.Long.valueOf(id)))
+    client.call("DeleteRecords", b.build())
+    ()
+  }
+
+  def readRecord(id: Long): RecordResponse =
+    recordResp(client.call("ReadRecord", byId(id)))
+  def updateRecord(r: SumRecord): RecordResponse =
+    recordResp(client.call("UpdateRecord", recordToProto(r)))
+  def deleteRecord(id: Long): RecordResponse =
+    recordResp(client.call("DeleteRecord", byId(id)))
+
+  def findRecords(meta: String, value: String): FindResponse = {
+    val b = client.newMessage("ByMeta")
+    val d = b.getDescriptorForType
+    b.setField(d.findFieldByName("meta"), meta)
+    b.setField(d.findFieldByName("value"), value)
+    val m = client.call("FindRecords", b.build())
+    import scala.jdk.CollectionConverters._
+    val md = m.getDescriptorForType
+    FindResponse(
+      m.getField(md.findFieldByName("success")).asInstanceOf[Boolean],
+      getString(m, "msg"),
+      m.getField(md.findFieldByName("records"))
+        .asInstanceOf[java.util.List[_]].asScala.toSeq
+        .map(r => protoToRecord(r.asInstanceOf[DynamicMessage])))
+  }
+
+  def nodeOracles(): Seq[NodeEngine.NodeOracle] = {
+    val b = client.newMessage("ListRequest")
+    val d = b.getDescriptorForType
+    b.setField(d.findFieldByName("page"), java.lang.Long.valueOf(1L))
+    b.setField(d.findFieldByName("per_page"), java.lang.Long.valueOf(1000000L))
+    val m = client.call("ListOracles", b.build())
+    import scala.jdk.CollectionConverters._
+    m.getField(m.getDescriptorForType.findFieldByName("oracles"))
+      .asInstanceOf[java.util.List[_]].asScala.toSeq.map { om =>
+        val o = om.asInstanceOf[DynamicMessage]
+        val code = getString(o, "code")
+        NodeEngine.NodeOracle(getLong(o, "id"), getString(o, "name"),
+          if (code.isEmpty) None else Some(code), None)
+      }
+  }
+
+  def createOracle(o: Oracle): OracleResponse = o.code match {
+    case None => OracleResponse(success = false,
+      s"oracle ${o.name} has no source to send over the wire")
+    case Some(code) =>
+      val b = client.newMessage("Oracle")
+      val d = b.getDescriptorForType
+      b.setField(d.findFieldByName("name"), o.name)
+      b.setField(d.findFieldByName("code"), code)
+      val m = client.call("CreateOracle", b.build())
+      OracleResponse(
+        m.getField(m.getDescriptorForType.findFieldByName("success"))
+          .asInstanceOf[Boolean],
+        getString(m, "msg"), None)
+  }
+
+  def deleteOracle(id: Long): Unit = { client.call("DeleteOracle", byId(id)); () }
+
+  def run(oracleId: Long, args: Seq[String]): CallResponse = {
+    val b = client.newMessage("Call")
+    val d = b.getDescriptorForType
+    b.setField(d.findFieldByName("oracle_id"), java.lang.Long.valueOf(oracleId))
+    args.foreach(a => b.addRepeatedField(d.findFieldByName("args"), a))
+    val m = client.call("Run", b.build())
+    val md = m.getDescriptorForType
+    val env =
+      if (m.hasField(md.findFieldByName("data"))) {
+        val dm = m.getField(md.findFieldByName("data"))
+          .asInstanceOf[DynamicMessage]
+        val dd = dm.getDescriptorForType
+        Some(Payload.Envelope(
+          dm.getField(dd.findFieldByName("compressed")).asInstanceOf[Boolean],
+          dm.getField(dd.findFieldByName("payload"))
+            .asInstanceOf[org.sparkproject.connect.protobuf.ByteString]
+            .toByteArray))
+      } else None
+    CallResponse(
+      m.getField(md.findFieldByName("success")).asInstanceOf[Boolean],
+      getString(m, "msg"), env)
+  }
+
+  override def close(): Unit = client.close()
+}
+
+/** The reference MASTER's federation semantics
+  * (master/mux_nodes.go, master/mux_records.go, master/balancer.go,
+  * master/oracle_stealer.go, master/mux_runner.go), over [[NodeEngine]]s
+  * that are in-process engines or REAL gRPC connections to other engine
+  * servers — `addNode("host:port")` dials exactly like the reference's
+  * CreateNode(addr). The master holds the oracle cage and no records of
+  * its own; record CRUD routes to nodes:
   *
   *  - `addNode` attaches an engine, lifts the master's next-record-id
-  *    watermark (mux_nodes.go:19 setNextIdIfHigher), REBALANCES, and
-  *    absorbs the node's stored oracles into the cage, deleting them
-  *    from the node (oracle_stealer.go:18-68 "agent Smith");
-  *  - `balance` implements balancer.go:62-135 exactly: per-node targets
-  *    = total/n (+1 for the first total%n nodes), 5% hysteresis (skip
-  *    unless some node needs more than target/20), then greedy pairwise
-  *    transfers from donors to takers;
-  *  - `transfer` is balancer.go:10-59's protocol over the engine faces:
-  *    ListRecords(page 1, perPage n) from the donor ->
-  *    CreateRecordsWithId on the taker -> DeleteRecords on the donor
-  *    (create-before-delete, so a failed create loses nothing);
-  *  - `deleteNode` removes a node and redistributes its records across
-  *    the survivors per-node + remainder (mux_nodes.go:50-94);
-  *  - `run` is the master Run pipeline (mux_runner.go:39-156): create
-  *    the oracle as a TEMPORARY oracle on every node, run it with the
-  *    caller's args, gather per-node JSON partials, aggregate failures
-  *    in the exact wire format "Errors from nodes: [...]", merge through
-  *    the stored `merge*` hook or the default tri-state merger, and
-  *    clean the temporaries up whatever happened.
+  *    watermark (mux_nodes.go:19), REBALANCES, and absorbs the node's
+  *    stored oracles into the cage, deleting them from the node
+  *    (oracle_stealer.go:18-68 "agent Smith"; code-less programmatic
+  *    oracles cannot cross a wire and stay on their node);
+  *  - `balance` is balancer.go:62-135 verbatim: remainder-adjusted
+  *    per-node targets, 5% hysteresis (target/20), greedy donor->taker
+  *    transfers through ListRecords -> CreateRecordsWithId ->
+  *    DeleteRecords (create-before-delete);
+  *  - `createRecord` places on the least-loaded node under the master's
+  *    id watermark (mux_records.go:21-69); read/update/delete fan out
+  *    with not-found filtered and the reference's aggregate error
+  *    formats; `findRecords` concatenates node hits; `listRecords`
+  *    paginates the node-ordered global sequence;
+  *  - `run` is the master Run pipeline (mux_runner.go:39-156): temp
+  *    oracle on every node, gather, per-node failures as
+  *    "Errors from nodes: [...]", merge via the stored `merge*` hook or
+  *    the tri-state default, temporaries deleted on every path.
   *
-  * In-process means both engines share a JVM (Spark executors remain
-  * each engine's internal shard layer); the protocol, message formats,
-  * and rebalancing arithmetic are the reference's own.
+  * `compileFn` compiles absorbed/authored source on the master (the
+  * gRPC binding passes OracleCompiler.compile over its SparkSession; the
+  * default compiles the JS dialect, which is all the reference knows).
   */
-final class SumFederation {
+final class SumFederation(
+    compileFn: (String, String) => Either[String, Oracle] =
+      (n, c) => graft.oracle.js.JsOracle.compile(n, c)) {
 
-  final class FedNode(val id: Long, val name: String, val engine: SumService) {
-    def records: Long = engine.store.size
-    def nextRecordId: Long = engine.store.nextId
+  final class FedNode(val id: Long, val name: String, val engine: NodeEngine) {
+    def records: Long = engine.records
     override def toString = s"node $id ($name): ${records} records"
   }
 
@@ -51,22 +258,56 @@ final class SumFederation {
 
   private val nodes = ArrayBuffer.empty[FedNode]
   private var nextNodeId = 1L
-  private var nextRecordId = 1L
+  private var nextRecId = 1L
 
   def listNodes(): Seq[FedNode] = synchronized(nodes.toSeq)
+  def nextRecordId: Long = synchronized(nextRecId)
+  def totalRecords: Long = listNodes().map(_.records).sum
 
   private def setNextIdIfHigher(id: Long): Unit =
-    if (id > nextRecordId) nextRecordId = id
+    if (id > nextRecId) nextRecId = id
 
-  def addNode(name: String, engine: SumService): NodeResponse = synchronized {
-    setNextIdIfHigher(engine.store.nextId)
-    val n = new FedNode(nextNodeId, name, engine)
-    nodes += n
-    nextNodeId += 1
-    balance()
-    stealOraclesFromNode(n)
-    NodeResponse(success = true, n.id.toString)
+  def addNode(name: String, engine: SumService): NodeResponse =
+    attach(name, new LocalEngine(engine))
+
+  /** Dial a remote engine server — the reference AddNode(ByAddr) path.
+    * The Info handshake proves the address speaks sum.proto before the
+    * node joins; a dead address fails with the reference's
+    * "Cannot create node: ..." response (mux_nodes.go:13).
+    */
+  def addNode(address: String): NodeResponse = {
+    val parsed = address.split(":", 2) match {
+      case Array(h, p) if p.forall(_.isDigit) && p.nonEmpty => Some((h, p.toInt))
+      case _ => None
+    }
+    parsed match {
+      case None => NodeResponse(success = false,
+        s"Cannot create node: invalid address $address")
+      case Some((host, port)) =>
+        val client = new SumGrpcClient(host, port)
+        val engine = new GrpcEngine(client)
+        try {
+          engine.records // Info handshake
+          attach(address, engine)
+        } catch {
+          case e: Exception =>
+            client.close()
+            NodeResponse(success = false,
+              s"Cannot create node: ${e.getMessage}")
+        }
+    }
   }
+
+  private def attach(name: String, engine: NodeEngine): NodeResponse =
+    synchronized {
+      setNextIdIfHigher(engine.nextRecordId)
+      val n = new FedNode(nextNodeId, name, engine)
+      nodes += n
+      nextNodeId += 1
+      balance()
+      stealOraclesFromNode(n)
+      NodeResponse(success = true, n.id.toString)
+    }
 
   def deleteNode(id: Long): NodeResponse = synchronized {
     nodes.find(_.id == id) match {
@@ -82,6 +323,7 @@ final class SumFederation {
             transfer(n, n1, perNode + (if (i < remainder) 1 else 0))
           }
         }
+        n.engine.close()
         NodeResponse(success = true, "")
     }
   }
@@ -91,8 +333,7 @@ final class SumFederation {
     */
   private def transfer(from: FedNode, to: FedNode, nRecords: Long): Unit = {
     if (nRecords <= 0) return
-    val list = from.engine.listRecords(page = 1, perPage = nRecords)
-    val recs = list.records
+    val recs = from.engine.listRecords(page = 1, perPage = nRecords)
     if (recs.isEmpty) return
     val created = to.engine.createRecordsWithId(recs)
     if (!created.success) return // like the reference: log-and-keep the donor intact
@@ -130,17 +371,111 @@ final class SumFederation {
 
   /** oracle_stealer.go:18-68: absorb each of the node's oracles into the
     * cage (skipping code the cage already holds) and delete it from the
-    * node — nodes execute, the master owns the oracle inventory.
+    * node on success — nodes execute, the master owns the inventory.
+    * In-process nodes hand over compiled objects; wire nodes hand over
+    * source, which the master compiles. A code-less programmatic oracle
+    * on a wire node stays where it is (nothing to absorb).
     */
-  private def stealOraclesFromNode(n: FedNode): Unit = {
-    val (_, _, nodeOracles) = n.engine.oracles.list(1, 1000000L)
-    nodeOracles.foreach { o =>
-      val (_, _, mine) = oracles.list(1, 1000000L)
-      val already = mine.exists(m => m.name == o.name && m.code == o.code)
-      if (already || oracles.create(o.copy(id = 0)).isRight)
-        n.engine.deleteOracle(o.id)
+  private def stealOraclesFromNode(n: FedNode): Unit =
+    n.engine.nodeOracles().foreach { no =>
+      val mine = oracles.list(1, 1000000L)._3
+      val already = mine.exists(m => m.name == no.name &&
+        (no.code.isEmpty || m.code == no.code))
+      val absorbed = already || (no.compiled match {
+        case Some(o) => oracles.create(o.copy(id = 0)).isRight
+        case None => no.code.exists(c =>
+          compileFn(no.name, c).flatMap(oracles.create).isRight)
+      })
+      if (absorbed) n.engine.deleteOracle(no.id)
+    }
+
+  // ---- master record routing (mux_records.go) -----------------------------
+
+  /** CreateRecord: least-loaded placement under the master id watermark
+    * (mux_records.go:21-69).
+    */
+  def createRecord(r: SumRecord): RecordResponse = synchronized {
+    nodes.minByOption(_.records) match {
+      case None => RecordResponse(success = false, "No nodes available, try later")
+      case Some(n) =>
+        val resp = n.engine.createRecordWithId(r.copy(id = nextRecId))
+        if (resp.success) nextRecId += 1
+        resp
     }
   }
+
+  /** Fan a point op across nodes: first success wins; not-found responses
+    * are filtered; other errors aggregate in the reference's format
+    * (mux_records.go:107-143).
+    */
+  private def fanPoint(notFound: String)(
+      op: FedNode => RecordResponse): RecordResponse = {
+    val snapshot = listNodes()
+    if (snapshot.isEmpty)
+      return RecordResponse(success = false, notFound)
+    val errs = ArrayBuffer.empty[String]
+    snapshot.foreach { n =>
+      val resp = op(n)
+      if (resp.success) return resp
+      if (resp.msg != notFound) errs += s"node ${n.id}: ${resp.msg}"
+    }
+    if (errs.isEmpty) RecordResponse(success = false, notFound)
+    else RecordResponse(success = false,
+      s"No node was able to satisfy your request: [${errs.mkString(", ")}]")
+  }
+
+  def readRecord(id: Long): RecordResponse =
+    fanPoint(s"record $id not found.")(_.engine.readRecord(id))
+  def updateRecord(r: SumRecord): RecordResponse =
+    fanPoint(s"record ${r.id} not found.")(_.engine.updateRecord(r))
+  def deleteRecord(id: Long): RecordResponse =
+    fanPoint(s"record $id not found.")(_.engine.deleteRecord(id))
+
+  /** FindRecords: fan out, concatenate hits; a node without the index is
+    * not an error (mux_records.go:289-322).
+    */
+  def findRecords(meta: String, value: String): FindResponse = {
+    val notIndexed = s"meta index $meta not found."
+    val errs = ArrayBuffer.empty[String]
+    val hits = ArrayBuffer.empty[SumRecord]
+    listNodes().foreach { n =>
+      val resp = n.engine.findRecords(meta, value)
+      if (resp.success) hits ++= resp.records
+      else if (resp.msg != notIndexed) errs += resp.msg
+    }
+    if (errs.nonEmpty)
+      FindResponse(success = false,
+        s"Errors from nodes: [${errs.mkString(", ")}]", Seq.empty)
+    else FindResponse(success = true, "", hits.toSeq)
+  }
+
+  /** ListRecords: global pagination over the node-id-ordered
+    * concatenation of per-node id-ordered lists (mux_records.go:144-240;
+    * this implementation slices the window exactly rather than returning
+    * the reference's full-first-node over-approximation).
+    */
+  def listRecords(pageReq: Long, perPageReq: Long): RecordListResponse = {
+    val page = math.max(1L, pageReq)
+    val perPage = math.max(1L, perPageReq)
+    val snapshot = listNodes().sortBy(_.id)
+    val counts = snapshot.map(_.records)
+    val total = counts.sum
+    val pages = (total + perPage - 1) / perPage
+    val start = perPage * (page - 1)
+    val end = math.min(total, start + perPage)
+    val out = ArrayBuffer.empty[SumRecord]
+    var cursor = 0L
+    snapshot.zip(counts).foreach { case (n, c) =>
+      val lo = math.max(start, cursor)
+      val hi = math.min(end, cursor + c)
+      if (hi > lo)
+        out ++= n.engine.listRecords(1, hi - cursor).drop((lo - cursor).toInt)
+      cursor += c
+    }
+    RecordListResponse(total, pages, out.toSeq)
+  }
+
+  // ---- distributed run (mux_runner.go) ------------------------------------
 
   /** mux_runner.go:39-156: fan the oracle out as node-temporaries, run,
     * gather, merge; per-node failures aggregate in the master's wire
@@ -152,11 +487,11 @@ final class SumFederation {
         s"oracle $oracleId not found.", None)
       case Right(o) => o
     }
-    val snapshot = synchronized(nodes.toSeq)
+    val snapshot = listNodes()
     val temp = ArrayBuffer.empty[(FedNode, Long)]
     try {
       val outcomes: Seq[Either[String, JValue]] = snapshot.map { n =>
-        n.engine.createOracle(oracle.copy(id = 0)) match {
+        n.engine.createOracle(oracle) match {
           case or if !or.success => Left(or.msg)
           case or =>
             val tempId = or.msg.toLong

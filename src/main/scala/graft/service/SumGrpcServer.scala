@@ -313,7 +313,15 @@ object SumProto {
   * to trust — the master/node.go:64 NewClientTLSFromFile shape.
   */
 final class SumGrpcServer(val service: SumService, port: Int = 0,
-    credsPath: Option[String] = None) {
+    credsPath: Option[String] = None,
+    /** When set, this server is a MASTER (reference cmd/sumd in master
+      * mode): node-membership RPCs attach/detach real engines through
+      * the federation, record CRUD routes to nodes, the oracle surface
+      * is the federation cage, and Run is the distributed scatter-merge.
+      * Absent (the default), the server is a single engine and behaves
+      * exactly as before.
+      */
+    federation: Option[SumFederation] = None) {
 
   import SumProto._
 
@@ -466,16 +474,122 @@ final class SumGrpcServer(val service: SumService, port: Int = 0,
     mb.build()
   }
 
-  /** sum.SumMasterService handlers (proto/sum.proto:33-37): the
-    * single-engine truth — this engine is the one permanent node.
+  /** sum.SumMasterService handlers (proto/sum.proto:33-37): with a
+    * federation these are REAL — AddNode dials the address and attaches
+    * the engine (rebalance + oracle absorption included); without one,
+    * the single-engine truth — this engine is the one permanent node.
     */
   private val masterHandlers: Map[String, DynamicMessage => DynamicMessage] =
+    federation match {
+      case Some(fed) => Map(
+        "AddNode" -> (m => nodeResponse(fed.addNode(getString(m, "address")))),
+        "ListNodes" -> (_ => nodeResponse(NodeResponse(success = true, "",
+          fed.listNodes().map(n => NodeEntry(n.id, n.name))))),
+        "DeleteNode" ->
+          (m => nodeResponse(fed.deleteNode(getLong(m, "id")))))
+      case None => Map(
+        "AddNode" ->
+          (m => nodeResponse(service.addNode(getString(m, "address")))),
+        "ListNodes" -> (_ => nodeResponse(service.listNodes())),
+        "DeleteNode" ->
+          (m => nodeResponse(service.deleteNode(getLong(m, "id")))))
+    }
+
+  /** Master-mode overrides of the public-service handlers: record CRUD
+    * routes to the federated nodes (mux_records.go), the oracle surface
+    * is the master cage, Run is the distributed pipeline. Everything not
+    * overridden (FindOracle etc. work on the cage the same way) is built
+    * against the cage registry below.
+    */
+  private def masterOverrides(fed: SumFederation)
+      : Map[String, DynamicMessage => DynamicMessage] = {
+    val cage = fed.oracles
     Map(
-      "AddNode" ->
-        (m => nodeResponse(service.addNode(getString(m, "address")))),
-      "ListNodes" -> (_ => nodeResponse(service.listNodes())),
-      "DeleteNode" ->
-        (m => nodeResponse(service.deleteNode(getLong(m, "id")))))
+      "CreateRecord" ->
+        (m => recordResponse(fed.createRecord(protoToRecord(m)))),
+      "UpdateRecord" ->
+        (m => recordResponse(fed.updateRecord(protoToRecord(m)))),
+      "ReadRecord" -> (m => recordResponse(fed.readRecord(getLong(m, "id")))),
+      "DeleteRecord" ->
+        (m => recordResponse(fed.deleteRecord(getLong(m, "id")))),
+      "ListRecords" -> { m =>
+        val page = getLong(m, "page"); val perPage = getLong(m, "per_page")
+        val p = fed.listRecords(if (page == 0) 1 else page,
+          if (perPage == 0) 10 else perPage)
+        val d = descriptor("RecordListResponse")
+        val mb = DynamicMessage.newBuilder(d)
+          .setField(d.findFieldByName("total"), l(p.total))
+          .setField(d.findFieldByName("pages"), l(p.pages))
+        val f = d.findFieldByName("records")
+        p.records.foreach(r => mb.addRepeatedField(f, recordToProto(r)))
+        mb.build()
+      },
+      "FindRecords" -> { m =>
+        val r = fed.findRecords(getString(m, "meta"), getString(m, "value"))
+        val d = descriptor("FindResponse")
+        val mb = DynamicMessage.newBuilder(d)
+          .setField(d.findFieldByName("success"), b(r.success))
+          .setField(d.findFieldByName("msg"), r.msg)
+        val f = d.findFieldByName("records")
+        r.records.foreach(rec => mb.addRepeatedField(f, recordToProto(rec)))
+        mb.build()
+      },
+      "CreateOracle" -> (m => compileOracle(m).fold(identity, o =>
+        oracleResponse(cage.create(o) match {
+          case Left(err) => OracleResponse(success = false, err)
+          case Right(oc) => OracleResponse(success = true, oc.id.toString, Some(oc))
+        }))),
+      "ReadOracle" -> (m => oracleResponse(cage.read(getLong(m, "id")) match {
+        case Left(err) => OracleResponse(success = false, err)
+        case Right(oc) => OracleResponse(success = true, "", Some(oc))
+      })),
+      "FindOracle" -> (m => oracleResponse(
+        cage.findByName(getString(m, "name")) match {
+          case Left(err) => OracleResponse(success = false, err)
+          case Right(oc) => OracleResponse(success = true, "", Some(oc))
+        })),
+      "DeleteOracle" -> (m => oracleResponse(cage.delete(getLong(m, "id")) match {
+        case Left(err) => OracleResponse(success = false, err)
+        case Right(oc) => OracleResponse(success = true, "", Some(oc))
+      })),
+      "ListOracles" -> { m =>
+        val page = getLong(m, "page"); val perPage = getLong(m, "per_page")
+        val (total, pages, items) = cage.list(if (page == 0) 1 else page,
+          if (perPage == 0) 10 else perPage)
+        val d = descriptor("OracleListResponse")
+        val mb = DynamicMessage.newBuilder(d)
+          .setField(d.findFieldByName("total"), l(total))
+          .setField(d.findFieldByName("pages"), l(pages))
+        val f = d.findFieldByName("oracles")
+        items.foreach(o => mb.addRepeatedField(f, SumProto.oracleToProto(o)))
+        mb.build()
+      },
+      "Run" -> { m =>
+        val r = fed.run(getLong(m, "oracle_id"), getStrings(m, "args"))
+        val d = descriptor("CallResponse")
+        val mb = DynamicMessage.newBuilder(d)
+          .setField(d.findFieldByName("success"), b(r.success))
+          .setField(d.findFieldByName("msg"), r.msg)
+        r.data.foreach { env =>
+          val dd = descriptor("Data")
+          mb.setField(d.findFieldByName("data"), DynamicMessage.newBuilder(dd)
+            .setField(dd.findFieldByName("compressed"), b(env.compressed))
+            .setField(dd.findFieldByName("payload"),
+              ByteString.copyFrom(env.payload))
+            .build())
+        }
+        mb.build()
+      },
+      "Info" -> { _ =>
+        val d = descriptor("ServerInfo")
+        DynamicMessage.newBuilder(d)
+          .setField(d.findFieldByName("version"), service.info().version)
+          .setField(d.findFieldByName("records"), l(fed.totalRecords))
+          .setField(d.findFieldByName("oracles"), l(cage.size.toLong))
+          .setField(d.findFieldByName("next_record_id"), l(fed.nextRecordId))
+          .build()
+      })
+  }
 
   private def buildService(name: String, shapes: Seq[(String, (String, String))],
       fns: Map[String, DynamicMessage => DynamicMessage])
@@ -499,10 +613,11 @@ final class SumGrpcServer(val service: SumService, port: Int = 0,
   }
 
   private val server = {
+    val effective = federation.fold(handlers)(f => handlers ++ masterOverrides(f))
     val builder = NettyServerBuilder
       .forAddress(new InetSocketAddress("127.0.0.1", port))
       .maxInboundMessageSize(MaxMessageBytes)
-      .addService(buildService("sum.SumService", SumProto.rpcShapes, handlers))
+      .addService(buildService("sum.SumService", SumProto.rpcShapes, effective))
       .addService(buildService("sum.SumInternalService",
         SumProto.internalRpcShapes, internalHandlers))
       .addService(buildService("sum.SumMasterService",

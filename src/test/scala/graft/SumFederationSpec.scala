@@ -73,7 +73,7 @@ class SumFederationSpec extends SparkSpec {
     // Node placement cannot change the answer: sum(1..100) = 5050.
     assert(Payload.openString(resp.data.get) === "5050")
     // Temporary oracles were cleaned up on both nodes.
-    fed.listNodes().foreach(n => assert(n.engine.oracles.size === 0))
+    fed.listNodes().foreach(n => assert(n.engine.nodeOracles().isEmpty))
   }
 
   test("distributed Run: default merger unions maps; node errors aggregate in wire format") {

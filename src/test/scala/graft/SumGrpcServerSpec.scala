@@ -302,4 +302,109 @@ class SumGrpcServerSpec extends SparkSpec {
       finally plain.close()
     } finally { client.close(); server.stop() }
   }
+
+  test("wire federation: AddNode dials real node servers, rebalances, routes CRUD, Run merges") {
+    import graft.model.SumRecord
+    import graft.oracle.OracleRegistry
+    import graft.service.SumFederation
+    // Two NODE engine servers on real loopback sockets: A holds 100
+    // records and no oracles; B is empty but stores a JS oracle of its
+    // own. The MASTER server fronts a federation (no records of its own)
+    // whose compiler is the full dispatch (SQL + JS).
+    def nodeService(ids: Range): SumService = {
+      val svc = new SumService(spark,
+        graft.store.RecordStore.empty(spark), new OracleRegistry)
+      if (ids.nonEmpty)
+        assert(svc.createRecordsWithId(ids.map(i =>
+          SumRecord(i.toLong, Array(i.toFloat, 1f),
+            Map("name" -> s"r$i"))).toSeq).success)
+      svc
+    }
+    val svcA = nodeService(1 to 100)
+    val svcB = nodeService(1 to 0)
+    assert(svcB.oracles.createJs("nodeSum",
+      "function nodeSum() { var all = records.All(); var t = 0; " +
+        "for (var i = 0; i < all.length; i++) t += all[i].ID; return t; } " +
+        "function mergeT(parts) { var s = 0; " +
+        "for (var i = 0; i < parts.length; i++) s += parts[i]; return s; }")
+      .isRight)
+    val serverA = new SumGrpcServer(svcA)
+    val serverB = new SumGrpcServer(svcB)
+    serverA.start(); serverB.start()
+    val fed = new SumFederation(
+      (n, c) => graft.oracle.OracleCompiler.compile(spark, n, c))
+    val master = new SumGrpcServer(
+      new SumService(spark, graft.store.RecordStore.empty(spark),
+        fed.oracles), federation = Some(fed))
+    master.start()
+    val client = new SumGrpcClient("127.0.0.1", master.boundPort)
+    def byAddr(addr: String): DynamicMessage = {
+      val b = client.newMessage("ByAddr")
+      b.setField(b.getDescriptorForType.findFieldByName("address"), addr)
+      b.build()
+    }
+    def getStr(m: DynamicMessage, f: String): String =
+      m.getField(m.getDescriptorForType.findFieldByName(f)).asInstanceOf[String]
+    try {
+      // Dialing a dead address fails in the reference's response format.
+      val dead = client.call("AddNode", byAddr("127.0.0.1:1"))
+      assert(!getBool(dead, "success"))
+      assert(getStr(dead, "msg").startsWith("Cannot create node:"))
+      // Attach both real node servers; the second attach rebalances A's
+      // 100 records to 50/50 OVER THE WIRE and absorbs B's stored oracle
+      // into the master cage.
+      assert(getBool(client.call("AddNode",
+        byAddr(s"127.0.0.1:${serverA.boundPort}")), "success"))
+      assert(getBool(client.call("AddNode",
+        byAddr(s"127.0.0.1:${serverB.boundPort}")), "success"))
+      assert(svcA.store.size === 50L && svcB.store.size === 50L)
+      assert(svcB.oracles.size === 0)
+      assert(fed.oracles.findByName("nodeSum").isRight)
+      // Record CRUD routes through the master: a read finds id 1 on
+      // whichever node holds it now; a create places on the less-loaded
+      // node under the master's id watermark.
+      val read = client.call("ReadRecord", {
+        val b = client.newMessage("ById")
+        b.setField(b.getDescriptorForType.findFieldByName("id"),
+          java.lang.Long.valueOf(1L))
+        b.build()
+      })
+      assert(getBool(read, "success"), getStr(read, "msg"))
+      val created = client.call("CreateRecord",
+        record(client, Seq(7f, 7f), Map("name" -> "extra")))
+      assert(getBool(created, "success"))
+      val newId = getStr(created, "msg").toLong
+      assert(newId === 101L) // watermark lifted past both nodes' ids
+      assert(svcA.store.size + svcB.store.size === 101L)
+      // Distributed Run through the master's wire RPC: the absorbed
+      // oracle scatters to BOTH nodes as temporaries, each sums its own
+      // shard's ids, the stored merger folds the partials. 1..100 were
+      // rebalanced across the nodes and 101 was just placed, so the
+      // merged total is sum(1..100) + 101 = 5151.
+      val call = client.newMessage("Call")
+      val cd = call.getDescriptorForType
+      call.setField(cd.findFieldByName("oracle_id"), java.lang.Long.valueOf(
+        fed.oracles.findByName("nodeSum").toOption.get.id))
+      val run = client.call("Run", call.build())
+      assert(getBool(run, "success"), getStr(run, "msg"))
+      val data = getMsg(run, "data")
+      val payload = data.getField(
+        data.getDescriptorForType.findFieldByName("payload"))
+        .asInstanceOf[ByteString].toStringUtf8
+      assert(payload === "5151")
+      // Temporaries cleaned up on both nodes.
+      assert(svcA.oracles.size === 0 && svcB.oracles.size === 0)
+      // DeleteNode drains the departing node's records to the survivor.
+      val del = client.call("DeleteNode", {
+        val b = client.newMessage("ById")
+        b.setField(b.getDescriptorForType.findFieldByName("id"),
+          java.lang.Long.valueOf(2L))
+        b.build()
+      })
+      assert(getBool(del, "success"))
+      assert(svcA.store.size === 101L && svcB.store.size === 0L)
+    } finally {
+      client.close(); master.stop(); serverA.stop(); serverB.stop()
+    }
+  }
 }
