@@ -36,11 +36,20 @@ object Verify {
     val bands: Map[String, Double] =
       if (sfDir.contains("sf0.01") || sfDir.contains("sf0.1")) BenchBands.load()
       else Map.empty
-    def load1: Double = scala.util.Try(
-      new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+").head.toDouble)
-      .getOrElse(0.0)
-    val hostCooled = load1 < 1.0
+    // Both loadavg windows, like graft.Bench's cooldown gate: the 1-min
+    // average recovers seconds after a JVM exit while the host's memory
+    // daemons keep inflating timings for minutes on the 5-min window —
+    // a regression flag armed on 1-min alone fires on that noise (a
+    // post-test-suite verify flagged v17 at 2.7x band from exactly this).
+    val hostCooled: Boolean = {
+      val parts = scala.util.Try(
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+"))
+        .getOrElse(Array("0", "0"))
+      val l1 = parts.headOption.flatMap(_.toDoubleOption).getOrElse(0.0)
+      val l5 = parts.lift(1).flatMap(_.toDoubleOption).getOrElse(0.0)
+      l1 < 1.0 && l5 < 1.5
+    }
     val regressions = scala.collection.mutable.ArrayBuffer.empty[String]
     var prevFamily: String = null
     SparkEntry.queries.toSeq.sortBy(_._1)
