@@ -468,7 +468,18 @@ final class JsInterp(maxSteps: Long = 50_000_000L) {
       case Ident("Array") =>
         val a = new JsArr
         args match {
-          case Seq(JsNum(d)) if d.isWhole && d >= 0 =>
+          case Seq(JsNum(d)) =>
+            // ES5 15.4.2.2: the single numeric argument is the LENGTH —
+            // non-integer or >= 2^32 is RangeError, and valid-but-huge
+            // lengths hit the same named engine bound as the plain-call
+            // form (JsOracle's Array binding): a 2^31-slot pre-allocation
+            // must not die as a raw JVM error.
+            if (!d.isWhole || d < 0 || d >= 4294967296.0)
+              throw JsThrow(errorObj("RangeError", "Invalid array length"))
+            if (d > 16777216.0)
+              throw graft.oracle.OracleRunError(
+                s"Array length ${numToStr(d)} exceeds the engine bound " +
+                  "of 16777216 elements")
             (0 until d.toInt).foreach(_ => a.items += JsUndef)
           case _ => args.foreach(a.items += _)
         }

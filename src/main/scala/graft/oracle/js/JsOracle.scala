@@ -633,7 +633,21 @@ object JsOracle {
       args => {
         val a = new JsArr
         args match {
-          case Seq(JsNum(d)) if d.isWhole && d >= 0 =>
+          case Seq(JsNum(d)) =>
+            // ES5 15.4.2.2: a single numeric argument is the LENGTH and
+            // must be an integer below 2^32 — otherwise RangeError
+            // (Array(1e308) used to saturate .toInt and die in a raw
+            // 2^31-element allocation; caught by JsFuzzSpec seed 5597).
+            if (!d.isWhole || d < 0 || d >= 4294967296.0)
+              throw JsThrow(JsInterp.errorObj("RangeError",
+                "Invalid array length"))
+            // Valid-but-huge lengths are an engine memory bound, named
+            // like the driver-pull caps (a 2^31-slot pre-allocation is
+            // node death, and otto's Go panic recovery is per-RPC; here
+            // the bound fails the RUN, loudly).
+            if (d > 16777216.0)
+              throw OracleRunError(s"Array length ${JsInterp.numToStr(d)} " +
+                "exceeds the engine bound of 16777216 elements")
             (0 until d.toInt).foreach(_ => a.items += JsUndef)
           case _ => args.foreach(a.items += _)
         }

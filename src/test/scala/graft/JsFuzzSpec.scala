@@ -224,8 +224,11 @@ class JsFuzzSpec extends SparkSpec {
 
   test("1200 generated ES5 programs: run, JS-throw, or named rejection — never a raw exception") {
     val params = Gen.Parameters.default.withSize(20)
+    // GRAFT_FUZZ_N widens the sweep for exploratory bursts (dev only —
+    // suite time stays bounded at the default).
+    val n = sys.env.get("GRAFT_FUZZ_N").flatMap(_.toIntOption).getOrElse(1200)
     var generated = 0
-    (0 until 1200).foreach { i =>
+    (0 until n).foreach { i =>
       program.apply(params, Seed(i.toLong)).foreach { src =>
         generated += 1
         checkProgram(src, i.toLong)
@@ -234,7 +237,7 @@ class JsFuzzSpec extends SparkSpec {
     // Gen.apply can return None on retry exhaustion; the grammar has no
     // filters so in practice every seed yields a program — keep a floor
     // so a future generator edit cannot silently hollow the suite out.
-    assert(generated >= 1100, s"only $generated/1200 programs generated")
+    assert(generated >= n * 11 / 12, s"only $generated/$n programs generated")
   }
 
   test("planted cycles: stringify is a TypeError, result marshal a json error, join is V8-empty") {

@@ -872,6 +872,24 @@ function mergeSomethingButThrowup(results) { throw "apple cider"; }""")
         "TypeError: 'defineProperty' is not a function on Object")))
   }
 
+  test("Array length edges: RangeError per ES5, named engine bound for huge valid lengths") {
+    // JsFuzzSpec seed 5597 found Array(1e308) saturating .toInt into a
+    // raw 2^31-element allocation error. ES5 15.4.2.2: non-integer or
+    // >= 2^32 single numeric argument is RangeError; a valid-but-huge
+    // length fails the run against a NAMED engine memory bound instead
+    // of dying in the JVM allocator. Both constructor forms.
+    assert(runJs("function f() { try { Array(1e308); } catch (e) { return '' + e; } }")
+      === Right("\"RangeError: Invalid array length\""))
+    assert(runJs("function f() { try { new Array(4.2); } catch (e) { return '' + e; } }")
+      === Right("\"RangeError: Invalid array length\""))
+    assert(runJs("function f() { return Array(20000000).length; }")
+      .left.exists(_.contains("exceeds the engine bound")))
+    assert(runJs("function f() { return new Array(20000000).length; }")
+      .left.exists(_.contains("exceeds the engine bound")))
+    // In-range lengths still pre-size per ES5.
+    assert(runJs("function f() { return new Array(3).length; }") === Right("3"))
+  }
+
   test("step budget is extendable via grants; ungranted loops still trip") {
     import graft.oracle.js.{JsInterp, JsLang}
     import graft.oracle.OracleBudgetError
