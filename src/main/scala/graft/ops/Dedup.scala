@@ -662,13 +662,17 @@ object Dedup {
     * corpora land on the old B=4, sf0.1 on B=5, sf1 on B=6-8, and the
     * quadratic term stays balanced against the linear one at any m.
     */
-  private[graft] def simhashBlocksFor(m: Long, d: Int, bits: Int = 32): Int =
+  private[graft] def simhashBlocksFor(m: Long, d: Int, bits: Int = 32): Int = {
+    require(d >= 0 && d < 16,
+      s"simhash radius $d out of range [0, 16) for a $bits-bit fingerprint" +
+        " split into at most 16 blocks")
     ((d + 1) to 16).minBy { b =>
       val keyBits = math.max(0, bits - d * ((bits + b - 1) / b))
       val c = comb(b, d).toDouble
       c * m.toDouble +
         c * (m.toDouble * m.toDouble / 2.0) / math.pow(2.0, keyBits.toDouble)
     }
+  }
 
   /** Near-duplicate pairs by SimHash Hamming distance <= maxDistance.
     *
@@ -691,6 +695,9 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       maxDistance: Int = 3): DataFrame = {
     val bits = 32
+    require(maxDistance >= 0 && maxDistance < 16,
+      s"simhash maxDistance $maxDistance out of range [0, 16) for the " +
+        s"$bits-bit fingerprint (the block probe needs > maxDistance blocks)")
     // Persisted for the same reason as the MinHash hashed-shingle relation:
     // the distinct-value pass and both expansion joins consume it, and
     // Spark would otherwise recompute the full tokenize+hash+bitsum chain

@@ -93,8 +93,13 @@ object JsLang {
   final case class ParseError(msg: String) extends RuntimeException(msg)
 
   // --------------------------------------------------------------- Lexer
+  /** `start`/`end` are source offsets (end exclusive) — the master's
+    * PatchCode equivalent ([[findSites]]) splices replacement text by
+    * token span, the way the reference patches by otto node Idx0/Idx1
+    * (master/ast_raccoon.go:94-149).
+    */
   private final case class Tok(kind: String, text: String, line: Int,
-      nlBefore: Boolean)
+      nlBefore: Boolean, start: Int, end: Int)
 
   private val keywords = Set("function", "var", "if", "else", "while", "do",
     "for", "in", "return", "break", "continue", "true", "false", "null",
@@ -125,15 +130,19 @@ object JsLang {
     var line = 1
     var nl = false
     var prev = "" // kind of the last emitted token, for regex detection
+    var tokStart = 0
     val n = src.length
     def err(m: String) = throw ParseError(s"Line $line: $m")
+    // every emit happens after `i` advanced past the token, so [tokStart, i)
+    // is the token's exact source span
     def emit(kind: String, text: String): Unit = {
-      out += Tok(kind, text, line, nl)
+      out += Tok(kind, text, line, nl, tokStart, i)
       prev = kind
       nl = false
     }
     while (i < n) {
       val c = src(i)
+      tokStart = i
       if (c == '\n') { line += 1; nl = true; i += 1 }
       else if (c.isWhitespace) i += 1
       else if (c == '/' && i + 1 < n && src(i + 1) == '/') {
@@ -214,12 +223,12 @@ object JsLang {
         emit(if (keywords(word)) word else "ident", word)
       } else {
         puncts.find(p => src.startsWith(p, i)) match {
-          case Some(p) => emit(p, p); i += p.length
+          case Some(p) => i += p.length; emit(p, p)
           case None    => err(s"unexpected character '$c'")
         }
       }
     }
-    out += Tok("eof", "", line, nl)
+    out += Tok("eof", "", line, nl, n, n)
     out.result()
   }
 
@@ -645,4 +654,90 @@ object JsLang {
 
   /** Parse a program; throws [[ParseError]] on malformed input. */
   def parse(src: String): Seq[Stmt] = new Parser(lex(src)).program()
+
+  // ------------------------------------------------- record-lookup patch
+  /** A `records.Find(<ident>)` call site inside the FIRST declared
+    * function's body: exact source span [start, end) and the bare
+    * identifier argument. This is the shape the reference master's AST
+    * walk collects (master/ast_raccoon.go:157-199): a call whose
+    * whitespace-stripped callee text is exactly `records.Find` and whose
+    * single argument is an identifier — token matching gives the same
+    * set (comments/strings/regexes are already stripped by the lexer,
+    * and a `foo.records.Find` chain is excluded by the look-behind).
+    */
+  final case class FindSite(start: Int, end: Int, arg: String)
+
+  /** All [[FindSite]]s in `src`'s first function body; empty when the
+    * source has no function or is not parseable as tokens. The walk is
+    * body-only like the reference's (`ast.Walk(a, function.Body)`,
+    * ast_raccoon.go:47) — a lookup inside a merger function is NOT a
+    * distributable record parameter.
+    */
+  def recordFindSites(src: String): Seq[FindSite] = {
+    val toks =
+      try lex(src)
+      catch { case ParseError(_) => return Seq.empty }
+    val fnIdx = toks.indexWhere(_.kind == "function")
+    if (fnIdx < 0) return Seq.empty
+    var j = fnIdx
+    while (j < toks.length && toks(j).kind != "{") j += 1
+    if (j >= toks.length) return Seq.empty
+    var depth = 0
+    var bodyEnd = toks.length
+    var k = j
+    var scanning = true
+    while (k < toks.length && scanning) {
+      toks(k).kind match {
+        case "{" => depth += 1
+        case "}" => depth -= 1; if (depth == 0) { bodyEnd = k; scanning = false }
+        case _   =>
+      }
+      k += 1
+    }
+    val out = Seq.newBuilder[FindSite]
+    var i = j + 1
+    while (i + 5 < bodyEnd) {
+      val t = toks(i)
+      if (t.kind == "ident" && t.text == "records" &&
+          toks(i - 1).kind != "." &&
+          toks(i + 1).kind == "." &&
+          toks(i + 2).kind == "ident" && toks(i + 2).text == "Find" &&
+          toks(i + 3).kind == "(" &&
+          toks(i + 4).kind == "ident" &&
+          toks(i + 5).kind == ")") {
+        out += FindSite(t.start, toks(i + 5).end, toks(i + 4).text)
+        i += 6
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** Parameter positions of `params` used as `records.Find(p)` in the
+    * main function body — the reference's IsParameterPositionARecordLookup
+    * set (ast_raccoon.go:186-199).
+    */
+  def recordLookupParams(src: String, params: Seq[String]): Set[Int] = {
+    val args = recordFindSites(src).map(_.arg).toSet
+    params.zipWithIndex.collect { case (p, i) if args(p) => i }.toSet
+  }
+
+  /** PatchCode (ast_raccoon.go:94-149): for each parameter position
+    * present in `resolved`, replace every `records.Find(thatParam)` call
+    * in the main body with `records.New(<resolved JSON>)`. Splices run
+    * back-to-front so spans never shift.
+    */
+  def patchRecordLookups(src: String, params: Seq[String],
+      resolved: Map[Int, String]): String = {
+    if (resolved.isEmpty) return src
+    val byName = resolved.flatMap { case (i, json) =>
+      params.lift(i).map(_ -> json)
+    }
+    recordFindSites(src)
+      .filter(s => byName.contains(s.arg))
+      .sortBy(-_.start)
+      .foldLeft(src) { (code, s) =>
+        code.substring(0, s.start) +
+          s"records.New(${byName(s.arg)})" + code.substring(s.end)
+      }
+  }
 }

@@ -351,7 +351,41 @@ object JsOracle {
           case _              => Array.empty[Float]
         }
         recordHost(interp, Some(SumRecord(0L, data)))
+      },
+      "New" -> { args =>
+        // wrapper.Records.New (node/wrapper/records.go:24-26): wrap a
+        // record OBJECT without touching the store — the target of the
+        // master's patched `records.New({...})` / `records.New(null)`
+        // call sites (master/ast_raccoon.go:138-141). Null wraps the
+        // null record (IsNull()==true), exactly WrapRecord(nil).
+        recordHost(interp, args.headOption match {
+          case Some(o: JsObj) => Some(objToRecord(o))
+          case _              => None
+        })
       }))
+  }
+
+  /** A JS record literal (`{id:…, data:[…], shape:[…], meta:{…}}` — the
+    * JSON shape the master serialises resolved records into) back to a
+    * [[SumRecord]]. Absent fields default like an empty protobuf record.
+    */
+  private def objToRecord(o: JsObj): SumRecord = {
+    def arr(name: String): Seq[JsVal] = o.fields.get(name) match {
+      case Some(a: JsArr) => a.items.toSeq
+      case _              => Seq.empty
+    }
+    val data = arr("data").map(v => toNum(v).toFloat).toArray
+    val shape0 = arr("shape").map(v => toNum(v).toLong).toArray
+    val meta = o.fields.get("meta") match {
+      case Some(m: JsObj) =>
+        m.fields.map { case (k, v) => k -> toStr(v) }.toMap
+      case _ => Map.empty[String, String]
+    }
+    SumRecord(
+      o.fields.get("id").map(v => toNum(v).toLong).getOrElse(0L),
+      data,
+      if (shape0.nonEmpty) shape0 else Array(data.length.toLong),
+      meta)
   }
 
   // -------------------------------------------------------- host: record

@@ -298,7 +298,7 @@ final class SumFederation(
     }
   }
 
-  private def attach(name: String, engine: NodeEngine): NodeResponse =
+  private[graft] def attach(name: String, engine: NodeEngine): NodeResponse =
     synchronized {
       setNextIdIfHigher(engine.nextRecordId)
       val n = new FedNode(nextNodeId, name, engine)
@@ -477,9 +477,68 @@ final class SumFederation(
 
   // ---- distributed run (mux_runner.go) ------------------------------------
 
-  /** mux_runner.go:39-156: fan the oracle out as node-temporaries, run,
-    * gather, merge; per-node failures aggregate in the master's wire
-    * format and temporaries are deleted on every path.
+  /** A resolved record as the master serialises it into patched code
+    * (mux_runner.go:71 json.Marshal of the proto record): float data
+    * widens to JSON numbers (exact — binary widening, and the node's
+    * `records.New` narrows back with toFloat).
+    */
+  private def recordJson(r: SumRecord): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods.{compact, render}
+    compact(render(
+      ("id" -> r.id) ~
+        ("data" -> r.data.toList.map(_.toDouble)) ~
+        ("shape" -> r.shape.toList) ~
+        ("meta" -> r.meta)))
+  }
+
+  /** mux_runner.go:49-79 + ast_raccoon PatchCode: resolve each parameter
+    * the oracle uses as `records.Find(param)` against the FEDERATION
+    * (master-side read fans across nodes), then patch those call sites to
+    * `records.New(<resolved json>)` — a not-found record patches to
+    * `records.New(null)`, the null record — and recompile master-side so
+    * every node runs the patched code against records it may not own.
+    * Oracles without source (programmatic) or without lookup params pass
+    * through unchanged.
+    */
+  private def resolveAndPatch(oracle: Oracle,
+      jsonArgs: Seq[String]): Either[CallResponse, Oracle] = {
+    import graft.oracle.js.JsLang
+    val code = oracle.code.getOrElse(return Right(oracle))
+    val lookups = JsLang.recordLookupParams(code, oracle.params)
+    if (lookups.isEmpty) return Right(oracle)
+    var resolved = Map.empty[Int, String]
+    for ((a, i) <- jsonArgs.zipWithIndex if lookups(i)) {
+      a.trim.toLongOption.filter(_ >= 0) match {
+        case None => return Left(CallResponse(success = false,
+          // the reference's message verbatim, typo included
+          // (mux_runner.go:58)
+          s"Unable to parse record id form parameter #$i: '$a'", None))
+        case Some(recId) =>
+          val rr = readRecord(recId)
+          if (rr.success && rr.record.nonEmpty)
+            resolved += i -> recordJson(rr.record.get)
+          else if (rr.msg == s"record $recId not found.")
+            resolved += i -> "null"
+          else return Left(CallResponse(success = false,
+            s"Unable to retrieve record $recId: ${rr.msg}", None))
+      }
+    }
+    if (resolved.isEmpty) return Right(oracle)
+    val patched = JsLang.patchRecordLookups(code, oracle.params, resolved)
+    compileFn(oracle.name, patched) match {
+      case Left(err) => Left(CallResponse(success = false,
+        s"Unable to patch JS code: $err", None))
+      case Right(o) => Right(o)
+    }
+  }
+
+  /** mux_runner.go:39-156: resolve + patch record lookups, fan the oracle
+    * out as node-temporaries, run, gather, merge; per-node failures
+    * aggregate in the master's wire format and temporaries are deleted on
+    * every path. Nonconforming node responses (unparseable oracle id,
+    * missing payload) fold into the per-node error aggregate instead of
+    * escaping as raw exceptions.
     */
   def run(oracleId: Long, jsonArgs: Seq[String]): CallResponse = {
     val oracle = oracles.read(oracleId) match {
@@ -487,19 +546,29 @@ final class SumFederation(
         s"oracle $oracleId not found.", None)
       case Right(o) => o
     }
+    val distributed = resolveAndPatch(oracle, jsonArgs) match {
+      case Left(err) => return err
+      case Right(o)  => o
+    }
     val snapshot = listNodes()
     val temp = ArrayBuffer.empty[(FedNode, Long)]
     try {
       val outcomes: Seq[Either[String, JValue]] = snapshot.map { n =>
-        n.engine.createOracle(oracle) match {
+        n.engine.createOracle(distributed) match {
           case or if !or.success => Left(or.msg)
-          case or =>
-            val tempId = or.msg.toLong
-            temp += ((n, tempId))
-            val resp = n.engine.run(tempId, jsonArgs)
-            if (!resp.success) Left(resp.msg)
-            else Right(org.json4s.jackson.JsonMethods.parse(
-              Payload.openString(resp.data.get)))
+          case or => or.msg.toLongOption match {
+            case None => Left(
+              s"unable to parse oracleId string '${or.msg}'")
+            case Some(tempId) =>
+              temp += ((n, tempId))
+              val resp = n.engine.run(tempId, jsonArgs)
+              if (!resp.success) Left(resp.msg)
+              else resp.data match {
+                case None => Left(s"node ${n.id} returned an empty payload")
+                case Some(env) => Right(org.json4s.jackson.JsonMethods.parse(
+                  Payload.openString(env)))
+              }
+          }
         }
       }
       val errs = outcomes.collect { case Left(m) => m }

@@ -539,6 +539,14 @@ final class SumGrpcServer(val service: SumService, port: Int = 0,
           case Left(err) => OracleResponse(success = false, err)
           case Right(oc) => OracleResponse(success = true, oc.id.toString, Some(oc))
         }))),
+      // master UpdateOracle targets the CAGE (master/mux_oracles.go:43-62),
+      // not the single-engine registry — the cage is what ReadOracle/Run
+      // serve in master mode
+      "UpdateOracle" -> (m => compileOracle(m).fold(identity, o =>
+        oracleResponse(cage.update(o.copy(id = getLong(m, "id"))) match {
+          case Left(err) => OracleResponse(success = false, err)
+          case Right(oc) => OracleResponse(success = true, oc.id.toString, Some(oc))
+        }))),
       "ReadOracle" -> (m => oracleResponse(cage.read(getLong(m, "id")) match {
         case Left(err) => OracleResponse(success = false, err)
         case Right(oc) => OracleResponse(success = true, "", Some(oc))

@@ -105,6 +105,22 @@ class OpsSpec extends SparkSpec {
     assert(viaSegments === brute)
   }
 
+  test("simhash radius is validated against the fingerprint width") {
+    // a radius at/over the block ceiling must fail with the contract
+    // message, not an empty-range collection error
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      Dedup.simhashPairs(docs, "doc_id", "text", maxDistance = 16))
+    assert(e.getMessage.contains("out of range [0, 16)"))
+    intercept[IllegalArgumentException](
+      Dedup.simhashPairs(docs, "doc_id", "text", maxDistance = -1))
+    // every in-range radius sizes a usable block count
+    (0 until 16).foreach { d =>
+      val b = Dedup.simhashBlocksFor(1000L, d)
+      assert(b > d && b <= 16)
+    }
+  }
+
   test("canonicalize groups transitive near-dup chains under the min id") {
     // chain 1-2-3 (transitively one group), pair 7-9, singleton-free input
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")

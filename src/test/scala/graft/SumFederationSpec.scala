@@ -2,7 +2,8 @@ package graft
 
 import graft.model.SumRecord
 import graft.oracle.Payload
-import graft.service.{SumFederation, SumService}
+import graft.service.{CallResponse, FindResponse, NodeEngine, OracleResponse,
+  RecordResponse, SumFederation, SumService}
 
 /** End-to-end federation semantics (round-8 verdict task 8, the last
   * deliberately-red cell): add node -> records rebalance with the
@@ -103,6 +104,106 @@ class SumFederationSpec extends SparkSpec {
       "^Errors from nodes: \\[.*error while running oracle \\d+: yuppie!.*\\]$"),
       r2.msg)
     assert(fed.run(999L, Seq.empty).msg === "oracle 999 not found.")
+  }
+
+  test("distributed Run resolves records.Find(param) master-side and patches code") {
+    val fed = new SumFederation
+    fed.addNode("a", engineWith(1 to 100)) // rebalance leaves ~50 per node
+    fed.addNode("b", SumService(spark))
+    // the reference's canonical findSimilar shape: the looked-up record
+    // lives on exactly ONE node, so without master-side resolution +
+    // PatchCode every other node sees a null record and errors out
+    // (master/mux_runner.go:49-79, master/ast_raccoon.go:94-149)
+    val code =
+      """function findSimilar(id, threshold) {
+        |  var v = records.Find(id);
+        |  if (v.IsNull()) { return ctx.Error('Vector ' + id + ' not found.'); }
+        |  var all = records.AllBut(v);
+        |  var results = {};
+        |  for (var i = 0; i < all.length; i++) {
+        |    var s = v.Cosine(all[i]);
+        |    if (s >= threshold) results['' + all[i].ID] = s;
+        |  }
+        |  return results;
+        |}""".stripMargin
+    val oracle = fed.oracles.createJs("findSimilar", code)
+      .fold(m => fail(s"compile failed: $m"), identity)
+    val resp = fed.run(oracle.id, Seq("42", "0.0"))
+    assert(resp.success, resp.msg)
+    val merged = org.json4s.jackson.JsonMethods.parse(
+      Payload.openString(resp.data.get)).values.asInstanceOf[Map[String, Any]]
+    // every record EXCEPT the target matched on both shards — the proof
+    // that the resolved record crossed node boundaries
+    assert(merged.keySet === (1 to 100).filter(_ != 42).map(_.toString).toSet)
+    // the stored oracle is untouched by the patch (a per-run temporary
+    // carries the resolved record)
+    assert(fed.oracles.read(oracle.id).toOption.get.code === Some(code))
+    fed.listNodes().foreach(n => assert(n.engine.nodeOracles().isEmpty))
+
+    // a missing record patches to records.New(null) -> the null record,
+    // so the oracle's own IsNull branch fires on every node
+    val notFound = fed.run(oracle.id, Seq("9999", "0.0"))
+    assert(!notFound.success)
+    assert(notFound.msg.startsWith("Errors from nodes: ["), notFound.msg)
+    assert(notFound.msg.contains("Vector 9999 not found."), notFound.msg)
+
+    // an unparseable record id fails BEFORE fan-out with the reference's
+    // message (mux_runner.go:58, typo preserved)
+    val bad = fed.run(oracle.id, Seq("\"abc\"", "0.0"))
+    assert(!bad.success)
+    assert(bad.msg.startsWith("Unable to parse record id form parameter #0"),
+      bad.msg)
+  }
+
+  test("run folds nonconforming node responses into the error aggregate") {
+    class StubEngine(idMsg: String, runResp: Long => CallResponse)
+        extends NodeEngine {
+      def records: Long = 0L
+      def nextRecordId: Long = 1L
+      def listRecords(page: Long, perPage: Long): Seq[SumRecord] = Seq.empty
+      def createRecordWithId(r: SumRecord): RecordResponse =
+        RecordResponse(success = true, "")
+      def createRecordsWithId(recs: Seq[SumRecord]): RecordResponse =
+        RecordResponse(success = true, "")
+      def deleteRecords(ids: Seq[Long]): Unit = ()
+      def readRecord(id: Long): RecordResponse =
+        RecordResponse(success = false, s"record $id not found.")
+      def updateRecord(r: SumRecord): RecordResponse =
+        RecordResponse(success = false, s"record ${r.id} not found.")
+      def deleteRecord(id: Long): RecordResponse =
+        RecordResponse(success = false, s"record $id not found.")
+      def findRecords(meta: String, value: String): FindResponse =
+        FindResponse(success = true, "", Seq.empty)
+      def nodeOracles(): Seq[NodeEngine.NodeOracle] = Seq.empty
+      def createOracle(o: graft.oracle.Oracle): OracleResponse =
+        OracleResponse(success = true, idMsg)
+      def deleteOracle(id: Long): Unit = ()
+      def run(oracleId: Long, args: Seq[String]): CallResponse =
+        runResp(oracleId)
+    }
+    val code = "function one() { return 1; }"
+
+    // node answers CreateOracle with a non-numeric id
+    val fed1 = new SumFederation
+    fed1.attach("garbage-id", new StubEngine("not-a-number",
+      _ => CallResponse(success = true, "", None)))
+    val o1 = fed1.oracles.createJs("one", code)
+      .fold(m => fail(s"compile failed: $m"), identity)
+    val r1 = fed1.run(o1.id, Seq.empty)
+    assert(!r1.success)
+    assert(r1.msg ===
+      "Errors from nodes: [unable to parse oracleId string 'not-a-number']")
+
+    // node answers Run successfully but with no payload
+    val fed2 = new SumFederation
+    fed2.attach("empty-payload", new StubEngine("7",
+      _ => CallResponse(success = true, "", None)))
+    val o2 = fed2.oracles.createJs("one", code)
+      .fold(m => fail(s"compile failed: $m"), identity)
+    val r2 = fed2.run(o2.id, Seq.empty)
+    assert(!r2.success)
+    assert(r2.msg.startsWith("Errors from nodes: ["), r2.msg)
+    assert(r2.msg.contains("returned an empty payload"), r2.msg)
   }
 
   test("deleteNode redistributes the departing node's records") {

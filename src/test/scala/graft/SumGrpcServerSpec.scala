@@ -394,6 +394,29 @@ class SumGrpcServerSpec extends SparkSpec {
       assert(payload === "5151")
       // Temporaries cleaned up on both nodes.
       assert(svcA.oracles.size === 0 && svcB.oracles.size === 0)
+      // Master UpdateOracle targets the CAGE (master/mux_oracles.go:43-62):
+      // the recompiled code is what the master's ReadOracle and Run serve.
+      val cageId = fed.oracles.findByName("nodeSum").toOption.get.id
+      val countCode = "function nodeSum() { return records.All().length; } " +
+        "function mergeT(parts) { var s = 0; " +
+        "for (var i = 0; i < parts.length; i++) s += parts[i]; return s; }"
+      val upd = client.newMessage("Oracle")
+      val ud = upd.getDescriptorForType
+      upd.setField(ud.findFieldByName("id"), java.lang.Long.valueOf(cageId))
+      upd.setField(ud.findFieldByName("name"), "nodeSum")
+      upd.setField(ud.findFieldByName("code"), countCode)
+      val updResp = client.call("UpdateOracle", upd.build())
+      assert(getBool(updResp, "success"), getStr(updResp, "msg"))
+      assert(fed.oracles.read(cageId).toOption.get.code === Some(countCode))
+      val run2 = client.call("Run", call.build())
+      assert(getBool(run2, "success"), getStr(run2, "msg"))
+      val data2 = getMsg(run2, "data")
+      assert(data2.getField(data2.getDescriptorForType
+        .findFieldByName("payload")).asInstanceOf[ByteString]
+        .toStringUtf8 === "101") // counts, not id-sums: the update took
+      // Updating a cage id that does not exist fails as an error response.
+      upd.setField(ud.findFieldByName("id"), java.lang.Long.valueOf(999L))
+      assert(!getBool(client.call("UpdateOracle", upd.build()), "success"))
       // DeleteNode drains the departing node's records to the survivor.
       val del = client.call("DeleteNode", {
         val b = client.newMessage("ById")
