@@ -417,6 +417,38 @@ class SumGrpcServerSpec extends SparkSpec {
       // Updating a cage id that does not exist fails as an error response.
       upd.setField(ud.findFieldByName("id"), java.lang.Long.valueOf(999L))
       assert(!getBool(client.call("UpdateOracle", upd.build()), "success"))
+      // Record-lookup patching OVER THE WIRE: the oracle Finds a record
+      // that lives on only one node; the master resolves it, splices
+      // records.New({...json...}) into the source, and the PATCHED code
+      // crosses real sockets and recompiles on both nodes — so both
+      // shards compute against a record neither fan-out run can Find.
+      val probe = client.newMessage("Oracle")
+      val pd = probe.getDescriptorForType
+      probe.setField(pd.findFieldByName("name"), "probeDot")
+      probe.setField(pd.findFieldByName("code"),
+        "function probeDot(id) { var v = records.Find(id); " +
+          "if (v.IsNull()) { return ctx.Error('gone'); } " +
+          "var all = records.All(); var out = {}; " +
+          "for (var i = 0; i < all.length; i++) " +
+          "out['' + all[i].ID] = v.Dot(all[i]); return out; }")
+      val probeResp = client.call("CreateOracle", probe.build())
+      assert(getBool(probeResp, "success"), getStr(probeResp, "msg"))
+      val probeCall = client.newMessage("Call")
+      val pcd = probeCall.getDescriptorForType
+      probeCall.setField(pcd.findFieldByName("oracle_id"),
+        java.lang.Long.valueOf(getStr(probeResp, "msg").toLong))
+      probeCall.addRepeatedField(pcd.findFieldByName("args"), "1")
+      val probeRun = client.call("Run", probeCall.build())
+      assert(getBool(probeRun, "success"), getStr(probeRun, "msg"))
+      val probeData = getMsg(probeRun, "data")
+      val probeMap = org.json4s.jackson.JsonMethods.parse(
+        probeData.getField(probeData.getDescriptorForType
+          .findFieldByName("payload")).asInstanceOf[ByteString].toStringUtf8)
+        .values.asInstanceOf[Map[String, Any]]
+      // every record on BOTH shards was dotted against the resolved
+      // record (1.0, 1.0): dot with (i, 1) is i + 1
+      assert(probeMap.size === 101)
+      assert(probeMap("7").asInstanceOf[Number].doubleValue() === 8.0)
       // DeleteNode drains the departing node's records to the survivor.
       val del = client.call("DeleteNode", {
         val b = client.newMessage("ById")
