@@ -256,6 +256,30 @@ final class SumFederation(
   /** The master's raccoon cage (mux_runner.go:22-31). */
   val oracles = new OracleRegistry
 
+  /** Fan-out workers (paralleliser.go): every per-node exchange in a
+    * master op runs CONCURRENTLY — with N nodes a point read or a
+    * distributed Run costs one RTT, not N. Daemon cached pool: sized by
+    * the live fan-out, dies with the JVM. One deliberate delta: results
+    * keep NODE ORDER (the reference appends in channel-arrival order),
+    * so merges and error aggregates are deterministic — reference merge
+    * semantics never depend on arrival order.
+    */
+  private lazy val fanOutPool =
+    java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "fed-fanout"); t.setDaemon(true); t
+    })
+
+  private def doParallel[A, T](items: Seq[A])(f: A => T): Seq[T] =
+    if (items.lengthCompare(1) <= 0) items.map(f)
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutor(fanOutPool)
+      Await.result(Future.sequence(items.map(a => Future(f(a)))),
+        Duration.Inf)
+    }
+
   private val nodes = ArrayBuffer.empty[FedNode]
   private var nextNodeId = 1L
   private var nextRecId = 1L
@@ -404,24 +428,31 @@ final class SumFederation(
     }
   }
 
-  /** Fan a point op across nodes: first success wins; not-found responses
-    * are filtered; other errors aggregate in the reference's format
-    * (mux_records.go:107-143).
+  /** Fan a point op across ALL nodes in parallel (mux_records.go:107-143
+    * over doParallel): ids are unique so at most one node succeeds;
+    * not-found responses are filtered; other errors aggregate in the
+    * reference's format; a thrown exchange folds in as the reference's
+    * "Worker exception" (paralleliser.go:23-27).
     */
   private def fanPoint(notFound: String)(
       op: FedNode => RecordResponse): RecordResponse = {
     val snapshot = listNodes()
     if (snapshot.isEmpty)
       return RecordResponse(success = false, notFound)
-    val errs = ArrayBuffer.empty[String]
-    snapshot.foreach { n =>
-      val resp = op(n)
-      if (resp.success) return resp
-      if (resp.msg != notFound) errs += s"node ${n.id}: ${resp.msg}"
+    val resps = doParallel(snapshot) { n =>
+      try op(n)
+      catch { case e: Exception =>
+        RecordResponse(success = false, s"Worker exception: ${e.getMessage}")
+      }
     }
-    if (errs.isEmpty) RecordResponse(success = false, notFound)
-    else RecordResponse(success = false,
-      s"No node was able to satisfy your request: [${errs.mkString(", ")}]")
+    resps.find(_.success).getOrElse {
+      val errs = snapshot.zip(resps).collect {
+        case (n, r) if r.msg != notFound => s"node ${n.id}: ${r.msg}"
+      }
+      if (errs.isEmpty) RecordResponse(success = false, notFound)
+      else RecordResponse(success = false,
+        s"No node was able to satisfy your request: [${errs.mkString(", ")}]")
+    }
   }
 
   def readRecord(id: Long): RecordResponse =
@@ -436,17 +467,21 @@ final class SumFederation(
     */
   def findRecords(meta: String, value: String): FindResponse = {
     val notIndexed = s"meta index $meta not found."
-    val errs = ArrayBuffer.empty[String]
-    val hits = ArrayBuffer.empty[SumRecord]
-    listNodes().foreach { n =>
-      val resp = n.engine.findRecords(meta, value)
-      if (resp.success) hits ++= resp.records
-      else if (resp.msg != notIndexed) errs += resp.msg
+    val resps = doParallel(listNodes()) { n =>
+      try n.engine.findRecords(meta, value)
+      catch { case e: Exception =>
+        FindResponse(success = false,
+          s"Worker exception: ${e.getMessage}", Seq.empty)
+      }
+    }
+    val errs = resps.collect {
+      case r if !r.success && r.msg != notIndexed => r.msg
     }
     if (errs.nonEmpty)
       FindResponse(success = false,
         s"Errors from nodes: [${errs.mkString(", ")}]", Seq.empty)
-    else FindResponse(success = true, "", hits.toSeq)
+    else FindResponse(success = true, "",
+      resps.filter(_.success).flatMap(_.records))
   }
 
   /** ListRecords: global pagination over the node-id-ordered
@@ -458,21 +493,24 @@ final class SumFederation(
     val page = math.max(1L, pageReq)
     val perPage = math.max(1L, perPageReq)
     val snapshot = listNodes().sortBy(_.id)
-    val counts = snapshot.map(_.records)
+    val counts = doParallel(snapshot)(_.records)
     val total = counts.sum
     val pages = (total + perPage - 1) / perPage
     val start = perPage * (page - 1)
     val end = math.min(total, start + perPage)
-    val out = ArrayBuffer.empty[SumRecord]
-    var cursor = 0L
-    snapshot.zip(counts).foreach { case (n, c) =>
-      val lo = math.max(start, cursor)
-      val hi = math.min(end, cursor + c)
-      if (hi > lo)
-        out ++= n.engine.listRecords(1, hi - cursor).drop((lo - cursor).toInt)
-      cursor += c
+    // cumulative offsets give each node its window up front, so the
+    // per-node fetches run concurrently (mux_records.go:207 doParallel)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val windows = snapshot.lazyZip(counts).lazyZip(offsets).flatMap {
+      case (n, c, cursor) =>
+        val lo = math.max(start, cursor)
+        val hi = math.min(end, cursor + c)
+        if (hi > lo) Some((n, cursor, lo, hi)) else None
     }
-    RecordListResponse(total, pages, out.toSeq)
+    val parts = doParallel(windows) { case (n, cursor, lo, hi) =>
+      n.engine.listRecords(1, hi - cursor).drop((lo - cursor).toInt)
+    }
+    RecordListResponse(total, pages, parts.flatten)
   }
 
   // ---- distributed run (mux_runner.go) ------------------------------------
@@ -551,26 +589,45 @@ final class SumFederation(
       case Right(o)  => o
     }
     val snapshot = listNodes()
-    val temp = ArrayBuffer.empty[(FedNode, Long)]
-    try {
-      val outcomes: Seq[Either[String, JValue]] = snapshot.map { n =>
-        n.engine.createOracle(distributed) match {
-          case or if !or.success => Left(or.msg)
-          case or => or.msg.toLongOption match {
-            case None => Left(
-              s"unable to parse oracleId string '${or.msg}'")
+    // scatter concurrently (mux_runner.go:136 doParallel): each worker
+    // reports (its created temporary, its outcome) so cleanup never
+    // depends on shared mutation and a thrown exchange folds in as the
+    // reference's "Worker exception"
+    val scattered: Seq[(Option[(FedNode, Long)], Either[String, JValue])] =
+      doParallel(snapshot) { n =>
+        val created =
+          try Right(n.engine.createOracle(distributed))
+          catch { case e: Exception =>
+            Left(s"Worker exception: ${e.getMessage}")
+          }
+        created match {
+          case Left(msg) => (None, Left(msg))
+          case Right(or) if !or.success => (None, Left(or.msg))
+          case Right(or) => or.msg.toLongOption match {
+            case None => (None,
+              Left(s"unable to parse oracleId string '${or.msg}'"))
             case Some(tempId) =>
-              temp += ((n, tempId))
-              val resp = n.engine.run(tempId, jsonArgs)
-              if (!resp.success) Left(resp.msg)
-              else resp.data match {
-                case None => Left(s"node ${n.id} returned an empty payload")
-                case Some(env) => Right(org.json4s.jackson.JsonMethods.parse(
-                  Payload.openString(env)))
-              }
+              val out =
+                try {
+                  val resp = n.engine.run(tempId, jsonArgs)
+                  if (!resp.success) Left(resp.msg)
+                  else resp.data match {
+                    case None =>
+                      Left(s"node ${n.id} returned an empty payload")
+                    case Some(env) =>
+                      Right(org.json4s.jackson.JsonMethods.parse(
+                        Payload.openString(env)))
+                  }
+                } catch { case e: Exception =>
+                  Left(s"Worker exception: ${e.getMessage}")
+                }
+              (Some((n, tempId)), out)
           }
         }
       }
+    val temp = scattered.flatMap(_._1)
+    try {
+      val outcomes = scattered.map(_._2)
       val errs = outcomes.collect { case Left(m) => m }
       if (errs.nonEmpty)
         return CallResponse(success = false,
@@ -583,6 +640,11 @@ final class SumFederation(
           Some(Payload.buildString(org.json4s.jackson.JsonMethods.compact(
             org.json4s.jackson.JsonMethods.render(v)))))
       }
-    } finally temp.foreach { case (n, id) => n.engine.deleteOracle(id) }
+    } finally temp.foreach { case (n, id) =>
+      // best-effort like the reference's deferred warn-and-continue
+      // cleanup (mux_runner.go:94-101): one dead node must not strand
+      // the other nodes' temporaries
+      try n.engine.deleteOracle(id) catch { case _: Exception => () }
+    }
   }
 }

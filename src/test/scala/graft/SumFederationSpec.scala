@@ -206,6 +206,52 @@ class SumFederationSpec extends SparkSpec {
     assert(r2.msg.contains("returned an empty payload"), r2.msg)
   }
 
+  test("distributed Run scatters nodes CONCURRENTLY (paralleliser.go)") {
+    // each node's run() blocks until BOTH nodes are inside run() — a
+    // serial fan-out deadlocks into the latch timeout, a parallel one
+    // sails through; no wall-clock assertions, so host load can't flake it
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    class GatedEngine(key: String) extends NodeEngine {
+      def records: Long = 0L
+      def nextRecordId: Long = 1L
+      def listRecords(page: Long, perPage: Long): Seq[SumRecord] = Seq.empty
+      def createRecordWithId(r: SumRecord): RecordResponse =
+        RecordResponse(success = true, "")
+      def createRecordsWithId(recs: Seq[SumRecord]): RecordResponse =
+        RecordResponse(success = true, "")
+      def deleteRecords(ids: Seq[Long]): Unit = ()
+      def readRecord(id: Long): RecordResponse =
+        RecordResponse(success = false, s"record $id not found.")
+      def updateRecord(r: SumRecord): RecordResponse =
+        RecordResponse(success = false, s"record ${r.id} not found.")
+      def deleteRecord(id: Long): RecordResponse =
+        RecordResponse(success = false, s"record $id not found.")
+      def findRecords(meta: String, value: String): FindResponse =
+        FindResponse(success = true, "", Seq.empty)
+      def nodeOracles(): Seq[NodeEngine.NodeOracle] = Seq.empty
+      def createOracle(o: graft.oracle.Oracle): OracleResponse =
+        OracleResponse(success = true, "1")
+      def deleteOracle(id: Long): Unit = ()
+      def run(oracleId: Long, args: Seq[String]): CallResponse = {
+        gate.countDown()
+        if (!gate.await(20, java.util.concurrent.TimeUnit.SECONDS))
+          CallResponse(success = false, "fan-out was serial", None)
+        else CallResponse(success = true, "",
+          Some(Payload.buildString(s"""{"$key": 1}""")))
+      }
+    }
+    val fed = new SumFederation
+    fed.attach("g1", new GatedEngine("g1"))
+    fed.attach("g2", new GatedEngine("g2"))
+    val o = fed.oracles.createJs("one", "function one() { return 1; }")
+      .fold(m => fail(s"compile failed: $m"), identity)
+    val resp = fed.run(o.id, Seq.empty)
+    assert(resp.success, resp.msg)
+    val merged = org.json4s.jackson.JsonMethods.parse(
+      Payload.openString(resp.data.get)).values.asInstanceOf[Map[String, Any]]
+    assert(merged.keySet === Set("g1", "g2"))
+  }
+
   test("deleteNode redistributes the departing node's records") {
     val fed = new SumFederation
     val a = engineWith(1 to 40)
