@@ -249,7 +249,20 @@ final class SumFederation(
       (n, c) => graft.oracle.js.JsOracle.compile(n, c)) {
 
   final class FedNode(val id: Long, val name: String, val engine: NodeEngine) {
-    def records: Long = engine.records
+    /** Cached record count — the reference's NodeInfo.status.Records
+      * (master/node.go:29-50): master ops READ THE CACHE (least-loaded
+      * placement, balance targets, list pagination windows, totals), so
+      * a create costs one placement RPC, not N Info probes; the cache is
+      * adjusted inline where the reference adjusts it (create
+      * mux_records.go:64, delete :269, transfer balancer.go:39/58) and
+      * re-synced from the node by [[updateStatus]] — the NodeUpdater
+      * poll body. Out-of-band writes straight to a node stay invisible
+      * until the next poll, exactly like the reference.
+      */
+    @volatile private[SumFederation] var cachedRecords: Long = engine.records
+    def records: Long = cachedRecords
+    /** One Info exchange: refresh this node's cached status. */
+    def updateStatus(): Unit = cachedRecords = engine.records
     override def toString = s"node $id ($name): ${records} records"
   }
 
@@ -287,6 +300,25 @@ final class SumFederation(
   def listNodes(): Seq[FedNode] = synchronized(nodes.toSeq)
   def nextRecordId: Long = synchronized(nextRecId)
   def totalRecords: Long = listNodes().map(_.records).sum
+
+  /** The NodeUpdater poll body (master/mux_service.go:100-108): refresh
+    * every node's cached status, concurrently.
+    */
+  def updateNodes(): Unit = { doParallel(listNodes())(_.updateStatus()); () }
+
+  /** The reference's background NodeUpdater (master/updater.go:9-19):
+    * re-sync node statuses every `periodMillis` until the returned
+    * handle closes. Daemon thread — dies with the JVM either way.
+    */
+  def startUpdater(periodMillis: Long): AutoCloseable = {
+    val ex = java.util.concurrent.Executors
+      .newSingleThreadScheduledExecutor(r => {
+        val t = new Thread(r, "fed-node-updater"); t.setDaemon(true); t
+      })
+    ex.scheduleAtFixedRate(() => updateNodes(), periodMillis, periodMillis,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
+    () => { ex.shutdownNow(); () }
+  }
 
   private def setNextIdIfHigher(id: Long): Unit =
     if (id > nextRecId) nextRecId = id
@@ -362,6 +394,8 @@ final class SumFederation(
     val created = to.engine.createRecordsWithId(recs)
     if (!created.success) return // like the reference: log-and-keep the donor intact
     from.engine.deleteRecords(recs.map(_.id))
+    from.cachedRecords -= recs.length // balancer.go:39/58 status accounting
+    to.cachedRecords += recs.length
     setNextIdIfHigher(recs.map(_.id).max + 1)
   }
 
@@ -423,7 +457,10 @@ final class SumFederation(
       case None => RecordResponse(success = false, "No nodes available, try later")
       case Some(n) =>
         val resp = n.engine.createRecordWithId(r.copy(id = nextRecId))
-        if (resp.success) nextRecId += 1
+        if (resp.success) {
+          nextRecId += 1
+          n.cachedRecords += 1 // mux_records.go:64
+        }
         resp
     }
   }
@@ -434,33 +471,44 @@ final class SumFederation(
     * reference's format; a thrown exchange folds in as the reference's
     * "Worker exception" (paralleliser.go:23-27).
     */
-  private def fanPoint(notFound: String)(
-      op: FedNode => RecordResponse): RecordResponse = {
+  private def fanPointWithNode(notFound: String)(
+      op: FedNode => RecordResponse): (Option[FedNode], RecordResponse) = {
     val snapshot = listNodes()
     if (snapshot.isEmpty)
-      return RecordResponse(success = false, notFound)
+      return (None, RecordResponse(success = false, notFound))
     val resps = doParallel(snapshot) { n =>
       try op(n)
       catch { case e: Exception =>
         RecordResponse(success = false, s"Worker exception: ${e.getMessage}")
       }
     }
-    resps.find(_.success).getOrElse {
-      val errs = snapshot.zip(resps).collect {
-        case (n, r) if r.msg != notFound => s"node ${n.id}: ${r.msg}"
-      }
-      if (errs.isEmpty) RecordResponse(success = false, notFound)
-      else RecordResponse(success = false,
-        s"No node was able to satisfy your request: [${errs.mkString(", ")}]")
+    snapshot.zip(resps).find(_._2.success) match {
+      case Some((n, r)) => (Some(n), r)
+      case None =>
+        val errs = snapshot.zip(resps).collect {
+          case (n, r) if r.msg != notFound => s"node ${n.id}: ${r.msg}"
+        }
+        (None,
+          if (errs.isEmpty) RecordResponse(success = false, notFound)
+          else RecordResponse(success = false,
+            s"No node was able to satisfy your request: [${errs.mkString(", ")}]"))
     }
   }
+
+  private def fanPoint(notFound: String)(
+      op: FedNode => RecordResponse): RecordResponse =
+    fanPointWithNode(notFound)(op)._2
 
   def readRecord(id: Long): RecordResponse =
     fanPoint(s"record $id not found.")(_.engine.readRecord(id))
   def updateRecord(r: SumRecord): RecordResponse =
     fanPoint(s"record ${r.id} not found.")(_.engine.updateRecord(r))
-  def deleteRecord(id: Long): RecordResponse =
-    fanPoint(s"record $id not found.")(_.engine.deleteRecord(id))
+  def deleteRecord(id: Long): RecordResponse = {
+    val (owner, resp) =
+      fanPointWithNode(s"record $id not found.")(_.engine.deleteRecord(id))
+    owner.foreach(_.cachedRecords -= 1) // mux_records.go:269
+    resp
+  }
 
   /** FindRecords: fan out, concatenate hits; a node without the index is
     * not an error (mux_records.go:289-322).
@@ -493,7 +541,9 @@ final class SumFederation(
     val page = math.max(1L, pageReq)
     val perPage = math.max(1L, perPageReq)
     val snapshot = listNodes().sortBy(_.id)
-    val counts = doParallel(snapshot)(_.records)
+    // cached statuses, like the reference's pagination cursor walk
+    // (mux_records.go:163-196) — no Info probes on the read path
+    val counts = snapshot.map(_.records)
     val total = counts.sum
     val pages = (total + perPage - 1) / perPage
     val start = perPage * (page - 1)

@@ -641,8 +641,21 @@ final class SumGrpcServer(val service: SumService, port: Int = 0,
     builder.build()
   }
 
-  def start(): Unit = server.start()
-  def stop(): Unit = { server.shutdownNow(); server.awaitTermination() }
+  /** Master mode runs the reference's background NodeUpdater for the
+    * life of the server (cmd/sumd starts NodeUpdater alongside the
+    * master service; updater.go): node statuses re-sync every 5 s like
+    * the reference's default poll period.
+    */
+  private var nodeUpdater: Option[AutoCloseable] = None
+
+  def start(): Unit = {
+    server.start()
+    nodeUpdater = federation.map(_.startUpdater(5000L))
+  }
+  def stop(): Unit = {
+    nodeUpdater.foreach(_.close()); nodeUpdater = None
+    server.shutdownNow(); server.awaitTermination()
+  }
   def boundPort: Int = server.getPort
 }
 

@@ -252,6 +252,28 @@ class SumFederationSpec extends SparkSpec {
     assert(merged.keySet === Set("g1", "g2"))
   }
 
+  test("node status is CACHED and re-synced by the NodeUpdater poll") {
+    val fed = new SumFederation
+    val svc = engineWith(1 to 10)
+    fed.addNode("a", svc)
+    val node = fed.listNodes().head
+    assert(node.records === 10L)
+    // out-of-band write straight to the node: invisible to the master
+    // until the next status poll, exactly like NodeInfo.status
+    assert(svc.createRecordsWithId(Seq(
+      SumRecord(500L, Array(1f, 1f), Map.empty))).success)
+    assert(node.records === 10L)
+    fed.updateNodes() // NodeUpdater poll body
+    assert(node.records === 11L)
+    // master-routed create/delete adjust the cache inline
+    // (mux_records.go:64/:269) — no Info probe needed
+    assert(fed.createRecord(SumRecord(0L, Array(2f, 2f), Map.empty)).success)
+    assert(node.records === 12L)
+    assert(fed.deleteRecord(1L).success)
+    assert(node.records === 11L)
+    assert(node.records === svc.store.size)
+  }
+
   test("deleteNode redistributes the departing node's records") {
     val fed = new SumFederation
     val a = engineWith(1 to 40)
