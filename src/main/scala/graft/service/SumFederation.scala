@@ -565,20 +565,7 @@ final class SumFederation(
 
   // ---- distributed run (mux_runner.go) ------------------------------------
 
-  /** A resolved record as the master serialises it into patched code
-    * (mux_runner.go:71 json.Marshal of the proto record): float data
-    * widens to JSON numbers (exact — binary widening, and the node's
-    * `records.New` narrows back with toFloat).
-    */
-  private def recordJson(r: SumRecord): String = {
-    import org.json4s.JsonDSL._
-    import org.json4s.jackson.JsonMethods.{compact, render}
-    compact(render(
-      ("id" -> r.id) ~
-        ("data" -> r.data.toList.map(_.toDouble)) ~
-        ("shape" -> r.shape.toList) ~
-        ("meta" -> r.meta)))
-  }
+  import SumFederation.recordJson
 
   /** mux_runner.go:49-79 + ast_raccoon PatchCode: resolve each parameter
     * the oracle uses as `records.Find(param)` against the FEDERATION
@@ -696,5 +683,23 @@ final class SumFederation(
       // the other nodes' temporaries
       try n.engine.deleteOracle(id) catch { case _: Exception => () }
     }
+  }
+}
+
+object SumFederation {
+  /** A resolved record as the master serialises it into patched code
+    * (mux_runner.go:71 json.Marshal of the proto record): float data
+    * widens to JSON numbers (exact — binary widening, and the node's
+    * `records.New` narrows back with toFloat); meta strings JSON-escape
+    * through jackson, and the JS lexer's string unescape restores them.
+    */
+  private[graft] def recordJson(r: SumRecord): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods.{compact, render}
+    compact(render(
+      ("id" -> r.id) ~
+        ("data" -> r.data.toList.map(_.toDouble)) ~
+        ("shape" -> r.shape.toList) ~
+        ("meta" -> r.meta)))
   }
 }

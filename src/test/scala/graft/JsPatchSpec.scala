@@ -80,4 +80,57 @@ class JsPatchSpec extends AnyFunSuite {
     assert(JsLang.recordFindSites("SELECT * FROM t WHERE !!!").isEmpty)
     assert(JsLang.recordFindSites("no function here").isEmpty)
   }
+
+  test("fuzz: a patched-in record is indistinguishable from a stored one") {
+    // the semantic contract behind PatchCode: running the PATCHED code
+    // against a node that does NOT hold the record must equal running
+    // the ORIGINAL code against a node that does — including meta
+    // strings that stress the JSON-escape -> JS-string-unescape
+    // round-trip and float data that stresses double widening
+    import graft.model.SumRecord
+    import graft.oracle.OracleContext
+    import graft.oracle.js.JsOracle
+    import graft.service.SumFederation
+    import org.json4s.{JInt, JString}
+
+    val spark = TestSpark.spark
+    val code =
+      """function probe(id, k) {
+        |  var v = records.Find(id);
+        |  if (v.IsNull()) { return null; }
+        |  var d = [];
+        |  for (var i = 0; i < v.Size; i++) { d.push(v.Get(i)); }
+        |  return {id: v.ID, size: v.Size, meta: v.Meta(k), data: d};
+        |}""".stripMargin
+    val original = JsOracle.compile("probe", code)
+      .fold(m => fail(s"compile failed: $m"), identity)
+    val emptyStore = graft.store.RecordStore.empty(spark)
+
+    val nasty = Seq("plain", "with \"quotes\"", "back\\slash", "new\nline",
+      "tab\there", "unicode é中文 😀",
+      "ctrlchar", "records.Find(id)", "'single'", "</script>", "")
+    val rnd = new scala.util.Random(20260816L)
+    (1 to 60).foreach { trial =>
+      val dim = 1 + rnd.nextInt(6)
+      val data = Array.fill(dim)((rnd.nextGaussian() *
+        math.pow(10, rnd.nextInt(9) - 4)).toFloat)
+      val key = nasty(rnd.nextInt(nasty.length))
+      val rec = SumRecord(1L + rnd.nextInt(1000), data,
+        Map(key -> nasty(rnd.nextInt(nasty.length)), "k2" -> s"v$trial"))
+      val args = Seq(JInt(rec.id), JString(key))
+
+      val owningStore = graft.store.RecordStore.fromRecords(spark, Seq(rec))
+      val direct = original.body(new OracleContext, owningStore, args)
+
+      val patchedCode = JsLang.patchRecordLookups(code, Seq("id", "k"),
+        Map(0 -> SumFederation.recordJson(rec)))
+      assert(patchedCode != code, s"trial $trial: patch did not splice")
+      val patched = JsOracle.compile("probe", patchedCode)
+        .fold(m => fail(s"trial $trial compile failed: $m\n$patchedCode"),
+          identity)
+      val viaPatch = patched.body(new OracleContext, emptyStore, args)
+
+      assert(viaPatch === direct, s"trial $trial diverged\n$patchedCode")
+    }
+  }
 }
