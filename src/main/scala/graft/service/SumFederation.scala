@@ -259,10 +259,16 @@ final class SumFederation(
       * poll body. Out-of-band writes straight to a node stay invisible
       * until the next poll, exactly like the reference.
       */
-    @volatile private[SumFederation] var cachedRecords: Long = engine.records
-    def records: Long = cachedRecords
+    private val cachedRecords =
+      new java.util.concurrent.atomic.AtomicLong(engine.records)
+    def records: Long = cachedRecords.get()
+    /** Inline status accounting at the reference's mutation sites —
+      * atomic because point ops adjust it outside the master lock.
+      */
+    private[SumFederation] def adjustRecords(delta: Long): Unit =
+      cachedRecords.addAndGet(delta)
     /** One Info exchange: refresh this node's cached status. */
-    def updateStatus(): Unit = cachedRecords = engine.records
+    def updateStatus(): Unit = cachedRecords.set(engine.records)
     override def toString = s"node $id ($name): ${records} records"
   }
 
@@ -277,10 +283,25 @@ final class SumFederation(
     * so merges and error aggregates are deterministic — reference merge
     * semantics never depend on arrival order.
     */
-  private lazy val fanOutPool =
-    java.util.concurrent.Executors.newCachedThreadPool(r => {
-      val t = new Thread(r, "fed-fanout"); t.setDaemon(true); t
-    })
+  /** Bounded at 256 workers: exchanges are IO-bound, so at 1000 nodes a
+    * fan-out runs in ~4 RTT waves instead of spawning 1000 JVM threads
+    * (a goroutine is cheap; a platform thread is a megabyte of stack).
+    * No master op nests doParallel, so a bounded queue cannot deadlock.
+    */
+  private lazy val fanOutPool = {
+    // core==max with core-timeout: threads spawn on demand up to 256,
+    // queue beyond, and idle workers die after 30 s. (A core=0 pool over
+    // an unbounded queue would never grow past one thread — the
+    // ThreadPoolExecutor queue-before-grow rule.)
+    val ex = new java.util.concurrent.ThreadPoolExecutor(
+      256, 256, 30L, java.util.concurrent.TimeUnit.SECONDS,
+      new java.util.concurrent.LinkedBlockingQueue[Runnable](),
+      (r: Runnable) => {
+        val t = new Thread(r, "fed-fanout"); t.setDaemon(true); t
+      })
+    ex.allowCoreThreadTimeOut(true)
+    ex
+  }
 
   private def doParallel[A, T](items: Seq[A])(f: A => T): Seq[T] =
     if (items.lengthCompare(1) <= 0) items.map(f)
@@ -394,8 +415,8 @@ final class SumFederation(
     val created = to.engine.createRecordsWithId(recs)
     if (!created.success) return // like the reference: log-and-keep the donor intact
     from.engine.deleteRecords(recs.map(_.id))
-    from.cachedRecords -= recs.length // balancer.go:39/58 status accounting
-    to.cachedRecords += recs.length
+    from.adjustRecords(-recs.length) // balancer.go:39/58 status accounting
+    to.adjustRecords(recs.length)
     setNextIdIfHigher(recs.map(_.id).max + 1)
   }
 
@@ -459,7 +480,7 @@ final class SumFederation(
         val resp = n.engine.createRecordWithId(r.copy(id = nextRecId))
         if (resp.success) {
           nextRecId += 1
-          n.cachedRecords += 1 // mux_records.go:64
+          n.adjustRecords(1) // mux_records.go:64
         }
         resp
     }
@@ -506,7 +527,7 @@ final class SumFederation(
   def deleteRecord(id: Long): RecordResponse = {
     val (owner, resp) =
       fanPointWithNode(s"record $id not found.")(_.engine.deleteRecord(id))
-    owner.foreach(_.cachedRecords -= 1) // mux_records.go:269
+    owner.foreach(_.adjustRecords(-1)) // mux_records.go:269
     resp
   }
 
