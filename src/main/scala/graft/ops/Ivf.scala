@@ -24,6 +24,87 @@ import graft.functions.vector
   */
 object Ivf {
 
+  /** Cell-count sizing law: `cells = pow2ceil(sqrt(n / costRatio))`,
+    * clamped to `[1, cap]`.
+    *
+    * Derivation (why sqrt, not a constant and not n/targetRows): a probe
+    * pays `cells` centroid comparisons to route plus `nprobe * n / cells`
+    * candidate rows to scan, so per-probe cost is minimized where the two
+    * terms balance — at `cells ~ sqrt(nprobe * n * cScan / cRoute)`.
+    * `costRatio` is the per-centroid-routing-cost over per-candidate-scan
+    *-cost ratio folded with the site's gate nprobe: ~2 for raw-vector
+    * cells (routing and scanning both evaluate one d-dim cosine), ~8 for
+    * PQ code cells (a candidate costs m table lookups, ~d/m times cheaper
+    * than the d-dim routing cosine). Rounded UP to a power of two so
+    * incremental corpus growth re-sizes in discrete doublings (stable
+    * cache keys between re-builds) and so the gate corpora reproduce the
+    * constants every contract floor was measured under (n=500, ratio 2
+    * -> 16; ratio 8 -> 8).
+    *
+    * This replaced fixed gate constants after the sf10 replay measured
+    * v18/v20 at 10.9x/7.4x cost for 10x data: with cells frozen at 8,
+    * the routed scan is a FIXED FRACTION of the corpus (nprobe/cells =
+    * 50%), so probe cost grows linearly with n. Under this law cells
+    * grows as sqrt(n) and [[nprobeFor]] as cells^(2/3), leaving
+    * probe-scan cost ~ n^(5/6) — 10x data costs ~6.8x in scanned rows at
+    * intact recall floors (pure sqrt nprobe growth would cut that to
+    * ~5.6x but measured BELOW v09's recall floor at sf10; see
+    * nprobeFor), and the routed fraction at 200k vectors drops from 50%
+    * to 8-16%.
+    *
+    * `cap` bounds the driver round-trip (centroids collect between Lloyd
+    * passes) and the assignment sweep's per-row work (one fused cosine
+    * per cell): at the 4096 default the centroid literal is 4096 x 64
+    * floats = 1 MB, and the law hits it at n ~ 33M vectors per index —
+    * past that, scan cost grows linearly again and a deployment shards
+    * the corpus into multiple indexes (or raises the cap with executor
+    * budget to match).
+    */
+  def cellsFor(n: Long, costRatio: Double = 2.0, cap: Int = 4096): Int = {
+    require(costRatio > 0, s"costRatio must be positive, got $costRatio")
+    val target = math.sqrt(math.max(1L, n).toDouble / costRatio)
+    // Exact integer pow2-ceiling: FP log2 could flip a boundary case.
+    val up = math.max(1L, math.ceil(target).toLong)
+    val pow2 = if (java.lang.Long.bitCount(up) == 1) up
+      else java.lang.Long.highestOneBit(up) << 1
+    math.min(cap.toLong, pow2).toInt
+  }
+
+  /** Probe-count companion law: nprobe grows as cells^(2/3) from the
+    * (gateCells, gateNprobe) point every recall floor was measured at —
+    * `nprobe = cbrtCeil(gateNprobe^3 * cells^2 / gateCells^2)`, clamped
+    * to [gateNprobe, cells].
+    *
+    * Why 2/3 (measured, not assumed): holding nprobe CONSTANT shrinks
+    * the scanned fraction linearly in cells and craters recall on weakly
+    * clustered corpora; growing it LINEARLY keeps the fraction constant
+    * and forfeits the law's entire win. The midpoints were swept on the
+    * synthetic near-isotropic embeddings (ANN's worst case) at sf10's
+    * 512-cell geometry against the full-probe truth: sqrt growth
+    * (nprobe 23) measured recall@5 0.35 — UNDER v09's 0.40 floor —
+    * while the 2/3 power (nprobe 41) measured 0.53, the gate-point
+    * margin, with the routed fraction still falling 25% -> 12.5% -> 8%
+    * across sf0.01/sf1/sf10 (nprobe 4/16/41 of 16/128/512).
+    *
+    * Integer-exact on purpose: the law is replayed inside oracle SQL
+    * (v22's sweep points are OUTPUT), and `pow(x, 2.0/3.0)` sits on an
+    * exact-cube boundary precisely at pow2 geometries (8^(2/3) = 4), so
+    * a last-bit libm difference between the JVM and the oracle engine
+    * would flip a ceil. Smallest p with p^3 >= v has one answer in every
+    * arithmetic.
+    */
+  def nprobeFor(cells: Int, gateCells: Int, gateNprobe: Int): Int = {
+    require(cells >= 1 && gateCells >= 1 && gateNprobe >= 1,
+      s"nprobeFor needs positive sizes, got $cells/$gateCells/$gateNprobe")
+    // v = gateNprobe^3 * cells^2 / gateCells^2 — exact in Long for the
+    // pow2 geometries cellsFor emits (cap 4096: v <= 64 * 2^24 * ratio).
+    val v = gateNprobe.toLong * gateNprobe * gateNprobe * cells * cells /
+      (gateCells.toLong * gateCells)
+    var p = math.max(1L, math.cbrt(v.toDouble).toLong - 2)
+    while (p * p * p < v) p += 1
+    math.min(cells.toLong, math.max(gateNprobe.toLong, p)).toInt
+  }
+
   final case class IvfIndex(cells: DataFrame, centroids: DataFrame) {
     /** Cache both sides, with `cells` CLUSTERED by cell id (repartition +
       * sort-within-partitions): cached batches then hold single-cell runs

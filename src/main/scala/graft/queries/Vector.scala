@@ -106,29 +106,35 @@ object VectorQueries {
       "v03_vector_stats",
       (s, dir) => {
         val t = Tables(s, dir)
+        // + 0.0 after every round: IEEE says -0.0 + 0.0 == +0.0 and is
+        // the identity elsewhere, so a value that rounds to zero gets ONE
+        // sign in both engines (the sf10 replay caught round(-3e-8, 6)
+        // shipping as 0.0 here and -0.0 from the oracle — a repr-level
+        // hash break on equal values). Same normalization in the SQL.
+        def r6(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0d)
         t.embeddings.crossJoin(refVec(t))
           .select(
             col("vec_id"),
-            round(graft.functions.vector.get(col("embedding"), 0).cast("double"), 6)
+            r6(graft.functions.vector.get(col("embedding"), 0).cast("double"))
               .as("elem0"),
             size(col("embedding")).as("dims"),
-            round(magnitude(col("embedding")), 6).as("mag"),
-            round(dotSub(col("embedding"), col("ref_embedding"), 32), 6)
+            r6(magnitude(col("embedding"))).as("mag"),
+            r6(dotSub(col("embedding"), col("ref_embedding"), 32))
               .as("dot_first32"),
-            round(cosineRange(col("embedding"), col("ref_embedding"), 16, 48), 6)
+            r6(cosineRange(col("embedding"), col("ref_embedding"), 16, 48))
               .as("cos_16_48"))
           .orderBy(col("vec_id"))
       },
       Some(s"""
         |SELECT e.vec_id,
-        |       round(CAST(e.embedding[1] AS DOUBLE), 6)                       AS elem0,
+        |       round(CAST(e.embedding[1] AS DOUBLE), 6) + 0.0                 AS elem0,
         |       len(e.embedding)                                               AS dims,
         |       round(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-        |                                   CAST(e.embedding AS DOUBLE[]))), 6) AS mag,
+        |                                   CAST(e.embedding AS DOUBLE[]))), 6) + 0.0 AS mag,
         |       round(list_dot_product(CAST(e.embedding[1:32] AS DOUBLE[]),
-        |                              CAST(r.embedding[1:32] AS DOUBLE[])), 6) AS dot_first32,
+        |                              CAST(r.embedding[1:32] AS DOUBLE[])), 6) + 0.0 AS dot_first32,
         |       round(list_cosine_similarity(CAST(e.embedding[17:48] AS DOUBLE[]),
-        |                                    CAST(r.embedding[17:48] AS DOUBLE[])), 6) AS cos_16_48
+        |                                    CAST(r.embedding[17:48] AS DOUBLE[])), 6) + 0.0 AS cos_16_48
         |FROM embeddings e,
         |     (SELECT embedding FROM embeddings WHERE vec_id = $RefId) r
         |ORDER BY e.vec_id
@@ -324,12 +330,22 @@ object VectorQueries {
         val t = Tables(s, dir)
         val emb = t.embeddings
         val probes = emb.orderBy(col("vec_id")).limit(20)
+        // Index geometry under the sizing laws (Ivf.cellsFor/nprobeFor):
+        // the gate corpus (500 vectors) reproduces the 16-cell/4-probe
+        // constants the 0.4 recall floor was measured at; larger corpora
+        // re-size (cells ~ sqrt(n), nprobe ~ cells^(2/3)) so the routed
+        // scan stays sublinear. Measured recall@5 vs full probe: 0.53 at
+        // the gate, 0.53 at sf10's 512-cell/41-probe geometry — the
+        // floor holds at its gate margin while the routed fraction falls
+        // 25% -> 8% (sqrt nprobe growth measured 0.35 there, under the
+        // floor; nprobeFor's scaladoc has the sweep).
+        val cells = graft.ops.Ivf.cellsFor(emb.count())
         val idx = graft.ops.Ivf.buildCached(emb, "vec_id", "embedding",
-          numCells = 16, iterations = 1)
+          numCells = cells, iterations = 1)
         val pruned = graft.ops.Ivf.search(idx, probes, "vec_id", "embedding",
-          k = 5, nprobe = 4)
+          k = 5, nprobe = graft.ops.Ivf.nprobeFor(cells, 16, 4))
         val full = graft.ops.Ivf.search(idx, probes, "vec_id", "embedding",
-            k = 5, nprobe = 16)
+            k = 5, nprobe = cells)
           .select(col("query_id").as("fq"), col("vec_id").as("fv"))
         pruned
           .join(full, pruned("query_id") === col("fq") &&
@@ -402,9 +418,14 @@ object VectorQueries {
         val t = Tables(s, dir)
         val emb = t.embeddings
         val probes = emb.orderBy(col("vec_id")).limit(20)
+        // Sized by the law but probed in FULL (nprobe == cells): exact
+        // equality to brute force holds for ANY cell count, so the law
+        // changes cost shape only, never this oracle's hash.
+        val cells = graft.ops.Ivf.cellsFor(emb.count())
         val idx = graft.ops.Ivf.buildCached(emb, "vec_id", "embedding",
-          numCells = 16, iterations = 1)
-        graft.ops.Ivf.search(idx, probes, "vec_id", "embedding", k = 5, nprobe = 16)
+          numCells = cells, iterations = 1)
+        graft.ops.Ivf.search(idx, probes, "vec_id", "embedding", k = 5,
+            nprobe = cells)
           .orderBy(col("query_id"), col("rnk"))
       },
       Some("""
@@ -449,14 +470,18 @@ object VectorQueries {
         val col5 = (0 until 8)
           .map(i => d(graft.functions.vector.ndGet(data, shape, Seq(i, 5))))
           .reduce(_ + _)
+        // v03's zero-sign normalization: + 0.0 after round in BOTH
+        // engines (round(-4e-7, 6) shipped 0.0 here, -0.0 from the
+        // oracle at sf10).
+        def r6(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0d)
         t.embeddings.select(col("vec_id"),
-          round(trace, 6).as("trace"),
-          round(row3, 6).as("row3_sum"),
-          round(col5, 6).as("col5_sum"),
-          round(d(graft.functions.vector.ndGet(data, shape, Seq(2, 3))), 6)
+          r6(trace).as("trace"),
+          r6(row3).as("row3_sum"),
+          r6(col5).as("col5_sum"),
+          r6(d(graft.functions.vector.ndGet(data, shape, Seq(2, 3))))
             .as("elem_2_3"),
-          round(graft.functions.vector.magnitude(
-            graft.functions.vector.matrixRow(data, 8, 0)), 6).as("row0_mag"),
+          r6(graft.functions.vector.magnitude(
+            graft.functions.vector.matrixRow(data, 8, 0))).as("row0_mag"),
           size(graft.functions.vector.reshapeRows(data, 8, 8)).as("n_rows"))
           .orderBy(col("vec_id"))
       },
@@ -467,12 +492,12 @@ object VectorQueries {
         val col5 = (0 until 8).map(i => e(i * 8 + 5 + 1)).mkString(" + ")
         s"""
         |SELECT vec_id,
-        |       round($trace, 6) AS trace,
-        |       round($row3, 6) AS row3_sum,
-        |       round($col5, 6) AS col5_sum,
-        |       round(${e(2 * 8 + 3 + 1)}, 6) AS elem_2_3,
+        |       round($trace, 6) + 0.0 AS trace,
+        |       round($row3, 6) + 0.0 AS row3_sum,
+        |       round($col5, 6) + 0.0 AS col5_sum,
+        |       round(${e(2 * 8 + 3 + 1)}, 6) + 0.0 AS elem_2_3,
         |       round(sqrt(list_dot_product(CAST(embedding[1:8] AS DOUBLE[]),
-        |                                   CAST(embedding[1:8] AS DOUBLE[]))), 6)
+        |                                   CAST(embedding[1:8] AS DOUBLE[]))), 6) + 0.0
         |         AS row0_mag,
         |       8 AS n_rows
         |FROM embeddings
@@ -643,11 +668,17 @@ object VectorQueries {
       (s, dir) => {
         val t = Tables(s, dir)
         val emb = t.embeddings
+        val n = emb.count()
+        // costRatio 8 (PQ candidates cost m ADC lookups, ~d/m cheaper
+        // than the d-dim routing cosine): the gate corpus reproduces the
+        // 8-cell/4-probe constants the 0.15 floor was measured at.
+        val cells = graft.ops.Ivf.cellsFor(n, costRatio = 8.0)
         val index = graft.ops.Pq.buildIvfPqCached(emb, "vec_id", "embedding",
-          numCells = 8, m = 8, ksub = ksubFor(emb.count()))
+          numCells = cells, m = 8, ksub = ksubFor(n))
         val probes = emb.filter(col("vec_id") < 20)
         val routedTop = graft.ops.Pq.ivfPqTopK(index, probes,
-            "vec_id", "embedding", k = 10, nprobe = 4)
+            "vec_id", "embedding", k = 10,
+            nprobe = graft.ops.Ivf.nprobeFor(cells, 8, 4))
           .select(col("query_id"), col("vec_id"))
         val exactTop = graft.ops.Similarity.mipsTopK(emb, probes,
             "vec_id", "embedding", k = 10)
@@ -680,8 +711,11 @@ object VectorQueries {
         val t = Tables(s, dir)
         val emb = t.embeddings
         val n = emb.count()
+        // Same geometry law as v17 (shared cached index): cells and
+        // nprobe re-size in sqrt steps from the measured 8/4 gate point.
+        val cells = graft.ops.Ivf.cellsFor(n, costRatio = 8.0)
         val index = graft.ops.Pq.buildIvfPqCached(emb, "vec_id", "embedding",
-          numCells = 8, m = 8, ksub = ksubFor(n))
+          numCells = cells, m = 8, ksub = ksubFor(n))
         val probes = emb.filter(col("vec_id") < 20)
         // Rerank depth is a sizing law like v20's shortlist (~n/500,
         // gate-floored at 4x): PQ codes carry FIXED information, so the
@@ -690,7 +724,8 @@ object VectorQueries {
         // measured recall below the 0.40 contract floor at 200k vectors
         // with the same code that passed at 20k.
         val routedTop = graft.ops.Pq.ivfPqTopKRerank(index, emb, probes,
-            "vec_id", "embedding", k = 10, nprobe = 4,
+            "vec_id", "embedding", k = 10,
+            nprobe = graft.ops.Ivf.nprobeFor(cells, 8, 4),
             rerankFactor = overfetchFor(n))
           .select(col("query_id"), col("vec_id"))
         val exactTop = graft.ops.Similarity.mipsTopK(emb, probes,
@@ -817,6 +852,11 @@ object VectorQueries {
       "v21_cluster_diag",
       (s, dir) => {
         val t = Tables(s, dir)
+        // Deliberately NOT law-sized (Ivf.cellsFor): n_cells here is the
+        // REPORT granularity and part of the output contract (the oracle
+        // pins 8), not a serving-cost knob — and the audit scan is
+        // corpus x 8 regardless of corpus size (sampled at 100 TB, see
+        // the scaladoc above).
         val idx = graft.ops.Ivf.buildCached(t.embeddings, "vec_id",
           "embedding", numCells = 8, iterations = 2)
         val scored = idx.cells
@@ -1112,13 +1152,20 @@ object VectorQueries {
         val t = Tables(s, dir)
         val emb = t.embeddings
         val probes = emb.orderBy(col("vec_id")).limit(10)
+        // Sweep points track the sizing laws: 1 / the law's serving
+        // nprobe / full probe. The sweep values are OUTPUT columns, so
+        // the oracle recomputes cellsFor/nprobeFor in SQL from count(*)
+        // (integer pow2 ceiling via a powers table — no FP log2) and the
+        // gate corpus still reads (1, 4, 16).
+        val cells = graft.ops.Ivf.cellsFor(emb.count())
         val idx = graft.ops.Ivf.buildCached(emb, "vec_id", "embedding",
-          numCells = 16, iterations = 1)
+          numCells = cells, iterations = 1)
         val full = graft.ops.Ivf.search(idx, probes, "vec_id", "embedding",
-            k = 5, nprobe = 16)
+            k = 5, nprobe = cells)
           .select(col("query_id").as("fq"), col("vec_id").as("fv"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val sweep = Seq(1, 4, 16).map { np =>
+        val sweep = Seq(1, graft.ops.Ivf.nprobeFor(cells, 16, 4), cells)
+          .distinct.map { np =>
           graft.ops.Ivf.search(idx, probes, "vec_id", "embedding",
               k = 5, nprobe = np)
             .join(full, col("query_id") === col("fq") &&
@@ -1132,13 +1179,37 @@ object VectorQueries {
           .select(col("nprobe"),
             (col("prev_hits").isNull || col("hits") >= col("prev_hits"))
               .as("mono_ok"),
-            (col("nprobe") < 16 || col("hits") === col("n_ret"))
+            (col("nprobe") < cells || col("hits") === col("n_ret"))
               .as("full_ok"))
           .orderBy(col("nprobe"))
       },
       Some("""
-        |SELECT nprobe, TRUE AS mono_ok, TRUE AS full_ok
-        |FROM (VALUES (1), (4), (16)) t(nprobe)
+        |WITH up AS (
+        |  SELECT CAST(CEIL(SQRT(count(*) / 2.0)) AS BIGINT) AS u
+        |  FROM embeddings
+        |),
+        |cells AS (
+        |  SELECT LEAST(4096, MIN(CAST(POWER(2, g.g) AS BIGINT))) AS c
+        |  FROM range(0, 31) g(g), up
+        |  WHERE CAST(POWER(2, g.g) AS BIGINT) >= up.u
+        |),
+        |sweep AS (
+        |  -- mid point = nprobeFor's integer 2/3-power law: smallest p
+        |  -- with p^3 >= 4^3 * c^2 / 16^2 (no FP pow — exact-cube
+        |  -- boundaries land exactly on pow2 geometries)
+        |  SELECT DISTINCT nprobe FROM (
+        |    SELECT 1 AS nprobe
+        |    UNION ALL
+        |    SELECT CAST(LEAST(cl.c, GREATEST(4,
+        |      (SELECT MIN(p) FROM range(1, 4097) t(p)
+        |       WHERE p * p * p >= 64 * cl.c * cl.c // 256))) AS INTEGER)
+        |    FROM cells cl
+        |    UNION ALL
+        |    SELECT CAST(c AS INTEGER) FROM cells) s
+        |)
+        |SELECT CAST(nprobe AS INTEGER) AS nprobe,
+        |       TRUE AS mono_ok, TRUE AS full_ok
+        |FROM sweep
         |ORDER BY nprobe
         |""".stripMargin.trim)),
 
@@ -1158,11 +1229,15 @@ object VectorQueries {
         val probes = emb.orderBy(col("vec_id")).limit(20)
         val base = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
         val batch = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+        // Sized to the BASE corpus (what the build sees; extend never
+        // re-clusters) and probed in full, so the brute-force oracle
+        // holds for any cell count the law picks.
+        val cells = graft.ops.Ivf.cellsFor(base.count())
         val idx = graft.ops.Ivf.build(base, "vec_id", "embedding",
-          numCells = 16, iterations = 1)
+          numCells = cells, iterations = 1)
         val extended = graft.ops.Ivf.extend(idx, batch, "vec_id", "embedding")
         graft.ops.Ivf.search(extended, probes, "vec_id", "embedding",
-            k = 5, nprobe = 16)
+            k = 5, nprobe = cells)
           .orderBy(col("query_id"), col("rnk"))
       },
       Some("""
@@ -1338,10 +1413,13 @@ object VectorQueries {
         val t = Tables(s, dir)
         val emb = t.embeddings
         val probes = emb.orderBy(col("vec_id")).limit(10)
+        // Shares v09/v11's law-sized cached index; full probe keeps the
+        // filtered search exact over the filtered corpus for any cells.
+        val cells = graft.ops.Ivf.cellsFor(emb.count())
         val idx = graft.ops.Ivf.buildCached(emb, "vec_id", "embedding",
-          numCells = 16, iterations = 1)
+          numCells = cells, iterations = 1)
         graft.ops.Ivf.searchFiltered(idx, col("label") === 3,
-            probes, "vec_id", "embedding", k = 5, nprobe = 16)
+            probes, "vec_id", "embedding", k = 5, nprobe = cells)
           .orderBy(col("query_id"), col("rnk"))
       },
       Some("""

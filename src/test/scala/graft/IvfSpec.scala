@@ -173,4 +173,52 @@ class IvfSpec extends SparkSpec {
       .collect().map(_.getLong(2)).toSet
     assert(pruned.subsetOf(matching))
   }
+
+  test("cellsFor: gate corpora reproduce the measured constants") {
+    // The contract that lets the law replace the gate constants without
+    // moving any contract floor: the corpora every floor was measured at
+    // size back to exactly the old constants.
+    assert(Ivf.cellsFor(500) === 16) //  sf0.01 gate, raw-vector cells
+    assert(Ivf.cellsFor(500, costRatio = 8.0) === 8) // IVFPQ gate
+    // sqrt growth, pow2-rounded up.
+    assert(Ivf.cellsFor(2000) === 32)
+    assert(Ivf.cellsFor(20000) === 128)
+    assert(Ivf.cellsFor(200000) === 512)
+    assert(Ivf.cellsFor(200000, costRatio = 8.0) === 256)
+    // Degenerate and capped ends.
+    assert(Ivf.cellsFor(0) === 1)
+    assert(Ivf.cellsFor(1) === 1)
+    assert(Ivf.cellsFor(Long.MaxValue) === 4096)
+    assert(Ivf.cellsFor(Long.MaxValue, cap = 1024) === 1024)
+    // Exact pow2 boundary: sqrt(n/2) == 16 exactly must NOT jump to 32.
+    assert(Ivf.cellsFor(512) === 16)
+  }
+
+  test("nprobeFor: 2/3-power growth from the gate point, clamped to [gate, cells]") {
+    assert(Ivf.nprobeFor(16, 16, 4) === 4) // gate point is a fixpoint
+    assert(Ivf.nprobeFor(8, 8, 4) === 4)
+    assert(Ivf.nprobeFor(32, 16, 4) === 7)
+    assert(Ivf.nprobeFor(128, 16, 4) === 16) // exact cube: 16^3 = 4096
+    assert(Ivf.nprobeFor(512, 16, 4) === 41) // the measured sf10 point
+    assert(Ivf.nprobeFor(256, 8, 4) === 41)
+    assert(Ivf.nprobeFor(64, 8, 4) === 16)
+    // Below the gate geometry: never probe more cells than exist.
+    assert(Ivf.nprobeFor(2, 16, 4) === 2)
+    assert(Ivf.nprobeFor(1, 16, 4) === 1)
+  }
+
+  test("law-sized full probe is still exactly brute force") {
+    val n = emb.count()
+    val cells = Ivf.cellsFor(n)
+    val index = Ivf.build(emb, "vec_id", "embedding", numCells = cells,
+      iterations = 1)
+    val probes = emb.filter($"vec_id" < 5)
+    val ivf = Ivf.search(index, probes, "vec_id", "embedding", k = 5,
+        nprobe = cells)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding",
+        k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ivf === brute)
+  }
 }
