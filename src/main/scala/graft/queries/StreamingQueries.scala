@@ -32,13 +32,19 @@ object StreamingQueries {
     sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map(_.toInt).getOrElse(8)
 
   /** Run a streaming DataFrame to completion into a uniquely-named memory
-    * sink and return the sink table.
+    * sink and return the sink table. `parts` overrides the gate's fixed
+    * state-partition count for queries whose keyed state grows with the
+    * input (the stream-stream joins pass
+    * [[EventStreams.statePartitionsFor]]); the env override still wins so
+    * A/B runs stay possible.
     */
   private def runToTable(s: SparkSession, df: DataFrame,
-      mode: String): DataFrame = {
+      mode: String, parts: Int = statePartitions): DataFrame = {
     val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
     val before = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val effectiveParts =
+      sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map(_.toInt).getOrElse(parts)
+    s.conf.set("spark.sql.shuffle.partitions", effectiveParts.toString)
     // RocksDB state store by default: it is the provider a 100 TB keyed
     // state deployment runs (state larger than executor heap, incremental
     // compaction), and measured faster than the HDFS-backed store even at
@@ -294,7 +300,14 @@ object StreamingQueries {
           .select(col("purchase_id"), col("user_id"), col("value"),
             unix_timestamp(col("purchase_time")).as("p_epoch_s"),
             unix_timestamp(col("signup_time")).as("s_epoch_s"))
-        runToTable(s, joined, "append")
+        // Join state ~ the filtered events themselves (both sides keyed,
+        // 7-day retention spans the whole fixture), so provision state
+        // partitions to input volume: the gate/bench fixtures stay at the
+        // 8-partition floor (band unchanged), sf10's 10M events size up
+        // to the cap. The total row count is a metadata read — a fine
+        // upper bound for provisioning.
+        runToTable(s, joined, "append",
+          EventStreams.statePartitionsFor(Tables(s, dir).events.count()))
           .groupBy()
           .agg(count(lit(1)).as("n_attributed"),
             countDistinct(col("purchase_id")).as("n_purchases"),
@@ -589,7 +602,10 @@ object StreamingQueries {
           stream.filter(col("event_type").isin("purchase", "sentinel")),
           stream.filter(col("event_type").isin("signup", "sentinel")),
           window = "7 days", joinType = "left_outer")
-        runToTable(s, joined, "append")
+        // Same provisioning law as st05: outer-join state holds both
+        // filtered sides for the full 7-day window.
+        runToTable(s, joined, "append",
+          EventStreams.statePartitionsFor(Tables(s, dir).events.count()))
           .filter(col("user_id") =!= -1L)
           .agg(count(lit(1)).as("n_rows"),
             count(col("signup_time")).as("n_matched"),

@@ -598,6 +598,39 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** State-partition provisioning law for keyed streaming state
+    * (stream-stream joins, large keyed aggregations):
+    * `partitions = clamp(floor, ceil(estimatedStateRows / targetRows), cap)`.
+    *
+    * The two costs it balances are measured, not assumed
+    * (graft.StreamFloorBench, SCALING.md): each state-store INSTANCE
+    * carries a fixed per-micro-batch provision/commit/maintenance cost
+    * (~1.5 s/batch at 32 instances, ~0.75 s at 8 — proportional to the
+    * instance count and data-independent), while per-partition work grows
+    * with the rows the partition holds. So small inputs want the floor
+    * (the gate's 8 — fewer instances IS the speedup at kilorow scale) and
+    * large keyed volumes want rows-per-partition bounded: the sf10 replay
+    * measured st05's interval join at 30.4 s on the gate's 8 partitions,
+    * where ~1.2M keyed rows per partition swamp the per-instance floor
+    * it was provisioned to avoid.
+    *
+    * `targetRowsPerPartition` = 125k keeps a partition's RocksDB working
+    * set in tens of MB for event-sized rows. `cap` bounds instance
+    * overhead: state partitioning is fixed per checkpoint at first run,
+    * so a deployment sizes cap to its executor-core budget (the local
+    * gate caps at 32 = local[32]); re-provisioning means a new
+    * checkpoint, which is the documented Structured Streaming contract,
+    * not a law of this library.
+    */
+  def statePartitionsFor(estimatedStateRows: Long, floor: Int = 8,
+      cap: Int = 32, targetRowsPerPartition: Long = 125000L): Int = {
+    require(floor >= 1 && cap >= floor && targetRowsPerPartition >= 1,
+      s"bad sizing args: floor=$floor cap=$cap target=$targetRowsPerPartition")
+    val needed = math.ceil(
+      math.max(0L, estimatedStateRows).toDouble / targetRowsPerPartition).toLong
+    math.min(cap.toLong, math.max(floor.toLong, needed)).toInt
+  }
+
   /** Stream-static enrichment: join the event stream against a static
     * dimension DataFrame (re-read per micro-batch, broadcast when small).
     * No watermark is needed on the static side and no join state

@@ -657,4 +657,20 @@ class StreamingSpec extends SparkSpec {
         ref(nn, ss, qq, v), s"parity broke at n=$nn s=$ss q=$qq v=$v")
     }
   }
+
+  test("statePartitionsFor: floor at gate volumes, rows-bounded above, capped") {
+    // Gate and bench fixtures (10k / 100k events) stay at the measured
+    // 8-partition floor — fewer state-store instances IS the win there.
+    assert(EventStreams.statePartitionsFor(0) === 8)
+    assert(EventStreams.statePartitionsFor(10000) === 8)
+    assert(EventStreams.statePartitionsFor(100000) === 8)
+    // Past the floor, partitions track keyed volume (~125k rows each)...
+    assert(EventStreams.statePartitionsFor(1000000) === 8)
+    assert(EventStreams.statePartitionsFor(2000000) === 16)
+    // ...until the instance-overhead cap (sf10's 10M events hit it).
+    assert(EventStreams.statePartitionsFor(10000000) === 32)
+    assert(EventStreams.statePartitionsFor(10000000, cap = 128) === 80)
+    // A deployment with more executor cores raises the cap, not the law.
+    assert(EventStreams.statePartitionsFor(100000000, cap = 1024) === 800)
+  }
 }
