@@ -167,6 +167,31 @@ object JsOracle {
   def runDistributed(id: Long, code: String, store: RecordStore,
       args: Seq[JValue]): Either[String, JValue] =
     compileSource(code).flatMap { c =>
+      // Linear-shape fast path (JsCatalyst): a conforming scan+aggregate
+      // oracle with a canonical keyed-add merger compiles to ONE
+      // partial-aggregated groupBy instead of a per-record interpreter
+      // walk; the merger's associative-commutative integer fold makes
+      // the result decomposition-invariant, so it equals the
+      // interpreter's bit for bit. A tripped guard (a row the
+      // interpreter would error on) falls through to the interpreter so
+      // the error surfaces with the reference wording.
+      // GRAFT_JS_NO_TRANSPILE forces the interpreter for A/B runs and
+      // the cross-check specs.
+      val transpiled =
+        if (sys.env.contains("GRAFT_JS_NO_TRANSPILE")) None
+        else JsCatalyst.tryCompile(c)
+          .flatMap(p => JsCatalyst.run(p, store))
+      transpiled match {
+        case Some(partials) => graft.oracle.Merge.merge(partials, buildMerger(c))
+        case None           => runInterpreted(id, c, store, args)
+      }
+    }
+
+  /** private[graft] so JsCatalystSpec can pin transpiled == interpreted
+    * on the same stores without an env-var round trip.
+    */
+  private[graft] def runInterpreted(id: Long, c: Compiled, store: RecordStore,
+      args: Seq[JValue]): Either[String, JValue] = {
       val program = c.program
       val params = c.params
       val entryName = c.entry
