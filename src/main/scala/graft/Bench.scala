@@ -122,7 +122,7 @@ object Bench {
     *         reported in the bench JSON so the artifact records the launch
     *         context it was measured under.
     */
-  private def coolDown(): (Long, Double, Double) = {
+  private def coolDown(capMs: Long = Long.MaxValue): (Long, Double, Double) = {
     if (sys.env.contains("GRAFT_BENCH_NO_COOLDOWN")) return (0L, 0.0, 0.0)
     val proc = new java.io.File("/proc/loadavg")
     if (!proc.isFile) return (0L, 0.0, 0.0)
@@ -142,8 +142,8 @@ object Bench {
     // (the longest, a full verify cycle's kcompactd wake, was ~7 min);
     // only if it trips does the suite run hot, and then the per-row
     // pressure annotation (see main) marks the artifact as such.
-    val budgetMs = sys.env.get("GRAFT_BENCH_COOLDOWN_MS")
-      .flatMap(_.toLongOption).getOrElse(1500000L)
+    val budgetMs = math.min(capMs, sys.env.get("GRAFT_BENCH_COOLDOWN_MS")
+      .flatMap(_.toLongOption).getOrElse(1500000L))
     val t0 = System.nanoTime()
     val deadline = t0 + budgetMs * 1000000L
     var l1 = 0.0
@@ -156,8 +156,11 @@ object Bench {
       // compile/verify cycle sees 1-min load recover in seconds while the
       // host's memory daemons are still working off the pressure — those
       // passes measured random 3-6x rows with a clean 1-min load
-      // (BENCH_NOTES round 7).
-      (l1 > 1.0 || l5 > 1.5) && System.nanoTime() < deadline
+      // (BENCH_NOTES round 7). Tightened from 1.5 to 1.0 after BENCH_r09
+      // (entered at load 4.50, started at 1-min 0.23 under a warm 5-min)
+      // still shipped 22 pressure-annotated rows — the 5-min window is
+      // the one that predicts residual daemon work.
+      (l1 > 1.0 || l5 > 1.0) && System.nanoTime() < deadline
     }) {
       if (!waited) System.err.println(
         f"## bench cooldown: loadavg $l1%.2f/$l5%.2f (1m/5m), blocking until 1m<1.0 (budget ${budgetMs / 1000}s)")
@@ -290,12 +293,61 @@ object Bench {
       if (streamingFamily(fam)) Caches.unloadStreamState()
       name -> (if (timings.isEmpty) -1.0 else timings.min)
     }
+    // End-of-suite cooled re-pass (round-9 verdict task 4): a row still
+    // annotated after its in-suite re-measure budget collected every min
+    // while the host — or the suite's own JVM, whose GC/compaction wake
+    // IS the pressure late in a 238-query run — was hot. By the time the
+    // last family finishes, that pressure has a chance to decay: cool
+    // down once more (bounded at 10 min — the artifact should not stall
+    // on a genuinely busy host) and give each annotated row two more
+    // runs. Rows that now reach their band lose the annotation; the
+    // artifact of record then measures plans, not launch context
+    // (BENCH_r09 shipped 22 annotated rows measured mid-suite that the
+    // builder's cooled pass reproduced at their bands).
+    val resultMap = scala.collection.mutable.LinkedHashMap(results: _*)
+    if (pressure.nonEmpty) {
+      System.err.println(
+        s"## re-pass: ${pressure.size} pressure rows after final family")
+      Caches.reset(spark)
+      Caches.unloadStreamState()
+      System.gc()
+      coolDown(capMs = 600000L)
+      val fns = SparkEntry.queries
+      var prevFam2: String = null
+      pressure.keys.toSeq.sorted.foreach { name =>
+        val fam = family(name)
+        if (prevFam2 != null && fam != prevFam2) {
+          Caches.reset(spark); Caches.unloadStreamState(); System.gc()
+        }
+        prevFam2 = fam
+        val fn = fns(name)
+        val reruns = (0 until 2).flatMap { _ =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+          if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        }
+        if (reruns.nonEmpty) {
+          val best = math.min(resultMap(name), reruns.min)
+          resultMap(name) = best
+          val (_, band) = pressure(name)
+          if (best <= band * 1.5 + 0.05) pressure.remove(name)
+          else pressure(name) = (best, band)
+        }
+        if (streamingFamily(fam)) Caches.unloadStreamState()
+      }
+      System.err.println(
+        s"## re-pass done: ${pressure.size} rows still annotated")
+    }
+    val finalResults = results.map { case (k, _) => k -> resultMap(k) }
     // Millisecond precision keeps the whole line under ~1.9k chars for 70+
     // queries so log-tail capture (last ~2k chars) retains it intact.
     def fmt(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val qs = finalResults.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
+    val total =
+      if (finalResults.nonEmpty) finalResults.map(_._2).filter(_ >= 0).sum
+      else 0.0
     // Launch-context + residual-pressure self-description (empty pressure
     // map on a clean run). cooldown_s > 0 means the suite blocked that
     // long for the host to cool; load_start is the 1-min loadavg the
