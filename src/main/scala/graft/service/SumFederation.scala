@@ -406,18 +406,27 @@ final class SumFederation(
   }
 
   /** balancer.go:10-59: move the donor's FIRST n records (list page 1 is
-    * id-ordered) onto the taker, create-before-delete.
+    * id-ordered) onto the taker, create-before-delete. A DEAD peer at any
+    * exchange (the list, the create, the delete) aborts THIS transfer and
+    * keeps what survived — the reference logs the error and continues
+    * (balancer.go:23-26,37-40); a raw exception here would instead crash
+    * the whole master op that triggered the balance (measured by
+    * FederationProcSpec's kill-then-DeleteNode flow).
     */
   private def transfer(from: FedNode, to: FedNode, nRecords: Long): Unit = {
     if (nRecords <= 0) return
-    val recs = from.engine.listRecords(page = 1, perPage = nRecords)
-    if (recs.isEmpty) return
-    val created = to.engine.createRecordsWithId(recs)
-    if (!created.success) return // like the reference: log-and-keep the donor intact
-    from.engine.deleteRecords(recs.map(_.id))
-    from.adjustRecords(-recs.length) // balancer.go:39/58 status accounting
-    to.adjustRecords(recs.length)
-    setNextIdIfHigher(recs.map(_.id).max + 1)
+    try {
+      val recs = from.engine.listRecords(page = 1, perPage = nRecords)
+      if (recs.isEmpty) return
+      val created = to.engine.createRecordsWithId(recs)
+      if (!created.success) return // log-and-keep the donor intact
+      from.engine.deleteRecords(recs.map(_.id))
+      from.adjustRecords(-recs.length) // balancer.go:39/58 status accounting
+      to.adjustRecords(recs.length)
+      setNextIdIfHigher(recs.map(_.id).max + 1)
+    } catch {
+      case scala.util.control.NonFatal(_) => () // log-and-keep
+    }
   }
 
   /** balancer.go:62-135, arithmetic verbatim: remainder-adjusted targets,
