@@ -295,4 +295,32 @@ class PropertySpec extends SparkSpec {
         s"K$n per-vertex triangles $got != $expected")
     }
   }
+
+  test("TopKByScore: any arrival order and any merge split give the sorted top-k") {
+    // The compacting buffer (amortized appends + conservative threshold)
+    // must equal naive sort-take-k under every stream order and every
+    // partial/merge decomposition — the property the search paths lean on.
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 50) {
+      val k = 1 + rnd.nextInt(12)
+      val n = rnd.nextInt(200)
+      // coarse scores force plenty of exact ties; ids are distinct
+      val xs = Seq.tabulate(n)(i =>
+        graft.functions.ScoredId(i.toLong, rnd.nextInt(8).toDouble))
+      val expected = xs
+        .sortBy(s => (-s.score, s.id)).take(k)
+      val agg = new graft.functions.TopKByScore(k)
+      // single-stream fold in a shuffled order
+      val shuffled = rnd.shuffle(xs)
+      val direct = agg.finish(shuffled.foldLeft(agg.zero)(agg.reduce))
+      assert(direct === expected, s"trial $trial direct (k=$k n=$n)")
+      // random split into partials, merged in random order
+      val parts = shuffled.grouped(math.max(1, 1 + rnd.nextInt(7))).toSeq
+      val partials = rnd.shuffle(
+        parts.map(_.foldLeft(agg.zero)(agg.reduce)))
+      val merged = agg.finish(
+        partials.foldLeft(agg.zero)(agg.merge))
+      assert(merged === expected, s"trial $trial merged (k=$k n=$n)")
+    }
+  }
 }
