@@ -564,12 +564,14 @@ object Similarity {
     import spark.implicits._
     val base = corpus.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("v")).persist()
-    val seedId = base.agg(min($"id")).head().getLong(0)
+    // One TakeOrdered(1) fetches the seed id AND its vector — the argmax
+    // rows below carry their vectors the same way, so no step ever pays a
+    // second lookup-by-id scan for the center it just selected.
+    val seedRow = base.orderBy($"id").limit(1).head()
+    val seedId = seedRow.getLong(0)
 
-    def centerVec(id: Long): Column = {
-      val arr = base.filter($"id" === id).head().getSeq[Float](1).toArray
-      typedLit(arr)
-    }
+    def centerVec(row: org.apache.spark.sql.Row): Column =
+      typedLit(row.getSeq[Float](1).toArray)
 
     // The seed's "distance to the previously chosen set" is vacuous; it is
     // pinned to 2.0 (the cosine-distance maximum) so the sel_d sequence is
@@ -577,7 +579,7 @@ object Similarity {
     var picked = Vector[(Long, Double)]((seedId, 2.0))
     // Running min rounded-distance to the chosen set; seeded by center 1.
     var state = base.select($"id", $"v",
-      round(lit(1.0) - vector.cosine($"v", centerVec(seedId)), 6).as("d"))
+      round(lit(1.0) - vector.cosine($"v", centerVec(seedRow)), 6).as("d"))
       .persist()
     for (_ <- 2 to k) {
       val next = state.filter(!$"id".isInCollection(picked.map(_._1)))
@@ -586,7 +588,7 @@ object Similarity {
       picked = picked :+ ((nid, nd))
       val prev = state
       state = state.select($"id", $"v",
-        least($"d", round(lit(1.0) - vector.cosine($"v", centerVec(nid)), 6))
+        least($"d", round(lit(1.0) - vector.cosine($"v", centerVec(next)), 6))
           .as("d")).persist()
       state.count() // materialize before unpersisting the parent
       prev.unpersist()

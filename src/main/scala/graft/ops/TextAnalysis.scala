@@ -285,13 +285,16 @@ object TextAnalysis {
     * (c(w1,·) + V), scored as exp(mean(-ln p)) over each document's
     * bigrams.
     *
-    * Plan at 100 TB: one bigram explode persisted and consumed three ways
-    * (bigram counts, context counts, the scoring join); both count
-    * relations are Zipf-bounded (≤ V² and ≤ V rows) and broadcast when
-    * the measured V says they fit, with AQE deciding otherwise. V rides
-    * to the score as a literal from the same scalar pass. Output rounds
-    * to 4 decimals (ln/exp cross-engine ulp noise, as t13). Documents
-    * with fewer than two tokens have no bigrams and drop out.
+    * Plan at 100 TB: one bigram explode persisted and consumed two ways
+    * (bigram counts, the scoring join); context counts come from
+    * re-aggregating the Zipf-bounded bigram-count relation — c(w1,·) =
+    * Σ_w2 c(w1,w2) exactly, so the corpus-sized relation is never scanned
+    * a second time for them. Both count relations are Zipf-bounded
+    * (≤ V² and ≤ V rows) and broadcast when the measured V says they
+    * fit, with AQE deciding otherwise. V rides to the score as a literal
+    * from the same scalar pass. Output rounds to 4 decimals (ln/exp
+    * cross-engine ulp noise, as t13). Documents with fewer than two
+    * tokens have no bigrams and drop out.
     */
   def bigramPerplexity(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
@@ -307,7 +310,11 @@ object TextAnalysis {
     bi.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bigramCounts = bi.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
-    val contextCounts = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // c(w1,·) = Σ_w2 c(w1,w2): fold the bounded count relation, not the
+    // corpus-sized bigram relation a second time.
+    val contextCounts = bigramCounts.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"))
     val bigramSide =
       if (v.toDouble * v.toDouble <= 2e6) broadcast(bigramCounts) else bigramCounts
     val contextSide = if (v <= 2000000L) broadcast(contextCounts) else contextCounts

@@ -215,9 +215,15 @@ object GraphQueries {
         // doesn't hit this, so the oracle keeps the whole derivation in
         // one statement.
         val e = coSupplyEdges(t)
+        // The symmetrized/distinct view is ITSELF persisted, not just its
+        // coSupplyEdges input: the recursion replays the view's plan per
+        // depth step, and without this persist each of the 4 steps re-ran
+        // the union+distinct exchange (tiny rows, but a full extra stage
+        // per step).
         e.select(col("a").as("src"), col("b").as("dst"))
           .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
           .distinct()
+          .persist()
           .createOrReplaceTempView("edges_g04")
         s.sql(s"""
           WITH RECURSIVE

@@ -2097,37 +2097,21 @@ object TextQueries {
       (s, dir) => {
         val t = Tables(s, dir)
         // 72+ gray bytes from FIVE md5 digests (16 bytes each), not 72 —
-        // the same windows-of-a-digest economy as FakeDecoder. HOF
-        // lambdas are interpreted, so the md5-call count IS the scan
-        // cost: 5/row keeps the stub decode at parquet-scan speed. The
-        // digest is bound to a lambda VARIABLE (m) of a nested
-        // transform, never to a single-use column alias: CollapseProject
-        // inlines a once-referenced alias into the consuming lambda,
-        // which would re-derive all five digests per element (measured
-        // 4.6 s inlined vs 1.0 s in this form at sf0.1 — the t22
-        // staging rule, lambda-variable flavor).
+        // the same windows-of-a-digest economy as FakeDecoder; 5 md5/row
+        // keeps the stub decode at parquet-scan speed. The digest->gray->
+        // neighbor-compare chain is the fused DhashBits expression: the
+        // HOF spelling it replaces ran ~150 interpreted expression-tree
+        // evaluations per row (hex round-trips, boxing; measured 1.08 s
+        // at sf0.1 vs 0.61 s fused — and 4.6 s in the naive inlined-alias
+        // form). Bit-identical by OpsSpec's HOF-parity pin.
         // media corpus bounded at 6000 ids (above sf0.1's 4999 max): the
         // DuckDB oracle replays pairs as a literal cross join, so the
         // certification arm is SF-independent work like the e-family caps
         val hashed = t.documents.filter(col("doc_id") < 6000)
           .select(col("doc_id").as("media_id"), col("text"))
-          .withColumn("g", expr(
-            "flatten(transform(" +
-              "transform(sequence(0, 4), j -> " +
-              "md5(concat(text, ':g', cast(j as string)))), " +
-              "m -> transform(sequence(0, 15), b -> " +
-              "cast(conv(substring(m, b * 2 + 1, 2), 16, 10) as bigint))))"))
-          .withColumn("hi", expr(
-            "aggregate(sequence(0, 31), 0L, (acc, b) -> acc + " +
-              "if(element_at(g, cast((b div 8) * 9 + (b % 8) + 2 as int)) > " +
-              "element_at(g, cast((b div 8) * 9 + (b % 8) + 1 as int)), " +
-              "shiftleft(1L, b), 0L))"))
-          .withColumn("lo", expr(
-            "aggregate(sequence(32, 63), 0L, (acc, b) -> acc + " +
-              "if(element_at(g, cast((b div 8) * 9 + (b % 8) + 2 as int)) > " +
-              "element_at(g, cast((b div 8) * 9 + (b % 8) + 1 as int)), " +
-              "shiftleft(1L, b - 32), 0L))"))
-          .select(col("media_id"), col("hi"), col("lo"))
+          .withColumn("hl", graft.functions.DhashBits(col("text")))
+          .select(col("media_id"), col("hl").getItem(0).as("hi"),
+            col("hl").getItem(1).as("lo"))
         // Planted rows ride the SAME scan via a map-side explode (each
         // doc_id < 60 row emits its original and its 2-bit-flipped twin)
         // — one pass, no second read, and no Union for the constraint

@@ -1034,4 +1034,36 @@ class OpsSpec extends SparkSpec {
           "dropped core must be more prototypical than the kept periphery")
     }
   }
+
+  test("DhashBits is bit-identical to the HOF md5-gray-compare chain") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+      // Planted multibyte/edge rows: the digest bytes must come from the
+      // same UTF-8 encoding the HOF md5(concat(...)) hashes.
+      .unionByName(Seq((900001L, ""), (900002L, "héllo ☃ wörld"),
+        (900003L, "a")).toDF("doc_id", "text"))
+    val hof = docs
+      .withColumn("g", expr(
+        "flatten(transform(" +
+          "transform(sequence(0, 4), j -> " +
+          "md5(concat(text, ':g', cast(j as string)))), " +
+          "m -> transform(sequence(0, 15), b -> " +
+          "cast(conv(substring(m, b * 2 + 1, 2), 16, 10) as bigint))))"))
+      .withColumn("hi", expr(
+        "aggregate(sequence(0, 31), 0L, (acc, b) -> acc + " +
+          "if(element_at(g, cast((b div 8) * 9 + (b % 8) + 2 as int)) > " +
+          "element_at(g, cast((b div 8) * 9 + (b % 8) + 1 as int)), " +
+          "shiftleft(1L, b), 0L))"))
+      .withColumn("lo", expr(
+        "aggregate(sequence(32, 63), 0L, (acc, b) -> acc + " +
+          "if(element_at(g, cast((b div 8) * 9 + (b % 8) + 2 as int)) > " +
+          "element_at(g, cast((b div 8) * 9 + (b % 8) + 1 as int)), " +
+          "shiftleft(1L, b - 32), 0L))"))
+      .select($"doc_id", $"hi", $"lo")
+    val fused = docs
+      .withColumn("hl", graft.functions.DhashBits($"text"))
+      .select($"doc_id", $"hl".getItem(0).as("hi"), $"hl".getItem(1).as("lo"))
+    assert(hof.exceptAll(fused).isEmpty && fused.exceptAll(hof).isEmpty,
+      "fused dhash must equal the HOF form row-for-row")
+  }
 }
