@@ -581,20 +581,26 @@ object Similarity {
     var state = base.select($"id", $"v",
       round(lit(1.0) - vector.cosine($"v", centerVec(seedRow)), 6).as("d"))
       .persist()
+    // One job per step: the argmax TakeOrdered is ALSO what materializes
+    // the just-persisted state, so the parent stays cached until after
+    // that job (the new state computes from it) and is unpersisted then —
+    // no separate count() materialization pass.
+    var prev: DataFrame = null
     for (_ <- 2 to k) {
       val next = state.filter(!$"id".isInCollection(picked.map(_._1)))
         .orderBy($"d".desc, $"id").limit(1).head()
+      if (prev != null) prev.unpersist()
       val (nid, nd) = (next.getLong(0), next.getDouble(2))
       picked = picked :+ ((nid, nd))
-      val prev = state
+      prev = state
       state = state.select($"id", $"v",
         least($"d", round(lit(1.0) - vector.cosine($"v", centerVec(next)), 6))
           .as("d")).persist()
-      state.count() // materialize before unpersisting the parent
-      prev.unpersist()
     }
-    // Coverage radius: the farthest any point sits from the final set.
+    // Coverage radius: the farthest any point sits from the final set
+    // (this job materializes the last state off its still-cached parent).
     val radius = state.agg(max($"d")).head().getDouble(0)
+    if (prev != null) prev.unpersist()
     state.unpersist()
     base.unpersist()
     val sel = picked.zipWithIndex.map { case ((id, d), i) =>
