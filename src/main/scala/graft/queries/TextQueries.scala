@@ -3002,22 +3002,13 @@ object TextQueries {
       "t32_distinct_ngrams",
       (s, dir) => {
         val t = Tables(s, dir)
-        // The tokenize chain is bound to a lambda VARIABLE (m05's
-        // CollapseProject rule): referenced directly, the single-use
-        // `toks` alias would be inlined into the bigram lambda and
-        // re-tokenize the document per element_at — the O(len²) form
-        // this fused pass exists to avoid.
-        val grams = flatten(transform(
-          array(Dedup.tokens(col("text"))), tks =>
-            concat(
-              transform(tks, tk =>
-                struct(lit("uni").as("kind"), tk.as("gram"))),
-              transform(
-                when(size(tks) >= 2, sequence(lit(0), size(tks) - 2))
-                  .otherwise(array().cast("array<int>")),
-                i => struct(lit("bi").as("kind"),
-                  concat_ws(" ", element_at(tks, i + 1),
-                    element_at(tks, i + 2)).as("gram"))))))
+        // Fused one-pass (kind, gram) front (UniBiGramPairs): tokenize +
+        // uni structs + bigram concat in one JIT'd byte walk. The HOF
+        // chain it replaces (lambda-variable-bound tokenize feeding two
+        // interpreted transforms) evaluated a boxed expression tree ~2x
+        // per token per row — measured 3.8 s at sf1 vs 2.0 s fused.
+        // Bit-parity with the HOF form pinned in OpsSpec.
+        val grams = graft.functions.UniBiGramPairs(col("text"))
         t.documents
           .select(col("source"), explode_outer(grams).as("g"))
           .filter(col("g").isNotNull)

@@ -1066,4 +1066,31 @@ class OpsSpec extends SparkSpec {
     assert(hof.exceptAll(fused).isEmpty && fused.exceptAll(hof).isEmpty,
       "fused dhash must equal the HOF form row-for-row")
   }
+
+  test("UniBiGramPairs is element-identical to the HOF uni+bi chain") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+      // Edge shapes: empty, single token, repeated/leading/trailing/double
+      // spaces, multibyte tokens.
+      .unionByName(Seq((910001L, ""), (910002L, "one"),
+        (910003L, "  a  b "), (910004L, "héllo ☃ wörld"),
+        (910005L, " ")).toDF("doc_id", "text"))
+    val hof = docs.select($"doc_id", flatten(transform(
+      array(graft.ops.Dedup.tokens($"text")), tks =>
+        concat(
+          transform(tks, tk =>
+            struct(lit("uni").as("kind"), tk.as("gram"))),
+          transform(
+            when(size(tks) >= 2, sequence(lit(0), size(tks) - 2))
+              .otherwise(array().cast("array<int>")),
+            i => struct(lit("bi").as("kind"),
+              concat_ws(" ", element_at(tks, i + 1),
+                element_at(tks, i + 2)).as("gram")))))).as("g"))
+    val fused = docs.select($"doc_id",
+      graft.functions.UniBiGramPairs($"text").as("g"))
+    // Arrays compared whole: order (unis in token order, then bis) must
+    // match too, not just the multiset.
+    assert(hof.exceptAll(fused).isEmpty && fused.exceptAll(hof).isEmpty,
+      "fused gram pairs must equal the HOF form array-for-array")
+  }
 }
