@@ -1479,13 +1479,29 @@ object Relational {
           .filter(col("rk") === 1)
           .select(col("l_linestatus"),
             col("l_returnflag").as("mode_returnflag"))
-        val pos = li.select(col("l_linestatus"), col("l_quantity"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("l_linestatus")).orderBy(col("l_quantity"))))
-          .withColumn("cnt", count(lit(1)).over(
-            Window.partitionBy(col("l_linestatus"))))
-        val med = pos
-          .filter(col("rn") === ceil(col("cnt") / 2.0).cast("long"))
+        // Exact median WITHOUT a fact-scale window: the old row_number
+        // form partitioned 6M rows (sf1) across |linestatus| = 2-3 window
+        // partitions — a single-task sort per key, the classic
+        // low-cardinality-partition-key trap (5.7x cost for 10x data).
+        // The element at rank ceil(cnt/2) of the sorted multiset is the
+        // smallest value whose cumulative count reaches that rank, so a
+        // partial-aggregated (status, quantity) count (~|statuses| x
+        // |quantities| rows — l_quantity is a 1..50 domain) plus a
+        // cumulative-sum window over THAT relation yields the identical
+        // value with the fact table never sorted. Same answer for any
+        // value domain; the tiny-relation property just sets the cost.
+        val qc = li.groupBy(col("l_linestatus"), col("l_quantity"))
+          .agg(count(lit(1)).as("qn"))
+        val target = ceil(
+          sum(col("qn")).over(Window.partitionBy(col("l_linestatus"))) / 2.0)
+          .cast("long")
+        val med = qc
+          .withColumn("cum", sum(col("qn")).over(
+            Window.partitionBy(col("l_linestatus")).orderBy(col("l_quantity"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("tgt", target)
+          .filter(col("cum") - col("qn") < col("tgt") &&
+            col("tgt") <= col("cum"))
           .select(col("l_linestatus"), col("l_quantity").as("median_qty"))
         val fl = li.groupBy(col("l_linestatus"))
           .agg(array_join(array_sort(collect_set(col("l_returnflag"))), ",")
