@@ -79,7 +79,7 @@ object Explain {
     "d19_bloom_dedup_gate" -> "one broadcast Bloom sketch + map-only membership probe; the join-free cross-shard dedup shape",
     "s17_leakage_safe_split" -> "split-by-keeper over the cached pair relation; cross-split pairs structurally zero",
     "q58_disorder_audit"  -> "ONE user-keyed window exchange; lateness as exact integer micros into a single global aggregate",
-    "t32_distinct_ngrams" -> "ONE fused tokenize -> uni+bi transform -> explode (lambda-bound); gram-keyed exact distinct")
+    "t32_distinct_ngrams" -> "ONE fused UniBiGramPairs generator input (tokenize + uni + bigram structs in one codegen byte walk); gram-keyed exact distinct")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
