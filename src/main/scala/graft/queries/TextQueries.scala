@@ -3331,10 +3331,15 @@ object TextQueries {
             threshold = 0.5, numHashes = 32, bands = 8, shingleN = 3)
           .select(col("doc_a"), col("doc_b"),
             round(col("jaccard"), 6).as("exact_j"))
+        // Persisted: the signature relation feeds BOTH endpoint joins and
+        // Spark does not common-subexpression-eliminate across join
+        // branches — unpersisted, the corpus-wide fused signature scan
+        // ran twice per run (hashedShingles' rule, applied here).
         val sigs = t.documents.select(col("doc_id"),
           graft.functions.MinhashSignature(
             graft.functions.WordGramPairs48(col("text"), 3), 32).as("sig"))
           .filter(size(col("sig")) > 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         pairs
           .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")),
             Seq("doc_a"))
