@@ -1217,11 +1217,16 @@ object MixQueries {
       // terciles (head/middle/tail), each stage one of this engine's
       // operators riding the SHARED corpus artifacts (fingerprint pass,
       // t01's langid, t13's persisted vocab relation). The tercile
-      // assignment uses an exact global ntile over the kept-English
-      // relation for cross-engine equality; a 100 TB deployment replaces
-      // that one global window with sampled quantile thresholds (the
-      // paper itself fits its buckets on a sample) — everything else is
-      // keyed or map-side at any scale.
+      // assignment is the exact global ntile(3) over (ppl, doc_id) — but
+      // computed from a (ppl, count) relation (q47's rank-from-counts
+      // technique), never by sorting the document relation in one task:
+      // the reported aggregates depend only on HOW MANY docs of each ppl
+      // value land in each bucket, and docs with equal ppl are
+      // interchangeable for count/avg/min/max, so the ntile boundary
+      // arithmetic over cumulative value counts reproduces the window's
+      // buckets exactly. The cumulative counts themselves ride
+      // GlobalOrder's two-pass range/offset pass — no partition-less
+      // window anywhere, at any scale.
       "t18_ccnet_pipeline",
       (s, dir) => {
         val t = Tables(s, dir)
@@ -1239,11 +1244,28 @@ object MixQueries {
           .filter(col("rn") === 1 && col("pred_lang") === "en")
           .select(col("doc_id"))
           .join(ppl, "doc_id")
-        en.withColumn("bucket",
-            ntile(3).over(Window.orderBy(col("ppl"), col("doc_id"))))
+        // Value counts: docs collapse to their (map-side partially
+        // aggregated) rounded-ppl value — the only relation ranked.
+        val pc = en.groupBy(col("ppl")).agg(count(lit(1)).as("cnt"))
+        val (cum, n) = graft.ops.GlobalOrder.withRunningTotal(
+          pc, Seq(col("ppl")), col("cnt"), "cum")
+        // ntile(3) bucket i covers global sort positions (blo, bhi]; a ppl
+        // group occupying (cum-cnt, cum] contributes its overlap with each
+        // bucket interval. Integer overlap >= 1 is implied by the join
+        // predicate, so min/max see exactly the contributing values.
+        val b = graft.ops.GlobalOrder.ntileBounds(n, 3)
+        val bounds = s.createDataFrame(Seq(
+            (1, b(0), b(1)), (2, b(1), b(2)), (3, b(2), b(3))))
+          .toDF("bucket", "blo", "bhi")
+        cum.join(broadcast(bounds),
+            col("cum") - col("cnt") < col("bhi") && col("cum") > col("blo"))
+          .withColumn("nk",
+            least(col("cum"), col("bhi")) -
+              greatest(col("cum") - col("cnt"), col("blo")))
           .groupBy(col("bucket"))
-          .agg(count(lit(1)).as("n_docs"),
-            round(avg(col("ppl")), 4).as("avg_ppl"),
+          .agg(sum(col("nk")).as("n_docs"),
+            round(sum(col("ppl") * col("nk")) / sum(col("nk")), 4)
+              .as("avg_ppl"),
             min(col("ppl")).as("min_ppl"),
             max(col("ppl")).as("max_ppl"))
           .orderBy(col("bucket"))
@@ -1554,24 +1576,40 @@ object MixQueries {
       // early training isn't all-easy and the order is reproducible
       // bit-for-bit across engines (ntile over rounded ppl with doc_id
       // tiebreak). Rides the memoized perplexity relation (scored once
-      // for t13 and every composite consumer); the interleave is two
-      // windows over the |docs| score relation. At 100 TB the ntile
-      // becomes sampled tercile thresholds (t18's trade) and the
-      // position arithmetic is unchanged.
+      // for t13 and every composite consumer). The interleave needs the
+      // exact global rank under (ppl, doc_id) — computed by GlobalOrder's
+      // two-pass range/offset rank, never a partition-less ntile window
+      // (one task sorting the corpus) nor a 3-partition row_number window
+      // (the q47 low-cardinality trap); tercile and position are then
+      // pure arithmetic on the rank against the ntile(3) boundaries, and
+      // only the 10 head ranks of each tercile survive to the final
+      // TakeOrdered.
       "s09_curriculum",
       (s, dir) => {
         val t = Tables(s, dir)
         val ppl = TextAnalysis.unigramPerplexity(t.documents, "doc_id",
           "text")
-        val byPpl = org.apache.spark.sql.expressions.Window
-          .orderBy(col("ppl"), col("doc_id"))
-        val byTier = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("tercile")).orderBy(col("ppl"), col("doc_id"))
-        ppl
-          .withColumn("tercile", ntile(3).over(byPpl).cast("long"))
+        val (ranked, n) = graft.ops.GlobalOrder.withGlobalRank(
+          ppl, Seq(col("ppl"), col("doc_id")), "_rk")
+        val b = graft.ops.GlobalOrder.ntileBounds(n, 3)
+        // position = (rank_within_tercile - 1) * 3 + tercile - 1, so
+        // positions 0..29 are exactly rank_within_tercile <= 10 of each
+        // tercile (every tercile holds >= 10 once n >= 30 — below that
+        // the limit keeps all rows, so nothing is pre-filtered).
+        val tercile = when(col("_rk") <= b(1), 1L)
+          .when(col("_rk") <= b(2), 2L).otherwise(3L)
+        val start = when(col("_rk") <= b(1), 0L)
+          .when(col("_rk") <= b(2), b(1)).otherwise(b(2))
+        val head =
+          if (n < 30) ranked
+          else ranked.filter(
+            col("_rk") <= b(0) + 10 ||
+              (col("_rk") > b(1) && col("_rk") <= b(1) + 10) ||
+              (col("_rk") > b(2) && col("_rk") <= b(2) + 10))
+        head
+          .withColumn("tercile", tercile)
           .withColumn("position",
-            ((row_number().over(byTier) - 1) * 3).cast("long") +
-              col("tercile") - 1)
+            (col("_rk") - start - 1) * 3 + col("tercile") - 1)
           .select(col("position"), col("doc_id"), col("tercile"), col("ppl"))
           .orderBy(col("position"))
           .limit(30)
