@@ -163,46 +163,33 @@ object TextAnalysis {
     * bigram. Both expose boilerplate/template spam that survives exact and
     * near dedup because the repetition is internal to the document.
     *
-    * Map-only by construction: the top-bigram count is a single
-    * `aggregate` fold over the SORTED bigram array (longest run of equal
-    * adjacent elements), so no token row is ever exploded or shuffled —
-    * per-row cost is O(tokens log tokens), independent of corpus size.
+    * Map-only by construction: all four counts come from ONE fused byte
+    * walk per row ([[graft.functions.RepetitionStats]] — value-identical
+    * to the interpreted sort+`aggregate`-fold HOF chain it replaced,
+    * pinned in OpsSpec), so no token row is ever exploded or shuffled —
+    * per-row cost is O(tokens), independent of corpus size.
     * `keep` applies the standard cutoffs (low distinctness or a dominant
     * bigram -> drop).
     */
   def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String,
       minDistinctRatio: Double = 0.4, maxTopBigramFrac: Double = 0.18): DataFrame = {
-    val toks = tokens(col(textCol))
-    val base = docs.select(col(idCol).as("doc_id"), toks.as("toks"))
-      .select(col("doc_id"), col("toks"),
-        when(size(col("toks")) >= 2,
-          array_sort(transform(sequence(lit(0), size(col("toks")) - 2),
-            i => concat_ws(" ", element_at(col("toks"), i + 1),
-              element_at(col("toks"), i + 2)))))
-          .otherwise(array().cast("array<string>")).as("bgs"))
-    // Longest equal-adjacent run of the sorted bigrams = max frequency.
-    // State is (prev, run, best); HOF aggregate keeps it in one struct.
-    val top = aggregate(col("bgs"),
-      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
-          .otherwise(lit(1))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
-    val n = size(col("toks"))
-    val nDistinct = size(array_distinct(col("toks")))
+    val base = docs.select(col(idCol).as("doc_id"),
+      graft.functions.RepetitionStats(col(textCol)).as("st"))
+    val n = col("st.n_tokens")
+    val nDistinct = col("st.n_distinct")
     val distinctRatio = nDistinct.cast("double") / n.cast("double")
-    val topFrac = when(size(col("bgs")) > 0,
-      col("top_bigram_n").cast("double") / size(col("bgs")).cast("double"))
+    val topFrac = when(col("st.n_bigrams") > 0,
+      col("st.top_bigram_n").cast("double") / col("st.n_bigrams").cast("double"))
       .otherwise(lit(0.0))
-    base.withColumn("top_bigram_n", top)
+    // coalesce: NULL text kept its HOF value 0 (the fold ran over the
+    // `otherwise(array())` branch) while the fused struct is null — the
+    // other columns were null under the HOF form too.
+    base
       .select(col("doc_id"),
         n.as("n_tokens"),
         nDistinct.as("n_distinct"),
         distinctRatio.as("distinct_ratio"),
-        col("top_bigram_n"),
+        coalesce(col("st.top_bigram_n"), lit(0)).as("top_bigram_n"),
         topFrac.as("top_bigram_frac"))
       .withColumn("keep",
         col("distinct_ratio") >= minDistinctRatio &&
@@ -301,11 +288,12 @@ object TextAnalysis {
     val toks = tokensRelation(docs, textCol)
     val v = toks.select(explode(col("toks")).as("tok"))
       .agg(countDistinct(col("tok"))).first().getLong(0)
+    // Fused adjacent-pair walk (graft.functions.BigramStructs): the
+    // transform/element_at HOF lambda is interpreted per pair; the fused
+    // form is one JIT'd pass per row, element-identical (OpsSpec).
     val bi = toks.filter(size(col("toks")) >= 2)
       .select(col(idCol),
-        explode(transform(sequence(lit(0), size(col("toks")) - 2),
-          i => struct(element_at(col("toks"), i + 1).as("w1"),
-            element_at(col("toks"), i + 2).as("w2")))).as("bg"))
+        explode(graft.functions.BigramStructs(col("toks"))).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     bi.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bigramCounts = bi.groupBy(col("w1"), col("w2"))

@@ -2367,7 +2367,7 @@ object TextQueries {
     QueryDef(
       // Gopher-style repetition signals: distinct-token ratio and the
       // share of word bigrams taken by the most frequent bigram. Map-only
-      // (the top-bigram count is a fold over the sorted bigram array) —
+      // (all four counts come from the fused RepetitionStats byte walk) —
       // no token is ever exploded or shuffled.
       "t08_repetition",
       (s, dir) => {
