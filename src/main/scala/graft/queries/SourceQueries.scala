@@ -574,12 +574,18 @@ object SourceQueries {
         val out = ioDir(s, "io13", dir)
         val emb = t.embeddings
         val probes = emb.filter(col("vec_id") >= 100 && col("vec_id") < 115)
+        // Layout under the sizing law (Ivf.cellsFor), like every other
+        // IVF geometry — the persisted directory count then scales with
+        // the corpus instead of pinning 16 dirs at any size. The search
+        // probes ALL cells, and full probe == brute force for any cell
+        // count, so the oracle (exact ranking) is unchanged by the law.
+        val cells = graft.ops.Ivf.cellsFor(emb.count())
         val built = graft.ops.Ivf.build(emb, "vec_id", "embedding",
-          numCells = 16, iterations = 1)
+          numCells = cells, iterations = 1)
         graft.ops.Ivf.save(built, out)
         val loaded = graft.ops.Ivf.load(s, out, "vec_id", "embedding")
         graft.ops.Ivf.search(loaded, probes, "vec_id", "embedding",
-            k = 5, nprobe = 16)
+            k = 5, nprobe = cells)
           .orderBy(col("query_id"), col("rnk"))
       },
       Some("""
