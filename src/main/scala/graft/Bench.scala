@@ -357,6 +357,19 @@ object Bench {
     }.mkString("{", ",", "}")
     val ctx = f""""cooldown_s":$cooldownS,"load_entry":$loadEntry%.2f,"load_start":$loadStart%.2f"""
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"pressure":$press,$ctx,"sf":"$sfDir"}""")
+    // Driver-artifact ingestibility (round-10 verdict task 2): the full
+    // line above is the contract artifact, but at 238 queries (~6 KB) it
+    // outgrew the driver's ~2 KB log-tail capture — BENCH_r*.json carried
+    // parsed:null since round 3. Emit a COMPACT machine line as the LAST
+    // stdout line (~1.2 KB at 238 queries, inside the capture window):
+    // same metric/value/unit/pressure/sf keys; per-query timings ride in
+    // "queries_cs" as CENTISECONDS, positionally aligned with the query
+    // names in ascending name order (exactly the order of the full line's
+    // "queries" map; -1 = every run of that query failed).
+    val cs = finalResults.map { case (_, v) =>
+      if (v < 0) "-1" else math.round(v * 100).toString
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${finalResults.size},"queries_order":"name-asc","queries_cs":$cs,"pressure":$press,$ctx,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
