@@ -62,11 +62,21 @@ object DhashBits {
   def apply(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     GraftSqlInternal.column(DhashBits(GraftSqlInternal.expression(text)))
 
+  /** One digest instance per thread, reset per row — getInstance walks
+    * the JCA provider registry and allocates, which is measurable at
+    * scan rate (the sibling fused hashers CharGramPairs48/KgramHashes60
+    * already do this).
+    */
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
   /** Five digests -> 80 unsigned gray bytes -> 64 neighbor comparisons.
     * Called from eval and codegen.
     */
   def compute(text: UTF8String): GenericArrayData = {
-    val md = MessageDigest.getInstance("MD5")
+    val md = md5.get()
     val base = text.getBytes
     // g holds the digest bytes as unsigned ints, 16 per suffix j.
     val g = new Array[Int](80)

@@ -20,8 +20,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * The HOF form is interpreted (lambdas never codegen) and evaluates a
   * boxed struct/concat_ws expression tree per element — ~2 evaluations
   * per token per row; this expression is one JIT'd walk over the UTF-8
-  * bytes with zero-copy token slices (bigram strings are the only
-  * allocation). Bit-parity with the HOF form is pinned in OpsSpec.
+  * bytes. Token bytes are deliberately COPIED out of the input (the scan
+  * reuses its row buffer and the emitted structs outlive the row — a
+  * zero-copy slice would alias overwritten memory); the copies and the
+  * bigram concats are the only allocations. Bit-parity with the HOF form
+  * is pinned in OpsSpec.
   *
   * This sweep is the tokenize cost of the distinct-gram/vocab-growth
   * operators: per-row work, zero shuffle — its throughput IS the
@@ -72,29 +75,34 @@ object UniBiGramPairs {
     */
   def compute(text: UTF8String): GenericArrayData = {
     val n = text.numBytes()
-    // Token boundaries as (startByte, lenBytes) pairs.
-    val starts = new java.util.ArrayList[Integer]()
-    val lens = new java.util.ArrayList[Integer]()
+    // Token boundaries as (startByte, lenBytes) pairs — primitive arrays
+    // (a text of n bytes holds at most (n+1)/2 tokens), no boxing.
+    var starts = new Array[Int](math.min(16, (n >> 1) + 1))
+    var lens = new Array[Int](starts.length)
+    var t = 0
     var i = 0
     var tokStart = -1
     while (i <= n) {
       val isSep = i == n || text.getByte(i) == 0x20.toByte
       if (isSep) {
         if (tokStart >= 0 && i > tokStart) {
-          starts.add(tokStart); lens.add(i - tokStart)
+          if (t == starts.length) {
+            starts = java.util.Arrays.copyOf(starts, starts.length * 2)
+            lens = java.util.Arrays.copyOf(lens, lens.length * 2)
+          }
+          starts(t) = tokStart; lens(t) = i - tokStart; t += 1
         }
         tokStart = -1
       } else if (tokStart < 0) tokStart = i
       i += 1
     }
-    val t = starts.size()
     // Tokens are COPIED out of the input buffer: the scan reuses its row
     // buffer, while these structs outlive the row (explode/aggregate
     // buffering), so zero-copy slices would alias overwritten memory.
     val toks = new Array[UTF8String](t)
     var j = 0
     while (j < t) {
-      toks(j) = slice(text, starts.get(j), lens.get(j))
+      toks(j) = slice(text, starts(j), lens(j))
       j += 1
     }
     val out = new Array[Any](t + math.max(0, t - 1))

@@ -1039,9 +1039,15 @@ class OpsSpec extends SparkSpec {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select($"doc_id", $"text")
       // Planted multibyte/edge rows: the digest bytes must come from the
-      // same UTF-8 encoding the HOF md5(concat(...)) hashes.
-      .unionByName(Seq((900001L, ""), (900002L, "héllo ☃ wörld"),
-        (900003L, "a")).toDF("doc_id", "text"))
+      // same UTF-8 encoding the HOF md5(concat(...)) hashes. The NULL row
+      // pins null propagation: the fused expression is null-safe (NULL
+      // text -> NULL hash), and the comparison maps the HOF side through
+      // the same contract below — the RAW HOF fold would instead coerce
+      // the all-null gray array to hi=lo=0 via if(null)->0L, which is an
+      // accident of the fold encoding, not dhash semantics.
+      .unionByName(Seq((900001L, Some("")), (900002L, Some("héllo ☃ wörld")),
+        (900003L, Some("a")), (900004L, Option.empty[String]))
+        .toDF("doc_id", "text"))
     val hof = docs
       .withColumn("g", expr(
         "flatten(transform(" +
@@ -1059,7 +1065,9 @@ class OpsSpec extends SparkSpec {
           "if(element_at(g, cast((b div 8) * 9 + (b % 8) + 2 as int)) > " +
           "element_at(g, cast((b div 8) * 9 + (b % 8) + 1 as int)), " +
           "shiftleft(1L, b - 32), 0L))"))
-      .select($"doc_id", $"hi", $"lo")
+      .select($"doc_id",
+        when($"text".isNotNull, $"hi").as("hi"),
+        when($"text".isNotNull, $"lo").as("lo"))
     val fused = docs
       .withColumn("hl", graft.functions.DhashBits($"text"))
       .select($"doc_id", $"hl".getItem(0).as("hi"), $"hl".getItem(1).as("lo"))
@@ -1071,10 +1079,13 @@ class OpsSpec extends SparkSpec {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select($"doc_id", $"text")
       // Edge shapes: empty, single token, repeated/leading/trailing/double
-      // spaces, multibyte tokens.
-      .unionByName(Seq((910001L, ""), (910002L, "one"),
-        (910003L, "  a  b "), (910004L, "héllo ☃ wörld"),
-        (910005L, " ")).toDF("doc_id", "text"))
+      // spaces, multibyte tokens, and NULL (both sides must propagate
+      // NULL: flatten(<null inner array>) on the HOF side, nullSafeEval
+      // on the fused side).
+      .unionByName(Seq((910001L, Some("")), (910002L, Some("one")),
+        (910003L, Some("  a  b ")), (910004L, Some("héllo ☃ wörld")),
+        (910005L, Some(" ")), (910006L, Option.empty[String]))
+        .toDF("doc_id", "text"))
     val hof = docs.select($"doc_id", flatten(transform(
       array(graft.ops.Dedup.tokens($"text")), tks =>
         concat(
@@ -1092,5 +1103,71 @@ class OpsSpec extends SparkSpec {
     // match too, not just the multiset.
     assert(hof.exceptAll(fused).isEmpty && fused.exceptAll(hof).isEmpty,
       "fused gram pairs must equal the HOF form array-for-array")
+  }
+
+  test("RepetitionStats is value-identical to the sorted-fold HOF chain") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+      // Edges: empty, single token, dominant repeated bigram, all-same
+      // token, multi-space, multibyte, and NULL (the HOF fold yields
+      // top=0 for NULL — the `otherwise(array())` branch — which
+      // repetitionMetrics preserves via coalesce; the raw struct is NULL).
+      .unionByName(Seq((920001L, Some("")), (920002L, Some("one")),
+        (920003L, Some("a b a b a b")), (920004L, Some("x x x x")),
+        (920005L, Some("  a  b ")), (920006L, Some("héllo ☃ wörld ☃ héllo ☃")),
+        (920007L, Option.empty[String])).toDF("doc_id", "text"))
+    // The pre-round-11 HOF form, inlined: sorted bigram array + 3-field
+    // run-length aggregate fold.
+    val toks = graft.ops.Dedup.tokens($"text")
+    val hofBase = docs.select($"doc_id", toks.as("toks"))
+      .select($"doc_id", $"toks",
+        when(size($"toks") >= 2,
+          array_sort(transform(sequence(lit(0), size($"toks") - 2),
+            i => concat_ws(" ", element_at($"toks", i + 1),
+              element_at($"toks", i + 2)))))
+          .otherwise(array().cast("array<string>")).as("bgs"))
+    val top = aggregate($"bgs",
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val hof = hofBase.select($"doc_id",
+      size($"toks").as("n_tokens"),
+      size(array_distinct($"toks")).as("n_distinct"),
+      when(size($"toks") >= 2, size($"toks") - 1).otherwise(
+        when($"toks".isNotNull, 0)).as("n_bigrams"),
+      top.as("top_bigram_n"))
+    val fused = docs.select($"doc_id",
+        graft.functions.RepetitionStats($"text").as("st"))
+      .select($"doc_id", $"st.n_tokens", $"st.n_distinct", $"st.n_bigrams",
+        coalesce($"st.top_bigram_n", lit(0)).as("top_bigram_n"))
+    assert(hof.exceptAll(fused).isEmpty && fused.exceptAll(hof).isEmpty,
+      "fused repetition stats must equal the HOF form row-for-row")
+  }
+
+  test("BigramStructs is element-identical to the transform/element_at chain") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+      .unionByName(Seq((930001L, Some("")), (930002L, Some("one")),
+        (930003L, Some("a b")), (930004L, Some("a b a b c")),
+        (930005L, Some("héllo ☃ wörld")), (930006L, Option.empty[String]))
+        .toDF("doc_id", "text"))
+      .select($"doc_id", graft.ops.Dedup.tokens($"text").as("toks"))
+      // bigramPerplexity applies this filter before either form runs (its
+      // NULL/short-doc rows never reach the pair walk); sequence(0, -1)
+      // on the raw HOF side would throw below it.
+      .filter(size($"toks") >= 2)
+    val hof = docs.select($"doc_id",
+      transform(sequence(lit(0), size($"toks") - 2),
+        i => struct(element_at($"toks", i + 1).as("w1"),
+          element_at($"toks", i + 2).as("w2"))).as("bg"))
+    val fused = docs.select($"doc_id",
+      graft.functions.BigramStructs($"toks").as("bg"))
+    assert(hof.exceptAll(fused).isEmpty && fused.exceptAll(hof).isEmpty,
+      "fused bigram structs must equal the HOF form array-for-array")
   }
 }
